@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session config so Verify / Bench / tests agree.
+  *
+  * Scale notes: shuffle partitions default to the local core count here; on a
+  * real cluster this is AQE-governed (`spark.sql.adaptive.coalescePartitions`)
+  * with `initialPartitionNum` sized to ~2-3× total cores. Nothing in the
+  * library assumes local mode.
+  */
+object GraftSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
+      // read as long and let Tables.load restore a timestamp column.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def get(appName: String): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Generic relational layer (SURVEY.md §B): the plain DataFrame/SQL surface
+  * the jigsaw-equivalent operators are expressed in, exercised TPC-H-style on
+  * the harness testdata. Each query is declarative end-to-end so Catalyst
+  * pushes filters/projections into the parquet scan and picks join
+  * strategies; small dimensions are broadcast explicitly.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  val all: Seq[Query] = Seq(
+
+    // --- Q1-style pricing summary: single scan, hash agg (map-side partial).
+    Query(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // --- Q3-style: 3-way join, agg, top-k. Customer dim is broadcast.
+    Query(
+      "q03_top_orders",
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // --- Q4-style: EXISTS → left-semi join, count by priority.
+    Query(
+      "q04_order_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-06-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey").as("o_orderkey"))
+      ord.join(li, Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // --- Q5-style: 6-way join; dims (region/nation/supplier/customer)
+    //     broadcast, fact-fact join shuffles on orderkey only.
+    Query(
+      "q05_nation_revenue",
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, d, "nation")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      val supplier = t(s, d, "supplier")
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      t(s, d, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // --- Q6-style: pure scan-aggregate; filter fully pushed to parquet.
+    Query(
+      "q06_forecast_revenue",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp")
+          && col("l_discount").between(0.03, 0.07)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // --- Window: latest 3 orders per customer (row_number over a window).
+    Query(
+      "q07_latest_orders",
+      """SELECT o_custkey, rn, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 AND o_custkey < 50
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3 && col("o_custkey") < 50)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // --- Distinct aggregation (A1 analog on the generic layer).
+    Query(
+      "q08_distinct_counts",
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    },
+
+    // --- J1 analog on the generic layer: union two subsets + dedup by key.
+    Query(
+      "q09_union_dedup",
+      """SELECT o_orderkey, o_orderstatus FROM (
+        |  SELECT DISTINCT o_orderkey, o_orderstatus FROM (
+        |    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000
+        |    UNION ALL
+        |    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  ))
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val ord = t(s, d, "orders")
+      val a = ord.filter(col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderstatus")
+      val b = ord.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")
+      a.unionByName(b).dropDuplicates("o_orderkey").orderBy("o_orderkey")
+    },
+
+    // --- Anti-join: customers with no orders.
+    Query(
+      "q10_customers_no_orders",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // --- Top-k part demand: agg + deterministic top-20.
+    Query(
+      "q11_top_parts",
+      """SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY total_qty DESC, l_partkey LIMIT 20""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("total_qty").desc, col("l_partkey"))
+        .limit(20)
+    },
+
+    // --- Events: hourly tumbling-window aggregation (batch form).
+    Query(
+      "q12_events_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    // --- Events: JSON extraction from the props column.
+    Query(
+      "q13_events_json",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // --- Conditional aggregation (CASE WHEN) + bucketing.
+    Query(
+      "q14_price_buckets",
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+          round(avg("o_totalprice"), 2).as("avg_price"))
+        .orderBy("bucket")
+    }
+  )
+}
