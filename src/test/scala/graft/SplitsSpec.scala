@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Splits
+
+class SplitsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ids(n: Int) = (1 to n).map(i => f"id_$i%04d").toDF("image_id")
+
+  test("testDevSplit: exact counts, min-1 test row, partition of input") {
+    val df = ids(10)
+    val split = Splits.testDevSplit(df, 0.2, seed = 42)
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("test" -> 2L, "dev" -> 8L))
+    // membership partitions the input
+    assert(split.select("image_id").as[String].collect().sorted.toList
+      == df.as[String].collect().sorted.toList)
+    // min-1: floor(5 * 0.1) = 0 → still 1 test row
+    val tiny = Splits.testDevSplit(ids(5), 0.1, seed = 42)
+    assert(tiny.filter($"split" === "test").count() == 1)
+    // deterministic
+    val again = Splits.testDevSplit(df, 0.2, seed = 42)
+    assert(split.collect().toSet == again.collect().toSet)
+  }
+
+  test("testDevSplit errors on n <= 1 (reference contract)") {
+    intercept[IllegalArgumentException] {
+      Splits.testDevSplit(ids(1), 0.2)
+    }
+  }
+
+  test("kfold: folds balanced within 1 and partition the input") {
+    val df = ids(10)
+    val folds = Splits.kfold(df, k = 3, seed = 0)
+    val sizes = folds.groupBy("fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(1, 2, 3))
+    assert(sizes.values.sum == 10)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(sizes(1) == 4) // n % k extra rows go to the first folds
+  }
+
+  test("shardAssign: n/1000+1 shards, round-robin sizes") {
+    val df = ids(2500)
+    val sharded = Splits.shardAssign(df, Seq(col("image_id")))
+    val sizes = sharded.groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L)) // 2500/1000 + 1 = 3
+    assert(sizes.values.sum == 2500)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // round-robin: first three rows land on shards 0,1,2
+    val first = sharded.orderBy("image_id").limit(3)
+      .select("shard").as[Long].collect().toList
+    assert(first == List(0L, 1L, 2L))
+  }
+
+  test("hashSplit: deterministic, shuffle-free, roughly proportional") {
+    val df = ids(2000)
+    val s1 = Splits.hashSplit(df, "image_id")
+    val counts = s1.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    val testFrac = counts.getOrElse("test", 0L).toDouble / 2000
+    assert(testFrac > 0.15 && testFrac < 0.25, s"test frac $testFrac")
+    assert(s1.collect().toSet == Splits.hashSplit(df, "image_id").collect().toSet)
+  }
+}

@@ -70,6 +70,19 @@ def main() -> int:
             print(f"  OK    {name} ({len(spark_df)} rows)")
         except AssertionError as e:
             failures.append((name, str(e).splitlines()[-1][:300]))
+    # rows-only check for queries without an oracle
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path) or name in oracles:
+            continue
+        try:
+            n = len(pd.read_parquet(path))
+            print(f"  OK*   {name} (rows-only: {n} rows)")
+            if n == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+        except Exception as e:
+            failures.append((name, f"rows-only output unreadable: {e}"))
     for name, msg in failures:
         print(f"  FAIL  {name}: {msg}")
     print(f"{len(oracles) - len(failures)}/{len(oracles)} oracle queries match")
