@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{JigsawSurface, Query, Relational}
+import graft.queries.{JigsawSurface, PipelineQueries, Query, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{JigsawSurface, Query, Relational}
 object SparkEntry {
 
   /** All registered queries, in registration order. */
-  def registry: Seq[Query] = Relational.all ++ JigsawSurface.all
+  def registry: Seq[Query] =
+    Relational.all ++ JigsawSurface.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * score every corpus row, per-query top-k via window. One pass over the
+  * corpus, no corpus self-shuffle: at 100 TB this is a map-side scan.
+  *
+  * Scale path: random-hyperplane LSH — bucket corpus and queries by sign
+  * bits, join on bucket, verify exact cosine only within buckets. Trades
+  * recall for turning the scan into a hash join on bucket keys.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k. `queries` must be small enough to broadcast
+    * (it is hash-joined against every corpus row).
+    * Output: (query_key, neighbor key, cosine, rank) excluding self-matches.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+      key: String, k: Int): DataFrame = {
+    val q = queries.select(col(key).as("query_id"),
+      col(embCol).as("_q_emb"))
+    val scored = corpus.select(col(key), col(embCol))
+      .join(broadcast(q), col(key) =!= col("query_id"))
+      .select(col("query_id"), col(key).as("neighbor_id"),
+        cosine(col("_q_emb"), col(embCol)).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `numBits` vectors of `dim` gaussians
+    * from a seeded RNG, as a literal array-of-arrays column.
+    */
+  private def hyperplanes(dim: Int, numBits: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    array((0 until numBits).map { _ =>
+      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+    }: _*)
+  }
+
+  /** Sign-bit LSH bucket id for an embedding: bit i = (v · plane_i) > 0. */
+  def lshBucket(emb: Column, dim: Int, numBits: Int = 16,
+      seed: Long = 42): Column = {
+    val planes = hyperplanes(dim, numBits, seed)
+    aggregate(
+      zip_with(planes, sequence(lit(0), lit(numBits - 1)),
+        (plane, i) => when(dot(emb, plane) > 0,
+          // 1 << i as a column: 2^i over integer domain
+          pow(lit(2.0), i).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** LSH-bucketed near-neighbor pairs: same-bucket candidates verified with
+    * exact cosine ≥ threshold. Output: (key_a, key_b, cosine), key_a < key_b.
+    */
+  def lshNeighborPairs(corpus: DataFrame, embCol: String, key: String,
+      dim: Int, numBits: Int = 16, threshold: Double = 0.8,
+      seed: Long = 42): DataFrame = {
+    val bucketed = corpus.select(col(key), col(embCol),
+      lshBucket(col(embCol), dim, numBits, seed).as("_bucket"))
+    val a = bucketed.select(col(key).as("key_a"),
+      col(embCol).as("_emb_a"), col("_bucket"))
+    val b = bucketed.select(col(key).as("key_b"),
+      col(embCol).as("_emb_b"), col("_bucket"))
+    a.join(b, Seq("_bucket"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        cosine(col("_emb_a"), col("_emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("key_a", "key_b")
+  }
+
+  /** Embedding-cosine near-duplicate keys: pairs above threshold collapsed
+    * to "drop the larger key" survivors (connected-components-free greedy,
+    * adequate for sparse duplicate graphs).
+    */
+  def embeddingDedupDropList(corpus: DataFrame, embCol: String, key: String,
+      dim: Int, numBits: Int = 16, threshold: Double = 0.95,
+      seed: Long = 42): DataFrame =
+    lshNeighborPairs(corpus, embCol, key, dim, numBits, threshold, seed)
+      .select(col("key_b").as(key)).distinct()
+}

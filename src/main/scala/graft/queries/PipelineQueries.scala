@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** LLM-training-data pipeline operators (dedup / similarity / text
+  * analysis) exercised on the `documents` and `embeddings` tables.
+  * Oracles verify the ones whose math is reproducible in DuckDB; the
+  * murmur-hash-based ones (MinHash, SimHash) are self-deterministic and get
+  * rows-only checks.
+  */
+object PipelineQueries {
+
+  /** documents plus synthetic exact duplicates (every 10th doc re-inserted
+    * under a shifted id) so exact-dedup has real work to do.
+    */
+  private def corpusWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  val all: Seq[Query] = Seq(
+
+    // --- Exact dedup: hash-aggregate on content, keep-min-key survivor.
+    Query(
+      "q25_dedup_exact",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |  count(*) AS dup_count
+        |FROM corpus GROUP BY text
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.exact(corpusWithDups(s, d), Seq("text"), "doc_id")
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id")
+    },
+
+    // --- Text quality metrics, all codegen'd column math.
+    Query(
+      "q26_text_quality",
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT)
+        |    AS n_tokens,
+        |  round(CAST(length(text) - length(regexp_replace(text,
+        |      '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text), 4)
+        |    AS punct_ratio,
+        |  round(list_aggregate(list_transform(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> CAST(length(t) AS BIGINT)), 'avg'), 4)
+        |    AS mean_word_len,
+        |  round(CAST(len(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the', 'a', 'and', 'of', 'to', 'in',
+        |        'is', 'that'], t))) AS DOUBLE)
+        |    / len(string_split_regex(lower(trim(text)), '\s+')), 4)
+        |    AS stopword_ratio
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val en = TextOps.Languages.all.head._2
+      Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextOps.meanWordLength(col("text")), 4).as("mean_word_len"),
+          round(TextOps.stopwordRatio(col("text"), en), 4)
+            .as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // --- Language-ID heuristic (distinct-stopword-hit argmax).
+    Query(
+      "q27_langid",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) tk
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(tk, ['the','a','and','of','to','in','is','that'])) s_en,
+        |    len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein'])) s_de,
+        |    len(list_intersect(tk, ['el','los','que','y','en','un','una','por'])) s_es,
+        |    len(list_intersect(tk, ['le','les','et','est','une','dans','pour'])) s_fr
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+        |  WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+        |  WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |  WHEN s_fr > 0 THEN 'fr'
+        |  ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // --- Order-sensitive polynomial document fingerprint.
+    Query(
+      "q28_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''),
+        |      x -> CAST(ord(x) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // --- Brute-force exact n-gram Jaccard (the O(n²) baseline; bounded).
+    Query(
+      "q29_ngram_jaccard",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(l) AS sh FROM (
+        |    SELECT doc_id, tk,
+        |      list_transform(range(len(tk) - 2),
+        |        i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])) AS l
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(lower(trim(text)), '\s+') tk
+        |          FROM documents WHERE doc_id < 25)))
+        |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(
+          Tables.load(s, d, "documents").filter(col("doc_id") < 25),
+          "text", "doc_id", n = 3)
+        .select(col("key_a"), col("key_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("key_a", "key_b")
+    },
+
+    // --- MinHash+LSH near-dup pairs on the synthetic-dup corpus: the
+    //     planted duplicates must surface. Murmur-based → rows-only.
+    Query.noOracle("q30_minhash_neardup") { (s, d) =>
+      Dedup.minhashNearDuplicates(corpusWithDups(s, d), "text", "doc_id",
+          numHashes = 64, bands = 16, threshold = 0.9)
+        .select(col("key_a"), col("key_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("key_a", "key_b")
+    },
+
+    // --- SimHash values + hamming distance of the planted duplicate pairs
+    //     (distance 0 for exact dups). Murmur-based → rows-only.
+    Query.noOracle("q31_simhash") { (s, d) =>
+      val docs = Tables.load(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      docs.orderBy("doc_id")
+    },
+
+    // --- Brute-force cosine top-k ANN baseline.
+    Query(
+      "q32_cosine_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |      WHERE vec_id IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, e.v) AS c
+        |  FROM q, e WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, c,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+        |  round(c, 4) AS cosine
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.cosineTopK(emb,
+          emb.filter(col("vec_id").isin(0, 1, 2)), "embedding", "vec_id",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // --- LSH-bucketed neighbor pairs (scale path); seeded hyperplanes are
+    //     driver-side literals → self-deterministic, rows-only.
+    Query.noOracle("q33_lsh_neighbors") { (s, d) =>
+      Similarity.lshNeighborPairs(Tables.load(s, d, "embeddings"),
+          "embedding", "vec_id", dim = 64, numBits = 4, threshold = 0.15)
+        .select(col("key_a"), col("key_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("key_a", "key_b")
+    }
+  )
+}

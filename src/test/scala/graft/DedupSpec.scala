@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different words nothing shared here at all"),
+    (5L, "another unrelated document with its own vocabulary entirely"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min key and counts duplicates") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(out.count() == 4)
+    val dupRow = out.filter($"dup_count" === 2).collect().head
+    assert(dupRow.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("jaccard: identical sets → 1.0, disjoint → 0.0") {
+    val df = docs.select(
+      Dedup.jaccard(Dedup.shingles(lit("a b c d")),
+        Dedup.shingles(lit("a b c d"))).as("same"),
+      Dedup.jaccard(Dedup.shingles(lit("a b c d")),
+        Dedup.shingles(lit("x y z w"))).as("diff")).limit(1)
+    val r = df.collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("minhashNearDuplicates surfaces exact and near dups, not unrelated") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // deterministic across runs
+    val again = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == again)
+  }
+
+  test("simhash: identical texts equal; near texts closer than far ones") {
+    val h = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+  }
+
+  test("ngramJaccardPairs ranks the near-dup above unrelated pairs") {
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) > out((1L, 4L)))
+  }
+}

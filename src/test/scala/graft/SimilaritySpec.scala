@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("VectorFunctions: dot, norm, cosine") {
+    val df = Seq(1).toDF("x").select(
+      VectorFunctions.dot(array(lit(1.0), lit(2.0)),
+        array(lit(3.0), lit(4.0))).as("dot"),
+      VectorFunctions.cosine(array(lit(1.0), lit(0.0)),
+        array(lit(1.0), lit(0.0))).as("same"),
+      VectorFunctions.cosine(array(lit(1.0), lit(0.0)),
+        array(lit(0.0), lit(1.0))).as("orth"),
+      VectorFunctions.l2sq(array(lit(1.0), lit(2.0)),
+        array(lit(4.0), lit(6.0))).as("l2sq"))
+    val r = df.collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2)) < 1e-12)
+    assert(r.getDouble(3) == 25.0)
+  }
+
+  test("cosineTopK returns k ranked neighbors excluding self") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)), // closest to 0
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.5f, 0.5f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f))) // opposite
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(vecs,
+        vecs.filter($"vec_id" === 0), "embedding", "vec_id", k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(out.toList == List((1L, 1), (3L, 2)))
+  }
+
+  test("lshNeighborPairs finds the near-identical pair at high threshold") {
+    val vecs = Seq(
+      (0L, Seq.tabulate(8)(i => if (i == 0) 1.0f else 0.01f * i)),
+      (1L, Seq.tabulate(8)(i => if (i == 0) 1.0f else 0.011f * i)), // ~dup of 0
+      (2L, Seq.tabulate(8)(i => if (i == 3) 1.0f else 0.0f)),
+      (3L, Seq.tabulate(8)(i => if (i == 5) -1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNeighborPairs(vecs, "embedding", "vec_id",
+        dim = 8, numBits = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toList == List((0L, 1L)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eval1[T](c: org.apache.spark.sql.Column): T =
+    Seq(1).toDF("x").select(c.as("v")).collect().head.getAs[T]("v")
+
+  test("tokens and tokenCount handle empty and multi-space text") {
+    assert(eval1[Int](TextOps.tokenCount(lit("the quick  brown fox"))) == 4)
+    assert(eval1[Int](TextOps.tokenCount(lit(""))) == 0)
+    assert(eval1[Int](TextOps.tokenCount(lit("   "))) == 0)
+    assert(eval1[Int](TextOps.tokenCount(lit("one"))) == 1)
+  }
+
+  test("quality ratios") {
+    assert(eval1[Double](TextOps.punctRatio(lit("ab,."))) == 0.5)
+    assert(eval1[Double](TextOps.punctRatio(lit("abcd"))) == 0.0)
+    assert(eval1[Double](TextOps.digitRatio(lit("a1b2"))) == 0.5)
+    assert(eval1[Double](TextOps.meanWordLength(lit("ab abcd"))) == 3.0)
+    assert(eval1[Double](TextOps.stopwordRatio(
+      lit("the cat and dog"), Seq("the", "and"))) == 0.5)
+  }
+
+  test("langId picks the language with most distinct stopword hits") {
+    assert(eval1[String](TextOps.langId(
+      lit("the cat is one of the animals that live in a house"))) == "en")
+    assert(eval1[String](TextOps.langId(
+      lit("der hund ist nicht das problem und die katze"))) == "de")
+    assert(eval1[String](TextOps.langId(
+      lit("el perro y los gatos que viven en una casa"))) == "es")
+    assert(eval1[String](TextOps.langId(lit("zzz qqq www"))) == "und")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val ab = eval1[Long](TextOps.fingerprint(lit("ab")))
+    val ba = eval1[Long](TextOps.fingerprint(lit("ba")))
+    assert(ab != ba)
+    // abc → ((97*31+98)*31+99) = 96354
+    assert(eval1[Long](TextOps.fingerprint(lit("abc"))) == 96354L)
+    assert(eval1[Long](TextOps.fingerprint(lit(""))) == 0L)
+  }
+
+  test("subwordCount splits letter/digit/punct runs") {
+    // "hello, world42" → hello | , | world | 42 (whitespace dropped)
+    assert(eval1[Int](TextOps.subwordCount(lit("hello, world42"))) == 4)
+  }
+}
