@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+
+/** Sharded TFRecord dataset sink (SURVEY.md W1): each row's byte payload is
+  * framed into TFRecord entries, round-robined across `n/shardSize + 1`
+  * shard files (the reference's formula, `jigsaw/write_dataset.py:185,196`),
+  * plus a `.numexamples` count sidecar.
+  *
+  * Scale: one `repartition(numShards)` round-robin shuffle, then every task
+  * streams its shard straight to the (distributed) filesystem — no driver
+  * collection, no per-row small files.
+  */
+object TFRecordSink {
+
+  /** Write `bytesCol` (BINARY column of serialized tf.train.Examples) under
+    * `dir` as `<prefix>-SSSSS.tfrecord` shards. Returns the record count.
+    */
+  def writeSharded(df: DataFrame, bytesCol: String, dir: String,
+      prefix: String = "shard", shardSize: Long = 1000): Long = {
+    val n = df.count()
+    val numShards = (n / shardSize + 1).toInt
+    val payload = df.select(bytesCol)
+    payload.repartition(numShards).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val shard = TaskContext.getPartitionId()
+        val fs = FileSystem.get(
+          new java.net.URI(dir), new Configuration())
+        val out = fs.create(
+          new Path(dir, f"$prefix-$shard%05d.tfrecord"), true)
+        try rows.foreach(r => TFRecord.writeRecord(out, r.getAs[Array[Byte]](0)))
+        finally out.close()
+    }
+    writeText(s"$dir/$prefix.numexamples", n.toString)
+    n
+  }
+
+  private[sources] def writeText(path: String, content: String): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val out = fs.create(new Path(path), true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+/** NumPy `.npy` writer (format spec v1.0, public NumPy docs) for the
+  * mean/stdev tensor sidecars (SURVEY.md W13,
+  * `jigsaw/models/feature_points/model.py:103-113`).
+  */
+object NpyWriter {
+
+  /** Serialize a float32 tensor (C-order) with the given shape. */
+  def float32(values: Array[Float], shape: Seq[Int]): Array[Byte] = {
+    require(values.length == shape.product, "shape does not match data size")
+    val shapeStr = shape.mkString("(", ", ", if (shape.length == 1) ",)" else ")")
+    var header = s"{'descr': '<f4', 'fortran_order': False, 'shape': $shapeStr, }"
+    // pad with spaces so magic+2+2+len(header)+1 is a multiple of 64
+    val unpadded = 10 + header.length + 1
+    header = header + " " * ((64 - unpadded % 64) % 64) + "\n"
+    val out = new ByteArrayOutputStream()
+    out.write(0x93)
+    out.write("NUMPY".getBytes(StandardCharsets.US_ASCII))
+    out.write(1); out.write(0) // version 1.0
+    val hlen = header.length
+    out.write(hlen & 0xff); out.write((hlen >> 8) & 0xff)
+    out.write(header.getBytes(StandardCharsets.US_ASCII))
+    val data = ByteBuffer.allocate(4 * values.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(data.putFloat)
+    out.write(data.array())
+    out.toByteArray
+  }
+
+  def write(path: String, values: Array[Float], shape: Seq[Int]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val out = fs.create(new Path(path), true)
+    try out.write(float32(values, shape))
+    finally out.close()
+  }
+}
+
+/** TF Object Detection label-map text proto (SURVEY.md W6,
+  * `jigsaw/model_utils/base/mask.py:129-146`): items are 1-indexed ints in
+  * dictionary order.
+  */
+object LabelMapSink {
+
+  def render(labelToInt: Seq[(String, Int)]): String =
+    labelToInt.sortBy(_._2).map { case (label, id) =>
+      s"item {\n  id: $id\n  name: '$label'\n}\n"
+    }.mkString("\n")
+
+  def write(path: String, labelToInt: Seq[(String, Int)]): Unit =
+    TFRecordSink.writeText(path, render(labelToInt))
+}
