@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.sources.ImageHeaders
+
+/** Multimodal column handling: image/audio/video as opaque BINARY columns
+  * with typed metadata, plus the decode / feature-extract / resize /
+  * frame-sample plumbing a training-data pipeline needs.
+  *
+  * Container reality: no imaging/audio libraries ship here, so PIXEL/SAMPLE
+  * decoding is STUBBED — `decodeStub` produces a deterministic fake tensor
+  * derived from the bytes (size-bounded, reproducible), clearly marked. The
+  * Spark-side plumbing is real: schemas, header-derived metadata, partition
+  * sizing for large blobs, and the `mapPartitions` batch shape (the Scala
+  * analog of `mapInPandas` — one iterator per partition so a real decoder
+  * would amortize per-batch codec setup).
+  */
+object Multimodal {
+
+  /** Attach real header metadata (format/width/height/channels) from the
+    * binary payload; see [[graft.sources.ImageHeaders]].
+    */
+  def withMeta(df: DataFrame, bytesCol: String): DataFrame = {
+    val parseUdf = udf((b: Array[Byte]) => ImageHeaders.parse(b))
+    df.withColumn(s"${bytesCol}_meta", parseUdf(col(bytesCol)))
+  }
+
+  /** STUB pixel decode: a real implementation would decode `bytes` to a
+    * H×W×C float tensor here (e.g. via a JNI codec); this deterministic
+    * fake derives `dim` floats from a rolling hash of the bytes so
+    * downstream plumbing (Welford stats, embedding ops, TFExample export)
+    * is exercised end-to-end with reproducible values.
+    */
+  def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    if (bytes == null) return Array.fill(dim)(0.0f)
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L // FNV-ish rolling state
+    var i = 0
+    val n = math.min(bytes.length, 4096)
+    while (i < n) { h = 31 * h + bytes(i); i += 1 }
+    i = 0
+    while (i < dim) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      out(i) = ((h >>> 33).toInt & 0xffff).toFloat / 65535.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Decode a binary column into a fixed-size feature tensor using the
+    * partition-batched shape a real codec would use. `mapPartitions` keeps
+    * one "decoder" per partition (amortized setup), mirroring mapInPandas
+    * batch semantics.
+    */
+  def decodeToTensor(df: DataFrame, bytesCol: String, dim: Int,
+      keyCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      // real impl: initialize the codec ONCE here, then stream the batch
+      rows.map { r =>
+        val key = r.get(keyIdx).toString
+        val tensor = decodeStub(
+          if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx),
+          dim)
+        (key, tensor)
+      }
+    }.toDF(keyCol, "tensor")
+  }
+
+  /** Frame sampling plumbing for video-like payloads: pick `k` evenly spaced
+    * frame indices out of `frameCount` (deterministic; the decode of each
+    * frame is the stub above). Pure column math.
+    */
+  def sampleFrameIndices(frameCount: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column =
+    when(frameCount <= 0, array().cast("array<int>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), lit(k - 1)),
+        i => least((i * frameCount).cast("double") / k,
+          frameCount - 1).cast("int"))))
+
+  /** Resize metadata transform: target box (maxW × maxH) preserving aspect
+    * ratio — the header-level half of a resize; pixel work is the stub.
+    */
+  def fitWithin(width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column, maxW: Int, maxH: Int)
+      : org.apache.spark.sql.Column = {
+    val scale = least(lit(maxW).cast("double") / width,
+      lit(maxH).cast("double") / height, lit(1.0))
+    struct(
+      ceil(width * scale).cast("int").as("width"),
+      ceil(height * scale).cast("int").as("height"))
+  }
+}
