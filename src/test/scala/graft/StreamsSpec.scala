@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tagStream ingests corpus metadata incrementally, exactly once") {
+    val dir = Files.createTempDirectory("graft-stream").toFile
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    def addMeta(id: String, tags: String): Unit =
+      Files.write(new java.io.File(dir, s"meta_$id.json").toPath,
+        s"""{"tags": $tags}""".getBytes)
+    addMeta("a", """["t1"]""")
+    val q = Streams.tagStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("tags_inc")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tags_inc").count() == 1)
+      // new file arrives → picked up incrementally; old one NOT re-read
+      addMeta("b", """[]""")
+      q.processAllAvailable()
+      val rows = spark.table("tags_inc")
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+        .toMap
+      assert(rows.keySet == Set("a", "b"))
+      assert(rows("b") == List("untagged"))
+    } finally q.stop()
+  }
+
+  test("hourlyEventCounts aggregates tumbling windows on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.hourlyEventCounts(events)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        (t("2024-01-01 10:05:00"), "click", 1.0),
+        (t("2024-01-01 10:55:00"), "click", 2.0),
+        (t("2024-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session on gap and keeps state within gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // two events 5 min apart (same session), then a 30-min jump → closes it
+      mem.addData(
+        Event(1L, t("2024-01-01 10:00:00"), "click", 1.0),
+        Event(1L, t("2024-01-01 10:05:00"), "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1L, t("2024-01-01 10:40:00"), "view", 3.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Streams.Session].collect()
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.user_id == 1L && s.nEvents == 2 && s.totalValue == 3.0)
+    } finally q.stop()
+  }
+}
