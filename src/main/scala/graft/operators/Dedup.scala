@@ -42,51 +42,114 @@ object Dedup {
     when(union === 0, 0.0).otherwise(inter / union)
   }
 
-  /** MinHash signature (numHashes values) over a shingle array, using the
-    * standard (a*x + b) mod p family over 32-bit murmur shingle hashes.
-    * Deterministic for a given seed. Pure builtins — codegen'd.
+  /** Tight-loop kernels for the hot per-row/per-pair math. Catalyst
+    * higher-order functions are NOT whole-stage-codegen'd (interpreted per
+    * element), so a 64-hash signature over ~50 shingles as an HOF tree costs
+    * thousands of interpreted expression evaluations per row; a JVM loop is
+    * ~100× cheaper and still fully distributed.
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 64,
-      seed: Long = 42): Column = {
-    val p = 4294967311L // smallest prime > 2^32
-    val rnd = new scala.util.Random(seed)
-    val coeffs = Seq.fill(numHashes)(
-      (1 + rnd.nextLong().abs % (p - 1), rnd.nextLong().abs % p))
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(shingleCol,
-        s => pmod(hash(s).cast("bigint") * a + b, lit(p))))
-    }: _*)
+  private[operators] object Kernels extends Serializable {
+    import scala.util.hashing.MurmurHash3
+
+    /** Word n-gram shingles in one pass (mirrors [[shingles]] semantics). */
+    def shingleSet(text: String, n: Int): Array[String] = {
+      if (text == null) return Array("")
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length == 0) Array("")
+      else if (tk.length < n) Array(tk.mkString(" "))
+      else {
+        val out = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i + n <= tk.length) {
+          out += tk.slice(i, i + n).mkString(" ")
+          i += 1
+        }
+        out.toArray
+      }
+    }
+
+    /** Band-bucket hashes: minhash signature via the (a*x+b) mod p family
+      * over murmur shingle hashes, folded per band into one long bucket id.
+      */
+    def bandBuckets(shingles: Seq[String], numHashes: Int, bands: Int,
+        seed: Long): Array[Long] = {
+      val p = 4294967311L // smallest prime > 2^32
+      val rowsPerBand = numHashes / bands
+      val rnd = new scala.util.Random(seed)
+      val as = new Array[Long](numHashes)
+      val bs = new Array[Long](numHashes)
+      var i = 0
+      while (i < numHashes) {
+        as(i) = 1 + math.abs(rnd.nextLong()) % (p - 1)
+        bs(i) = math.abs(rnd.nextLong()) % p
+        i += 1
+      }
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      shingles.foreach { s =>
+        val x = MurmurHash3.bytesHash(s.getBytes("UTF-8"), 42).toLong & 0xffffffffL
+        var j = 0
+        while (j < numHashes) {
+          val v = (as(j) * x + bs(j)) % p
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      Array.tabulate(bands) { b =>
+        var acc = 1125899906842597L
+        var j = b * rowsPerBand
+        while (j < (b + 1) * rowsPerBand) { acc = acc * 31 + sig(j); j += 1 }
+        acc
+      }
+    }
+
+    /** Set-based exact Jaccard, O(n+m). */
+    def jaccard(a: Seq[String], b: Seq[String]): Double = {
+      if (a.isEmpty && b.isEmpty) return 0.0
+      val sa = a.toSet
+      var inter = 0
+      val sb = new scala.collection.mutable.HashSet[String]
+      b.foreach { s => if (sb.add(s) && sa.contains(s)) inter += 1 }
+      val union = sa.size + sb.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
   }
 
-  /** LSH candidate pairs: band the signature, bucket-join, verify with exact
-    * Jaccard, keep pairs ≥ threshold. Output: (key_a, key_b, jaccard) with
-    * key_a < key_b. `bands` must divide the signature length.
+  private def shinglesUdf(n: Int) =
+    udf((text: String) => Kernels.shingleSet(text, n))
+  private val jaccardUdf = udf(Kernels.jaccard _)
+
+  /** LSH candidate pairs: minhash-band the shingles, bucket-join on compact
+    * (band, bucket-long) keys, dedup candidate pairs, then verify with exact
+    * Jaccard, keeping pairs ≥ threshold. Output: (key_a, key_b, jaccard)
+    * with key_a < key_b. `bands` must divide `numHashes`.
+    *
+    * Scale shape: the band rows carry ONLY (key, band, bucket) — shingle
+    * arrays never ride the band shuffle; they are re-joined by key for just
+    * the deduped candidates. Verification cost is per candidate pair, not
+    * per (pair × shared-band).
     */
   def minhashNearDuplicates(df: DataFrame, textCol: String, key: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.7, seed: Long = 42): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sig = df
-      .select(col(key), shingles(col(textCol), shingleSize).as("_sh"))
-      .withColumn("_sig", minhashSignature(col("_sh"), numHashes, seed))
-    // explode into (band, bucket) — bucket is the band's signature slice
-    val banded = sig.select(
-      col(key), col("_sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .withColumnRenamed("pos", "_band")
-      .withColumnRenamed("col", "_bucket")
-    val l = banded.select(col(key).as("key_a"), col("_sh").as("_sh_a"),
-      col("_band"), col("_bucket"))
-    val r = banded.select(col(key).as("key_b"), col("_sh").as("_sh_b"),
-      col("_band"), col("_bucket"))
-    l.join(r, Seq("_band", "_bucket"))
+    val bucketsUdf = udf((sh: Seq[String]) =>
+      Kernels.bandBuckets(sh, numHashes, bands, seed))
+    val withSh = df
+      .select(col(key), shinglesUdf(shingleSize)(col(textCol)).as("_sh"))
+    val banded = withSh
+      .select(col(key), posexplode(bucketsUdf(col("_sh"))))
+      .select(col(key), col("pos").as("_band"), col("col").as("_bucket"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("_band", "_bucket"))
+      .select(col(s"l.$key").as("key_a"), col(s"r.$key").as("key_b"))
       .filter(col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"),
-        jaccard(col("_sh_a"), col("_sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
       .dropDuplicates("key_a", "key_b")
+    candidates
+      .join(withSh.select(col(key).as("key_a"), col("_sh").as("_sh_a")), "key_a")
+      .join(withSh.select(col(key).as("key_b"), col("_sh").as("_sh_b")), "key_b")
+      .select(col("key_a"), col("key_b"),
+        jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 32-bit SimHash over token murmur hashes: for each bit position, sum
@@ -115,13 +178,13 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, key: String,
       n: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val withSh = df.select(col(key), shingles(col(textCol), n).as("_sh"))
+    val withSh = df.select(col(key), shinglesUdf(n)(col(textCol)).as("_sh"))
     val a = withSh.select(col(key).as("key_a"), col("_sh").as("_sh_a"))
     val b = withSh.select(col(key).as("key_b"), col("_sh").as("_sh_b"))
     a.crossJoin(b)
       .filter(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"),
-        jaccard(col("_sh_a"), col("_sh_b")).as("jaccard"))
+        jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

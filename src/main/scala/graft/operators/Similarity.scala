@@ -18,6 +18,20 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Tight-loop pair kernels: Catalyst higher-order functions are
+    * interpreted per element (no whole-stage codegen), so per-PAIR vector
+    * math — evaluated O(candidates) times — uses JVM loops. Per-ROW math
+    * can stay declarative.
+    */
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
   /** Brute-force cosine top-k. `queries` must be small enough to broadcast
     * (it is hash-joined against every corpus row).
     * Output: (query_key, neighbor key, cosine, rank) excluding self-matches.
@@ -25,11 +39,15 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
       key: String, k: Int): DataFrame = {
     val q = queries.select(col(key).as("query_id"),
-      col(embCol).as("_q_emb"))
-    val scored = corpus.select(col(key), col(embCol))
+      asDouble(col(embCol)).as("_q_emb"),
+      norm(col(embCol)).as("_q_n"))
+    val scored = corpus
+      .select(col(key), asDouble(col(embCol)).as("_c_emb"),
+        norm(col(embCol)).as("_c_n"))
       .join(broadcast(q), col(key) =!= col("query_id"))
       .select(col("query_id"), col(key).as("neighbor_id"),
-        cosine(col("_q_emb"), col(embCol)).as("cosine"))
+        (dotUdf(col("_q_emb"), col("_c_emb"))
+          / (col("_q_n") * col("_c_n"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -64,16 +82,20 @@ object Similarity {
   def lshNeighborPairs(corpus: DataFrame, embCol: String, key: String,
       dim: Int, numBits: Int = 16, threshold: Double = 0.8,
       seed: Long = 42): DataFrame = {
-    val bucketed = corpus.select(col(key), col(embCol),
+    // norms hoisted per row; pair cost is one fast dot + a divide
+    val bucketed = corpus.select(col(key),
+      asDouble(col(embCol)).as("_emb"),
+      norm(col(embCol)).as("_n"),
       lshBucket(col(embCol), dim, numBits, seed).as("_bucket"))
     val a = bucketed.select(col(key).as("key_a"),
-      col(embCol).as("_emb_a"), col("_bucket"))
+      col("_emb").as("_emb_a"), col("_n").as("_n_a"), col("_bucket"))
     val b = bucketed.select(col(key).as("key_b"),
-      col(embCol).as("_emb_b"), col("_bucket"))
+      col("_emb").as("_emb_b"), col("_n").as("_n_b"), col("_bucket"))
     a.join(b, Seq("_bucket"))
       .filter(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"),
-        cosine(col("_emb_a"), col("_emb_b")).as("cosine"))
+        (dotUdf(col("_emb_a"), col("_emb_b"))
+          / (col("_n_a") * col("_n_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("key_a", "key_b")
   }
