@@ -16,9 +16,24 @@ object SparkEntry {
   def registry: Seq[Query] =
     Relational.all ++ JigsawSurface.all ++ PipelineQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    registry.head.run(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A mini jigsaw pipeline over `documents`: tag filters → union+dedup →
+    * seeded sample, i.e. the reference's filter-and-load path (§3.2) on the
+    * harness data.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TagOps
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("tags", array(col("lang"), col("source")))
+    val sets = Seq(
+      TagOps.andFilter(docs, Seq("en")),
+      TagOps.orFilter(docs, Seq("de", "fr")))
+    TagOps.sampleExact(TagOps.joinSets(sets, key = "doc_id"),
+      n = 25, seed = 42, key = "doc_id")
+      .select("doc_id", "lang", "source")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

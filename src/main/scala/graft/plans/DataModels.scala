@@ -128,5 +128,7 @@ object DataModels {
   /** Registry, config-name → model (reference data_models.yml names). */
   val registry: Map[String, DataModel] = Map(
     "semantic_mask" -> SemanticMaskModel,
-    "bbox" -> BBoxModel)
+    "bbox" -> BBoxModel,
+    "feature_points" -> FeaturePointsModel,
+    "deeplab" -> DeeplabModel)
 }

@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CorpusBinder, TFExample}
+import graft.sources.TFExample._
+
+/** Feature-points regression model (`jigsaw/models/feature_points/model.py`):
+  * truth is a label→[x,y] centroid map + a pose float list in the meta
+  * sidecar; export flattens centroids key-sorted, x's then y's
+  * (`:127-129`), and the corpus-wide pixel mean/stdev sidecars come from
+  * the Welford aggregate ([[graft.functions.WelfordAggregator]], W13).
+  */
+object FeaturePointsModel extends DataModel {
+  import ModelCodec._
+  val trainingType = "Feature Points Regression"
+
+  private val metaSchema =
+    "dataset STRING, tags ARRAY<STRING>, pose ARRAY<DOUBLE>, " +
+      "truth_centroids MAP<STRING, ARRAY<BIGINT>>"
+
+  /** Full meta read (tags + truth fields) joined with the image bytes. */
+  def bind(spark: SparkSession, dir: String,
+      selectedIds: Option[DataFrame]): DataFrame = {
+    val meta = spark.read
+      .option("multiLine", "true")
+      .option("pathGlobFilter", "meta_*.json")
+      .schema(metaSchema)
+      .json(dir)
+      .withColumn("image_id",
+        regexp_extract(input_file_name(), "meta_([^/]+?)\\.json$", 1))
+      .select("image_id", "pose", "truth_centroids")
+    val base = selectedIds match {
+      case Some(ids) => meta.join(ids, Seq("image_id"), "left_semi")
+      case None => meta
+    }
+    CorpusBinder.withImageMeta(
+      base.join(CorpusBinder.images(spark, dir), Seq("image_id"), "left"))
+  }
+
+  /** F10 schema check (`feature_points/model.py:123-126`): every image's
+    * centroid key set must equal the first image's. Throws on drift.
+    */
+  def validateCentroidKeys(bound: DataFrame): Unit = {
+    val distinctKeySets = bound
+      .select(sort_array(map_keys(col("truth_centroids"))).as("ks"))
+      .distinct().limit(2).collect()
+    require(distinctKeySets.length <= 1,
+      s"inconsistent truth_centroids keys across images: " +
+        distinctKeySets.map(_.toString).mkString(" vs "))
+  }
+
+  /** Features per feature_points/model.py:131-148: dims, id, image bytes,
+    * format, `feature_points` = key-sorted x's then y's, pose floats.
+    */
+  def exportExample(row: Row): Array[Byte] = {
+    val meta = Option(row.getAs[Row]("image_meta"))
+    val centroids = Option(
+      row.getAs[scala.collection.Map[String, scala.collection.Seq[Long]]](
+        "truth_centroids")).getOrElse(Map.empty)
+    val sortedKeys = centroids.keys.toSeq.sorted
+    val xs = sortedKeys.map(k => centroids(k).head)
+    val ys = sortedKeys.map(k => centroids(k)(1))
+    val pose = Option(row.getAs[scala.collection.Seq[Double]]("pose"))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    TFExample.serialize(Map(
+      "height" -> Int64Feature(Seq(
+        meta.map(_.getAs[Int]("height").toLong).getOrElse(0L))),
+      "width" -> Int64Feature(Seq(
+        meta.map(_.getAs[Int]("width").toLong).getOrElse(0L))),
+      "image_id" -> FeatureValue.bytes(row.getAs[String]("image_id")),
+      "image_data" -> FeatureValue.bytes(bytesOf(row, "image")),
+      "format" -> FeatureValue.bytes(
+        Option(row.getAs[String]("image_type")).getOrElse("png")),
+      "feature_points" -> Int64Feature(xs ++ ys),
+      "pose" -> FloatFeature(pose.map(_.toFloat))))
+  }
+}
+
+/** Deeplab semantic-segmentation model (`jigsaw/models/deeplab/model.py:
+  * 17-44`): the mask becomes a grayscale class-id image via the label
+  * dictionary ([[graft.operators.PixelOps.classIdImage]] is the exact
+  * pixel math; PNG re-encode of the class grid is stubbed to raw mask
+  * bytes in-container).
+  */
+object DeeplabModel extends DataModel {
+  import ModelCodec._
+  val trainingType = "Deeplab Semantic Segmentation"
+
+  def bind(spark: SparkSession, dir: String,
+      selectedIds: Option[DataFrame]): DataFrame =
+    SemanticMaskModel.bind(spark, dir, selectedIds)
+
+  def exportExample(row: Row): Array[Byte] = {
+    val meta = Option(row.getAs[Row]("image_meta"))
+    TFExample.serialize(Map(
+      "image/height" -> Int64Feature(Seq(
+        meta.map(_.getAs[Int]("height").toLong).getOrElse(0L))),
+      "image/width" -> Int64Feature(Seq(
+        meta.map(_.getAs[Int]("width").toLong).getOrElse(0L))),
+      "image/encoded" -> FeatureValue.bytes(bytesOf(row, "image")),
+      "image/format" -> FeatureValue.bytes(
+        Option(row.getAs[String]("image_type")).getOrElse("png")),
+      // STUB: a real build encodes PixelOps.classIdImage(decoded mask) as
+      // PNG; no codec in-container, so the raw mask bytes stand in.
+      "image/segmentation/class/encoded" ->
+        FeatureValue.bytes(bytesOf(row, "mask")),
+      "image/segmentation/class/format" -> FeatureValue.bytes("png")))
+  }
+}

@@ -197,6 +197,27 @@ object PipelineQueries {
           "embedding", "vec_id", dim = 64, numBits = 4, threshold = 0.15)
         .select(col("key_a"), col("key_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("key_a", "key_b")
+    },
+
+    // --- Distributed Welford (custom Aggregator with Chan merge) vs the
+    //     oracle's per-position avg/stddev_pop over unnested vectors.
+    Query(
+      "q34_welford_stats",
+      """SELECT CAST(i - 1 AS INT) AS pos,
+        |  round(avg(v), 6) AS mean,
+        |  round(coalesce(stddev_pop(v), 0), 6) AS stdev
+        |FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |        generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings)
+        |GROUP BY i ORDER BY pos""".stripMargin) { (s, d) =>
+      import graft.functions.WelfordAggregator
+      val agg = Tables.load(s, d, "embeddings")
+        .agg(WelfordAggregator.of(col("embedding")).as("w"))
+        .select(posexplode(arrays_zip(col("w.mean"), col("w.stdev"))))
+      agg.select(col("pos").cast("int").as("pos"),
+          round(col("col.mean"), 6).as("mean"),
+          round(col("col.stdev"), 6).as("stdev"))
+        .orderBy("pos")
     }
   )
 }

@@ -81,6 +81,41 @@ object CorpusBinder {
     imagesDf.withColumn("image_meta", parseUdf(col(bytesCol)))
   }
 
+  /** W8 related-data copier (`jigsaw/data_interface.py:114-124`,
+    * `write_dataset.py:200-205`): copy every sidecar file of the selected
+    * ids into `destDir`. Distributed: binaryFile scan semi-joined to the id
+    * set, each task streams its files to the target filesystem.
+    * Returns the number of files copied.
+    */
+  def copyRelated(spark: SparkSession, dir: String, selectedIds: DataFrame,
+      destDir: String): Long = {
+    val all = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*_*.*")
+      .load(dir)
+      .select(col("path"), col("content"),
+        regexp_extract(col("path"),
+          "(?:image|mask|labels|meta|bboxLabels)_([^/]+?)\\.[A-Za-z]+$", 1)
+          .as("image_id"))
+      .join(selectedIds.select("image_id"), Seq("image_id"), "left_semi")
+    val copied = spark.sparkContext.longAccumulator("files_copied")
+    all.select("path", "content").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(destDir), conf)
+        fs.setWriteChecksum(false)
+        rows.foreach { r =>
+          val name = r.getString(0).split('/').last
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(destDir, name), true)
+          try out.write(r.getAs[Array[Byte]](1))
+          finally out.close()
+          copied.add(1)
+        }
+    }
+    copied.value
+  }
+
   /** S12/J2: bind all sidecars for selected ids. Left joins from metadata;
     * a row with no image is an error row (`image_missing`), matching the
     * reference's construct error (`mask.py:61-113`). Pass `selectedIds` to

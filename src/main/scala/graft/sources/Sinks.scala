@@ -18,6 +18,17 @@ import org.apache.spark.sql.DataFrame
   * streams its shard straight to the (distributed) filesystem — no driver
   * collection, no per-row small files.
   */
+object Sinks {
+  /** FileSystem handle with CRC sidecar files disabled (the Hadoop local FS
+    * otherwise litters every write with .name.crc files).
+    */
+  private[sources] def fsFor(uri: String): FileSystem = {
+    val fs = FileSystem.get(new java.net.URI(uri), new Configuration())
+    fs.setWriteChecksum(false)
+    fs
+  }
+}
+
 object TFRecordSink {
 
   /** Write `bytesCol` (BINARY column of serialized tf.train.Examples) under
@@ -31,8 +42,7 @@ object TFRecordSink {
     payload.repartition(numShards).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val shard = TaskContext.getPartitionId()
-        val fs = FileSystem.get(
-          new java.net.URI(dir), new Configuration())
+        val fs = Sinks.fsFor(dir)
         val out = fs.create(
           new Path(dir, f"$prefix-$shard%05d.tfrecord"), true)
         try rows.foreach(r => TFRecord.writeRecord(out, r.getAs[Array[Byte]](0)))
@@ -43,7 +53,7 @@ object TFRecordSink {
   }
 
   private[sources] def writeText(path: String, content: String): Unit = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val fs = Sinks.fsFor(path)
     val out = fs.create(new Path(path), true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -79,7 +89,7 @@ object NpyWriter {
   }
 
   def write(path: String, values: Array[Float], shape: Seq[Int]): Unit = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val fs = Sinks.fsFor(path)
     val out = fs.create(new Path(path), true)
     try out.write(float32(values, shape))
     finally out.close()

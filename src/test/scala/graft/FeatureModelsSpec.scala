@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.plans.{FeaturePointsModel, TransformPlanner}
+import graft.operators.{Merge, Rename}
+import graft.sources.{CorpusBinder, ImageHeaders}
+
+class FeatureModelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(consistent: Boolean): String = {
+    val dir = Files.createTempDirectory("graft-fp").toFile
+    dir.deleteOnExit()
+    def writeS(name: String, content: String): Unit =
+      Files.write(new java.io.File(dir, name).toPath, content.getBytes)
+    Files.write(new java.io.File(dir, "image_a.png").toPath,
+      ImageHeaders.fakePng(100, 80))
+    Files.write(new java.io.File(dir, "image_b.png").toPath,
+      ImageHeaders.fakePng(100, 80))
+    writeS("meta_a.json",
+      """{"tags": ["t1"], "pose": [0.1, 0.2, 0.3, 0.4],
+        | "truth_centroids": {"nose": [10, 20], "tail": [30, 40]}}""".stripMargin)
+    val bCentroids =
+      if (consistent) """{"nose": [5, 6], "tail": [7, 8]}"""
+      else """{"nose": [5, 6], "wing": [7, 8]}"""
+    writeS("meta_b.json",
+      s"""{"tags": ["t2"], "pose": [0.5, 0.6, 0.7, 0.8],
+         | "truth_centroids": $bCentroids}""".stripMargin)
+    dir.getAbsolutePath
+  }
+
+  test("feature-points export flattens centroids key-sorted, x's then y's") {
+    val bound = FeaturePointsModel.bind(spark, corpus(consistent = true), None)
+    FeaturePointsModel.validateCentroidKeys(bound) // must not throw
+    val a = bound.filter($"image_id" === "a").collect().head
+    val bytes = FeaturePointsModel.exportExample(a)
+    assert(bytes.nonEmpty)
+    // feature_points for a = [10, 30, 20, 40] (nose,tail x's then y's);
+    // packed varints 10,30,20,40 appear in order
+    assert(bytes.toSeq.containsSlice(Seq[Byte](10, 30, 20, 40)))
+  }
+
+  test("validateCentroidKeys rejects drifting key sets (F10)") {
+    val bound = FeaturePointsModel.bind(spark, corpus(consistent = false), None)
+    intercept[IllegalArgumentException] {
+      FeaturePointsModel.validateCentroidKeys(bound)
+    }
+  }
+
+  test("TransformPlanner tracks vocabulary; rejects unknown labels") {
+    val p = TransformPlanner.plan(Seq("a", "b", "c"),
+      Seq(Rename("a", "x"), Merge(Seq("x", "b"), "m")))
+    assert(p.finalLabels == Seq("c", "m"))
+    // rename onto existing = merge: vocabulary loses the original
+    val p2 = TransformPlanner.plan(Seq("a", "b"), Seq(Rename("a", "b")))
+    assert(p2.finalLabels == Seq("b"))
+    intercept[IllegalArgumentException] {
+      TransformPlanner.plan(Seq("a"), Seq(Rename("zzz", "x")))
+    }
+    intercept[IllegalArgumentException] {
+      // 'a' was consumed by the merge; renaming it afterwards is an error
+      TransformPlanner.plan(Seq("a", "b"),
+        Seq(Merge(Seq("a", "b"), "m"), Rename("a", "x")))
+    }
+  }
+
+  test("copyRelated copies only the selected ids' sidecars") {
+    val src = corpus(consistent = true)
+    val dest = Files.createTempDirectory("graft-copy").toString
+    val n = CorpusBinder.copyRelated(spark, src,
+      Seq("a").toDF("image_id"), dest)
+    val copied = new java.io.File(dest).listFiles().map(_.getName).sorted
+    assert(copied.toList == List("image_a.png", "meta_a.json"))
+    assert(n == 2)
+  }
+}
