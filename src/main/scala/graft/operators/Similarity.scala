@@ -18,17 +18,14 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Tight-loop pair kernels: Catalyst higher-order functions are
-    * interpreted per element (no whole-stage codegen), so per-PAIR vector
-    * math — evaluated O(candidates) times — uses JVM loops. Per-ROW math
-    * can stay declarative.
+  /** Per-PAIR vector math — evaluated O(candidates) times — uses the native
+    * codegen'd [[graft.functions.ArrayDotProduct]] expression: no UDF
+    * serialization boundary, stays inside the generated loop. (Catalyst
+    * higher-order functions are interpreted per element, so `zip_with`+
+    * `aggregate` is reserved for per-ROW math.)
     */
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var s = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  }
+  private def dotFast(a: Column, b: Column): Column =
+    graft.functions.ArrayDotProduct(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -46,7 +43,7 @@ object Similarity {
         norm(col(embCol)).as("_c_n"))
       .join(broadcast(q), col(key) =!= col("query_id"))
       .select(col("query_id"), col(key).as("neighbor_id"),
-        (dotUdf(col("_q_emb"), col("_c_emb"))
+        (dotFast(col("_q_emb"), col("_c_emb"))
           / (col("_q_n") * col("_c_n"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -94,7 +91,7 @@ object Similarity {
     a.join(b, Seq("_bucket"))
       .filter(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"),
-        (dotUdf(col("_emb_a"), col("_emb_b"))
+        (dotFast(col("_emb_a"), col("_emb_b"))
           / (col("_n_a") * col("_n_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("key_a", "key_b")

@@ -129,6 +129,7 @@ object DataModels {
   val registry: Map[String, DataModel] = Map(
     "semantic_mask" -> SemanticMaskModel,
     "bbox" -> BBoxModel,
+    "instance_mask" -> InstanceMaskModel,
     "feature_points" -> FeaturePointsModel,
     "deeplab" -> DeeplabModel)
 }

@@ -78,6 +78,42 @@ object FeaturePointsModel extends DataModel {
   }
 }
 
+/** Instance-segmentation model (`jigsaw/models/instance_mask/model.py`):
+  * bbox features plus a per-instance mask list. Instance discovery on real
+  * pixel grids is [[graft.operators.PixelOps.instanceBoxes]] (tolerance
+  * match → connected components); with in-container decode stubbed, the
+  * exporter takes boxes from the VOC sidecar when present and emits the raw
+  * mask bytes per instance. The reference's `panel_left/panel_right →
+  * solar_panel` rewrite (F9, `:84-85`) is applied as a label transform.
+  */
+object InstanceMaskModel extends DataModel {
+  import ModelCodec._
+  val trainingType = "Instance Segmentation"
+
+  def bind(spark: SparkSession, dir: String,
+      selectedIds: Option[DataFrame]): DataFrame = {
+    val bound = BBoxModel.bind(spark, dir, selectedIds)
+    // F9 hard-coded rewrite, expressed as a per-box transform
+    bound.withColumn("boxes",
+      transform(col("boxes"), b => struct(
+        when(b.getField("label").isin("panel_left", "panel_right"),
+          "solar_panel").otherwise(b.getField("label")).as("label"),
+        b.getField("xmin").as("xmin"), b.getField("ymin").as("ymin"),
+        b.getField("xmax").as("xmax"), b.getField("ymax").as("ymax"))))
+  }
+
+  def exportExample(row: Row): Array[Byte] = {
+    val base = BBoxModel.exportExample(row)
+    val boxes = Option(row.getAs[scala.collection.Seq[Row]]("boxes"))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    // re-serialize with the per-instance mask list appended
+    val mask = bytesOf(row, "mask")
+    val withMasks = TFExample.serialize(Map(
+      "image/object/mask" -> BytesFeature(boxes.map(_ => mask))))
+    base ++ withMasks // protobuf messages concatenate by field merge
+  }
+}
+
 /** Deeplab semantic-segmentation model (`jigsaw/models/deeplab/model.py:
   * 17-44`): the mask becomes a grayscale class-id image via the label
   * dictionary ([[graft.operators.PixelOps.classIdImage]] is the exact

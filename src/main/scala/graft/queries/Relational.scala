@@ -275,6 +275,45 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // --- Batch sessionization: gap-based session windows via lag + running
+    //     sum — the batch twin of Streams.sessionize (30-min gap).
+    Query(
+      "q35_sessions",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessioned AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM sessioned WHERE user_id < 40
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("new_session",
+          when(unix_millis(col("ts")) - unix_millis(lag("ts", 1).over(w))
+            > 1800000L, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum("new_session").over(wRun).cast("int"))
+        .filter(col("user_id") < 40)
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy("user_id", "session_idx")
+    },
+
     // --- Conditional aggregation (CASE WHEN) + bucketing.
     Query(
       "q14_price_buckets",

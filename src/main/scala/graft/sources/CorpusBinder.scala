@@ -81,6 +81,20 @@ object CorpusBinder {
     imagesDf.withColumn("image_meta", parseUdf(col(bytesCol)))
   }
 
+  /** Small-files consolidation (the reference's actual physical bottleneck,
+    * SURVEY.md §4): snapshot the bound sidecar corpus into ONE partitioned
+    * parquet table so downstream queries scan consolidated columnar data
+    * instead of millions of tiny sidecar files. Binary columns ride along;
+    * Catalyst prunes them when untouched.
+    */
+  def consolidate(spark: SparkSession, dir: String, outPath: String,
+      selectedIds: Option[DataFrame] = None): Unit =
+    bind(spark, dir, selectedIds)
+      .write.mode("overwrite").parquet(outPath)
+
+  def loadConsolidated(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** W8 related-data copier (`jigsaw/data_interface.py:114-124`,
     * `write_dataset.py:200-205`): copy every sidecar file of the selected
     * ids into `destDir`. Distributed: binaryFile scan semi-joined to the id

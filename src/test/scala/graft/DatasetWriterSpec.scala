@@ -57,6 +57,36 @@ class DatasetWriterSpec extends SparkTestBase {
     assert(records.nonEmpty && records.forall(_.nonEmpty))
   }
 
+  test("instance model rewrites panel labels and appends per-instance masks") {
+    val corpus = fixtureCorpus(2)
+    Files.write(java.nio.file.Paths.get(corpus, "bboxLabels_img001.xml"),
+      VocXml.render(VocAnnotation("img001.png", 32, 24, 3, Seq(
+        VocBox("panel_left", 1, 1, 5, 5), VocBox("Car", 8, 8, 16, 16))))
+        .getBytes)
+    val model = DataModels.registry("instance_mask")
+    val bound = model.bind(spark, corpus, Some(Seq("img001").toDF("image_id")))
+    val labels = bound.selectExpr("explode(boxes.label)")
+      .as[String].collect().sorted
+    assert(labels.toList == List("Car", "solar_panel")) // F9 rewrite
+    val bytes = model.examples(bound).collect().head
+      .getAs[Array[Byte]]("example")
+    assert(bytes.nonEmpty)
+  }
+
+  test("consolidate snapshots the bound corpus to parquet and round-trips") {
+    val corpus = fixtureCorpus(5)
+    val out = Files.createTempDirectory("graft-consol").toString + "/corpus"
+    graft.sources.CorpusBinder.consolidate(spark, corpus, out)
+    val back = graft.sources.CorpusBinder.loadConsolidated(spark, out)
+    assert(back.count() == 5)
+    assert(back.columns.contains("image") && back.columns.contains("tags"))
+    // binary payloads survive the parquet round trip
+    val img = back.filter($"image_id" === "img001")
+      .select("image").collect().head.getAs[Array[Byte]](0)
+    assert(graft.sources.ImageHeaders.parse(img)
+      .exists(m => m.width == 32 && m.height == 24))
+  }
+
   test("bbox model exports normalized box features") {
     val corpus = fixtureCorpus(3)
     Files.write(java.nio.file.Paths.get(corpus, "bboxLabels_img001.xml"),

@@ -25,6 +25,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(r.getDouble(3) == 25.0)
   }
 
+  test("ArrayDotProduct native expression: values, nulls, codegen eval") {
+    import graft.functions.ArrayDotProduct
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (None, Some(Seq(1.0)))).toDF("a", "b")
+    val out = df.select(ArrayDotProduct($"a", $"b").as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toList == List(Some(32.0), None))
+    // float arrays are cast transparently (embeddings path)
+    val f = Seq((Seq(0.5f, 0.5f), Seq(2.0f, 2.0f))).toDF("a", "b")
+      .select(ArrayDotProduct($"a", $"b")).collect().head.getDouble(0)
+    assert(f == 2.0)
+  }
+
   test("cosineTopK returns k ranked neighbors excluding self") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
