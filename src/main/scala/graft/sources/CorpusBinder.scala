@@ -81,6 +81,21 @@ object CorpusBinder {
     imagesDf.withColumn("image_meta", parseUdf(col(bytesCol)))
   }
 
+  /** S6 prefix (partition) discovery (`jigsaw/io_utils.py:434-442`): list
+    * the immediate sub-prefixes ("folders") of a corpus root — the
+    * partition-selection surface for prefix-organized corpora (local or
+    * object store; Hadoop FS is URI-agnostic).
+    */
+  def listPrefixes(spark: SparkSession, rootDir: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rootDir),
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(rootDir))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .sorted.toSeq
+  }
+
   /** Small-files consolidation (the reference's actual physical bottleneck,
     * SURVEY.md §4): snapshot the bound sidecar corpus into ONE partitioned
     * parquet table so downstream queries scan consolidated columnar data

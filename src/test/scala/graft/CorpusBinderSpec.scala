@@ -54,6 +54,15 @@ class CorpusBinderSpec extends SparkTestBase {
     assert(r.head.getAs[Int]("width") == 64)
   }
 
+  test("listPrefixes discovers sub-prefixes, ignoring files") {
+    val root = Files.createTempDirectory("graft-prefixes")
+    Files.createDirectory(root.resolve("train"))
+    Files.createDirectory(root.resolve("val"))
+    Files.writeString(root.resolve("stray.txt"), "x")
+    assert(CorpusBinder.listPrefixes(spark, root.toString)
+      == Seq("train", "val"))
+  }
+
   test("withImageMeta parses real header dimensions") {
     val imgs = CorpusBinder.images(spark, fixtureCorpus())
     val meta = CorpusBinder.withImageMeta(imgs)
