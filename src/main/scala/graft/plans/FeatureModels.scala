@@ -51,6 +51,37 @@ object FeaturePointsModel extends DataModel {
         distinctKeySets.map(_.toString).mkString(" vs "))
   }
 
+  /** W13 additional files (`feature_points/model.py:103-113`): decode each
+    * image to a feature tensor (stubbed decode in-container), aggregate
+    * per-element mean/stdev with the distributed Welford aggregate, and
+    * write `mean.npy` + `stdev.npy` + `feature_points.json` (the sorted
+    * centroid-key order used by the exporter).
+    */
+  def writeAdditionalFiles(bound: DataFrame, outDir: String,
+      dim: Int = 64): graft.functions.WelfordResult = {
+    import graft.functions.WelfordAggregator
+    import graft.operators.Multimodal
+    import graft.sources.NpyWriter
+    val tensors = Multimodal.decodeToTensor(
+      bound.select("image_id", "image"), "image", dim, "image_id")
+    val res = tensors
+      .agg(WelfordAggregator.of(col("tensor")).as("w"))
+      .select("w.*")
+      .as(org.apache.spark.sql.Encoders.product[graft.functions.WelfordResult])
+      .collect().head
+    NpyWriter.write(s"$outDir/mean.npy",
+      res.mean.map(_.toFloat).toArray, Seq(dim))
+    NpyWriter.write(s"$outDir/stdev.npy",
+      res.stdev.map(_.toFloat).toArray, Seq(dim))
+    val keys = bound
+      .select(explode(map_keys(col("truth_centroids"))).as("k"))
+      .distinct().orderBy("k")
+      .collect().map(r => graft.sources.Manifest.renderJsonString(
+        r.getString(0))).mkString("[", ", ", "]")
+    graft.sources.Sinks.writeTextFile(s"$outDir/feature_points.json", keys)
+    res
+  }
+
   /** Features per feature_points/model.py:131-148: dims, id, image bytes,
     * format, `feature_points` = key-sorted x's then y's, pose floats.
     */

@@ -314,6 +314,83 @@ object Relational {
         .orderBy("user_id", "session_idx")
     },
 
+    // --- String-function surface (§2.8): split/concat/case/length/regex.
+    Query(
+      "q37_string_funcs",
+      """SELECT p_partkey,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  upper(p_brand) AS brand_u,
+        |  CAST(replace(p_brand, 'Brand#', '') AS INT) AS brand_num,
+        |  concat(p_type, ':', p_name) AS tagged,
+        |  length(p_name) AS name_len,
+        |  CASE WHEN starts_with(p_name, 'small') THEN 1 ELSE 0 END AS is_small
+        |FROM part WHERE p_partkey < 150
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      t(s, d, "part")
+        .filter(col("p_partkey") < 150)
+        .select(col("p_partkey"),
+          substring_index(col("p_name"), " ", 1).as("first_word"),
+          upper(col("p_brand")).as("brand_u"),
+          regexp_replace(col("p_brand"), "Brand#", "").cast("int")
+            .as("brand_num"),
+          concat(col("p_type"), lit(":"), col("p_name")).as("tagged"),
+          length(col("p_name")).as("name_len"),
+          when(col("p_name").startsWith("small"), 1).otherwise(0)
+            .as("is_small"))
+        .orderBy("p_partkey")
+    },
+
+    // --- Date-function surface (§2.8): extract/add/diff/truncate.
+    Query(
+      "q38_date_funcs",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+        |    o_orderdate) AS INT) AS days_since_epoch_start,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        |FROM orders WHERE o_orderkey < 120
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") < 120)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30),
+            "yyyy-MM-dd").as("due"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).as("days_since_epoch_start"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"))
+        .orderBy("o_orderkey")
+    },
+
+    // --- Array/higher-order surface (§2.8): slice/sort/distinct/contains.
+    Query(
+      "q39_array_funcs",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT doc_id,
+        |  concat_ws('_', tk[1], tk[2], tk[3]) AS first3,
+        |  CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
+        |  CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END AS has_the,
+        |  list_sort(list_distinct(tk))[1] AS first_sorted
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tk = graft.operators.TextOps.tokens(col("text"))
+      t(s, d, "documents")
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat_ws("_", slice(tk, 1, 3)).as("first3"),
+          size(array_distinct(tk)).as("n_distinct"),
+          when(array_contains(tk, "the"), 1).otherwise(0).as("has_the"),
+          sort_array(array_distinct(tk)).getItem(0).as("first_sorted"))
+        .orderBy("doc_id")
+    },
+
     // --- Rollup (grouping sets) with subtotals — A6 generic-layer surface.
     Query(
       "q36_rollup",

@@ -53,6 +53,9 @@ final case class DatasetManifest(
 }
 
 object Manifest {
+  /** JSON-escape and quote a string. */
+  def renderJsonString(s: String): String = jStr(s)
+
   private[sources] def jStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""

@@ -27,6 +27,12 @@ object Sinks {
     fs.setWriteChecksum(false)
     fs
   }
+
+  /** Write a small text file (driver-side sidecars: manifests, label maps,
+    * counts, key orders).
+    */
+  def writeTextFile(path: String, content: String): Unit =
+    TFRecordSink.writeText(path, content)
 }
 
 object TFRecordSink {

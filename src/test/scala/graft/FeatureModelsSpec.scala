@@ -65,6 +65,20 @@ class FeatureModelsSpec extends SparkTestBase {
     }
   }
 
+  test("writeAdditionalFiles: Welford -> mean/stdev npy + key order json") {
+    val bound = FeaturePointsModel.bind(spark, corpus(consistent = true), None)
+    val out = Files.createTempDirectory("graft-npy").toString
+    val res = FeaturePointsModel.writeAdditionalFiles(bound, out, dim = 16)
+    assert(res.count == 2 && res.mean.size == 16)
+    val files = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(files.toList == List("feature_points.json", "mean.npy", "stdev.npy"))
+    assert(Files.readString(java.nio.file.Paths.get(s"$out/feature_points.json"))
+      == """["nose", "tail"]""")
+    // npy header sanity (full numpy cross-validation in SinksSpec)
+    val npy = Files.readAllBytes(java.nio.file.Paths.get(s"$out/mean.npy"))
+    assert(npy(0) == 0x93.toByte && new String(npy.slice(1, 6)) == "NUMPY")
+  }
+
   test("copyRelated copies only the selected ids' sidecars") {
     val src = corpus(consistent = true)
     val dest = Files.createTempDirectory("graft-copy").toString
