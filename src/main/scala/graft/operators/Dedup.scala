@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextOps.tokens
@@ -171,6 +172,41 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs at scale: band the 32-bit simhash into
+    * four 8-bit chunks — two hashes within hamming distance ≤ 3 of each
+    * other must agree on at least one chunk (pigeonhole) — bucket-join per
+    * (band, chunk), dedup candidates, verify exact hamming distance.
+    * Output: (key_a, key_b, hamming) with key_a < key_b.
+    */
+  def simhashNearDuplicates(df: DataFrame, textCol: String, key: String,
+      maxDistance: Int = 3, maxBucketSize: Long = 5000): DataFrame = {
+    val hashed = df.select(col(key), simhash(col(textCol)).as("_h"))
+    val banded = hashed.select(col(key), col("_h"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("_h"), b * 8).bitwiseAND(0xffL)): _*)))
+      .select(col(key), col("_h"), col("pos").as("_band"),
+        col("col").as("_chunk"))
+      // Skew guard: a degenerate bucket of B rows emits B² candidates. Cap
+      // bucket size (recall loss only inside over-cap buckets — and near
+      // dups agreeing on another, smaller band are still found there).
+      .withColumn("_bn", count(lit(1)).over(
+        Window.partitionBy("_band", "_chunk")))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
+    val l = banded.select(col(key).as("key_a"), col("_h").as("_h_a"),
+      col("_band"), col("_chunk"))
+    val r = banded.select(col(key).as("key_b"), col("_h").as("_h_b"),
+      col("_band"), col("_chunk"))
+    l.join(r, Seq("_band", "_chunk"))
+      .filter(col("key_a") < col("key_b"))
+      // verify hamming BEFORE the dedup shuffle: xor+bit_count is codegen'd
+      // per joined row, so only true near-dup pairs reach dropDuplicates
+      .select(col("key_a"), col("key_b"),
+        hammingDistance(col("_h_a"), col("_h_b")).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+      .dropDuplicates("key_a", "key_b")
+  }
 
   /** Exact all-pairs n-gram Jaccard over a (small or pre-filtered) corpus —
     * the brute-force baseline the LSH path approximates. O(n²): only for

@@ -97,6 +97,51 @@ object Similarity {
       .dropDuplicates("key_a", "key_b")
   }
 
+  /** IVF-style ANN (the second scale path besides sign-bit LSH): pick
+    * `nlist` deterministic centroids (content-hash sample of the corpus),
+    * assign every corpus row to its nearest centroid (one broadcast pass),
+    * then answer each query by searching only the `nprobe` nearest
+    * centroids' lists. Recall/cost knob = nprobe/nlist; the corpus scan
+    * becomes a hash join on the centroid id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+      key: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // deterministic "training-free" centroids: first nlist rows by key hash
+    val centroids = corpus
+      .select(col(key), asDouble(col(embCol)).as("_cv"))
+      .orderBy(xxhash64(col(key)), col(key)).limit(nlist)
+      .withColumn("_cid", row_number().over(Window.orderBy(col(key))))
+      .select("_cid", "_cv")
+    // assign each corpus row to nearest centroid (broadcast nested pass)
+    val assigned = corpus
+      .select(col(key), asDouble(col(embCol)).as("_emb"),
+        norm(col(embCol)).as("_n"))
+      .join(broadcast(centroids))
+      .withColumn("_d", -dotFast(col("_emb"), col("_cv")))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col("_d"), col("_cid"))))
+      .filter(col("_rk") === 1)
+      .select(col(key), col("_emb"), col("_n"), col("_cid"))
+    // each query probes its nprobe nearest centroid lists
+    val probes = queries
+      .select(col(key).as("query_id"), asDouble(col(embCol)).as("_q_emb"),
+        norm(col(embCol)).as("_q_n"))
+      .join(broadcast(centroids))
+      .withColumn("_d", -dotFast(col("_q_emb"), col("_cv")))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("_d"), col("_cid"))))
+      .filter(col("_rk") <= nprobe)
+      .select(col("query_id"), col("_q_emb"), col("_q_n"), col("_cid"))
+    probes.join(assigned, Seq("_cid"))
+      .filter(col("query_id") =!= col(key))
+      .select(col("query_id"), col(key).as("neighbor_id"),
+        (dotFast(col("_q_emb"), col("_emb"))
+          / (col("_q_n") * col("_n"))).as("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate keys: pairs above threshold collapsed
     * to "drop the larger key" survivors (connected-components-free greedy,
     * adequate for sparse duplicate graphs).

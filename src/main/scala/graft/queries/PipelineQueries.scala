@@ -199,6 +199,49 @@ object PipelineQueries {
         .orderBy("key_a", "key_b")
     },
 
+    // --- SimHash near-dup pairing at scale (chunk banding + pigeonhole);
+    //     murmur-based → rows-only (planted dups guarantee rows). Bounded
+    //     to a corpus slice: this synthetic corpus draws from a tiny shared
+    //     vocabulary, so nearly all doc pairs are TRUE simhash near-dups —
+    //     the full-corpus result is quadratic by construction, which says
+    //     nothing about the operator's scaling on real (diverse) text.
+    Query.noOracle("q40_simhash_pairs") { (s, d) =>
+      Dedup.simhashNearDuplicates(
+          corpusWithDups(s, d).filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", maxDistance = 2)
+        .orderBy("key_a", "key_b")
+    },
+
+    // --- IVF ANN with full probe = exhaustive search, so it shares the
+    //     brute-force oracle (recall knob exercised in SimilaritySpec).
+    Query(
+      "q41_ivf_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |      WHERE vec_id IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, e.v) AS c
+        |  FROM q, e WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, c,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+        |  round(c, 4) AS cosine
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id").isin(0, 1, 2)),
+          "embedding", "vec_id", k = 5, nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // --- Distributed Welford (custom Aggregator with Chan merge) vs the
     //     oracle's per-position avg/stddev_pop over unnested vectors.
     Query(

@@ -53,6 +53,16 @@ class DedupSpec extends SparkTestBase {
     assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
   }
 
+  test("simhashNearDuplicates pairs exact/near dups via chunk banding") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "text", "doc_id",
+        maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // exact dup: distance 0
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 0)
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated excluded
+  }
+
   test("ngramJaccardPairs ranks the near-dup above unrelated pairs") {
     val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))

