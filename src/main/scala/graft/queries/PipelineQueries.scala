@@ -199,6 +199,60 @@ object PipelineQueries {
         .orderBy("key_a", "key_b")
     },
 
+    // --- Normalized ("fuzzy-exact") dedup: case/punct/whitespace-folded
+    //     text as the dedup key — the standard first pass before MinHash.
+    Query(
+      "q42_dedup_normalized",
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS dup_count
+        |FROM n GROUP BY norm
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[\\p{Punct}]", ""), "\\s+", " "))
+      Dedup.exact(
+          Tables.load(s, d, "documents").withColumn("norm", norm),
+          Seq("norm"), "doc_id")
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id")
+    },
+
+    // --- Quality filter: the decision layer over the text metrics
+    //     (keep = long enough, low punct, some stopwords).
+    Query(
+      "q43_quality_filter",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]',
+        |      '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), t -> list_contains(['the', 'a', 'and', 'of', 'to',
+        |      'in', 'is', 'that'], t))) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS stopword_ratio
+        |  FROM documents)
+        |SELECT CASE WHEN n_tokens >= 20 AND punct_ratio < 0.1
+        |         AND stopword_ratio > 0.02 THEN 'keep' ELSE 'drop'
+        |       END AS verdict,
+        |  count(*) AS n
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val en = TextOps.Languages.all.head._2
+      Tables.load(s, d, "documents")
+        .select(
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.punctRatio(col("text")).as("punct_ratio"),
+          TextOps.stopwordRatio(col("text"), en).as("stopword_ratio"))
+        .select(when(col("n_tokens") >= 20 && col("punct_ratio") < 0.1
+            && col("stopword_ratio") > 0.02, "keep").otherwise("drop")
+          .as("verdict"))
+        .groupBy("verdict").agg(count(lit(1)).as("n"))
+        .orderBy("verdict")
+    },
+
     // --- SimHash near-dup pairing at scale (chunk banding + pigeonhole);
     //     murmur-based → rows-only (planted dups guarantee rows). Bounded
     //     to a corpus slice: this synthetic corpus draws from a tiny shared

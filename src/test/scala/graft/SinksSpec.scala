@@ -31,6 +31,24 @@ class SinksSpec extends SparkTestBase {
     assert(total == 1500)
   }
 
+  test("TFRecordDataSource reads written shards back, distributed, CRC-checked") {
+    val dir = Files.createTempDirectory("graft-tfr-read").toString
+    val df = (1 to 250).map(i => (i.toLong, s"payload $i"))
+      .toDF("id", "text")
+      .select(col("text").cast("binary").as("payload"))
+    TFRecordSink.writeSharded(df, "payload", dir, shardSize = 100)
+    val back = spark.read.format("graft.sources.TFRecordDataSource")
+      .load(dir)
+    assert(back.schema.fieldNames.toList == List("path", "record"))
+    assert(back.count() == 250)
+    // 3 shard files → 3 input partitions
+    assert(back.select("path").distinct().count() == 3)
+    val texts = back.select(col("record").cast("string")).as[String]
+      .collect().toSet
+    assert(texts.contains("payload 1") && texts.contains("payload 250"))
+    assert(texts.size == 250)
+  }
+
   test("NpyWriter emits a spec-compliant v1.0 header") {
     val bytes = NpyWriter.float32(Array(1.0f, 2.0f, 3.0f), Seq(3))
     assert(bytes(0) == 0x93.toByte)
