@@ -69,13 +69,13 @@ object Dedup {
       }
     }
 
-    /** Band-bucket hashes: minhash signature via the (a*x+b) mod p family
-      * over murmur shingle hashes, folded per band into one long bucket id.
+    /** Seeded (a, b) coefficient family for the minhash signature —
+      * computed ONCE per operator call and captured in the UDF closure, not
+      * re-derived per row.
       */
-    def bandBuckets(shingles: Seq[String], numHashes: Int, bands: Int,
-        seed: Long): Array[Long] = {
+    def minhashCoefficients(numHashes: Int,
+        seed: Long): (Array[Long], Array[Long]) = {
       val p = 4294967311L // smallest prime > 2^32
-      val rowsPerBand = numHashes / bands
       val rnd = new scala.util.Random(seed)
       val as = new Array[Long](numHashes)
       val bs = new Array[Long](numHashes)
@@ -85,6 +85,17 @@ object Dedup {
         bs(i) = math.abs(rnd.nextLong()) % p
         i += 1
       }
+      (as, bs)
+    }
+
+    /** Band-bucket hashes: minhash signature via the (a*x+b) mod p family
+      * over murmur shingle hashes, folded per band into one long bucket id.
+      */
+    def bandBuckets(shingles: Seq[String], as: Array[Long], bs: Array[Long],
+        bands: Int): Array[Long] = {
+      val p = 4294967311L
+      val numHashes = as.length
+      val rowsPerBand = numHashes / bands
       val sig = Array.fill(numHashes)(Long.MaxValue)
       shingles.foreach { s =>
         val x = MurmurHash3.bytesHash(s.getBytes("UTF-8"), 42).toLong & 0xffffffffL
@@ -133,8 +144,9 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.7, seed: Long = 42): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val (hashA, hashB) = Kernels.minhashCoefficients(numHashes, seed)
     val bucketsUdf = udf((sh: Seq[String]) =>
-      Kernels.bandBuckets(sh, numHashes, bands, seed))
+      Kernels.bandBuckets(sh, hashA, hashB, bands))
     val withSh = df
       .select(col(key), shinglesUdf(shingleSize)(col(textCol)).as("_sh"))
     val banded = withSh
@@ -181,6 +193,10 @@ object Dedup {
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String, key: String,
       maxDistance: Int = 3, maxBucketSize: Long = 5000): DataFrame = {
+    // pigeonhole bound of 4 banded chunks: only distances <= 3 are
+    // guaranteed a shared chunk — larger values would silently lose recall
+    require(maxDistance <= 3,
+      s"maxDistance $maxDistance exceeds the 4-band pigeonhole bound (3)")
     val hashed = df.select(col(key), simhash(col(textCol)).as("_h"))
     val banded = hashed.select(col(key), col("_h"),
       posexplode(array((0 until 4).map(b =>
@@ -206,6 +222,21 @@ object Dedup {
         hammingDistance(col("_h_a"), col("_h_b")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
       .dropDuplicates("key_a", "key_b")
+  }
+
+  /** End-to-end near-duplicate REMOVAL: MinHash pairs → greedy drop-larger
+    * survivors (each pair keeps its smaller key) → anti-join. For chains
+    * a~b~c this keeps the chain minimum and drops the rest — standard
+    * greedy dedup, adequate for the sparse duplicate graphs real corpora
+    * have (full connected components would need iterative min-propagation).
+    */
+  def dropNearDuplicates(df: DataFrame, textCol: String, key: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.9, seed: Long = 42): DataFrame = {
+    val dropList = minhashNearDuplicates(df, textCol, key, numHashes, bands,
+        shingleSize, threshold, seed)
+      .select(col("key_b").as(key)).distinct()
+    df.join(dropList, Seq(key), "left_anti")
   }
 
   /** Exact all-pairs n-gram Jaccard over a (small or pre-filtered) corpus —

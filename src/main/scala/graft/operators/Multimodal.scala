@@ -20,12 +20,12 @@ import graft.sources.ImageHeaders
 object Multimodal {
 
   /** Attach real header metadata (format/width/height/channels) from the
-    * binary payload; see [[graft.sources.ImageHeaders]].
+    * binary payload — delegates to the single parse-UDF definition in
+    * [[graft.sources.CorpusBinder.withImageMeta]].
     */
-  def withMeta(df: DataFrame, bytesCol: String): DataFrame = {
-    val parseUdf = udf((b: Array[Byte]) => ImageHeaders.parse(b))
-    df.withColumn(s"${bytesCol}_meta", parseUdf(col(bytesCol)))
-  }
+  def withMeta(df: DataFrame, bytesCol: String): DataFrame =
+    graft.sources.CorpusBinder.withImageMeta(df, bytesCol,
+      outputCol = s"${bytesCol}_meta")
 
   /** STUB pixel decode: a real implementation would decode `bytes` to a
     * H×W×C float tensor here (e.g. via a JNI codec); this deterministic

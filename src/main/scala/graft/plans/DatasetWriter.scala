@@ -44,9 +44,14 @@ object DatasetWriter {
     // top-level test/ (write_dataset.py:229: related data for the test set)
     val numTest = TFRecordSink.writeSharded(test, "example",
       s"$base/test", prefix = "test.record")
-    // splits/complete: dev re-split 80/20 into train/test records (P4)
-    val inner = Splits.testDevSplit(dev.drop("split"), testPercent,
-      seed + 1, "image_id")
+    // splits/complete: dev re-split 80/20 into train/test records (P4).
+    // A dev set of <= 1 row cannot be re-split (the reference contract only
+    // errors on the OUTER split) — it all becomes train.
+    val devBase = dev.drop("split")
+    val inner =
+      if (devBase.count() > 1)
+        Splits.testDevSplit(devBase, testPercent, seed + 1, "image_id")
+      else devBase.withColumn("split", lit("dev"))
     val numTrainTest = TFRecordSink.writeSharded(
       inner.filter(col("split") === "test"), "example",
       s"$base/splits/complete", prefix = "test.record")

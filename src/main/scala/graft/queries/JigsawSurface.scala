@@ -112,7 +112,7 @@ object JigsawSurface {
     //     assignment under a defined row order.
     Query(
       "q22_shard_sizes",
-      """WITH c AS (SELECT CAST(count(*) / 1000 + 1 AS BIGINT) AS ns
+      """WITH c AS (SELECT CAST(count(*) // 1000 + 1 AS BIGINT) AS ns
         |           FROM lineitem),
         |t AS (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber)
         |        - 1 AS i FROM lineitem)

@@ -280,14 +280,15 @@ object Relational {
     Query(
       "q35_sessions",
       """WITH flagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
         |      THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessioned AS (
         |  SELECT user_id, ts, value,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT)
+        |      AS session_idx
         |  FROM flagged)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value,
@@ -298,7 +299,8 @@ object Relational {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
-      val wRun = Window.partitionBy("user_id").orderBy("ts")
+      val wRun = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "events")
         .withColumn("new_session",

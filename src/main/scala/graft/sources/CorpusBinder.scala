@@ -76,9 +76,10 @@ object CorpusBinder {
   /** Image-dimension metadata from real header parsing (S11 analog —
     * pixel decode is stubbed at the Multimodal layer).
     */
-  def withImageMeta(imagesDf: DataFrame, bytesCol: String = "image"): DataFrame = {
+  def withImageMeta(imagesDf: DataFrame, bytesCol: String = "image",
+      outputCol: String = "image_meta"): DataFrame = {
     val parseUdf = udf((bytes: Array[Byte]) => ImageHeaders.parse(bytes))
-    imagesDf.withColumn("image_meta", parseUdf(col(bytesCol)))
+    imagesDf.withColumn(outputCol, parseUdf(col(bytesCol)))
   }
 
   /** S6 prefix (partition) discovery (`jigsaw/io_utils.py:434-442`): list
@@ -127,11 +128,12 @@ object CorpusBinder {
           .as("image_id"))
       .join(selectedIds.select("image_id"), Seq("image_id"), "left_semi")
     val copied = spark.sparkContext.longAccumulator("files_copied")
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     all.select("path", "content").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(destDir), conf)
+          new java.net.URI(destDir), serConf.value)
         fs.setWriteChecksum(false)
         rows.foreach { r =>
           val name = r.getString(0).split('/').last

@@ -7,7 +7,8 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
 
 /** Sharded TFRecord dataset sink (SURVEY.md W1): each row's byte payload is
   * framed into TFRecord entries, round-robined across `n/shardSize + 1`
@@ -19,11 +20,20 @@ import org.apache.spark.sql.DataFrame
   * collection, no per-row small files.
   */
 object Sinks {
+  /** Spark's Hadoop configuration when a session is active (carries
+    * spark.hadoop.* object-store credentials/endpoints), else a default.
+    */
+  private[sources] def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   /** FileSystem handle with CRC sidecar files disabled (the Hadoop local FS
     * otherwise litters every write with .name.crc files).
     */
-  private[sources] def fsFor(uri: String): FileSystem = {
-    val fs = FileSystem.get(new java.net.URI(uri), new Configuration())
+  private[sources] def fsFor(uri: String,
+      conf: Configuration = hadoopConf()): FileSystem = {
+    val fs = FileSystem.get(new java.net.URI(uri), conf)
     fs.setWriteChecksum(false)
     fs
   }
@@ -42,20 +52,28 @@ object TFRecordSink {
     */
   def writeSharded(df: DataFrame, bytesCol: String, dir: String,
       prefix: String = "shard", shardSize: Long = 1000): Long = {
-    val n = df.count()
-    val numShards = (n / shardSize + 1).toInt
+    // persist: the payload is consumed twice (count, then the write) and
+    // recomputing an upstream bind/export pipeline would double all I/O
     val payload = df.select(bytesCol)
-    payload.repartition(numShards).foreachPartition {
-      (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val shard = TaskContext.getPartitionId()
-        val fs = Sinks.fsFor(dir)
-        val out = fs.create(
-          new Path(dir, f"$prefix-$shard%05d.tfrecord"), true)
-        try rows.foreach(r => TFRecord.writeRecord(out, r.getAs[Array[Byte]](0)))
-        finally out.close()
-    }
-    writeText(s"$dir/$prefix.numexamples", n.toString)
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = payload.count()
+      val numShards = (n / shardSize + 1).toInt
+      // executor-side FS needs the session's Hadoop conf (s3a creds etc.)
+      val serConf = new SerializableConfiguration(Sinks.hadoopConf())
+      payload.repartition(numShards).foreachPartition {
+        (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val shard = TaskContext.getPartitionId()
+          val fs = Sinks.fsFor(dir, serConf.value)
+          val out = fs.create(
+            new Path(dir, f"$prefix-$shard%05d.tfrecord"), true)
+          try rows.foreach(r =>
+            TFRecord.writeRecord(out, r.getAs[Array[Byte]](0)))
+          finally out.close()
+      }
+      writeText(s"$dir/$prefix.numexamples", n.toString)
+      n
+    } finally payload.unpersist()
   }
 
   private[sources] def writeText(path: String, content: String): Unit = {

@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 reader for TFRecord shard files (the read side of W1):
   *
@@ -38,8 +39,9 @@ object TFRecordDataSource {
     StructField("record", BinaryType, nullable = false)))
 
   /** List the .tfrecord files under a path (or the path itself). */
-  def listShardFiles(path: String): Seq[String] = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+  def listShardFiles(path: String,
+      conf: Configuration = Sinks.hadoopConf()): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(path), conf)
     val p = new Path(path)
     if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).filter(s => s.isFile
@@ -62,41 +64,49 @@ class TFRecordTable(path: String) extends Table with SupportsRead {
 }
 
 class TFRecordScan(path: String) extends Scan with Batch {
+  // session Hadoop conf captured on the driver, shipped to executors
+  private val serConf = new SerializableConfiguration(Sinks.hadoopConf())
+
   override def readSchema(): StructType = TFRecordDataSource.schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    TFRecordDataSource.listShardFiles(path)
+    TFRecordDataSource.listShardFiles(path, serConf.value)
       .map(f => TFRecordInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TFRecordReaderFactory
+    new TFRecordReaderFactory(serConf)
 }
 
 case class TFRecordInputPartition(file: String) extends InputPartition
 
-class TFRecordReaderFactory extends PartitionReaderFactory {
+class TFRecordReaderFactory(serConf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TFRecordInputPartition].file
-    new TFRecordPartitionReader(file)
+    new TFRecordPartitionReader(file, serConf.value)
   }
 }
 
 /** Streams one shard file, validating CRCs record by record. */
-class TFRecordPartitionReader(file: String)
+class TFRecordPartitionReader(file: String, conf: Configuration)
     extends PartitionReader[InternalRow] {
-  private val fs = FileSystem.get(new java.net.URI(file), new Configuration())
+  private val fs = FileSystem.get(new java.net.URI(file), conf)
   private val in = fs.open(new Path(file))
   private val fileUtf8 =
     org.apache.spark.unsafe.types.UTF8String.fromString(file)
   private var current: Array[Byte] = _
 
   override def next(): Boolean = {
+    // EOF probe: a clean end-of-file is only legal BETWEEN records. A short
+    // read mid-stream (block boundary on HDFS/s3a) must not be mistaken for
+    // truncation, so probe one byte then readFully the rest.
+    val first = in.read()
+    if (first < 0) return false
     val lenBuf = new Array[Byte](8)
-    val read = in.read(lenBuf)
-    if (read < 0) return false
-    require(read == 8, s"truncated length header in $file")
+    lenBuf(0) = first.toByte
+    in.readFully(lenBuf, 1, 7)
     val lenCrc = readInt()
     require(lenCrc == TFRecord.maskedCrc32c(lenBuf),
       s"length CRC mismatch in $file")

@@ -46,6 +46,15 @@ object Streams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same key within the
+    * watermark horizon (state is bounded by the watermark — the streaming
+    * form of Dedup.exact for at-least-once upstream sources).
+    */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long,

@@ -53,6 +53,14 @@ class DedupSpec extends SparkTestBase {
     assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
   }
 
+  test("dropNearDuplicates removes the larger key of each dup pair") {
+    val out = Dedup.dropNearDuplicates(docs, "text", "doc_id",
+        bands = 32, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(2L)) // dup of 1 → dropped
+    assert(out.contains(1L) && out.contains(4L) && out.contains(5L))
+  }
+
   test("simhashNearDuplicates pairs exact/near dups via chunk banding") {
     val pairs = Dedup.simhashNearDuplicates(docs, "text", "doc_id",
         maxDistance = 3)

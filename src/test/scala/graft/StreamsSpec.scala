@@ -61,6 +61,28 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-delivered keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streams.dedupStream(
+        mem.toDF().toDF("id", "ts", "payload"), Seq("id"), "ts")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData((1L, t("2024-01-01 10:00:00"), "first"),
+        (1L, t("2024-01-01 10:00:05"), "redelivery"),
+        (2L, t("2024-01-01 10:00:10"), "other"))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-01 10:10:00"), "still dup"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(2))
+      assert(rows.length == 2)
+      assert(rows.toMap == Map(1L -> "first", 2L -> "other"))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session on gap and keeps state within gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -70,6 +70,7 @@ def main() -> int:
             print(f"  OK    {name} ({len(spark_df)} rows)")
         except AssertionError as e:
             failures.append((name, str(e).splitlines()[-1][:300]))
+    n_oracle_failures = len(failures)
     # rows-only check for queries without an oracle
     import os
     for name in sorted(os.listdir(out_dir)):
@@ -85,7 +86,9 @@ def main() -> int:
             failures.append((name, f"rows-only output unreadable: {e}"))
     for name, msg in failures:
         print(f"  FAIL  {name}: {msg}")
-    print(f"{len(oracles) - len(failures)}/{len(oracles)} oracle queries match")
+    print(f"{len(oracles) - n_oracle_failures}/{len(oracles)} oracle queries match"
+          + (f"; {len(failures) - n_oracle_failures} rows-only failure(s)"
+             if len(failures) > n_oracle_failures else ""))
     return 1 if failures else 0
 
 
