@@ -147,8 +147,12 @@ object Dedup {
     val (hashA, hashB) = Kernels.minhashCoefficients(numHashes, seed)
     val bucketsUdf = udf((sh: Seq[String]) =>
       Kernels.bandBuckets(sh, hashA, hashB, bands))
+    // consumed three times (banding + two candidate re-joins): persist so
+    // the text scan + shingle kernel run once (ContextCleaner unpersists
+    // when the plan becomes unreachable)
     val withSh = df
       .select(col(key), shinglesUdf(shingleSize)(col(textCol)).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSh
       .select(col(key), posexplode(bucketsUdf(col("_sh"))))
       .select(col(key), col("pos").as("_band"), col("col").as("_bucket"))
