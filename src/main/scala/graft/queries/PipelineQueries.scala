@@ -104,6 +104,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // --- BPE-ish subword counting (GPT-2-style pre-tokenizer shape).
+    Query(
+      "q44_subword_counts",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(trim(text)),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_subwords
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextOps.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
     // --- Order-sensitive polynomial document fingerprint.
     Query(
       "q28_fingerprint",

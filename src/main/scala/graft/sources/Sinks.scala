@@ -63,13 +63,23 @@ object TFRecordSink {
       val serConf = new SerializableConfiguration(Sinks.hadoopConf())
       payload.repartition(numShards).foreachPartition {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
-          val shard = TaskContext.getPartitionId()
+          val ctx = TaskContext.get()
+          val shard = ctx.partitionId()
           val fs = Sinks.fsFor(dir, serConf.value)
-          val out = fs.create(
-            new Path(dir, f"$prefix-$shard%05d.tfrecord"), true)
+          // write-to-temp + rename: task retries and speculative duplicates
+          // never leave a torn shard; last completed attempt wins the rename
+          val finalPath = new Path(dir, f"$prefix-$shard%05d.tfrecord")
+          val tmpPath = new Path(dir,
+            f".$prefix-$shard%05d.tfrecord.${ctx.taskAttemptId()}%d.tmp")
+          val out = fs.create(tmpPath, true)
           try rows.foreach(r =>
             TFRecord.writeRecord(out, r.getAs[Array[Byte]](0)))
           finally out.close()
+          fs.delete(finalPath, false)
+          if (!fs.rename(tmpPath, finalPath)) {
+            fs.delete(tmpPath, false) // lost the race to another attempt
+          }
+          ()
       }
       writeText(s"$dir/$prefix.numexamples", n.toString)
       n
