@@ -147,12 +147,14 @@ object Dedup {
     val (hashA, hashB) = Kernels.minhashCoefficients(numHashes, seed)
     val bucketsUdf = udf((sh: Seq[String]) =>
       Kernels.bandBuckets(sh, hashA, hashB, bands))
-    // consumed three times (banding + two candidate re-joins): persist so
-    // the text scan + shingle kernel run once (ContextCleaner unpersists
-    // when the plan becomes unreachable)
+    // NOTE deliberately not persisted: Dataset caches are held by
+    // CacheManager until an explicit unpersist (they are NOT GC-cleaned
+    // like RDD persists), and this operator's output is lazy — a persist
+    // here would leak for the session lifetime. The shingle kernel is
+    // recomputed by the two candidate re-joins; callers looping over many
+    // corpora can cache the input themselves and unpersist when done.
     val withSh = df
       .select(col(key), shinglesUdf(shingleSize)(col(textCol)).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSh
       .select(col(key), posexplode(bucketsUdf(col("_sh"))))
       .select(col(key), col("pos").as("_band"), col("col").as("_bucket"))

@@ -48,9 +48,11 @@ object DatasetWriter {
     // A dev set of <= 1 row cannot be re-split (the reference contract only
     // errors on the OUTER split) — it all becomes train.
     val devBase = dev.drop("split")
+    val devCount = devBase.count()
     val inner =
-      if (devBase.count() > 1)
-        Splits.testDevSplit(devBase, testPercent, seed + 1, "image_id")
+      if (devCount > 1)
+        Splits.testDevSplit(devBase, testPercent, seed + 1, "image_id",
+          knownCount = Some(devCount))
       else devBase.withColumn("split", lit("dev"))
     val numTrainTest = TFRecordSink.writeSharded(
       inner.filter(col("split") === "test"), "example",

@@ -59,6 +59,20 @@ object TFRecordSink {
     try {
       val n = payload.count()
       val numShards = (n / shardSize + 1).toInt
+      // Job-level overwrite: clear previous-run shards and orphaned temp
+      // files ONCE on the driver, so tasks never have to delete a committed
+      // file (a delete-then-rename in a task would let a killed speculative
+      // attempt destroy a finished shard without replacing it).
+      val driverFs = Sinks.fsFor(dir)
+      val dirPath = new Path(dir)
+      if (driverFs.exists(dirPath)) {
+        driverFs.listStatus(dirPath).map(_.getPath).foreach { p =>
+          val name = p.getName
+          if ((name.startsWith(s"$prefix-") && name.endsWith(".tfrecord"))
+              || (name.startsWith(s".$prefix-") && name.endsWith(".tmp")))
+            driverFs.delete(p, false)
+        }
+      }
       // executor-side FS needs the session's Hadoop conf (s3a creds etc.)
       val serConf = new SerializableConfiguration(Sinks.hadoopConf())
       payload.repartition(numShards).foreachPartition {
@@ -66,8 +80,9 @@ object TFRecordSink {
           val ctx = TaskContext.get()
           val shard = ctx.partitionId()
           val fs = Sinks.fsFor(dir, serConf.value)
-          // write-to-temp + rename: task retries and speculative duplicates
-          // never leave a torn shard; last completed attempt wins the rename
+          // write-to-temp + rename, FIRST attempt wins: rename refuses an
+          // existing destination, so a committed shard is never deleted;
+          // the losing attempt just discards its temp file
           val finalPath = new Path(dir, f"$prefix-$shard%05d.tfrecord")
           val tmpPath = new Path(dir,
             f".$prefix-$shard%05d.tfrecord.${ctx.taskAttemptId()}%d.tmp")
@@ -75,9 +90,8 @@ object TFRecordSink {
           try rows.foreach(r =>
             TFRecord.writeRecord(out, r.getAs[Array[Byte]](0)))
           finally out.close()
-          fs.delete(finalPath, false)
           if (!fs.rename(tmpPath, finalPath)) {
-            fs.delete(tmpPath, false) // lost the race to another attempt
+            fs.delete(tmpPath, false)
           }
           ()
       }

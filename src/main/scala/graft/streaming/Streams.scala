@@ -51,9 +51,11 @@ object Streams {
     * form of Dedup.exact for at-least-once upstream sources).
     */
   def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream needs at least one key column")
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
