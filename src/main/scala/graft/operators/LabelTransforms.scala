@@ -76,10 +76,13 @@ object LabelDictionary {
       orderCol: String = "image_id"): DataFrame = {
     val firstSeen = df.groupBy(col(labelCol))
       .agg(min(col(orderCol)).as("_first_seen"))
-    // |labels| is small (a dimension): the single-partition window is fine.
+    // |labels| is small (a dimension): a single-partition window is the
+    // right plan. Partitioning by a constant states that on purpose and
+    // avoids WindowExec's no-partition warning spam in driver logs.
     firstSeen
       .withColumn("label_int",
-        row_number().over(Window.orderBy(col("_first_seen"), col(labelCol))))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("_first_seen"), col(labelCol))))
       .select(col(labelCol), col("label_int"))
   }
 }

@@ -110,7 +110,10 @@ object Similarity {
     val centroids = corpus
       .select(col(key), asDouble(col(embCol)).as("_cv"))
       .orderBy(xxhash64(col(key)), col(key)).limit(nlist)
-      .withColumn("_cid", row_number().over(Window.orderBy(col(key))))
+      // ≤ nlist rows here: single-partition window on purpose (constant
+      // partition key avoids WindowExec's no-partition warning).
+      .withColumn("_cid", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col(key))))
       .select("_cid", "_cv")
     // assign each corpus row to nearest centroid (broadcast nested pass)
     val assigned = corpus

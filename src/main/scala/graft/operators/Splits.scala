@@ -30,21 +30,27 @@ object Splits {
     * (repartitionByRange + per-partition row_number + broadcast offsets)
     * benches ~60% SLOWER here — range sampling adds a job and the window
     * re-sorts partitions the cache already sorted. zipWithIndex's RDD
-    * round-trip wins despite the row re-encoding.
+    * round-trip wins, and it stays on InternalRow (via the graftshim
+    * bridge) so no per-field Row decode/re-encode happens on the way.
     */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
       idxCol: String = "_idx"): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.JoinedRow
+    import org.apache.spark.sql.graftshim.DatasetShim
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema
     // zipWithIndex runs a partition-count job before the main pass; persist
     // the sorted rows so the sort executes once (ContextCleaner unpersists
-    // the RDD when it becomes unreachable).
-    val sortedRdd = sorted.rdd
+    // the RDD when it becomes unreachable). toRdd hands out reused row
+    // buffers — copy before buffering them in the persist store.
+    val sortedRdd = DatasetShim.toInternalRdd(sorted).map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withIdx = sortedRdd.zipWithIndex.map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
-    }
-    sorted.sparkSession.createDataFrame(withIdx,
+    val withIdx: org.apache.spark.rdd.RDD[InternalRow] =
+      sortedRdd.zipWithIndex.map { case (row, i) =>
+        new JoinedRow(row, InternalRow(i))
+      }
+    DatasetShim.internalCreateDataFrame(sorted.sparkSession, withIdx,
       schema.add(idxCol, org.apache.spark.sql.types.LongType))
   }
 

@@ -118,7 +118,11 @@ object JigsawSurface {
         |        - 1 AS i FROM lineitem)
         |SELECT CAST(t.i % c.ns AS BIGINT) AS shard, count(*) AS cnt
         |FROM t, c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      Splits.shardAssign(Tables.load(s, d, "lineitem"),
+      // project to the sort keys up front: the global-index path persists
+      // and re-encodes every column it is given, and shard sizes only need
+      // the keys (Catalyst can't prune through the RDD boundary itself)
+      Splits.shardAssign(
+          Tables.load(s, d, "lineitem").select("l_orderkey", "l_linenumber"),
           Seq(col("l_orderkey"), col("l_linenumber")))
         .groupBy("shard").agg(count(lit(1)).as("cnt"))
         .orderBy("shard")

@@ -53,6 +53,26 @@ class DedupSpec extends SparkTestBase {
     assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
   }
 
+  test("simhash kernel matches the Catalyst-HOF reference formulation") {
+    // the original (slow, interpreted) Column formulation, kept here as the
+    // executable spec of the kernel's semantics
+    def simhashHof(text: org.apache.spark.sql.Column) = {
+      val tk = array_distinct(graft.operators.TextOps.tokens(text))
+      val h = transform(tk,
+        t => hash(t).cast("bigint").bitwiseAND(lit(0xffffffffL)))
+      (0 until 32).map { i =>
+        val vote = aggregate(h, lit(0L),
+          (acc, x) => acc + when(shiftright(x, i).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+        when(vote > 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val rows = docs.select(Dedup.simhash($"text").as("fast"),
+        simhashHof($"text").as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r"))
+  }
+
   test("dropNearDuplicates removes the larger key of each dup pair") {
     val out = Dedup.dropNearDuplicates(docs, "text", "doc_id",
         bands = 32, threshold = 0.9)
