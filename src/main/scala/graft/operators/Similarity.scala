@@ -145,6 +145,27 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact all-pairs cosine ≥ threshold — the brute-force baseline the LSH
+    * and IVF paths approximate. O(n²): only for bounded or pre-filtered
+    * corpora; at scale use [[lshNeighborPairs]]. Output: (key_a, key_b,
+    * cosine) with key_a < key_b.
+    */
+  def cosinePairs(corpus: DataFrame, embCol: String, key: String,
+      threshold: Double): DataFrame = {
+    val withN = corpus.select(col(key), asDouble(col(embCol)).as("_emb"),
+      norm(col(embCol)).as("_n"))
+    val a = withN.select(col(key).as("key_a"), col("_emb").as("_emb_a"),
+      col("_n").as("_n_a"))
+    val b = withN.select(col(key).as("key_b"), col("_emb").as("_emb_b"),
+      col("_n").as("_n_b"))
+    a.crossJoin(b)
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        (dotFast(col("_emb_a"), col("_emb_b"))
+          / (col("_n_a") * col("_n_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate keys: pairs above threshold collapsed
     * to "drop the larger key" survivors (connected-components-free greedy,
     * adequate for sparse duplicate graphs).

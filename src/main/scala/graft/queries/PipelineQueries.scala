@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Similarity, SkewOps, TextOps}
 
 /** LLM-training-data pipeline operators (dedup / similarity / text
   * analysis) exercised on the `documents` and `embeddings` tables.
@@ -309,6 +309,47 @@ object PipelineQueries {
           col("rank").cast("int").as("rank"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "rank")
+    },
+
+    // --- Exact all-pairs cosine ≥ threshold on a bounded slice — the
+    //     brute-force baseline the LSH (q33) and IVF (q41) paths
+    //     approximate, and the only embedding-similarity variant whose
+    //     math DuckDB can replay exactly.
+    Query(
+      "q49_cosine_pairs",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.3
+        |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+      Similarity.cosinePairs(
+          Tables.load(s, d, "embeddings").filter(col("vec_id") < 200),
+          "embedding", "vec_id", threshold = 0.3)
+        .select(col("key_a"), col("key_b"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("key_a", "key_b")
+    },
+
+    // --- Two-phase salted aggregation (SkewOps): result is identical to a
+    //     plain GROUP BY — the salt only changes the shuffle fan-out — so
+    //     the plain SQL is the oracle. Guards the hot-key reducer path.
+    Query(
+      "q48_salted_agg",
+      """SELECT event_type,
+        |  round(sum(value), 2) AS sum_value,
+        |  count(*) AS cnt,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      SkewOps.saltedSumCount(Tables.load(s, d, "events"),
+          Seq("event_type"), "value", saltBuckets = 32)
+        .select(col("event_type"),
+          round(col("sum_value"), 2).as("sum_value"), col("cnt"),
+          round(col("avg_value"), 4).as("avg_value"))
+        .orderBy("event_type")
     },
 
     // --- Distributed Welford (custom Aggregator with Chan merge) vs the

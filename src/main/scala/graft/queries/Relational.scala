@@ -433,6 +433,76 @@ object Relational {
         .orderBy("status", "priority")
     },
 
+    // --- Q17-style correlated scalar subquery, decorrelated by hand into a
+    //     per-part aggregate re-joined to the fact table. Both sides shuffle
+    //     on l_partkey; at scale AQE coalesces the agg side and can switch
+    //     the join to broadcast when |parts| fits.
+    Query(
+      "q46_avg_yearly",
+      """WITH lim AS (
+        |  SELECT l_partkey, 0.2 * avg(l_quantity) AS qlim
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n
+        |FROM lineitem l JOIN lim ON l.l_partkey = lim.l_partkey
+        |WHERE l.l_quantity < lim.qlim""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val lim = li.groupBy("l_partkey")
+        .agg((avg("l_quantity") * 0.2).as("qlim"))
+      li.join(lim, "l_partkey")
+        .filter(col("l_quantity") < col("qlim"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+
+    // --- Q19-style disjunction of conjunctive predicates over a broadcast
+    //     dim join: the OR cannot prune the scan, but each branch's
+    //     predicates evaluate codegen'd post-join.
+    Query(
+      "q47_disjunctive",
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_type = 'PROMO' AND l_quantity >= 40)""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val part = t(s, d, "part")
+      li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 20))
+          || (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)
+            && col("l_quantity").between(10, 35))
+          || (col("p_type") === "PROMO" && col("l_quantity") >= 40))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // --- Exact interpolated percentiles per group (Spark `percentile` ≡
+    //     DuckDB `quantile_cont`, both linear-interpolation type 7). Exact
+    //     percentile is a sort-based aggregate — at 100 TB swap in
+    //     approx_percentile (t-digest) and accept the error bound.
+    Query(
+      "q50_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // --- Conditional aggregation (CASE WHEN) + bucketing.
     Query(
       "q14_price_buckets",
