@@ -9,8 +9,10 @@ import graft.core.GraftSession
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq
-      else Seq("q01_pricing_summary", "q03_top_orders", "q05_nation_revenue")
+    val names = if (args.length > 1 && args.tail.toSeq != Seq("all"))
+      args.tail.toSeq
+    else if (args.length > 1) SparkEntry.queries.keys.toSeq.sorted
+    else Seq("q01_pricing_summary", "q03_top_orders", "q05_nation_revenue")
     val spark = GraftSession.get("graft-plans")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -52,10 +52,15 @@ object Dedup {
   private[operators] object Kernels extends Serializable {
     import scala.util.hashing.MurmurHash3
 
-    /** Word n-gram shingles in one pass (mirrors [[shingles]] semantics). */
+    /** Word n-gram shingles in one pass (mirrors [[shingles]] semantics).
+      * No explicit trim: `\s+` splitting plus the nonEmpty filter already
+      * drops leading/trailing whitespace of ANY kind (space, tab, newline),
+      * which keeps semantics aligned with the Catalyst `split`+filter
+      * formulation without depending on which characters `trim` strips.
+      */
     def shingleSet(text: String, n: Int): Array[String] = {
       if (text == null) return Array("")
-      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       if (tk.length == 0) Array("")
       else if (tk.length < n) Array(tk.mkString(" "))
       else {
@@ -116,13 +121,19 @@ object Dedup {
 
     /** 32-bit SimHash in one JVM pass (mirrors the documented semantics:
       * per-bit +1/-1 votes over distinct-token murmur hashes). Uses Spark's
-      * own Murmur3_x86_32 with the `hash()` seed so values are identical to
-      * the previous Catalyst-HOF formulation — but ~30× cheaper, since the
+      * own Murmur3_x86_32 with the `hash()` seed so values match the
+      * equivalent Catalyst-HOF formulation — but ~30× cheaper, since the
       * HOF tree evaluated 32 interpreted `aggregate` folds per row.
+      * Null text hashes to null (NOT 0): a non-null sentinel would cluster
+      * every null-text row as a hamming-0 near-duplicate of empty-text rows
+      * in [[simhashNearDuplicates]]; a null key instead drops out of the
+      * bucket equi-join, matching SQL join semantics.
+      * Tokenization is bare `\s+` split + nonEmpty filter (no trim) for the
+      * same reason as [[shingleSet]].
       */
-    def simhash32(text: String): Long = {
-      if (text == null) return 0L
-      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    def simhash32(text: String): java.lang.Long = {
+      if (text == null) return null
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       val seen = new scala.collection.mutable.HashSet[String]
       val votes = new Array[Int](32)
       var ti = 0
@@ -187,9 +198,12 @@ object Dedup {
     // Dataset.cache (held by CacheManager until explicit unpersist) the
     // checkpoint RDD is GC-cleaned by ContextCleaner when the result goes
     // unreachable, so a lazy operator can use it without leaking. Tradeoff
-    // at scale: localCheckpoint truncates lineage, so losing an executor
-    // loses its shards — set cacheShingles=false on preemptible clusters
-    // to recompute per consumer instead.
+    // at scale: localCheckpoint truncates lineage, so ANY lost executor —
+    // preemptible/spot nodes, but also ordinary dynamic-allocation
+    // decommission — fails the job instead of recomputing. Set
+    // cacheShingles=false on clusters where executors can go away
+    // (spark.dynamicAllocation.enabled, spot fleets) to recompute the
+    // shingle kernel per consumer instead.
     val projected = df
       .select(col(key), shinglesUdf(shingleSize)(col(textCol)).as("_sh"))
     val withSh =

@@ -76,13 +76,17 @@ object LabelDictionary {
       orderCol: String = "image_id"): DataFrame = {
     val firstSeen = df.groupBy(col(labelCol))
       .agg(min(col(orderCol)).as("_first_seen"))
-    // |labels| is small (a dimension): a single-partition window is the
-    // right plan. Partitioning by a constant states that on purpose and
-    // avoids WindowExec's no-partition warning spam in driver logs.
+    // |labels| is small (a dimension): single-partition numbering is the
+    // right plan. An unpartitioned window would emit the same plan but
+    // with WindowExec's no-partition warning (a constant partitionBy(lit)
+    // doesn't help — ConstantFolding erases it); instead shuffle the tiny
+    // agg result to one partition, sort it there, and number rows with
+    // monotonically_increasing_id (= the in-partition row offset).
     firstSeen
+      .repartition(1)
+      .sortWithinPartitions(col("_first_seen"), col(labelCol))
       .withColumn("label_int",
-        row_number().over(Window.partitionBy(lit(0))
-          .orderBy(col("_first_seen"), col(labelCol))))
+        (monotonically_increasing_id() + 1).cast("int"))
       .select(col(labelCol), col("label_int"))
   }
 }

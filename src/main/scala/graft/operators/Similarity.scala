@@ -110,10 +110,12 @@ object Similarity {
     val centroids = corpus
       .select(col(key), asDouble(col(embCol)).as("_cv"))
       .orderBy(xxhash64(col(key)), col(key)).limit(nlist)
-      // ≤ nlist rows here: single-partition window on purpose (constant
-      // partition key avoids WindowExec's no-partition warning).
-      .withColumn("_cid", row_number().over(Window.partitionBy(lit(0))
-        .orderBy(col(key))))
+      // ≤ nlist rows here: number them in one partition WITHOUT a window
+      // (an unpartitioned WindowExec warns and a constant partition key is
+      // constant-folded away) — sort the single partition and use the
+      // in-partition row offset.
+      .repartition(1).sortWithinPartitions(col(key))
+      .withColumn("_cid", (monotonically_increasing_id() + 1).cast("int"))
       .select("_cid", "_cv")
     // assign each corpus row to nearest centroid (broadcast nested pass)
     val assigned = corpus

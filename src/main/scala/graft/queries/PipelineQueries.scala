@@ -336,19 +336,30 @@ object PipelineQueries {
     // --- Two-phase salted aggregation (SkewOps): result is identical to a
     //     plain GROUP BY — the salt only changes the shuffle fan-out — so
     //     the plain SQL is the oracle. Guards the hot-key reducer path.
+    //     The value is summed as DECIMAL(18,6): decimal addition is exact
+    //     and associative, so the salted two-phase addition order cannot
+    //     flip a rounded digit vs DuckDB's sequential sum (double sums at a
+    //     rounding boundary could, making the hash compare flaky).
     Query(
       "q48_salted_agg",
       """SELECT event_type,
-        |  round(sum(value), 2) AS sum_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS sum_value,
         |  count(*) AS cnt,
-        |  round(avg(value), 4) AS avg_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*), 4) AS avg_value
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, d) =>
-      SkewOps.saltedSumCount(Tables.load(s, d, "events"),
-          Seq("event_type"), "value", saltBuckets = 32)
+      SkewOps.saltedAggregate(
+          Tables.load(s, d, "events")
+            .withColumn("_v", col("value").cast("decimal(18,6)")),
+          Seq("event_type"), saltBuckets = 32,
+          partialAggs = Seq(sum("_v").as("_s"), count(lit(1)).as("_c")),
+          finalAggs = Seq(sum("_s").as("_sum"), sum("_c").as("cnt")))
         .select(col("event_type"),
-          round(col("sum_value"), 2).as("sum_value"), col("cnt"),
-          round(col("avg_value"), 4).as("avg_value"))
+          round(col("_sum").cast("double"), 2).as("sum_value"),
+          col("cnt"),
+          round(col("_sum").cast("double") / col("cnt"), 4).as("avg_value"))
         .orderBy("event_type")
     },
 

@@ -15,16 +15,26 @@ import org.apache.spark.sql.types.StructType
   */
 object DatasetShim {
 
+  private def requireClassic[T](what: String, value: Any)(
+      implicit ct: scala.reflect.ClassTag[T]): T = value match {
+    case t: T => t
+    case other => throw new UnsupportedOperationException(
+      s"graft requires classic (non-Connect) Spark 4.x: expected " +
+        s"${ct.runtimeClass.getName} for $what but got " +
+        s"${other.getClass.getName}. Run with a classic SparkSession " +
+        "(spark.api.mode=classic), not a Spark Connect client.")
+  }
+
   /** The physical InternalRow RDD of a DataFrame (post-optimization plan).
     * Rows may be reused buffers — callers must `.copy()` before buffering.
     */
   def toInternalRdd(df: DataFrame): RDD[InternalRow] =
-    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-      .queryExecution.toRdd
+    requireClassic[org.apache.spark.sql.classic.Dataset[Row]](
+      "Dataset", df).queryExecution.toRdd
 
   /** Wrap an InternalRow RDD as a DataFrame without converter overhead. */
   def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
       schema: StructType): DataFrame =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .internalCreateDataFrame(rdd, schema)
+    requireClassic[org.apache.spark.sql.classic.SparkSession](
+      "SparkSession", spark).internalCreateDataFrame(rdd, schema)
 }

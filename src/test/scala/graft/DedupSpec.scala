@@ -57,7 +57,11 @@ class DedupSpec extends SparkTestBase {
     // the original (slow, interpreted) Column formulation, kept here as the
     // executable spec of the kernel's semantics
     def simhashHof(text: org.apache.spark.sql.Column) = {
-      val tk = array_distinct(graft.operators.TextOps.tokens(text))
+      // filter empty tokens: Spark trim is space-only, so tab/newline
+      // padding leaves a leading "" after split — the kernel's
+      // split+nonEmpty tokenization never sees such tokens
+      val tk = array_distinct(
+        filter(graft.operators.TextOps.tokens(text), t => length(t) > 0))
       val h = transform(tk,
         t => hash(t).cast("bigint").bitwiseAND(lit(0xffffffffL)))
       (0 until 32).map { i =>
@@ -67,10 +71,35 @@ class DedupSpec extends SparkTestBase {
         when(vote > 0, lit(1L << i)).otherwise(0L)
       }.reduce(_ + _)
     }
-    val rows = docs.select(Dedup.simhash($"text").as("fast"),
+    // include whitespace-padded variants: tab/newline padding must hash
+    // the same as the clean text (tokenization is \s+ split + nonEmpty
+    // filter on both paths, with no trim-dependent behavior)
+    val padded = docs.union(docs.select($"doc_id" + 100,
+      concat(lit("\t\n "), $"text", lit(" \t\n"))))
+    val rows = padded.select(Dedup.simhash($"text").as("fast"),
         simhashHof($"text").as("ref"))
       .collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r"))
+    val clean = padded.select(pmod($"doc_id", lit(100L)).as("id"),
+        Dedup.simhash($"text").as("h"))
+      .groupBy("id").agg(countDistinct($"h").as("n"))
+      .filter($"n" =!= 1).count()
+    assert(clean == 0, "padded text must simhash identically to clean text")
+  }
+
+  test("simhash of null text is null and null rows pair with nothing") {
+    val withNull = docs.union(
+      Seq((9L, null.asInstanceOf[String]), (10L, null.asInstanceOf[String]),
+        (11L, "")).toDF("doc_id", "text"))
+    val h = withNull.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(h(9L).isEmpty && h(10L).isEmpty, "null text must simhash to null")
+    assert(h(11L).isDefined) // empty text is a real (all-zero-vote) value
+    val pairs = Dedup.simhashNearDuplicates(withNull, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 >= 9L && p._1 <= 10L || p._2 >= 9L && p._2 <= 10L),
+      s"null-text rows must not cluster as near-duplicates: $pairs")
   }
 
   test("dropNearDuplicates removes the larger key of each dup pair") {
