@@ -292,6 +292,59 @@ object Dedup {
     df.join(dropList, Seq(key), "left_anti")
   }
 
+  /** Connected components over a near-duplicate pair relation: every key in
+    * `pairs` is labeled with the MINIMUM key reachable from it, so each
+    * duplicate CLUSTER (not just each pair) has one canonical representative.
+    * This is the correct cluster semantics for corpus dedup — greedy
+    * pair-dropping ([[dropNearDuplicates]]) over a chain a~b~c keeps only
+    * `a` but labels nothing, while components let callers keep exactly one
+    * row per cluster and attribute members to it.
+    *
+    * Algorithm: iterative min-label propagation — each round every vertex
+    * takes the min label among itself and its neighbors; converges in
+    * O(graph diameter) rounds. Duplicate clusters are near-cliques
+    * (diameter ≤ ~3), so 2–4 rounds in practice; `maxIterations` bounds
+    * pathological chains. Each round is one equi-join + one aggregation,
+    * both shuffle-partitioned on the vertex key — no driver-side graph.
+    * Labels are checkpointed per round to truncate the iterative lineage.
+    *
+    * Output: (key, component), one row per distinct key in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "key_a",
+      bCol: String = "key_b", maxIterations: Int = 25): DataFrame = {
+    // symmetric edge list, computed once and reused every round
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v"))
+      .distinct()
+      .withColumn("component", col("v"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // neighbor labels → min(own, neighbors); one shuffle each on v
+      val proposals = edges
+        .join(labels.withColumnRenamed("v", "dst"), "dst")
+        .select(col("src").as("v"), col("component"))
+      val next = labels.union(proposals)
+        .groupBy("v").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so "no row changed" == converged; the
+      // change count joins two vertex-sized relations (small vs corpus)
+      val changed = next.as("n")
+        .join(labels.as("o"), "v")
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("v").as("key"), col("component"))
+  }
+
   /** Exact all-pairs n-gram Jaccard over a (small or pre-filtered) corpus —
     * the brute-force baseline the LSH path approximates. O(n²): only for
     * bounded subsets; at scale use [[minhashNearDuplicates]].

@@ -99,6 +99,36 @@ object Splits {
       .drop("_idx")
   }
 
+  /** Engine-independent deterministic exact-n sample: the n rows with the
+    * smallest md5(salt || key) digest. Same result on any engine, any
+    * partitioning, any cluster size — unlike seeded `rand`, whose draw
+    * order is engine-specific (so [[graft.operators.TagOps.sampleExact]]
+    * can only be checked rows-only). Physical plan is TakeOrderedAndProject:
+    * per-partition top-n then a driver merge of n-row heaps — no global
+    * sort, no full shuffle.
+    */
+  def deterministicSample(df: DataFrame, n: Int, key: String,
+      salt: String = "graft"): DataFrame = {
+    val digest = md5(concat_ws("", lit(salt), col(key).cast("string")))
+    df.orderBy(digest, col(key)).limit(n)
+  }
+
+  /** Exact per-stratum deterministic sample: up to `perStratum` rows from
+    * each distinct value of `stratumCol`, chosen by the same md5 content
+    * digest as [[deterministicSample]]. One hash-partitioned sort per
+    * stratum (a single shuffle); strata are processed fully in parallel.
+    * The workhorse for class-balanced training subsets at corpus scale.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, perStratum: Int,
+      key: String, salt: String = "graft"): DataFrame = {
+    require(perStratum > 0, "perStratum must be > 0")
+    val digest = md5(concat_ws("", lit(salt), col(key).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(digest, col(key))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= perStratum)
+      .drop("_rk")
+  }
+
   /** Scale path: shuffle-free split assignment from a content hash of the
     * key — approximate proportions, fully parallel, stable across runs and
     * cluster sizes. Buckets: (name, cumulative-fraction-exclusive-upper).

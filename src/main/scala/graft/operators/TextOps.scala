@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: tokenization,
@@ -83,6 +83,52 @@ object TextOps {
     scores.foldRight(lit("und"): Column) { case ((code, s), acc) =>
       when(s === best && s > 0, code).otherwise(acc)
     }
+  }
+
+  /** Distinct non-empty tokens of a text column — the unit of the document
+    * frequency statistics below.
+    */
+  def distinctTokens(text: Column): Column =
+    array_distinct(filter(tokens(text), t => length(t) > 0))
+
+  /** Corpus term statistics: per-term document frequency and smoothed
+    * inverse document frequency `ln((N+1)/(df+1)) + 1` (the standard
+    * smooth-idf; N = corpus size). Output: (term, doc_freq, idf).
+    *
+    * Shape at scale: explode is a narrow map (token rows never leave their
+    * input partition until the aggregation), doc_freq is one
+    * hash-partitioned count with map-side partial aggregation, and the
+    * corpus size joins in as a broadcast scalar — so the whole statistic is
+    * one shuffle over the token-type space, not the corpus.
+    */
+  def termDocFrequencies(df: DataFrame, textCol: String,
+      key: String): DataFrame = {
+    val toks = df.select(col(key),
+      explode(distinctTokens(col(textCol))).as("term"))
+    val dfreq = toks.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    dfreq.crossJoin(broadcast(n))
+      .withColumn("idf",
+        log((col("_n") + lit(1.0)) / (col("doc_freq") + lit(1.0))) + lit(1.0))
+      .drop("_n")
+  }
+
+  /** Per-document TF-IDF: raw term frequency within the document times the
+    * corpus smooth-idf from [[termDocFrequencies]]. Output:
+    * (key, term, tf, tfidf). The idf relation is vocabulary-sized, joined
+    * on the term hash — Spark broadcasts it when it fits, falls back to a
+    * shuffle join when a 100 TB corpus's vocabulary doesn't.
+    */
+  def tfidf(df: DataFrame, textCol: String, key: String): DataFrame = {
+    val termCounts = df
+      .select(col(key), explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("term"))
+      .groupBy(col(key), col("term")).agg(count(lit(1)).as("tf"))
+    termCounts
+      .join(termDocFrequencies(df, textCol, key).select("term", "idf"),
+        "term")
+      .select(col(key), col("term"), col("tf"),
+        (col("tf") * col("idf")).as("tfidf"))
   }
 
   /** Deterministic polynomial rolling hash of the raw characters —

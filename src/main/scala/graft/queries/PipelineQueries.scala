@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity, SkewOps, TextOps}
+import graft.operators.{Dedup, Joins, Similarity, SkewOps, Splits, TextOps}
 
 /** LLM-training-data pipeline operators (dedup / similarity / text
   * analysis) exercised on the `documents` and `embeddings` tables.
@@ -382,6 +382,113 @@ object PipelineQueries {
           round(col("col.mean"), 6).as("mean"),
           round(col("col.stdev"), 6).as("stdev"))
         .orderBy("pos")
+    },
+
+    // --- Duplicate CLUSTERS, not just pairs: exact unigram-Jaccard pairs
+    //     (SQL-replayable, unlike the LSH candidates) → distributed
+    //     min-label connected components. The oracle replays the closure
+    //     with a recursive CTE. The slice holds one ~124-vertex dense
+    //     component, so multi-hop propagation is actually exercised.
+    Query(
+      "q51_dup_components",
+      """WITH RECURSIVE
+        |sh AS (SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))
+        |    AS sh
+        |  FROM documents WHERE doc_id < 200),
+        |pairs AS (
+        |  SELECT a.doc_id a, b.doc_id b FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(v, u) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+        |SELECT v AS key, CAST(least(v, min(u)) AS BIGINT) AS component
+        |FROM reach GROUP BY v ORDER BY key""".stripMargin) { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.load(s, d, "documents").filter(col("doc_id") < 200),
+        "text", "doc_id", n = 1, threshold = 0.8)
+      Dedup.connectedComponents(pairs).orderBy("key")
+    },
+
+    // --- Engine-independent deterministic exact-n sample (md5 content
+    //     digest order): fully hash-checkable, unlike seeded rand (q19).
+    Query(
+      "q52_det_sample",
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    md5('graft' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents ORDER BY h, doc_id LIMIT 40)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Splits.deterministicSample(Tables.load(s, d, "documents"),
+          n = 40, key = "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // --- Exact per-stratum sample by the same digest: class-balanced
+    //     subset selection, one shuffle, strata in parallel.
+    Query(
+      "q53_stratified_sample",
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) <= 12
+        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      Splits.stratifiedSample(Tables.load(s, d, "documents"),
+          stratumCol = "lang", perStratum = 12, key = "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    },
+
+    // --- Corpus term statistics: document frequency + smooth idf over the
+    //     whole corpus, top-30 terms.
+    Query(
+      "q54_term_stats",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')))
+        |    AS term
+        |  FROM documents),
+        |d AS (SELECT term, count(*) AS doc_freq FROM tok GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT term, doc_freq,
+        |  round(ln((n + 1.0) / (doc_freq + 1.0)) + 1.0, 6) AS idf
+        |FROM d, n ORDER BY doc_freq DESC, term LIMIT 30""".stripMargin) {
+      (s, d) =>
+      TextOps.termDocFrequencies(Tables.load(s, d, "documents"),
+          "text", "doc_id")
+        .select(col("term"), col("doc_freq"), round(col("idf"), 6).as("idf"))
+        .orderBy(col("doc_freq").desc, col("term"))
+        .limit(30)
+    },
+
+    // --- As-of join (latest purchase state as of each view event) against
+    //     DuckDB's native ASOF LEFT JOIN. Left-outer: views before a
+    //     user's first purchase keep a null asof_value.
+    Query(
+      "q55_asof_join",
+      """SELECT l.event_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CAST(l.user_id AS BIGINT) AS user_id,
+        |  round(r.value, 4) AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      Joins.asOf(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightVals = Seq("value"))
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("user_id"),
+          round(col("asof_value"), 4).as("asof_value"))
+        .orderBy("event_id")
     }
   )
 }

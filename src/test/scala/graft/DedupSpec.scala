@@ -120,6 +120,37 @@ class DedupSpec extends SparkTestBase {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated excluded
   }
 
+  test("connectedComponents resolves chains and cliques to min labels") {
+    // chain 1-2-3-4-5 (diameter 4, multiple propagation rounds), clique
+    // {10,11,12}, isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("key_a", "key_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L), s"chain: $got")
+    assert((10L to 12L).forall(got(_) == 10L), s"clique: $got")
+    assert(got(20L) == 20L && got(21L) == 20L, s"pair: $got")
+    assert(got.size == 10)
+  }
+
+  test("connectedComponents over jaccard pairs clusters the dup graph") {
+    // duplicate chain via overlapping texts: a~b, b~c but NOT a~c at the
+    // threshold — components must still merge all three
+    val chain = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta gamma delta epsilon"), // high overlap with 1 and 3
+      (3L, "gamma delta epsilon zeta"),
+      (4L, "totally different content here")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(chain, "text", "doc_id",
+      n = 1, threshold = 0.5)
+    val pairSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == Set((1L, 2L), (2L, 3L)), s"pairs: $pairSet")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"comps: $comps")
+  }
+
   test("ngramJaccardPairs ranks the near-dup above unrelated pairs") {
     val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))

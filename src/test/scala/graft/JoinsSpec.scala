@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+class JoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    // key, ts, px
+    ("A", ts("2024-01-01 10:00:00"), 100.0),
+    ("A", ts("2024-01-01 10:05:00"), 101.0),
+    ("A", ts("2024-01-01 10:10:00"), 102.0),
+    ("B", ts("2024-01-01 10:01:00"), 50.0))
+    .toDF("sym", "qts", "px")
+
+  private val trades = Seq(
+    ("A", ts("2024-01-01 09:59:00"), 1L), // before any quote → null
+    ("A", ts("2024-01-01 10:05:00"), 2L), // equal ts → matches 101 (inclusive)
+    ("A", ts("2024-01-01 10:07:30"), 3L), // between → 101
+    ("A", ts("2024-01-01 11:00:00"), 4L), // after last → 102
+    ("B", ts("2024-01-01 10:02:00"), 5L), // other key → 50
+    ("C", ts("2024-01-01 10:02:00"), 6L)) // key with no quotes → null
+    .toDF("sym", "tts", "trade_id")
+
+  test("asOf attaches the latest right row at-or-before each left ts") {
+    val out = Joins.asOf(trades, quotes, Seq("sym"), "tts", "qts",
+        Seq("px", "qts"))
+      .collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("asof_px")).map(_.doubleValue))
+      .toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(101.0))
+    assert(out(3L).contains(101.0))
+    assert(out(4L).contains(102.0))
+    assert(out(5L).contains(50.0))
+    assert(out(6L).isEmpty)
+  }
+
+  test("asOf preserves every left row and all left columns") {
+    val out = Joins.asOf(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq == Seq("sym", "tts", "trade_id", "asof_px"))
+  }
+
+  test("asOf matches the brute-force definition on a generated stream") {
+    val left = spark.range(0, 300).select(
+      (col("id") % 7).as("k"), col("id").as("lts"), col("id").as("lid"))
+    val right = spark.range(0, 300, 3).select(
+      (col("id") % 5).as("k"), col("id").as("rts"), (col("id") * 10).as("rv"))
+    val got = Joins.asOf(left, right, Seq("k"), "lts", "rts", Seq("rv"))
+      .select("lid", "asof_rv")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Long]("asof_rv")).map(_.longValue)).toMap
+    // brute force: per left row, max rts <= lts for same key
+    val rRows = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lRows = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    lRows.foreach { case (k, lts, lid) =>
+      val expect = rRows.filter(t => t._1 == k && t._2 <= lts)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(lid) == expect, s"lid=$lid k=$k lts=$lts")
+    }
+  }
+
+  test("rangeJoin pairs points with containing intervals only") {
+    val intervals = Seq(
+      ("u1", 0L, 100L, "w1"),
+      ("u1", 50L, 150L, "w2"), // overlaps w1
+      ("u2", 0L, 100L, "w3"))
+      .toDF("k", "lo", "hi", "win")
+    val points = Seq(
+      ("u1", 25L, "p1"),  // in w1 only
+      ("u1", 75L, "p2"),  // in w1 and w2
+      ("u1", 100L, "p3"), // in w2 only (hi is exclusive)
+      ("u1", 200L, "p4"), // in nothing
+      ("u2", 75L, "p5"))  // in w3
+      .toDF("k", "at", "pt")
+    val got = Joins.rangeJoin(points, intervals, Seq("k"), "at", "lo", "hi",
+        binWidth = 64)
+      .select("pt", "win").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(got == Set(("p1", "w1"), ("p2", "w1"), ("p2", "w2"),
+      ("p3", "w2"), ("p5", "w3")))
+  }
+}

@@ -57,6 +57,38 @@ class SplitsSpec extends SparkTestBase {
     assert(first == List(0L, 1L, 2L))
   }
 
+  test("deterministicSample: exact n, engine-independent, stable") {
+    val df = ids(500)
+    val s1 = Splits.deterministicSample(df, n = 20, key = "image_id")
+      .select("image_id").as[String].collect().toSet
+    assert(s1.size == 20)
+    // stable across invocations and partitioning
+    val s2 = Splits.deterministicSample(df.repartition(7), 20, "image_id")
+      .select("image_id").as[String].collect().toSet
+    assert(s1 == s2)
+    // different salt → different draw
+    val s3 = Splits.deterministicSample(df, 20, "image_id", salt = "other")
+      .select("image_id").as[String].collect().toSet
+    assert(s1 != s3)
+    // n >= size → everything
+    assert(Splits.deterministicSample(ids(5), 10, "image_id").count() == 5)
+  }
+
+  test("stratifiedSample: exact per-stratum counts, capped by stratum size") {
+    val df = ((1 to 300).map(i => (i.toLong, Seq("a", "b", "c")(i % 3)))
+      :+ (100000L, "rare")).toDF("image_id", "stratum")
+    val out = Splits.stratifiedSample(df, "stratum", perStratum = 10,
+      key = "image_id")
+    val counts = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 10L, "b" -> 10L, "c" -> 10L, "rare" -> 1L))
+    // deterministic under repartitioning
+    val again = Splits.stratifiedSample(df.repartition(11), "stratum", 10,
+      "image_id")
+    assert(out.select("image_id").as[Long].collect().toSet ==
+      again.select("image_id").as[Long].collect().toSet)
+  }
+
   test("hashSplit: deterministic, shuffle-free, roughly proportional") {
     val df = ids(2000)
     val s1 = Splits.hashSplit(df, "image_id")

@@ -49,4 +49,35 @@ class TextOpsSpec extends SparkTestBase {
     // "hello, world42" → hello | , | world | 42 (whitespace dropped)
     assert(eval1[Int](TextOps.subwordCount(lit("hello, world42"))) == 4)
   }
+
+  test("termDocFrequencies: df counts documents once per term, smooth idf") {
+    val docs = Seq(
+      (1L, "apple banana apple"),   // apple counts once here
+      (2L, "apple cherry"),
+      (3L, "banana banana")).toDF("doc_id", "text")
+    val out = TextOps.termDocFrequencies(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out("apple")._1 == 2L)  // docs 1 and 2, not 3 occurrences
+    assert(out("banana")._1 == 2L)
+    assert(out("cherry")._1 == 1L)
+    val n = 3.0
+    assert(math.abs(out("apple")._2 - (math.log((n + 1) / (2 + 1)) + 1)) < 1e-12)
+    assert(math.abs(out("cherry")._2 - (math.log((n + 1) / (1 + 1)) + 1)) < 1e-12)
+  }
+
+  test("tfidf: raw tf times corpus idf, rarer terms weigh more") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "apple banana")).toDF("doc_id", "text")
+    val out = TextOps.tfidf(docs, "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out((1L, "apple"))._1 == 2L) // raw tf
+    assert(out((2L, "cherry"))._2 > out((2L, "apple"))._2) // rarer > common
+    // tf scales the weight linearly
+    assert(math.abs(out((1L, "apple"))._2 - 2 * out((3L, "apple"))._2) < 1e-12)
+  }
 }
