@@ -318,27 +318,33 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("v"))
-      .distinct()
-      .withColumn("component", col("v"))
+    // seed labels with round 1 for free: component = min(v, neighbors).
+    // Near-clique dup clusters converge here already, so the loop below
+    // usually runs exactly once (the confirmation round).
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("src").as("v"),
+        least(col("src"), col("_mn")).as("component"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // neighbor labels → min(own, neighbors); one shuffle each on v
+      // neighbor labels → min(own, neighbors); one shuffle each on v. The
+      // previous label rides along (tagged _self) so the convergence check
+      // falls out of the same aggregation — no extra join per round.
       val proposals = edges
         .join(labels.withColumnRenamed("v", "dst"), "dst")
-        .select(col("src").as("v"), col("component"))
-      val next = labels.union(proposals)
-        .groupBy("v").agg(min("component").as("component"))
-        .localCheckpoint(true)
-      // labels only ever decrease, so "no row changed" == converged; the
-      // change count joins two vertex-sized relations (small vs corpus)
-      val changed = next.as("n")
-        .join(labels.as("o"), "v")
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels = next
+        .select(col("src").as("v"), col("component"), lit(0).as("_self"))
+      val next = labels.withColumn("_self", lit(1))
+        .union(proposals)
+        .groupBy("v").agg(
+          min("component").as("component"),
+          max(when(col("_self") === 1, col("component"))).as("_old"))
+        .localCheckpoint(false)
+      // labels only ever decrease, so "no row changed" == converged; this
+      // count also materializes the lazy checkpoint
+      val changed = next.filter(col("component") =!= col("_old")).count()
+      labels = next.drop("_old")
       converged = changed == 0
       iter += 1
     }
