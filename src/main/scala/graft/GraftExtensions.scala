@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Cast, Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.graftshim.FunctionShim
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.ArrayDotProduct
+
+/** SQL surface for the engine's native expressions, via the standard
+  * extension point: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * makes `graft_dot` / `graft_cosine` / `graft_hamming` available to every
+  * `spark.sql(...)` query on the cluster, fully codegen'd (they compile to
+  * the same Catalyst trees the Column API builds — no UDF boundary).
+  *
+  * For a session you didn't construct (notebook, test harness), use
+  * [[GraftExtensions.registerAll]] instead.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def asVec(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "")
+
+  /** (name, info, builder) for every SQL-exposed engine function. */
+  val functions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      info("graft_dot",
+        "graft_dot(a, b) - dot product of two numeric arrays"),
+      (args: Seq[Expression]) =>
+        ArrayDotProduct(asVec(args(0)), asVec(args(1)))),
+    ("graft_cosine",
+      info("graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
+      (args: Seq[Expression]) => {
+        val a = asVec(args(0))
+        val b = asVec(args(1))
+        Divide(ArrayDotProduct(a, b),
+          Multiply(Sqrt(ArrayDotProduct(a, a)),
+            Sqrt(ArrayDotProduct(b, b))))
+      }),
+    ("graft_hamming",
+      info("graft_hamming",
+        "graft_hamming(a, b) - hamming distance between two integer " +
+          "bit-patterns (e.g. simhash values)"),
+      (args: Seq[Expression]) => BitwiseCount(BitwiseXor(args(0), args(1)))))
+
+  /** Register every engine function on an already-running session. */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, i, builder) =>
+      FunctionShim.register(spark, name, i, builder)
+    }
+}

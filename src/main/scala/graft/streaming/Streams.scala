@@ -64,6 +64,53 @@ object Streams {
   final case class Session(user_id: Long, startMs: Long, endMs: Long,
       nEvents: Long, totalValue: Double)
 
+  final case class Tagged(key: Long, tsMs: Long, isRight: Boolean,
+      value: Double)
+  final case class Enriched(key: Long, tsMs: Long, value: Double,
+      asofValue: Option[Double])
+  final case class AsofState(tsMs: Long, value: Double)
+
+  /** Streaming as-of enrichment — the streaming form of
+    * [[graft.operators.Joins.asOf]]: each left event is annotated with the
+    * latest right event at-or-before it for the same key. Input is the two
+    * streams tagged and unioned into one [[Tagged]] stream (`isRight`);
+    * state per key is ONE (ts, value) pair — the newest right seen — so
+    * state size is bounded by key cardinality, not stream length.
+    *
+    * Best-effort on disorder, by construction: within a micro-batch rows
+    * are applied in (ts, right-first) order, but a right event arriving
+    * AFTER a later-ts left event was already emitted cannot retroactively
+    * re-enrich it, and a left event older than the retained right gets
+    * None rather than a wrong newer value. Exact-as-of over late data is
+    * the batch operator's job; this is the online path.
+    */
+  def asOfStream(tagged: Dataset[Tagged]): Dataset[Enriched] = {
+    import tagged.sparkSession.implicits._
+    tagged
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, Enriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, batch, state: GroupState[AsofState]) =>
+          val out = Seq.newBuilder[Enriched]
+          var cur = state.getOption
+          batch.toSeq
+            .sortBy(e => (e.tsMs, if (e.isRight) 0 else 1))
+            .foreach { e =>
+              if (e.isRight) {
+                if (cur.forall(_.tsMs <= e.tsMs))
+                  cur = Some(AsofState(e.tsMs, e.value))
+              } else {
+                val asof = cur.collect {
+                  case s if s.tsMs <= e.tsMs => s.value
+                }
+                out += Enriched(key, e.tsMs, e.value, asof)
+              }
+            }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Session windows per user with an inactivity gap, via
     * flatMapGroupsWithState (custom state — KeyValueGroupedDataset path).
     *

@@ -83,6 +83,40 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asOfStream enriches left events with latest preceding right state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.Tagged
+    val mem = MemoryStream[Tagged]
+    val q = Streams.asOfStream(mem.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: right@100=7, left@50 (before any right → None),
+      // left@150 (→ 7); right rows apply first at equal ts
+      mem.addData(
+        Tagged(1L, 100L, isRight = true, 7.0),
+        Tagged(1L, 50L, isRight = false, 1.0),
+        Tagged(1L, 150L, isRight = false, 2.0),
+        Tagged(2L, 10L, isRight = false, 9.0)) // other key, no right
+      q.processAllAvailable()
+      // batch 2: state carries right@100 across batches; newer right
+      // supersedes it for later lefts
+      mem.addData(
+        Tagged(1L, 200L, isRight = false, 3.0),
+        Tagged(1L, 300L, isRight = true, 8.0),
+        Tagged(1L, 350L, isRight = false, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream").as[Streams.Enriched]
+        .collect().map(e => (e.key, e.tsMs) -> e.asofValue).toMap
+      assert(rows((1L, 50L)).isEmpty)
+      assert(rows((1L, 150L)).contains(7.0))
+      assert(rows((2L, 10L)).isEmpty)
+      assert(rows((1L, 200L)).contains(7.0))
+      assert(rows((1L, 350L)).contains(8.0))
+      assert(rows.size == 5)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session on gap and keeps state within gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
