@@ -28,4 +28,27 @@ object VectorFunctions {
       zip_with(a.cast("array<double>"), b.cast("array<double>"),
         (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Largest absolute component — the scale used by symmetric int8
+    * quantization. 0-vectors give scale 0 (quantize guards against it).
+    */
+  def maxAbs(a: Column): Column =
+    array_max(transform(a.cast("array<double>"), x => abs(x)))
+
+  /** L2-normalized copy of the vector (unit length; 0-vector → 0-vector). */
+  def l2normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a.cast("array<double>"),
+      x => when(n === 0.0, 0.0).otherwise(x / n))
+  }
+
+  /** Symmetric int8 scalar quantization: q_i = round(127 · x_i / maxAbs),
+    * the standard vector-index compression (4× smaller than float32, exact
+    * integer math after the scale division so results are engine-portable).
+    * Dequantize with `q_i · maxAbs / 127`. 0-vectors quantize to all-0.
+    */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    transform(a.cast("array<double>"),
+      x => when(scale === 0.0, lit(0))
+        .otherwise(round(lit(127.0) * x / scale, 0).cast("int")))
 }

@@ -489,6 +489,65 @@ object PipelineQueries {
           col("user_id"),
           round(col("asof_value"), 4).as("asof_value"))
         .orderBy("event_id")
+    },
+
+    // --- Symmetric int8 scalar quantization of embeddings (the standard
+    //     vector-index compression). Verified via exact integer checksums
+    //     (the checker can't sort list columns, and integers dodge float
+    //     compare entirely): component sum, max |q|, dimension.
+    Query(
+      "q56_quantize_int8",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings WHERE vec_id < 100),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CAST(round(127 * x / scale) AS INT))
+        |          AS qv
+        |      FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'max')
+        |    AS INT) AS q_amax,
+        |  CAST(len(qv) AS INT) AS dim
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import graft.functions.VectorFunctions
+      Tables.load(s, d, "embeddings").filter(col("vec_id") < 100)
+        .withColumn("scale", VectorFunctions.maxAbs(col("embedding")))
+        .withColumn("qv",
+          VectorFunctions.quantizeInt8(col("embedding"), col("scale")))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_max(transform(col("qv"), x => abs(x))).as("q_amax"),
+          size(col("qv")).as("dim"))
+        .orderBy("vec_id")
+    },
+
+    // --- Range join (clicks within an hour after a purchase), via
+    //     interval binning → hash equi-join; the oracle replays it as a
+    //     plain inequality join, which DuckDB can afford at this scale.
+    Query(
+      "q57_range_join",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_ms(c.ts) >= epoch_ms(p.ts)
+        |  AND epoch_ms(c.ts) < epoch_ms(p.ts) + 3600000
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("at_ms"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("start_ms"),
+          (unix_millis(col("ts")) + 3600000L).as("end_ms"),
+          col("event_id").as("purchase_id"))
+      Joins.rangeJoin(clicks, purchases, Seq("user_id"),
+          leftAt = "at_ms", rightStart = "start_ms", rightEnd = "end_ms",
+          binWidth = 3600000L)
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy("click_id", "purchase_id")
     }
   )
 }

@@ -8,6 +8,25 @@ import graft.operators.Similarity
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("VectorFunctions: l2normalize and int8 quantization round-trip") {
+    val v = array(lit(3.0), lit(-4.0), lit(0.0))
+    val r = Seq(1).toDF("x").select(
+      VectorFunctions.norm(VectorFunctions.l2normalize(v)).as("unit"),
+      VectorFunctions.maxAbs(v).as("scale"),
+      VectorFunctions.quantizeInt8(v, VectorFunctions.maxAbs(v)).as("q"),
+      VectorFunctions.quantizeInt8(array(lit(0.0), lit(0.0)),
+        VectorFunctions.maxAbs(array(lit(0.0), lit(0.0)))).as("zq"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 4.0)
+    // 3/4*127 = 95.25 → 95; -4/4*127 = -127; 0 → 0
+    assert(r.getSeq[Int](2).toList == List(95, -127, 0))
+    assert(r.getSeq[Int](3).toList == List(0, 0)) // zero vector guarded
+    // dequantization error bounded by scale/254 per component
+    val err = math.abs(95.0 * 4.0 / 127.0 - 3.0)
+    assert(err <= 4.0 / 254.0 + 1e-12)
+  }
+
   test("VectorFunctions: dot, norm, cosine") {
     val df = Seq(1).toDF("x").select(
       VectorFunctions.dot(array(lit(1.0), lit(2.0)),
