@@ -15,7 +15,8 @@ import graft.core.GraftSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val spark = GraftSession.get("graft-bench")
     // Warm the JVM + parquet footers once so per-query times measure the
     // query, not first-touch classloading.
@@ -23,16 +24,21 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // min over SUCCESSFUL runs only; a query that never succeeds reports
+    // -1 rather than masquerading as a fast time-to-failure
     val best = scala.collection.mutable.Map.empty[String, Double]
     (1 to runs).foreach { _ =>
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        if (ok)
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
       }
     }
-    val results = names.map { case (n, _) => n -> best(n) }
+    val results = names.map { case (n, _) => n -> best.getOrElse(n, -1.0) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

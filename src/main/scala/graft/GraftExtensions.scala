@@ -29,6 +29,13 @@ object GraftExtensions {
   private def asVec(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
+  private def arity2(name: String,
+      args: Seq[Expression]): (Expression, Expression) = {
+    require(args.length == 2,
+      s"$name requires exactly 2 arguments, got ${args.length}")
+    (args(0), args(1))
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "")
@@ -39,14 +46,17 @@ object GraftExtensions {
     ("graft_dot",
       info("graft_dot",
         "graft_dot(a, b) - dot product of two numeric arrays"),
-      (args: Seq[Expression]) =>
-        ArrayDotProduct(asVec(args(0)), asVec(args(1)))),
+      (args: Seq[Expression]) => {
+        val (a, b) = arity2("graft_dot", args)
+        ArrayDotProduct(asVec(a), asVec(b))
+      }),
     ("graft_cosine",
       info("graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
       (args: Seq[Expression]) => {
-        val a = asVec(args(0))
-        val b = asVec(args(1))
+        val (a0, b0) = arity2("graft_cosine", args)
+        val a = asVec(a0)
+        val b = asVec(b0)
         Divide(ArrayDotProduct(a, b),
           Multiply(Sqrt(ArrayDotProduct(a, a)),
             Sqrt(ArrayDotProduct(b, b))))
@@ -55,7 +65,10 @@ object GraftExtensions {
       info("graft_hamming",
         "graft_hamming(a, b) - hamming distance between two integer " +
           "bit-patterns (e.g. simhash values)"),
-      (args: Seq[Expression]) => BitwiseCount(BitwiseXor(args(0), args(1)))))
+      (args: Seq[Expression]) => {
+        val (a, b) = arity2("graft_hamming", args)
+        BitwiseCount(BitwiseXor(a, b))
+      }))
 
   /** Register every engine function on an already-running session. */
   def registerAll(spark: SparkSession): Unit =

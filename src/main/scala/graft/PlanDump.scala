@@ -9,14 +9,21 @@ import graft.core.GraftSession
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1 && args.tail.toSeq != Seq("all"))
-      args.tail.toSeq
-    else if (args.length > 1) SparkEntry.queries.keys.toSeq.sorted
-    else Seq("q01_pricing_summary", "q03_top_orders", "q05_nation_revenue")
+    val requested = args.drop(1).toSeq
+    val names =
+      if (requested.contains("all")) SparkEntry.queries.keys.toSeq.sorted
+      else if (requested.nonEmpty) requested
+      else Seq("q01_pricing_summary", "q03_top_orders", "q05_nation_revenue")
     val spark = GraftSession.get("graft-plans")
     names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      SparkEntry.queries.get(n) match {
+        case Some(q) =>
+          println(s"\n========== $n ==========")
+          q(spark, sfDir).explain("formatted")
+        case None =>
+          println(s"\n========== $n: unknown query (known: " +
+            s"${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}) ==========")
+      }
     }
     spark.stop()
   }

@@ -26,14 +26,20 @@ object Dedup {
       .agg(min(col(key)).as(key), count(lit(1)).as("dup_count"))
       .select((key +: contentCols :+ "dup_count").map(col): _*)
 
-  /** Word n-gram shingles of a text column (distinct, lowercased). */
+  /** Word n-gram shingles of a text column (distinct, lowercased). Empty
+    * tokens are filtered (so tab/newline padding can't smuggle "" into the
+    * set — Spark `trim` strips spaces only) and null/empty text yields an
+    * EMPTY set, which never matches anything — mirroring SQL predicate
+    * semantics where a NULL-derived jaccard drops the pair.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
-    val tk = tokens(text)
+    val tk = filter(tokens(text), t => length(t) > 0)
     array_distinct(
-      when(size(tk) < n, array(concat_ws(" ", tk)))
-        .otherwise(
-          transform(sequence(lit(0), size(tk) - n),
-            i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
+      when(size(tk) === 0, array().cast("array<string>"))
+        .otherwise(when(size(tk) < n, array(concat_ws(" ", tk)))
+          .otherwise(
+            transform(sequence(lit(0), size(tk) - n),
+              i => concat_ws(" ", slice(tk, i + 1, lit(n)))))))
   }
 
   /** Exact Jaccard similarity of two shingle-set columns. */
@@ -57,11 +63,14 @@ object Dedup {
       * drops leading/trailing whitespace of ANY kind (space, tab, newline),
       * which keeps semantics aligned with the Catalyst `split`+filter
       * formulation without depending on which characters `trim` strips.
+      * Null/empty text → EMPTY set (never a duplicate of anything): a ""
+      * sentinel would make every null-text row an exact jaccard-1.0 dup of
+      * every other, the same defect class the null simhash fix addressed.
       */
     def shingleSet(text: String, n: Int): Array[String] = {
-      if (text == null) return Array("")
+      if (text == null) return Array.empty
       val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      if (tk.length == 0) Array("")
+      if (tk.length == 0) Array.empty
       else if (tk.length < n) Array(tk.mkString(" "))
       else {
         val out = new scala.collection.mutable.LinkedHashSet[String]
@@ -206,6 +215,9 @@ object Dedup {
     // shingle kernel per consumer instead.
     val projected = df
       .select(col(key), shinglesUdf(shingleSize)(col(textCol)).as("_sh"))
+      // null/empty text → empty shingle set → can never be a duplicate;
+      // drop before banding so such rows don't co-bucket with each other
+      .filter(size(col("_sh")) > 0)
     val withSh =
       if (cacheShingles) projected.localCheckpoint(false) else projected
     val banded = withSh
@@ -309,9 +321,16 @@ object Dedup {
     * Labels are checkpointed per round to truncate the iterative lineage.
     *
     * Output: (key, component), one row per distinct key in `pairs`.
+    *
+    * If the graph has not converged after `maxIterations` rounds the labels
+    * would be silently WRONG (one true component split across several
+    * labels), so by default that raises IllegalStateException; pass
+    * `failOnNonConvergence = false` to accept truncated labels instead
+    * (e.g. for progressive/monitoring runs).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "key_a",
-      bCol: String = "key_b", maxIterations: Int = 25): DataFrame = {
+      bCol: String = "key_b", maxIterations: Int = 25,
+      failOnNonConvergence: Boolean = true): DataFrame = {
     // symmetric edge list, computed once and reused every round
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -348,6 +367,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged && failOnNonConvergence)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIterations rounds " +
+          "(graph diameter exceeds the bound); raise maxIterations or pass " +
+          "failOnNonConvergence = false to accept truncated labels")
     labels.select(col("v").as("key"), col("component"))
   }
 
@@ -358,6 +382,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, key: String,
       n: Int = 3, threshold: Double = 0.0): DataFrame = {
     val withSh = df.select(col(key), shinglesUdf(n)(col(textCol)).as("_sh"))
+      .filter(size(col("_sh")) > 0) // null/empty text never pairs (SQL NULL)
     val a = withSh.select(col(key).as("key_a"), col("_sh").as("_sh_a"))
     val b = withSh.select(col(key).as("key_b"), col("_sh").as("_sh_b"))
     a.crossJoin(b)

@@ -30,6 +30,12 @@ object Joins {
     *
     * Output: every left column, plus `prefix + v` for each `rightVals`
     * column.
+    *
+    * Determinism/null semantics: right rows sharing the same (key, ts) tie-
+    * break by the rightVals tuple (largest wins) so the result is stable
+    * across partitionings; right rows with a null key are dropped up front
+    * (a NULL key never equi-matches in SQL), which also keeps null-key left
+    * rows left-outer (they see no right rows in their window partition).
     */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
@@ -44,16 +50,20 @@ object Joins {
       lit(0).as("_side"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("_lrow"),
       lit(null).cast(rValType).as("_rv")): _*)
-    val r2 = right.select(keyed ++ Seq(
-      col(rightTs).as("_ts"),
-      lit(1).as("_side"),
-      lit(null).cast(lRowType).as("_lrow"),
-      struct(rightVals.map(col): _*).as("_rv")): _*)
+    val r2 = right
+      .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(keyed ++ Seq(
+        col(rightTs).as("_ts"),
+        lit(1).as("_side"),
+        lit(null).cast(lRowType).as("_lrow"),
+        struct(rightVals.map(col): _*).as("_rv")): _*)
     // sort right rows BEFORE left rows at equal _ts (desc on the side tag)
     // so the inclusive <= bound holds; last(ignoreNulls) then carries the
-    // newest preceding right payload to each left row.
+    // newest preceding right payload to each left row. _rv is the final
+    // tiebreak (struct ordering) so duplicate right timestamps resolve
+    // deterministically to the largest value tuple.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").desc)
+      .orderBy(col("_ts").asc, col("_side").desc, col("_rv").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l2.unionByName(r2)
       .withColumn("_r", last(col("_rv"), ignoreNulls = true).over(w))
@@ -81,9 +91,15 @@ object Joins {
       leftAt: String, rightStart: String, rightEnd: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be > 0")
-    val rBinned = right.withColumn("_bin",
-      explode(sequence(floor(col(rightStart) / binWidth).cast("long"),
-        floor(col(rightEnd) / binWidth).cast("long"))))
+    // inverted intervals (end < start) can never contain a point, but
+    // Spark's sequence() would step BACKWARDS through them, materializing
+    // an arbitrarily large bin array per malformed row — drop them first
+    // (semantics-preserving: the containment predicate is always false)
+    val rBinned = right
+      .filter(col(rightEnd) >= col(rightStart))
+      .withColumn("_bin",
+        explode(sequence(floor(col(rightStart) / binWidth).cast("long"),
+          floor(col(rightEnd) / binWidth).cast("long"))))
     val lBinned = left.withColumn("_bin",
       floor(col(leftAt) / binWidth).cast("long"))
     lBinned.join(rBinned, keyCols :+ "_bin")

@@ -114,19 +114,34 @@ object TextOps {
   }
 
   /** Per-document TF-IDF: raw term frequency within the document times the
-    * corpus smooth-idf from [[termDocFrequencies]]. Output:
-    * (key, term, tf, tfidf). The idf relation is vocabulary-sized, joined
-    * on the term hash — Spark broadcasts it when it fits, falls back to a
-    * shuffle join when a 100 TB corpus's vocabulary doesn't.
+    * corpus smooth-idf. Output: (key, term, tf, tfidf). The idf relation is
+    * vocabulary-sized, joined on the term hash — Spark broadcasts it when
+    * it fits, falls back to a shuffle join when a 100 TB corpus's
+    * vocabulary doesn't.
+    *
+    * doc_freq is derived FROM the (key, term, tf) relation (it is already
+    * distinct per document-term), not from a second tokenize pass;
+    * `cacheTermCounts` additionally checkpoints that relation so its two
+    * consumers (the idf aggregation and the final join) tokenize once —
+    * at the cost of materializing a vocabulary×documents-sized relation
+    * (same executor-loss caveat as Dedup's cacheShingles).
     */
-  def tfidf(df: DataFrame, textCol: String, key: String): DataFrame = {
-    val termCounts = df
+  def tfidf(df: DataFrame, textCol: String, key: String,
+      cacheTermCounts: Boolean = false): DataFrame = {
+    val tc0 = df
       .select(col(key), explode(filter(tokens(col(textCol)),
         t => length(t) > 0)).as("term"))
       .groupBy(col(key), col("term")).agg(count(lit(1)).as("tf"))
+    val termCounts = if (cacheTermCounts) tc0.localCheckpoint(false) else tc0
+    val n = df.agg(count(lit(1)).as("_n"))
+    val idf = termCounts
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      .crossJoin(broadcast(n))
+      .select(col("term"),
+        (log((col("_n") + lit(1.0)) / (col("doc_freq") + lit(1.0)))
+          + lit(1.0)).as("idf"))
     termCounts
-      .join(termDocFrequencies(df, textCol, key).select("term", "idf"),
-        "term")
+      .join(idf, "term")
       .select(col(key), col("term"), col("tf"),
         (col("tf") * col("idf")).as("tfidf"))
   }

@@ -120,6 +120,37 @@ class DedupSpec extends SparkTestBase {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated excluded
   }
 
+  test("null and whitespace-only text never pairs in jaccard/minhash paths") {
+    val degenerate = Seq((8L, null.asInstanceOf[String]),
+      (9L, null.asInstanceOf[String]), (11L, " \t\n ")).toDF("doc_id", "text")
+    val withNull = docs.union(degenerate)
+    val j = Dedup.ngramJaccardPairs(withNull, "text", "doc_id",
+        n = 1, threshold = 0.0)
+      .filter($"key_a" >= 8L && $"key_a" <= 11L ||
+        $"key_b" >= 8L && $"key_b" <= 11L)
+      .count()
+    assert(j == 0, "degenerate-text rows must not appear in jaccard pairs")
+    val m = Dedup.minhashNearDuplicates(withNull, "text", "doc_id",
+        numHashes = 64, bands = 32, threshold = 0.0)
+      .filter($"key_a" >= 8L && $"key_a" <= 11L ||
+        $"key_b" >= 8L && $"key_b" <= 11L)
+      .count()
+    assert(m == 0, "degenerate-text rows must not appear in minhash pairs")
+  }
+
+  test("connectedComponents fails loudly when iterations are exhausted") {
+    // a 6-chain needs ~4 propagation rounds; cap at 1 → must raise
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("key_a", "key_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIterations = 1).collect()
+    }
+    // opt-out returns (possibly truncated) labels instead
+    val truncated = Dedup.connectedComponents(chain, maxIterations = 1,
+      failOnNonConvergence = false)
+    assert(truncated.count() == 6)
+  }
+
   test("connectedComponents resolves chains and cliques to min labels") {
     // chain 1-2-3-4-5 (diameter 4, multiple propagation rounds), clique
     // {10,11,12}, isolated pair {20,21}

@@ -68,6 +68,39 @@ class JoinsSpec extends SparkTestBase {
     }
   }
 
+  test("asOf: duplicate right timestamps resolve deterministically; " +
+      "null-key rights never match") {
+    val dupQuotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:00:00"), 999.0), // same (key, ts)
+      (null.asInstanceOf[String], ts("2024-01-01 09:00:00"), 5.0))
+      .toDF("sym", "qts", "px")
+    val twoTrades = Seq(
+      ("A", ts("2024-01-01 10:05:00"), 1L),
+      (null.asInstanceOf[String], ts("2024-01-01 10:00:00"), 2L))
+      .toDF("sym", "tts", "trade_id")
+    def run(q: org.apache.spark.sql.DataFrame) =
+      Joins.asOf(twoTrades, q, Seq("sym"), "tts", "qts", Seq("px"))
+        .collect().map(r => r.getAs[Long]("trade_id") ->
+          Option(r.getAs[java.lang.Double]("asof_px")).map(_.doubleValue))
+        .toMap
+    val a = run(dupQuotes)
+    val b = run(dupQuotes.repartition(7)) // partitioning must not matter
+    assert(a == b)
+    assert(a(1L).contains(999.0)) // largest value tuple wins the tie
+    assert(a(2L).isEmpty) // null key: left kept, right never matches
+  }
+
+  test("rangeJoin drops inverted intervals instead of exploding them") {
+    val intervals = Seq(("u1", 0L, 100L, "ok"), ("u1", 500L, -500L, "bad"))
+      .toDF("k", "lo", "hi", "win")
+    val points = Seq(("u1", 50L, "p1")).toDF("k", "at", "pt")
+    val got = Joins.rangeJoin(points, intervals, Seq("k"), "at", "lo", "hi",
+        binWidth = 64)
+      .select("pt", "win").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSet == Set(("p1", "ok")))
+  }
+
   test("rangeJoin pairs points with containing intervals only") {
     val intervals = Seq(
       ("u1", 0L, 100L, "w1"),
