@@ -129,6 +129,27 @@ object Splits {
       .drop("_rk")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each row draws u ∈ (0,1] from 52 bits of its md5 digest and is
+    * ranked by u^(1/w); the top n ranks are the sample. Inclusion
+    * probability is proportional to weight, the draw is reproducible on
+    * any engine/partitioning (content-hash randomness, like
+    * [[deterministicSample]]), and the plan is one TakeOrderedAndProject —
+    * no global sort. Rows with weight ≤ 0 (or null) are excluded.
+    */
+  def weightedSample(df: DataFrame, n: Int, key: String, weightCol: String,
+      salt: String = "graft"): DataFrame = {
+    // 13 hex chars = 52 bits: exactly representable in a double, and both
+    // engines parse hex identically — (bits + 1) / (2^52 + 1) ∈ (0,1]
+    val u = (conv(substring(
+        md5(concat_ws("", lit(salt), col(key).cast("string"))), 1, 13),
+        16, 10).cast("double") + 1.0) / 4503599627370497.0
+    val rank = pow(u, lit(1.0) / col(weightCol))
+    df.filter(col(weightCol) > 0)
+      .orderBy(rank.desc, col(key))
+      .limit(n)
+  }
+
   /** Scale path: shuffle-free split assignment from a content hash of the
     * key — approximate proportions, fully parallel, stable across runs and
     * cluster sizes. Buckets: (name, cumulative-fraction-exclusive-upper).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Joins, Similarity, SkewOps, Splits, TextOps}
+import graft.operators.{AggOps, Dedup, Joins, Similarity, SkewOps, Splits, TextOps}
 
 /** LLM-training-data pipeline operators (dedup / similarity / text
   * analysis) exercised on the `documents` and `embeddings` tables.
@@ -548,6 +548,34 @@ object PipelineQueries {
           binWidth = 3600000L)
         .select(col("click_id"), col("purchase_id"))
         .orderBy("click_id", "purchase_id")
+    },
+
+    // --- Latest event per user as ONE max_by aggregation (no window, no
+    //     sort — map-side combine applies); oracle is DuckDB's arg_max.
+    Query(
+      "q58_latest_by_key",
+      """SELECT user_id, arg_max(event_id, ts) AS event_id,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      AggOps.latestByKey(Tables.load(s, d, "events"),
+          keyCols = Seq("user_id"), orderCol = "ts",
+          valCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy("user_id")
+    },
+
+    // --- Weighted sample (A-ES, md5-uniform): deterministic and
+    //     engine-independent in principle, but the u^(1/w) ranking goes
+    //     through libm pow whose last-ulp rounding differs across engines,
+    //     so replaying it in DuckDB could flake at a selection boundary —
+    //     rows-only here; determinism is asserted in SplitsSpec.
+    Query.noOracle("q59_weighted_sample") { (s, d) =>
+      Splits.weightedSample(Tables.load(s, d, "orders"),
+          n = 50, key = "o_orderkey", weightCol = "o_totalprice")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
     }
   )
 }

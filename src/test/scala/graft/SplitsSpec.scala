@@ -89,6 +89,29 @@ class SplitsSpec extends SparkTestBase {
       again.select("image_id").as[Long].collect().toSet)
   }
 
+  test("weightedSample: deterministic, weight-biased, excludes w <= 0") {
+    val df = ((1 to 200).map(i => (i.toLong, 1.0))
+      :+ (1000L, 100000.0) // overwhelming weight → effectively certain
+      :+ (2000L, 0.0) :+ (3000L, -5.0)) // never eligible
+      .toDF("id", "w")
+    val s1 = Splits.weightedSample(df, n = 20, key = "id", weightCol = "w")
+      .select("id").as[Long].collect().toSet
+    assert(s1.size == 20)
+    assert(s1.contains(1000L), "heavy item must be drawn")
+    assert(!s1.contains(2000L) && !s1.contains(3000L))
+    // stable under repartitioning
+    val s2 = Splits.weightedSample(df.repartition(9), 20, "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // bias: over many disjoint salts, heavy-of-two wins most draws
+    val pair = Seq((1L, 1.0), (2L, 9.0)).toDF("id", "w")
+    val wins = (1 to 40).count { i =>
+      Splits.weightedSample(pair, 1, "id", "w", salt = s"s$i")
+        .select("id").as[Long].collect().head == 2L
+    }
+    assert(wins > 25, s"weight-9 item won only $wins/40 draws") // E[wins]=36
+  }
+
   test("hashSplit: deterministic, shuffle-free, roughly proportional") {
     val df = ids(2000)
     val s1 = Splits.hashSplit(df, "image_id")
