@@ -49,6 +49,23 @@ class JoinsSpec extends SparkTestBase {
     assert(out.columns.toSeq == Seq("sym", "tts", "trade_id", "asof_px"))
   }
 
+  test("asOf and rangeJoin never plan nested-loop joins") {
+    // the whole point of both compositions: a naive inequality join plans
+    // as BroadcastNestedLoop/Cartesian, which dies at scale
+    val asofPlan = Joins.asOf(trades, quotes, Seq("sym"), "tts", "qts",
+      Seq("px")).queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("NestedLoop") && !asofPlan.contains("Cartesian"),
+      s"as-of must not nested-loop:\n$asofPlan")
+    assert(asofPlan.contains("Window"), "as-of runs on one sorted window")
+    val intervals = Seq(("u1", 0L, 100L, "w1")).toDF("k", "lo", "hi", "win")
+    val points = Seq(("u1", 25L, "p1")).toDF("k", "at", "pt")
+    val rangePlan = Joins.rangeJoin(points, intervals, Seq("k"), "at", "lo",
+      "hi", binWidth = 64).queryExecution.executedPlan.toString
+    assert(!rangePlan.contains("NestedLoop") &&
+      !rangePlan.contains("Cartesian"),
+      s"range join must stay an equi-join:\n$rangePlan")
+  }
+
   test("asOf matches the brute-force definition on a generated stream") {
     val left = spark.range(0, 300).select(
       (col("id") % 7).as("k"), col("id").as("lts"), col("id").as("lid"))
