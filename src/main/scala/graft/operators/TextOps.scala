@@ -146,6 +146,32 @@ object TextOps {
         (col("tf") * col("idf")).as("tfidf"))
   }
 
+  /** Sliding-window token chunking — context-window preparation for LLM
+    * training: each document becomes `ceil(max(n-chunkSize,0)/stride) + 1`
+    * chunks of up to `chunkSize` tokens, starting every `stride` tokens
+    * (overlapping when stride < chunkSize; the last chunk may be short).
+    * Output: (key, chunk_id, chunk, n_tokens).
+    *
+    * Pure narrow operators (tokenize → explode a per-row index range →
+    * slice): chunks never leave their input partition, so at 100 TB this
+    * is a map-only stage fused into the scan.
+    */
+  def chunkTokens(df: DataFrame, textCol: String, key: String,
+      chunkSize: Int = 64, stride: Int = 32): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    val tk = filter(tokens(col(textCol)), t => length(t) > 0)
+    val nChunks = (ceil(greatest(size(tk) - chunkSize, lit(0))
+      .cast("double") / stride) + 1).cast("int")
+    df.select(col(key), tk.as("_tk"), nChunks.as("_nc"))
+      .select(col(key), col("_tk"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_id"))
+      .select(col(key), col("chunk_id"),
+        concat_ws(" ", slice(col("_tk"), col("chunk_id") * stride + 1,
+          lit(chunkSize))).as("chunk"),
+        size(slice(col("_tk"), col("chunk_id") * stride + 1,
+          lit(chunkSize))).as("n_tokens"))
+  }
+
   /** Deterministic polynomial rolling hash of the raw characters —
     * the document fingerprint (order-sensitive, unlike a token set hash).
     * acc = (acc * 31 + codepoint) mod 1e9+7.

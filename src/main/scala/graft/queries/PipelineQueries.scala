@@ -576,6 +576,30 @@ object PipelineQueries {
           n = 50, key = "o_orderkey", weightCol = "o_totalprice")
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+
+    // --- Sliding-window token chunking (context-window prep): 64-token
+    //     chunks every 32 tokens, last chunk short; DuckDB replays the
+    //     same slicing with list functions.
+    Query(
+      "q60_chunking",
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') tk
+        |  FROM documents WHERE doc_id < 50),
+        |c AS (SELECT doc_id, tk,
+        |    unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 32.0)
+        |      AS BIGINT) + 1)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  array_to_string(list_slice(tk, chunk_id*32 + 1, chunk_id*32 + 64),
+        |    ' ') AS chunk,
+        |  CAST(len(list_slice(tk, chunk_id*32 + 1, chunk_id*32 + 64))
+        |    AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      TextOps.chunkTokens(
+          Tables.load(s, d, "documents").filter(col("doc_id") < 50),
+          "text", "doc_id", chunkSize = 64, stride = 32)
+        .orderBy("doc_id", "chunk_id")
     }
   )
 }

@@ -50,6 +50,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(eval1[Int](TextOps.subwordCount(lit("hello, world42"))) == 4)
   }
 
+  test("chunkTokens: overlap, short tail, and single-chunk short docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // short → 1 chunk
+      (3L, "")).toDF("doc_id", "text")                // empty → 1 empty chunk
+    val got = TextOps.chunkTokens(docs, "text", "doc_id",
+        chunkSize = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    // doc 1: ceil((10-4)/2)+1 = 4 chunks, stride-2 overlap, last full
+    assert(got((1L, 0)) == (("t1 t2 t3 t4", 4)))
+    assert(got((1L, 1)) == (("t3 t4 t5 t6", 4)))
+    assert(got((1L, 3)) == (("t7 t8 t9 t10", 4)))
+    assert(!got.contains((1L, 4)))
+    assert(got((2L, 0)) == (("a b c", 3)))
+    assert(got((3L, 0)) == (("", 0)))
+    // every token of doc 1 is covered by at least one chunk
+    val covered = (0 to 3).flatMap(i => got((1L, i))._1.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("termDocFrequencies: df counts documents once per term, smooth idf") {
     val docs = Seq(
       (1L, "apple banana apple"),   // apple counts once here
