@@ -172,6 +172,39 @@ object TextOps {
           lit(chunkSize))).as("n_tokens"))
   }
 
+  /** Within-document repetition statistics — the Gopher-style repetition
+    * quality signals: token count, distinct-token ratio, and the fraction
+    * of the document taken by its single most frequent token. Highly
+    * repetitive machine-generated text scores low distinct_ratio / high
+    * top_token_frac and gets filtered before training.
+    *
+    * explode + two-level aggregation rather than per-row HOF frequency
+    * maps: the shuffle key is (key, term) so hot documents spread over
+    * reducers, and both aggregations get map-side partial combine.
+    * Documents with no tokens report (0, 0.0, 0.0).
+    */
+  def repetitionStats(df: DataFrame, textCol: String,
+      key: String): DataFrame = {
+    val toks = df.select(col(key),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+    val stats = toks
+      .groupBy(col(key), col("term")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(key)).agg(
+        sum("_c").as("n_tokens"),
+        count(lit(1)).as("_distinct"),
+        max("_c").as("_top"))
+      .select(col(key), col("n_tokens"),
+        (col("_distinct").cast("double") / col("n_tokens"))
+          .as("distinct_ratio"),
+        (col("_top").cast("double") / col("n_tokens")).as("top_token_frac"))
+    // explode drops token-less documents; restore them with zero stats
+    df.select(col(key)).join(stats, Seq(key), "left")
+      .select(col(key),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("distinct_ratio"), lit(0.0)).as("distinct_ratio"),
+        coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"))
+  }
+
   /** Deterministic polynomial rolling hash of the raw characters —
     * the document fingerprint (order-sensitive, unlike a token set hash).
     * acc = (acc * 31 + codepoint) mod 1e9+7.

@@ -600,6 +600,29 @@ object PipelineQueries {
           Tables.load(s, d, "documents").filter(col("doc_id") < 50),
           "text", "doc_id", chunkSize = 64, stride = 32)
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // --- Gopher-style repetition quality signals (distinct-token ratio,
+    //     top-token fraction): the filter that drops degenerate
+    //     machine-generated text before training.
+    Query(
+      "q61_repetition",
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') tk
+        |  FROM documents WHERE doc_id < 150),
+        |tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+        |f AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_frac
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.repetitionStats(
+          Tables.load(s, d, "documents").filter(col("doc_id") < 150),
+          "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("distinct_ratio"), 6).as("distinct_ratio"),
+          round(col("top_token_frac"), 6).as("top_token_frac"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -72,6 +72,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(covered == (1 to 10).map(i => s"t$i").toSet)
   }
 
+  test("repetitionStats flags repetitive text, zero-fills empty docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),          // fully repetitive
+      (2L, "all words here are different"), // fully distinct
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((4L, 0.25, 1.0)))
+    assert(got(2L) == ((5L, 1.0, 0.2)))
+    assert(got(3L) == ((0L, 0.0, 0.0)))
+  }
+
   test("termDocFrequencies: df counts documents once per term, smooth idf") {
     val docs = Seq(
       (1L, "apple banana apple"),   // apple counts once here
