@@ -623,6 +623,34 @@ object PipelineQueries {
           round(col("distinct_ratio"), 6).as("distinct_ratio"),
           round(col("top_token_frac"), 6).as("top_token_frac"))
         .orderBy("doc_id")
+    },
+
+    // --- Map-function surface (§2.8): from_json → MAP, map_concat,
+    //     map_keys, element_at (present and missing keys).
+    Query(
+      "q62_map_funcs",
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) + 1 AS INT) AS n_keys,
+        |  array_to_string(list_sort(list_append(json_keys(props), 'type')),
+        |    ',') AS keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  event_type AS type_val,
+        |  CAST(NULL AS VARCHAR) AS missing_val
+        |FROM events WHERE event_id < 300
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "events").filter(col("event_id") < 300)
+        .withColumn("m", map_concat(
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+          map(lit("type"), col("event_type"))))
+        .select(col("event_id"),
+          size(map_keys(col("m"))).as("n_keys"),
+          concat_ws(",", sort_array(map_keys(col("m")))).as("keys"),
+          element_at(col("m"), "k").cast("bigint").as("k_val"),
+          element_at(col("m"), "type").as("type_val"),
+          element_at(col("m"), "missing").as("missing_val"))
+        .orderBy("event_id")
     }
   )
 }
