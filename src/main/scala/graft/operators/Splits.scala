@@ -99,6 +99,15 @@ object Splits {
       .drop("_idx")
   }
 
+  /** The content digest behind every deterministic sampler below — the
+    * engine-portability contract: Spark md5(salt || CAST(key AS STRING))
+    * equals DuckDB md5('salt' || CAST(key AS VARCHAR)), so draws reproduce
+    * across engines, partitionings and cluster sizes. Keep the three
+    * samplers on THIS one definition.
+    */
+  private def contentDigest(key: String, salt: String): Column =
+    md5(concat_ws("", lit(salt), col(key).cast("string")))
+
   /** Engine-independent deterministic exact-n sample: the n rows with the
     * smallest md5(salt || key) digest. Same result on any engine, any
     * partitioning, any cluster size — unlike seeded `rand`, whose draw
@@ -108,10 +117,8 @@ object Splits {
     * sort, no full shuffle.
     */
   def deterministicSample(df: DataFrame, n: Int, key: String,
-      salt: String = "graft"): DataFrame = {
-    val digest = md5(concat_ws("", lit(salt), col(key).cast("string")))
-    df.orderBy(digest, col(key)).limit(n)
-  }
+      salt: String = "graft"): DataFrame =
+    df.orderBy(contentDigest(key, salt), col(key)).limit(n)
 
   /** Exact per-stratum deterministic sample: up to `perStratum` rows from
     * each distinct value of `stratumCol`, chosen by the same md5 content
@@ -122,8 +129,8 @@ object Splits {
   def stratifiedSample(df: DataFrame, stratumCol: String, perStratum: Int,
       key: String, salt: String = "graft"): DataFrame = {
     require(perStratum > 0, "perStratum must be > 0")
-    val digest = md5(concat_ws("", lit(salt), col(key).cast("string")))
-    val w = Window.partitionBy(col(stratumCol)).orderBy(digest, col(key))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(contentDigest(key, salt), col(key))
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= perStratum)
       .drop("_rk")
@@ -141,8 +148,7 @@ object Splits {
       salt: String = "graft"): DataFrame = {
     // 13 hex chars = 52 bits: exactly representable in a double, and both
     // engines parse hex identically — (bits + 1) / (2^52 + 1) ∈ (0,1]
-    val u = (conv(substring(
-        md5(concat_ws("", lit(salt), col(key).cast("string"))), 1, 13),
+    val u = (conv(substring(contentDigest(key, salt), 1, 13),
         16, 10).cast("double") + 1.0) / 4503599627370497.0
     val rank = pow(u, lit(1.0) / col(weightCol))
     df.filter(col(weightCol) > 0)

@@ -147,9 +147,11 @@ object TextOps {
   }
 
   /** Sliding-window token chunking — context-window preparation for LLM
-    * training: each document becomes `ceil(max(n-chunkSize,0)/stride) + 1`
-    * chunks of up to `chunkSize` tokens, starting every `stride` tokens
-    * (overlapping when stride < chunkSize; the last chunk may be short).
+    * training: chunks of up to `chunkSize` tokens starting every `stride`
+    * tokens (overlapping when stride < chunkSize, gap-sampled when
+    * stride > chunkSize; the last chunk may be short but is never empty —
+    * chunk starts are capped at the last token). Empty text yields one
+    * empty chunk; NULL text yields no chunks (SQL null propagation).
     * Output: (key, chunk_id, chunk, n_tokens).
     *
     * Pure narrow operators (tokenize → explode a per-row index range →
@@ -160,16 +162,26 @@ object TextOps {
       chunkSize: Int = 64, stride: Int = 32): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
     val tk = filter(tokens(col(textCol)), t => length(t) > 0)
-    val nChunks = (ceil(greatest(size(tk) - chunkSize, lit(0))
+    // coverage bound: enough chunks that the last one reaches the end;
+    // start bound: no chunk may start past the last token (matters when
+    // stride > chunkSize, where the coverage formula over-counts)
+    val covered = (ceil(greatest(size(tk) - chunkSize, lit(0))
       .cast("double") / stride) + 1).cast("int")
-    df.select(col(key), tk.as("_tk"), nChunks.as("_nc"))
+    val startable =
+      (floor((greatest(size(tk), lit(1)).cast("double") - 1) / stride) + 1)
+        .cast("int")
+    df.filter(col(textCol).isNotNull) // null text → no chunks (explicit:
+      // Spark's null-skipping greatest() would otherwise emit one null row)
+      .select(col(key), tk.as("_tk"),
+        least(covered, startable).as("_nc"))
       .select(col(key), col("_tk"),
         explode(sequence(lit(0), col("_nc") - 1)).as("chunk_id"))
       .select(col(key), col("chunk_id"),
-        concat_ws(" ", slice(col("_tk"), col("chunk_id") * stride + 1,
-          lit(chunkSize))).as("chunk"),
-        size(slice(col("_tk"), col("chunk_id") * stride + 1,
-          lit(chunkSize))).as("n_tokens"))
+        slice(col("_tk"), col("chunk_id") * stride + 1,
+          lit(chunkSize)).as("_win"))
+      .select(col(key), col("chunk_id"),
+        concat_ws(" ", col("_win")).as("chunk"),
+        size(col("_win")).as("n_tokens"))
   }
 
   /** Within-document repetition statistics — the Gopher-style repetition

@@ -551,12 +551,17 @@ object PipelineQueries {
     },
 
     // --- Latest event per user as ONE max_by aggregation (no window, no
-    //     sort — map-side combine applies); oracle is DuckDB's arg_max.
+    //     sort — map-side combine applies). The oracle's explicit
+    //     (ts DESC, event_id DESC) ranking pins the SAME tie-break as
+    //     max(struct(ts, event_id)) — arg_max would pick an arbitrary row
+    //     on a ts tie and silently couple the gate to tie-free data.
     Query(
       "q58_latest_by_key",
-      """SELECT user_id, arg_max(event_id, ts) AS event_id,
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
-        |FROM events GROUP BY user_id
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin) { (s, d) =>
       AggOps.latestByKey(Tables.load(s, d, "events"),
           keyCols = Seq("user_id"), orderCol = "ts",
@@ -585,10 +590,12 @@ object PipelineQueries {
       "q60_chunking",
       """WITH t AS (SELECT doc_id, list_filter(
         |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') tk
-        |  FROM documents WHERE doc_id < 50),
+        |  FROM documents WHERE doc_id < 50 AND text IS NOT NULL),
         |c AS (SELECT doc_id, tk,
-        |    unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 32.0)
-        |      AS BIGINT) + 1)) AS chunk_id
+        |    unnest(range(0, least(
+        |      CAST(ceil(greatest(len(tk) - 64, 0) / 32.0) AS BIGINT) + 1,
+        |      CAST(floor((greatest(len(tk), 1) - 1) / 32.0) AS BIGINT) + 1)))
+        |      AS chunk_id
         |  FROM t)
         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
         |  array_to_string(list_slice(tk, chunk_id*32 + 1, chunk_id*32 + 64),
@@ -611,11 +618,18 @@ object PipelineQueries {
         |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') tk
         |  FROM documents WHERE doc_id < 150),
         |tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
-        |f AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2)
-        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio,
-        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_frac
-        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |f AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        count(*) AS n_distinct, max(c) AS top
+        |      FROM f GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(g.n_tokens, 0) AS n_tokens,
+        |  round(coalesce(CAST(g.n_distinct AS DOUBLE) / g.n_tokens, 0), 6)
+        |    AS distinct_ratio,
+        |  round(coalesce(CAST(g.top AS DOUBLE) / g.n_tokens, 0), 6)
+        |    AS top_token_frac
+        |FROM t LEFT JOIN g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextOps.repetitionStats(
           Tables.load(s, d, "documents").filter(col("doc_id") < 150),
           "text", "doc_id")
@@ -626,29 +640,36 @@ object PipelineQueries {
     },
 
     // --- Map-function surface (§2.8): from_json → MAP, map_concat,
-    //     map_keys, element_at (present and missing keys).
+    //     map_keys, element_at (present and missing keys). map_concat runs
+    //     over two literal-keyed maps ONLY — concatenating user JSON with
+    //     an injected key would throw under the default
+    //     spark.sql.mapKeyDedupPolicy=EXCEPTION the day props contains
+    //     that key.
     Query(
       "q62_map_funcs",
       """SELECT event_id,
-        |  CAST(len(json_keys(props)) + 1 AS INT) AS n_keys,
-        |  array_to_string(list_sort(list_append(json_keys(props), 'type')),
-        |    ',') AS keys,
+        |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |  event_type AS type_val,
+        |  CAST(user_id AS VARCHAR) AS uid_val,
         |  CAST(NULL AS VARCHAR) AS missing_val
         |FROM events WHERE event_id < 300
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       Tables.load(s, d, "events").filter(col("event_id") < 300)
-        .withColumn("m", map_concat(
-          from_json(col("props"), org.apache.spark.sql.types.MapType(
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)),
-          map(lit("type"), col("event_type"))))
+            org.apache.spark.sql.types.StringType)))
+        .withColumn("m2", map_concat(
+          map(lit("type"), col("event_type")),
+          map(lit("uid"), col("user_id").cast("string"))))
         .select(col("event_id"),
           size(map_keys(col("m"))).as("n_keys"),
           concat_ws(",", sort_array(map_keys(col("m")))).as("keys"),
           element_at(col("m"), "k").cast("bigint").as("k_val"),
-          element_at(col("m"), "type").as("type_val"),
+          element_at(col("m2"), "type").as("type_val"),
+          element_at(col("m2"), "uid").as("uid_val"),
           element_at(col("m"), "missing").as("missing_val"))
         .orderBy("event_id")
     }

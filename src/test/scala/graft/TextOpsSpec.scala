@@ -72,6 +72,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(covered == (1 to 10).map(i => s"t$i").toSet)
   }
 
+  test("chunkTokens: gap sampling (stride > chunkSize) and null text") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(docs, "text", "doc_id",
+        chunkSize = 2, stride = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    // starts at tokens 1 and 6 only — no phantom empty third chunk
+    assert(got == Map(
+      (1L, 0) -> (("t1 t2", 2)),
+      (1L, 1) -> (("t6 t7", 2))),
+      s"got: $got")
+    // null text produced no chunk rows at all (SQL null propagation)
+    assert(!got.keySet.exists(_._1 == 2L))
+  }
+
   test("repetitionStats flags repetitive text, zero-fills empty docs") {
     val docs = Seq(
       (1L, "spam spam spam spam"),          // fully repetitive
