@@ -217,6 +217,33 @@ object TextOps {
         coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"))
   }
 
+  /** PII scrubbing: replace URLs, e-mail addresses, and long digit runs
+    * (phone/ID/card-length) with placeholder tokens — the standard
+    * pre-training redaction pass. URLs are rewritten FIRST (they may embed
+    * '@' and digits that would otherwise double-redact). A pure
+    * regexp_replace chain: codegen'd, map-only, fused into the scan at
+    * any scale.
+    */
+  def redact(text: Column,
+      urlToken: String = "<URL>", emailToken: String = "<EMAIL>",
+      numToken: String = "<NUM>"): Column = {
+    val noUrl = regexp_replace(text, "(?i)\\bhttps?://\\S+", urlToken)
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", emailToken)
+    regexp_replace(noEmail, "\\d[\\d\\s().-]{7,}\\d", numToken)
+  }
+
+  /** How many URL / e-mail / long-digit-run spans [[redact]] would rewrite
+    * — the score a quality filter thresholds on (documents that are mostly
+    * contact info or serial numbers get dropped, not scrubbed).
+    */
+  def redactionCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("(?i)\\bhttps?://\\S+"), lit(0))) +
+      size(regexp_extract_all(text,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))) +
+      size(regexp_extract_all(text,
+        lit("\\d[\\d\\s().-]{7,}\\d"), lit(0)))
+
   /** Deterministic polynomial rolling hash of the raw characters —
     * the document fingerprint (order-sensitive, unlike a token set hash).
     * acc = (acc * 31 + codepoint) mod 1e9+7.

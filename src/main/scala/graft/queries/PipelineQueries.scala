@@ -672,6 +672,37 @@ object PipelineQueries {
           element_at(col("m2"), "uid").as("uid_val"),
           element_at(col("m"), "missing").as("missing_val"))
         .orderBy("event_id")
+    },
+
+    // --- PII redaction: the corpus has no natural PII, so both sides
+    //     append a synthetic email + phone per document and must scrub
+    //     them identically — a live cross-engine check of the regex
+    //     semantics (Java regex vs RE2) the scrubber relies on.
+    Query(
+      "q63_redaction",
+      """WITH aug AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com tel 01234567' || doc_id AS t
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '(?i)\bhttps?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\d[\d\s().-]{7,}\d', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t, '(?i)\bhttps?://\S+'))
+        |    + len(regexp_extract_all(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t, '\d[\d\s().-]{7,}\d')) AS INT)
+        |    AS n_redactions
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents").filter(col("doc_id") < 60)
+        .withColumn("t", concat(col("text"), lit(" contact user"),
+          col("doc_id"), lit("@example.com tel 01234567"), col("doc_id")))
+        .select(col("doc_id"),
+          TextOps.redact(col("t")).as("redacted"),
+          TextOps.redactionCount(col("t")).as("n_redactions"))
+        .orderBy("doc_id")
     }
   )
 }
