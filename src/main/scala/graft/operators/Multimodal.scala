@@ -71,6 +71,29 @@ object Multimodal {
     }.toDF(keyCol, "tensor")
   }
 
+  /** REAL pixel decode via the JDK's built-in codecs
+    * ([[graft.sources.ImageCodec]] — PNG/JPEG/BMP/GIF, no external
+    * dependency): adds nullable (width, height, pixels) columns with the
+    * H×W×3 BGR row-major layout every [[PixelOps]] kernel consumes, so the
+    * mask → instance-box / repaint / class-id paths run on actual images.
+    * Same mapPartitions batch shape as [[decodeToTensor]]; undecodable or
+    * null payloads yield null fields (SQL null semantics).
+    */
+  def decodeImage(df: DataFrame, bytesCol: String,
+      keyCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.get(keyIdx).toString
+        val dec = graft.sources.ImageCodec.decodeBgr(
+          if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx))
+        (key, dec.map(_._1), dec.map(_._2), dec.map(_._3))
+      }
+    }.toDF(keyCol, "width", "height", "pixels")
+  }
+
   /** Frame sampling plumbing for video-like payloads: pick `k` evenly spaced
     * frame indices out of `frameCount` (deterministic; the decode of each
     * frame is the stub above). Pure column math.

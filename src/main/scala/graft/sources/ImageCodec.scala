@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+/** Real image decode/encode on the JDK's built-in codecs (javax.imageio —
+  * PNG, JPEG, BMP, GIF; part of java.desktop, no external dependency).
+  * Pixel layout matches [[graft.operators.PixelOps]]: H×W×3 BGR row-major
+  * bytes, the reference's working format (`jigsaw/io_utils.py:28-41` reads
+  * BGR via cv2).
+  *
+  * This replaces the deterministic stub for formats the JDK ships codecs
+  * for; [[graft.operators.Multimodal.decodeStub]] remains for payloads
+  * with no in-container codec (video/audio frames).
+  */
+object ImageCodec {
+
+  /** Decode encoded image bytes → (width, height, BGR pixels). None for
+    * null/undecodable payloads (callers keep SQL null semantics).
+    */
+  def decodeBgr(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // packed ARGB regardless of storage
+          val i = (y * w + x) * 3
+          out(i) = (rgb & 0xff).toByte // B
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte // G
+          out(i + 2) = ((rgb >> 16) & 0xff).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+  }
+
+  /** Encode BGR pixels as PNG bytes (lossless — round-trips exactly). */
+  def encodePng(w: Int, h: Int, bgr: Array[Byte]): Array[Byte] = {
+    require(bgr.length == w * h * 3,
+      s"expected ${w * h * 3} BGR bytes, got ${bgr.length}")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        val rgb = ((bgr(i + 2) & 0xff) << 16) |
+          ((bgr(i + 1) & 0xff) << 8) | (bgr(i) & 0xff)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+}

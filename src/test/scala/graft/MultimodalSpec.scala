@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
-import graft.sources.ImageHeaders
+import graft.operators.{Multimodal, PixelOps}
+import graft.sources.{ImageCodec, ImageHeaders}
 
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
@@ -16,6 +16,42 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
     assert(out("a").contains(320))
     assert(out("b").isEmpty) // unparseable → null metadata, not a crash
+  }
+
+  test("real PNG codec round-trips and feeds the pixel-op kernels") {
+    // 8×6 black canvas, a red 3×2 box at (2,1) and a blue 2×2 box at (5,3)
+    val w = 8; val h = 6
+    val px = new Array[Byte](w * h * 3)
+    def set(x: Int, y: Int, bgr: (Int, Int, Int)): Unit = {
+      val i = (y * w + x) * 3
+      px(i) = bgr._1.toByte; px(i + 1) = bgr._2.toByte
+      px(i + 2) = bgr._3.toByte
+    }
+    for (x <- 2 to 4; y <- 1 to 2) set(x, y, (0, 0, 255))
+    for (x <- 5 to 6; y <- 3 to 4) set(x, y, (255, 0, 0))
+    val png = ImageCodec.encodePng(w, h, px)
+    // PNG is lossless: byte-exact round trip through a REAL codec
+    val (dw, dh, dpx) = ImageCodec.decodeBgr(png).get
+    assert((dw, dh) == ((w, h)))
+    assert(dpx.sameElements(px))
+    // DataFrame decode path
+    val row = Multimodal.decodeImage(
+        Seq(("img1", png)).toDF("image_id", "bytes"), "bytes", "image_id")
+      .collect().head
+    assert(row.getInt(1) == w && row.getInt(2) == h)
+    val decoded = row.getAs[Array[Byte]]("pixels")
+    // instance discovery on the actually-decoded image
+    val redBoxes = PixelOps.instanceBoxes(decoded, w, h, (0, 0, 255))
+    assert(redBoxes == Seq(PixelOps.Box(2, 1, 4, 2)), s"red: $redBoxes")
+    val blueBoxes = PixelOps.instanceBoxes(decoded, w, h, (255, 0, 0))
+    assert(blueBoxes == Seq(PixelOps.Box(5, 3, 6, 4)), s"blue: $blueBoxes")
+    // garbage and null payloads decode to null fields, not errors
+    val bad = Multimodal.decodeImage(
+        Seq(("x", Array[Byte](1, 2, 3)),
+          ("y", null.asInstanceOf[Array[Byte]])).toDF("image_id", "bytes"),
+        "bytes", "image_id")
+      .collect()
+    assert(bad.forall(r => r.isNullAt(1) && r.isNullAt(3)))
   }
 
   test("decodeToTensor is deterministic, fixed-dim, null-safe") {
