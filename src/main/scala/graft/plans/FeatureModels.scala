@@ -159,8 +159,39 @@ object DeeplabModel extends DataModel {
       selectedIds: Option[DataFrame]): DataFrame =
     SemanticMaskModel.bind(spark, dir, selectedIds)
 
+  /** T10 realized with real codecs: decode the BGR color mask, map colors
+    * → class ids ([[graft.operators.PixelOps.classIdImage]]), re-encode as
+    * 8-bit grayscale PNG. None if the mask bytes don't decode.
+    */
+  def classIdMaskPng(maskBytes: Array[Byte],
+      colorToClass: Map[(Int, Int, Int), Int]): Option[Array[Byte]] =
+    graft.sources.ImageCodec.decodeBgr(maskBytes).map { case (w, h, px) =>
+      graft.sources.ImageCodec.encodeGrayPng(w, h,
+        graft.operators.PixelOps.classIdImage(px, w, h, colorToClass))
+    }
+
+  /** Attach the grayscale class-id mask (`class_mask` column) derived from
+    * the color mask — run before [[exportExample]] so the export emits the
+    * true deeplab wire format. The color→class dictionary is the corpus
+    * label map (a global dimension, broadcast inside the UDF closure).
+    */
+  def withClassMask(df: DataFrame,
+      colorToClass: Map[(Int, Int, Int), Int]): DataFrame = {
+    val toClassMask = org.apache.spark.sql.functions.udf(
+      (bytes: Array[Byte]) => classIdMaskPng(bytes, colorToClass).orNull)
+    df.withColumn("class_mask",
+      toClassMask(org.apache.spark.sql.functions.col("mask")))
+  }
+
   def exportExample(row: Row): Array[Byte] = {
     val meta = Option(row.getAs[Row]("image_meta"))
+    // prefer the real class-id mask when the caller ran withClassMask;
+    // fall back to the raw color-mask bytes otherwise
+    val segMask =
+      if (row.schema != null && row.schema.fieldNames.contains("class_mask")
+          && !row.isNullAt(row.fieldIndex("class_mask")))
+        row.getAs[Array[Byte]]("class_mask")
+      else bytesOf(row, "mask")
     TFExample.serialize(Map(
       "image/height" -> Int64Feature(Seq(
         meta.map(_.getAs[Int]("height").toLong).getOrElse(0L))),
@@ -169,10 +200,7 @@ object DeeplabModel extends DataModel {
       "image/encoded" -> FeatureValue.bytes(bytesOf(row, "image")),
       "image/format" -> FeatureValue.bytes(
         Option(row.getAs[String]("image_type")).getOrElse("png")),
-      // STUB: a real build encodes PixelOps.classIdImage(decoded mask) as
-      // PNG; no codec in-container, so the raw mask bytes stand in.
-      "image/segmentation/class/encoded" ->
-        FeatureValue.bytes(bytesOf(row, "mask")),
+      "image/segmentation/class/encoded" -> FeatureValue.bytes(segMask),
       "image/segmentation/class/format" -> FeatureValue.bytes("png")))
   }
 }

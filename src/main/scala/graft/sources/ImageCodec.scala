@@ -29,21 +29,52 @@ object ImageCodec {
       val w = img.getWidth
       val h = img.getHeight
       val out = new Array[Byte](w * h * 3)
+      // single-channel images (class-id masks): read RAW raster samples —
+      // getRGB would gamma-map linear gray to sRGB (7 → 46), corrupting
+      // class ids. Color images go through getRGB's packed-ARGB path.
+      val isGray = img.getColorModel.getNumComponents == 1
+      val raster = img.getRaster
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y) // packed ARGB regardless of storage
           val i = (y * w + x) * 3
-          out(i) = (rgb & 0xff).toByte // B
-          out(i + 1) = ((rgb >> 8) & 0xff).toByte // G
-          out(i + 2) = ((rgb >> 16) & 0xff).toByte // R
+          if (isGray) {
+            val g = (raster.getSample(x, y, 0) & 0xff).toByte
+            out(i) = g; out(i + 1) = g; out(i + 2) = g
+          } else {
+            val rgb = img.getRGB(x, y)
+            out(i) = (rgb & 0xff).toByte // B
+            out(i + 1) = ((rgb >> 8) & 0xff).toByte // G
+            out(i + 2) = ((rgb >> 16) & 0xff).toByte // R
+          }
           x += 1
         }
         y += 1
       }
       Some((w, h, out))
     }
+  }
+
+  /** Encode a single-channel byte grid (e.g. class-id masks) as an 8-bit
+    * grayscale PNG — the deeplab `image/segmentation/class/encoded` wire
+    * format.
+    */
+  def encodeGrayPng(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h,
+      s"expected ${w * h} gray bytes, got ${gray.length}")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, gray(y * w + x) & 0xff); x += 1 }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 
   /** Encode BGR pixels as PNG bytes (lossless — round-trips exactly). */

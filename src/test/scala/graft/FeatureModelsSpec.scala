@@ -41,6 +41,35 @@ class FeatureModelsSpec extends SparkTestBase {
     assert(bytes.toSeq.containsSlice(Seq[Byte](10, 30, 20, 40)))
   }
 
+  test("deeplab class-id mask: real decode -> classIdImage -> gray PNG") {
+    import graft.plans.DeeplabModel
+    import graft.sources.ImageCodec
+    // 4×3 color mask: background black, label red at (1,1)-(2,1)
+    val w = 4; val h = 3
+    val px = new Array[Byte](w * h * 3)
+    def set(x: Int, y: Int, bgr: (Int, Int, Int)): Unit = {
+      val i = (y * w + x) * 3
+      px(i) = bgr._1.toByte; px(i + 1) = bgr._2.toByte
+      px(i + 2) = bgr._3.toByte
+    }
+    set(1, 1, (0, 0, 255)); set(2, 1, (0, 0, 255))
+    val maskPng = ImageCodec.encodePng(w, h, px)
+    val classPng = DeeplabModel.classIdMaskPng(maskPng,
+      Map((0, 0, 255) -> 7)).get
+    // decode the gray PNG back: class id 7 where red was, 0 elsewhere
+    val (dw, dh, dpx) = ImageCodec.decodeBgr(classPng).get
+    assert((dw, dh) == ((w, h)))
+    def gray(x: Int, y: Int): Int = dpx((y * w + x) * 3) & 0xff
+    assert(gray(1, 1) == 7 && gray(2, 1) == 7)
+    assert(gray(0, 0) == 0 && gray(3, 2) == 0)
+    // DataFrame wiring: withClassMask adds the column; undecodable → null
+    val df = Seq(("a", maskPng), ("b", Array[Byte](9, 9)))
+      .toDF("image_id", "mask")
+    val out = DeeplabModel.withClassMask(df, Map((0, 0, 255) -> 7))
+      .collect().map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    assert(out == Map("a" -> false, "b" -> true))
+  }
+
   test("validateCentroidKeys rejects drifting key sets (F10)") {
     val bound = FeaturePointsModel.bind(spark, corpus(consistent = false), None)
     intercept[IllegalArgumentException] {
