@@ -94,6 +94,30 @@ object Multimodal {
     }.toDF(keyCol, "width", "height", "pixels")
   }
 
+  /** REAL audio decode + feature extraction via the JDK's built-in codecs
+    * ([[graft.sources.AudioCodec]] — WAV/AIFF/AU PCM, no external
+    * dependency): adds nullable (sample_rate, channels, duration_sec, rms,
+    * zcr) columns — the signals an audio-corpus quality filter thresholds
+    * on. Same mapPartitions batch shape; undecodable/compressed payloads
+    * yield null fields.
+    */
+  def audioFeatures(df: DataFrame, bytesCol: String,
+      keyCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.get(keyIdx).toString
+        val dec = graft.sources.AudioCodec.decodePcm(
+          if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx))
+        val feats = dec.map(graft.sources.AudioCodec.features)
+        (key, dec.map(_.sampleRate), dec.map(_.channels),
+          feats.map(_._1), feats.map(_._2), feats.map(_._3))
+      }
+    }.toDF(keyCol, "sample_rate", "channels", "duration_sec", "rms", "zcr")
+  }
+
   /** Frame sampling plumbing for video-like payloads: pick `k` evenly spaced
     * frame indices out of `frameCount` (deterministic; the decode of each
     * frame is the stub above). Pure column math.

@@ -54,6 +54,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad.forall(r => r.isNullAt(1) && r.isNullAt(3)))
   }
 
+  test("real WAV codec: sine round-trip, duration/energy/zcr features") {
+    import graft.sources.AudioCodec
+    val sr = 8000f
+    val hz = 440.0
+    val n = 8000 // 1 second
+    val sine = Array.tabulate(n)(i =>
+      (0.5 * math.sin(2 * math.Pi * hz * i / sr)).toFloat)
+    val wav = AudioCodec.encodeWavMono16(sr, sine)
+    val pcm = AudioCodec.decodePcm(wav).get
+    assert(pcm.sampleRate == sr && pcm.channels == 1 && pcm.frames == n)
+    // 16-bit quantization: samples within 1/32767 of the original
+    sine.zip(pcm.samples).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 2.0f / 32767.0f, s"$a vs $b")
+    }
+    val (dur, rms, zcr) = AudioCodec.features(pcm)
+    assert(math.abs(dur - 1.0) < 1e-9)
+    // sine RMS = amplitude / sqrt(2)
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 1e-3, s"rms $rms")
+    // a 440 Hz sine crosses zero ~880 times/second
+    assert(math.abs(zcr * (n - 1) - 2 * hz) < 4, s"zcr $zcr")
+    // garbage decodes to None, not an exception
+    assert(AudioCodec.decodePcm(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AudioCodec.decodePcm(null).isEmpty)
+    // DataFrame wiring: features for decodable rows, nulls otherwise
+    val rows = Multimodal.audioFeatures(
+        Seq(("ok", wav), ("bad", Array[Byte](1, 2)))
+          .toDF("clip_id", "bytes"), "bytes", "clip_id")
+      .collect().map(r => r.getString(0) -> r.isNullAt(3)).toMap
+    assert(rows == Map("ok" -> false, "bad" -> true))
+  }
+
   test("decodeToTensor is deterministic, fixed-dim, null-safe") {
     val df = Seq(("a", "payload-one".getBytes),
       ("b", "payload-two".getBytes), ("c", null))
