@@ -77,6 +77,53 @@ object ImageCodec {
     baos.toByteArray
   }
 
+  /** Bilinear resize of a BGR pixel buffer (JDK Graphics2D — the real
+    * form of the [[graft.operators.Multimodal.fitWithin]] dimension math).
+    * Returns the new BGR buffer.
+    */
+  def resizeBilinear(w: Int, h: Int, bgr: Array[Byte], newW: Int,
+      newH: Int): Array[Byte] = {
+    require(newW > 0 && newH > 0, "target dimensions must be positive")
+    require(bgr.length == w * h * 3,
+      s"expected ${w * h * 3} BGR bytes, got ${bgr.length}")
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        src.setRGB(x, y, ((bgr(i + 2) & 0xff) << 16) |
+          ((bgr(i + 1) & 0xff) << 8) | (bgr(i) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val dst = new java.awt.image.BufferedImage(newW, newH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, newW, newH, null)
+    } finally g.dispose()
+    val out = new Array[Byte](newW * newH * 3)
+    y = 0
+    while (y < newH) {
+      var x = 0
+      while (x < newW) {
+        val rgb = dst.getRGB(x, y)
+        val i = (y * newW + x) * 3
+        out(i) = (rgb & 0xff).toByte
+        out(i + 1) = ((rgb >> 8) & 0xff).toByte
+        out(i + 2) = ((rgb >> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Encode BGR pixels as PNG bytes (lossless — round-trips exactly). */
   def encodePng(w: Int, h: Int, bgr: Array[Byte]): Array[Byte] = {
     require(bgr.length == w * h * 3,

@@ -54,6 +54,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad.forall(r => r.isNullAt(1) && r.isNullAt(3)))
   }
 
+  test("resizeBilinear halves dimensions, preserves solid regions") {
+    import graft.sources.ImageCodec
+    val w = 8; val h = 8
+    val px = Array.fill(w * h * 3)(0.toByte)
+    // solid green image
+    var p = 0
+    while (p < w * h) { px(p * 3 + 1) = 200.toByte; p += 1 }
+    val half = ImageCodec.resizeBilinear(w, h, px, 4, 4)
+    assert(half.length == 4 * 4 * 3)
+    (0 until 16).foreach { i =>
+      assert((half(i * 3) & 0xff) == 0)
+      assert((half(i * 3 + 1) & 0xff) == 200) // solid stays solid
+      assert((half(i * 3 + 2) & 0xff) == 0)
+    }
+    // resize + fitWithin agree on shape math
+    val dims = Seq((800, 600)).toDF("w", "h")
+      .select(Multimodal.fitWithin(col("w"), col("h"), 400, 400).as("d"))
+      .collect().head.getStruct(0)
+    assert((dims.getInt(0), dims.getInt(1)) == ((400, 300)))
+  }
+
   test("real WAV codec: sine round-trip, duration/energy/zcr features") {
     import graft.sources.AudioCodec
     val sr = 8000f
