@@ -54,6 +54,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad.forall(r => r.isNullAt(1) && r.isNullAt(3)))
   }
 
+  test("mp4 box walker extracts duration and track types for real") {
+    import graft.sources.VideoHeaders
+    val mp4 = VideoHeaders.fakeMp4(timescale = 1000, duration = 12500,
+      handlers = Seq("vide", "soun", "vide"))
+    val meta = VideoHeaders.parse(mp4).get
+    assert(meta.format == "mp4")
+    assert(math.abs(meta.durationSec - 12.5) < 1e-9)
+    assert(meta.timescale == 1000L)
+    assert(meta.videoTracks == 2 && meta.audioTracks == 1)
+    // non-mp4 and truncated payloads → None, not exceptions
+    assert(VideoHeaders.parse("not a video at all".getBytes).isEmpty)
+    assert(VideoHeaders.parse(mp4.take(20)).isEmpty)
+    assert(VideoHeaders.parse(null).isEmpty)
+  }
+
   test("resizeBilinear halves dimensions, preserves solid regions") {
     import graft.sources.ImageCodec
     val w = 8; val h = 8
