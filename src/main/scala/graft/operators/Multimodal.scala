@@ -71,6 +71,16 @@ object Multimodal {
     }.toDF(keyCol, "tensor")
   }
 
+  /** Real MP4 container metadata (duration/timescale/track counts) from
+    * the binary payload — [[graft.sources.VideoHeaders]] box walking, no
+    * codec. Null for non-MP4/corrupt payloads.
+    */
+  def withVideoMeta(df: DataFrame, bytesCol: String): DataFrame = {
+    val parseUdf = udf((bytes: Array[Byte]) =>
+      graft.sources.VideoHeaders.parse(bytes))
+    df.withColumn(s"${bytesCol}_video_meta", parseUdf(col(bytesCol)))
+  }
+
   /** REAL pixel decode via the JDK's built-in codecs
     * ([[graft.sources.ImageCodec]] — PNG/JPEG/BMP/GIF, no external
     * dependency): adds nullable (width, height, pixels) columns with the

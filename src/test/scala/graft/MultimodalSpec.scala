@@ -67,6 +67,12 @@ class MultimodalSpec extends SparkTestBase {
     assert(VideoHeaders.parse("not a video at all".getBytes).isEmpty)
     assert(VideoHeaders.parse(mp4.take(20)).isEmpty)
     assert(VideoHeaders.parse(null).isEmpty)
+    // DataFrame wiring: struct column, null for undecodable
+    val rows = Multimodal.withVideoMeta(
+        Seq(("v", mp4), ("x", Array[Byte](1))).toDF("clip_id", "bytes"),
+        "bytes")
+      .collect().map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    assert(rows == Map("v" -> false, "x" -> true))
   }
 
   test("resizeBilinear halves dimensions, preserves solid regions") {
