@@ -9,13 +9,15 @@ import graft.sources.ImageHeaders
   * with typed metadata, plus the decode / feature-extract / resize /
   * frame-sample plumbing a training-data pipeline needs.
   *
-  * Container reality: no imaging/audio libraries ship here, so PIXEL/SAMPLE
-  * decoding is STUBBED — `decodeStub` produces a deterministic fake tensor
-  * derived from the bytes (size-bounded, reproducible), clearly marked. The
-  * Spark-side plumbing is real: schemas, header-derived metadata, partition
-  * sizing for large blobs, and the `mapPartitions` batch shape (the Scala
-  * analog of `mapInPandas` — one iterator per partition so a real decoder
-  * would amortize per-batch codec setup).
+  * Decode reality: still images ([[decodeImage]], JDK ImageIO —
+  * PNG/JPEG/BMP/GIF), WAV/PCM audio ([[audioFeatures]], javax.sound), and
+  * MP4 container metadata ([[withVideoMeta]]) are decoded FOR REAL with
+  * JDK-built-in codecs. Only video FRAMES and compressed audio (mp3/ogg)
+  * have no in-container codec; those stay on `decodeStub`, a deterministic
+  * fake tensor derived from the bytes (size-bounded, reproducible),
+  * clearly marked. All decode paths use the `mapPartitions` batch shape
+  * (the Scala analog of `mapInPandas` — one iterator per partition so
+  * codec setup amortizes per batch).
   */
 object Multimodal {
 
@@ -83,11 +85,13 @@ object Multimodal {
 
   /** REAL pixel decode via the JDK's built-in codecs
     * ([[graft.sources.ImageCodec]] — PNG/JPEG/BMP/GIF, no external
-    * dependency): adds nullable (width, height, pixels) columns with the
-    * H×W×3 BGR row-major layout every [[PixelOps]] kernel consumes, so the
-    * mask → instance-box / repaint / class-id paths run on actual images.
-    * Same mapPartitions batch shape as [[decodeToTensor]]; undecodable or
-    * null payloads yield null fields (SQL null semantics).
+    * dependency). Returns a NEW (keyCol, width, height, pixels) relation —
+    * other input columns are not carried (join back on the key if needed);
+    * pixels use the H×W×3 BGR row-major layout every [[PixelOps]] kernel
+    * consumes, so the mask → instance-box / repaint / class-id paths run
+    * on actual images. Same mapPartitions batch shape as
+    * [[decodeToTensor]]; undecodable/null payloads (and null keys) yield
+    * null fields (SQL null semantics).
     */
   def decodeImage(df: DataFrame, bytesCol: String,
       keyCol: String): DataFrame = {
@@ -96,7 +100,7 @@ object Multimodal {
     val bytesIdx = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val key = r.get(keyIdx).toString
+        val key = if (r.isNullAt(keyIdx)) null else r.get(keyIdx).toString
         val dec = graft.sources.ImageCodec.decodeBgr(
           if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx))
         (key, dec.map(_._1), dec.map(_._2), dec.map(_._3))
@@ -106,10 +110,12 @@ object Multimodal {
 
   /** REAL audio decode + feature extraction via the JDK's built-in codecs
     * ([[graft.sources.AudioCodec]] — WAV/AIFF/AU PCM, no external
-    * dependency): adds nullable (sample_rate, channels, duration_sec, rms,
-    * zcr) columns — the signals an audio-corpus quality filter thresholds
-    * on. Same mapPartitions batch shape; undecodable/compressed payloads
-    * yield null fields.
+    * dependency). Returns a NEW (keyCol, sample_rate, channels,
+    * duration_sec, rms, zcr) relation — other input columns are not
+    * carried (join back on the key if needed); these are the signals an
+    * audio-corpus quality filter thresholds on. Same mapPartitions batch
+    * shape; undecodable/compressed payloads (and null keys) yield null
+    * fields.
     */
   def audioFeatures(df: DataFrame, bytesCol: String,
       keyCol: String): DataFrame = {
@@ -118,7 +124,7 @@ object Multimodal {
     val bytesIdx = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val key = r.get(keyIdx).toString
+        val key = if (r.isNullAt(keyIdx)) null else r.get(keyIdx).toString
         val dec = graft.sources.AudioCodec.decodePcm(
           if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx))
         val feats = dec.map(graft.sources.AudioCodec.features)

@@ -224,25 +224,32 @@ object TextOps {
     * regexp_replace chain: codegen'd, map-only, fused into the scan at
     * any scale.
     */
+  private val UrlRe = "(?i)\\bhttps?://\\S+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val NumRe = "\\d[\\d\\s().-]{7,}\\d"
+
   def redact(text: Column,
       urlToken: String = "<URL>", emailToken: String = "<EMAIL>",
       numToken: String = "<NUM>"): Column = {
-    val noUrl = regexp_replace(text, "(?i)\\bhttps?://\\S+", urlToken)
-    val noEmail = regexp_replace(noUrl,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", emailToken)
-    regexp_replace(noEmail, "\\d[\\d\\s().-]{7,}\\d", numToken)
+    val noUrl = regexp_replace(text, UrlRe, urlToken)
+    val noEmail = regexp_replace(noUrl, EmailRe, emailToken)
+    regexp_replace(noEmail, NumRe, numToken)
   }
 
-  /** How many URL / e-mail / long-digit-run spans [[redact]] would rewrite
-    * — the score a quality filter thresholds on (documents that are mostly
-    * contact info or serial numbers get dropped, not scrubbed).
+  /** How many spans [[redact]] actually rewrites — each stage counts on
+    * the PREVIOUS stage's output, exactly as redact replaces, so a URL
+    * with embedded credentials/digits counts once as a URL rather than
+    * once per pattern. The score a quality filter thresholds on
+    * (documents that are mostly contact info or serial numbers get
+    * dropped, not scrubbed).
     */
-  def redactionCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("(?i)\\bhttps?://\\S+"), lit(0))) +
-      size(regexp_extract_all(text,
-        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))) +
-      size(regexp_extract_all(text,
-        lit("\\d[\\d\\s().-]{7,}\\d"), lit(0)))
+  def redactionCount(text: Column): Column = {
+    val noUrl = regexp_replace(text, UrlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailRe, "<EMAIL>")
+    size(regexp_extract_all(text, lit(UrlRe), lit(0))) +
+      size(regexp_extract_all(noUrl, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(noEmail, lit(NumRe), lit(0)))
+  }
 
   /** Deterministic polynomial rolling hash of the raw characters —
     * the document fingerprint (order-sensitive, unlike a token set hash).

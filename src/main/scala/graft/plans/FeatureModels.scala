@@ -112,9 +112,9 @@ object FeaturePointsModel extends DataModel {
 /** Instance-segmentation model (`jigsaw/models/instance_mask/model.py`):
   * bbox features plus a per-instance mask list. Instance discovery on real
   * pixel grids is [[graft.operators.PixelOps.instanceBoxes]] (tolerance
-  * match → connected components); with in-container decode stubbed, the
-  * exporter takes boxes from the VOC sidecar when present and emits the raw
-  * mask bytes per instance. The reference's `panel_left/panel_right →
+  * match → connected components), fed by the real JDK decode
+  * ([[graft.sources.ImageCodec]]); the exporter also accepts boxes from
+  * the VOC sidecar when present and emits the raw mask bytes per instance. The reference's `panel_left/panel_right →
   * solar_panel` rewrite (F9, `:84-85`) is applied as a label transform.
   */
 object InstanceMaskModel extends DataModel {
@@ -147,9 +147,10 @@ object InstanceMaskModel extends DataModel {
 
 /** Deeplab semantic-segmentation model (`jigsaw/models/deeplab/model.py:
   * 17-44`): the mask becomes a grayscale class-id image via the label
-  * dictionary ([[graft.operators.PixelOps.classIdImage]] is the exact
-  * pixel math; PNG re-encode of the class grid is stubbed to raw mask
-  * bytes in-container).
+  * dictionary — REAL end-to-end: [[classIdMaskPng]] decodes the color
+  * mask with the JDK codec, runs
+  * [[graft.operators.PixelOps.classIdImage]], and re-encodes an 8-bit
+  * grayscale PNG. Run [[withClassMask]] before export to emit it.
   */
 object DeeplabModel extends DataModel {
   import ModelCodec._
@@ -185,13 +186,18 @@ object DeeplabModel extends DataModel {
 
   def exportExample(row: Row): Array[Byte] = {
     val meta = Option(row.getAs[Row]("image_meta"))
-    // prefer the real class-id mask when the caller ran withClassMask;
-    // fall back to the raw color-mask bytes otherwise
+    // emit the real class-id mask when the caller ran withClassMask. A row
+    // whose class_mask is null (mask failed to decode) emits EMPTY bytes —
+    // detectable by any consumer — NEVER the raw color-mask bytes, which
+    // would be silently misread as class ids. Without withClassMask the
+    // legacy raw-mask passthrough applies (documented weaker form).
+    val hasClassMask = row.schema != null &&
+      row.schema.fieldNames.contains("class_mask")
     val segMask =
-      if (row.schema != null && row.schema.fieldNames.contains("class_mask")
-          && !row.isNullAt(row.fieldIndex("class_mask")))
-        row.getAs[Array[Byte]]("class_mask")
-      else bytesOf(row, "mask")
+      if (hasClassMask) {
+        if (row.isNullAt(row.fieldIndex("class_mask"))) Array.empty[Byte]
+        else row.getAs[Array[Byte]]("class_mask")
+      } else bytesOf(row, "mask")
     TFExample.serialize(Map(
       "image/height" -> Int64Feature(Seq(
         meta.map(_.getAs[Int]("height").toLong).getOrElse(0L))),

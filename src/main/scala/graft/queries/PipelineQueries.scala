@@ -691,9 +691,15 @@ object PipelineQueries {
         |    '<EMAIL>', 'g'),
         |    '\d[\d\s().-]{7,}\d', '<NUM>', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(t, '(?i)\bhttps?://\S+'))
-        |    + len(regexp_extract_all(t,
+        |    + len(regexp_extract_all(
+        |        regexp_replace(t, '(?i)\bhttps?://\S+', '<URL>', 'g'),
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |    + len(regexp_extract_all(t, '\d[\d\s().-]{7,}\d')) AS INT)
+        |    + len(regexp_extract_all(
+        |        regexp_replace(regexp_replace(t,
+        |          '(?i)\bhttps?://\S+', '<URL>', 'g'),
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '\d[\d\s().-]{7,}\d')) AS INT)
         |    AS n_redactions
         |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.load(s, d, "documents").filter(col("doc_id") < 60)

@@ -43,10 +43,13 @@ object AudioCodec {
             } else {
               val b0 = raw(i * 2)
               val b1 = raw(i * 2 + 1)
-              val s =
-                if (fmt.isBigEndian) ((b0 << 8) | (b1 & 0xff)).toShort
-                else ((b1 << 8) | (b0 & 0xff)).toShort
-              s / 32768.0f
+              val u =
+                if (fmt.isBigEndian) ((b0 & 0xff) << 8) | (b1 & 0xff)
+                else ((b1 & 0xff) << 8) | (b0 & 0xff)
+              // unsigned 16-bit: silence is 0x8000, not 0 — recenter
+              // before normalizing (the signed path would map it to -1.0)
+              if (enc == "PCM_UNSIGNED") (u - 32768) / 32768.0f
+              else u.toShort / 32768.0f
             }
           out(i) = v
           i += 1

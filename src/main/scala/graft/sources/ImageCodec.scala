@@ -29,28 +29,42 @@ object ImageCodec {
       val w = img.getWidth
       val h = img.getHeight
       val out = new Array[Byte](w * h * 3)
-      // single-channel images (class-id masks): read RAW raster samples —
-      // getRGB would gamma-map linear gray to sRGB (7 → 46), corrupting
-      // class ids. Color images go through getRGB's packed-ARGB path.
-      val isGray = img.getColorModel.getNumComponents == 1
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val i = (y * w + x) * 3
-          if (isGray) {
-            val g = (raster.getSample(x, y, 0) & 0xff).toByte
+      if (img.getColorModel.getNumComponents == 1) {
+        // single-channel images (class-id masks): read RAW raster samples —
+        // getRGB would gamma-map linear gray to sRGB (7 → 46), corrupting
+        // class ids. >8-bit samples (16-bit depth masks) keep their HIGH
+        // byte (the standard display downscale), never the low-byte
+        // truncation '& 0xff' would silently produce.
+        val raster = img.getRaster
+        val bits = raster.getSampleModel.getSampleSize(0)
+        val shift = math.max(bits - 8, 0)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          raster.getSamples(0, y, w, 1, 0, row)
+          var x = 0
+          while (x < w) {
+            val g = ((row(x) >> shift) & 0xff).toByte
+            val i = (y * w + x) * 3
             out(i) = g; out(i + 1) = g; out(i + 2) = g
-          } else {
-            val rgb = img.getRGB(x, y)
-            out(i) = (rgb & 0xff).toByte // B
-            out(i + 1) = ((rgb >> 8) & 0xff).toByte // G
-            out(i + 2) = ((rgb >> 16) & 0xff).toByte // R
+            x += 1
           }
-          x += 1
+          y += 1
         }
-        y += 1
+      } else {
+        // bulk one-pass read: per-pixel getRGB(x, y) does bounds checks +
+        // color-model conversion per call and dominates decode CPU at
+        // corpus scale
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        var p = 0
+        while (p < rgb.length) {
+          val v = rgb(p)
+          val i = p * 3
+          out(i) = (v & 0xff).toByte // B
+          out(i + 1) = ((v >> 8) & 0xff).toByte // G
+          out(i + 2) = ((v >> 16) & 0xff).toByte // R
+          p += 1
+        }
       }
       Some((w, h, out))
     }
@@ -84,21 +98,7 @@ object ImageCodec {
   def resizeBilinear(w: Int, h: Int, bgr: Array[Byte], newW: Int,
       newH: Int): Array[Byte] = {
     require(newW > 0 && newH > 0, "target dimensions must be positive")
-    require(bgr.length == w * h * 3,
-      s"expected ${w * h * 3} BGR bytes, got ${bgr.length}")
-    val src = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val i = (y * w + x) * 3
-        src.setRGB(x, y, ((bgr(i + 2) & 0xff) << 16) |
-          ((bgr(i + 1) & 0xff) << 8) | (bgr(i) & 0xff))
-        x += 1
-      }
-      y += 1
-    }
+    val src = toIntRgb(w, h, bgr)
     val dst = new java.awt.image.BufferedImage(newW, newH,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val g = dst.createGraphics()
@@ -107,43 +107,42 @@ object ImageCodec {
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       g.drawImage(src, 0, 0, newW, newH, null)
     } finally g.dispose()
+    val rgb = dst.getRGB(0, 0, newW, newH, null, 0, newW)
     val out = new Array[Byte](newW * newH * 3)
-    y = 0
-    while (y < newH) {
-      var x = 0
-      while (x < newW) {
-        val rgb = dst.getRGB(x, y)
-        val i = (y * newW + x) * 3
-        out(i) = (rgb & 0xff).toByte
-        out(i + 1) = ((rgb >> 8) & 0xff).toByte
-        out(i + 2) = ((rgb >> 16) & 0xff).toByte
-        x += 1
-      }
-      y += 1
+    var p = 0
+    while (p < rgb.length) {
+      val v = rgb(p)
+      val i = p * 3
+      out(i) = (v & 0xff).toByte
+      out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      p += 1
     }
     out
   }
 
-  /** Encode BGR pixels as PNG bytes (lossless — round-trips exactly). */
-  def encodePng(w: Int, h: Int, bgr: Array[Byte]): Array[Byte] = {
+  private def toIntRgb(w: Int, h: Int,
+      bgr: Array[Byte]): java.awt.image.BufferedImage = {
     require(bgr.length == w * h * 3,
       s"expected ${w * h * 3} BGR bytes, got ${bgr.length}")
+    val rgb = new Array[Int](w * h)
+    var p = 0
+    while (p < rgb.length) {
+      val i = p * 3
+      rgb(p) = ((bgr(i + 2) & 0xff) << 16) |
+        ((bgr(i + 1) & 0xff) << 8) | (bgr(i) & 0xff)
+      p += 1
+    }
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val i = (y * w + x) * 3
-        val rgb = ((bgr(i + 2) & 0xff) << 16) |
-          ((bgr(i + 1) & 0xff) << 8) | (bgr(i) & 0xff)
-        img.setRGB(x, y, rgb)
-        x += 1
-      }
-      y += 1
-    }
+    img.setRGB(0, 0, w, h, rgb, 0, w) // bulk, not per-pixel setRGB
+    img
+  }
+
+  /** Encode BGR pixels as PNG bytes (lossless — round-trips exactly). */
+  def encodePng(w: Int, h: Int, bgr: Array[Byte]): Array[Byte] = {
     val baos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", baos)
+    ImageIO.write(toIntRgb(w, h, bgr), "png", baos)
     baos.toByteArray
   }
 }

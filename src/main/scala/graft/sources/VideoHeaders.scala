@@ -24,19 +24,32 @@ object VideoHeaders {
     var duration = -1L
     var vide = 0
     var soun = 0
-    def walk(from: Long, to: Long): Unit = {
+    // depth-capped: real MP4 nests moov/trak/mdia ~4 deep; a crafted
+    // payload of thousands of nested container headers must return None,
+    // not blow the task's stack with an uncatchable StackOverflowError
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      if (depth > 16) return
       var off = from
       while (off + 8 <= to) {
         val size = be32(bytes, off.toInt) & 0xffffffffL
         val boxType = typ(bytes, off.toInt + 4)
+        // size==1: 64-bit largesize follows the type (legal on any box,
+        // commonly mdat) — read it and SKIP this box, don't abandon the
+        // siblings (moov routinely follows a large mdat)
+        val headerLen = if (size == 1) 16L else 8L
         val boxEnd =
           if (size == 0) to
-          else if (size == 1) return // 64-bit largesize: not in test scope
-          else math.min(off + size, to)
-        if (size != 0 && size < 8) return // corrupt: avoid infinite loop
+          else if (size == 1) {
+            if (off + 16 > to) return
+            val large = be64(bytes, off.toInt + 8)
+            if (large < 16) return // corrupt
+            math.min(off + large, to)
+          } else math.min(off + size, to)
+        if (size != 0 && size != 1 && size < 8) return // corrupt
         boxType match {
-          case "moov" | "trak" | "mdia" => walk(off + 8, boxEnd)
-          case "mvhd" if off + 8 + 20 <= to =>
+          case "moov" | "trak" | "mdia" =>
+            walk(off + headerLen, boxEnd, depth + 1)
+          case "mvhd" if size != 1 && off + 8 + 20 <= to =>
             val version = bytes(off.toInt + 8) & 0xff
             if (version == 0) {
               timescale = be32(bytes, off.toInt + 8 + 12) & 0xffffffffL
@@ -45,7 +58,7 @@ object VideoHeaders {
               timescale = be32(bytes, off.toInt + 8 + 20) & 0xffffffffL
               duration = be64(bytes, off.toInt + 8 + 24)
             }
-          case "hdlr" if off + 8 + 12 <= to =>
+          case "hdlr" if size != 1 && off + 8 + 12 <= to =>
             typ(bytes, off.toInt + 8 + 8) match {
               case "vide" => vide += 1
               case "soun" => soun += 1
@@ -56,7 +69,7 @@ object VideoHeaders {
         off = boxEnd
       }
     }
-    walk(0L, bytes.length.toLong)
+    walk(0L, bytes.length.toLong, 0)
     if (timescale <= 0 || duration < 0) None
     else Some(VideoMeta("mp4", duration.toDouble / timescale, timescale,
       vide, soun))

@@ -68,6 +68,31 @@ class FeatureModelsSpec extends SparkTestBase {
     val out = DeeplabModel.withClassMask(df, Map((0, 0, 255) -> 7))
       .collect().map(r => r.getString(0) -> r.isNullAt(2)).toMap
     assert(out == Map("a" -> false, "b" -> true))
+    // export NEVER leaks raw color-mask bytes into the class slot: a null
+    // class_mask (decode failure) emits empty segmentation bytes
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("image_meta",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("height",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("width",
+            org.apache.spark.sql.types.IntegerType)))),
+      org.apache.spark.sql.types.StructField("image",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("image_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("mask",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("class_mask",
+        org.apache.spark.sql.types.BinaryType)))
+    val distinctiveMask = Array.fill(64)(0x5a.toByte)
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericRowWithSchema(
+        Array[Any](null, Array[Byte](1, 2), "png", distinctiveMask, null),
+        schema)
+    val example = DeeplabModel.exportExample(row)
+    assert(!example.toSeq.containsSlice(distinctiveMask.toSeq),
+      "null class_mask must not fall back to raw color-mask bytes")
   }
 
   test("validateCentroidKeys rejects drifting key sets (F10)") {

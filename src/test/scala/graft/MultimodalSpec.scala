@@ -75,6 +75,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows == Map("v" -> false, "x" -> true))
   }
 
+  test("mp4 walker skips largesize boxes and survives crafted nesting") {
+    import graft.sources.VideoHeaders
+    def u32(v: Int) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val base = VideoHeaders.fakeMp4(1000, 5000, Seq("vide"))
+    val ftyp = base.take(16) // fakeMp4's ftyp box is exactly 16 bytes
+    val moov = base.drop(16)
+    // a largesize (size==1 + 64-bit length) mdat BETWEEN ftyp and moov —
+    // the common big-file layout; the walker must skip it, not bail
+    val mdat = u32(1) ++ "mdat".getBytes("US-ASCII") ++
+      u32(0) ++ u32(24) ++ Array.fill(8)(0.toByte)
+    val meta = VideoHeaders.parse(ftyp ++ mdat ++ moov).get
+    assert(math.abs(meta.durationSec - 5.0) < 1e-9)
+    assert(meta.videoTracks == 1)
+    // 10k nested container headers: must return None, not StackOverflow
+    val n = 10000
+    val evil = new Array[Byte](n * 8)
+    (0 until n).foreach { i =>
+      val size = (n - i) * 8
+      u32(size).copyToArray(evil, i * 8)
+      "trak".getBytes("US-ASCII").copyToArray(evil, i * 8 + 4)
+    }
+    assert(VideoHeaders.parse(ftyp ++ evil).isEmpty)
+  }
+
   test("resizeBilinear halves dimensions, preserves solid regions") {
     import graft.sources.ImageCodec
     val w = 8; val h = 8
