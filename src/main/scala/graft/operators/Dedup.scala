@@ -19,12 +19,44 @@ object Dedup {
   /** Exact dedup: one survivor per distinct value of `contentCols`, keeping
     * the minimum `key` (deterministic "keep-first"). Returns the surviving
     * keys with their group sizes.
+    *
+    * The shuffle key is the raw content — exact but heavy when the content
+    * is document text. At corpus scale prefer [[exactByDigest]], which
+    * ships 192-bit digests through the shuffle instead of documents.
     */
   def exact(df: DataFrame, contentCols: Seq[String],
       key: String): DataFrame =
     df.groupBy(contentCols.map(col): _*)
       .agg(min(col(key)).as(key), count(lit(1)).as("dup_count"))
       .select((key +: contentCols :+ "dup_count").map(col): _*)
+
+  /** Exact dedup at corpus scale: group on a 192-bit content digest
+    * (md5 ⊕ xxhash64 over NUL-joined columns) so the shuffle carries 24
+    * bytes per row instead of the documents themselves — on a 100 TB text
+    * corpus this is the difference between shuffling kilobytes and
+    * shuffling the corpus. Same (key, dup_count) result as [[exact]] up to
+    * a 2^-192-scale collision (cryptographically negligible; the NUL
+    * joiner keeps multi-column boundaries unambiguous). Content columns
+    * are NOT in the output — they stayed on the map side.
+    */
+  def exactByDigest(df: DataFrame, contentCols: Seq[String],
+      key: String): DataFrame = {
+    val joined = concat_ws("\u0000", contentCols.map(col): _*)
+    df.select(col(key), md5(joined).as("_d1"), xxhash64(joined).as("_d2"))
+      .groupBy("_d1", "_d2")
+      .agg(min(col(key)).as(key), count(lit(1)).as("dup_count"))
+      .select(col(key), col("dup_count"))
+  }
+
+  /** End-to-end exact-duplicate REMOVAL via the digest path: keeps the
+    * minimum-key row of every content group, joining survivors back by
+    * key (a semi-join on the narrow key column, broadcastable when the
+    * survivor set fits).
+    */
+  def dropExactDuplicates(df: DataFrame, contentCols: Seq[String],
+      key: String): DataFrame =
+    df.join(exactByDigest(df, contentCols, key).select(key), Seq(key),
+      "left_semi")
 
   /** Word n-gram shingles of a text column (distinct, lowercased). Empty
     * tokens are filtered (so tab/newline padding can't smuggle "" into the

@@ -43,6 +43,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // --- Digest-path exact dedup: the 100 TB form of q25 — the shuffle
+    //     carries a 192-bit content digest, never the documents. The
+    //     oracle groups on the raw text; results agree unless md5+xxhash64
+    //     collide (2^-192).
+    Query(
+      "q64_dedup_digest",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |  count(*) AS dup_count
+        |FROM corpus GROUP BY text
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.exactByDigest(corpusWithDups(s, d), Seq("text"), "doc_id")
+        .orderBy("doc_id")
+    },
+
     // --- Text quality metrics, all codegen'd column math.
     Query(
       "q26_text_quality",

@@ -22,6 +22,22 @@ class DedupSpec extends SparkTestBase {
     assert(dupRow.getAs[Long]("doc_id") == 1L)
   }
 
+  test("exactByDigest matches exact() and dropExactDuplicates removes dups") {
+    val byContent = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id", "dup_count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byDigest = Dedup.exactByDigest(docs, Seq("text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byDigest == byContent)
+    // multi-column boundaries are unambiguous (NUL joiner): ("ab","c")
+    // must NOT collide with ("a","bc")
+    val tricky = Seq((1L, "ab", "c"), (2L, "a", "bc")).toDF("id", "x", "y")
+    assert(Dedup.exactByDigest(tricky, Seq("x", "y"), "id").count() == 2)
+    val kept = Dedup.dropExactDuplicates(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L)) // doc 2 is the exact dup of 1
+  }
+
   test("jaccard: identical sets → 1.0, disjoint → 0.0") {
     val df = docs.select(
       Dedup.jaccard(Dedup.shingles(lit("a b c d")),
