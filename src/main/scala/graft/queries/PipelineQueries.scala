@@ -247,10 +247,11 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
         "[\\p{Punct}]", ""), "\\s+", " "))
-      Dedup.exact(
+      // digest path: the normalized TEXT never rides the shuffle — only
+      // its 192-bit digest does (same scale rationale as q64)
+      Dedup.exactByDigest(
           Tables.load(s, d, "documents").withColumn("norm", norm),
           Seq("norm"), "doc_id")
-        .select("doc_id", "dup_count")
         .orderBy("doc_id")
     },
 
