@@ -485,6 +485,35 @@ object PipelineQueries {
         .limit(30)
     },
 
+    // --- Corpus bigram statistics (top-30 by document frequency):
+    //     n-gram language statistics over the shingle machinery, the
+    //     bigram companion to q54's unigram doc frequencies.
+    Query(
+      "q65_bigram_stats",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(l) AS sh FROM (
+        |    SELECT doc_id, tk, list_transform(range(len(tk) - 1),
+        |        i -> concat_ws(' ', tk[i+1], tk[i+2])) AS l
+        |    FROM (SELECT doc_id, list_filter(string_split_regex(
+        |            lower(trim(text)), '\s+'), t -> t <> '') tk
+        |          FROM documents WHERE len(list_filter(string_split_regex(
+        |            lower(trim(text)), '\s+'), t -> t <> '')) >= 2))),
+        |g AS (SELECT doc_id, unnest(sh) AS bigram FROM sh)
+        |SELECT bigram, count(*) AS doc_freq
+        |FROM g GROUP BY bigram
+        |ORDER BY doc_freq DESC, bigram LIMIT 30""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), n = 2)).as("bigram"))
+        // shingles() emits the whole doc as one "shingle" when it has
+        // fewer than n tokens — exclude those single-token pseudo-bigrams
+        // to match the oracle's len(tk) >= 2 restriction
+        .filter(col("bigram").contains(" "))
+        .groupBy("bigram").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("bigram"))
+        .limit(30)
+    },
+
     // --- As-of join (latest purchase state as of each view event) against
     //     DuckDB's native ASOF LEFT JOIN. Left-outer: views before a
     //     user's first purchase keep a null asof_value.
