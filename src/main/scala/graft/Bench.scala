@@ -41,8 +41,12 @@ object Bench {
     val results = names.map { case (n, _) => n -> best.getOrElse(n, -1.0) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    // total sums SUCCESSFUL queries only — folding the -1 sentinel in would
+    // deflate the total by 1s per failure and make rounds with different
+    // failure counts incomparable; failures are reported as their own count
+    val failed = results.count(_._2 < 0)
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,18 +31,29 @@ object Dedup {
       .select((key +: contentCols :+ "dup_count").map(col): _*)
 
   /** Exact dedup at corpus scale: group on a 192-bit content digest
-    * (md5 ⊕ xxhash64 over NUL-joined columns) so the shuffle carries 24
+    * (md5 ⊕ xxhash64) so the shuffle carries 24
     * bytes per row instead of the documents themselves — on a 100 TB text
     * corpus this is the difference between shuffling kilobytes and
     * shuffling the corpus. Same (key, dup_count) result as [[exact]] up to
-    * a 2^-192-scale collision (cryptographically negligible; the NUL
-    * joiner keeps multi-column boundaries unambiguous). Content columns
-    * are NOT in the output — they stayed on the map side.
+    * a 2^-192-scale collision (cryptographically negligible). Content
+    * columns are NOT in the output — they stayed on the map side.
+    *
+    * The md5 input is a JSON rendering of the content struct with
+    * `ignoreNullFields=false`, which (a) distinguishes NULL from "" and
+    * from any real value, and (b) keeps column boundaries unambiguous via
+    * quoting — so (null, "x") vs ("x", null) and null vs "" all digest
+    * differently, exactly as [[exact]]'s groupBy separates them. (A
+    * separator-joined concat_ws would SKIP nulls and collide all of
+    * those.) xxhash64's own null-skipping is harmless here: the JSON md5
+    * alone carries the null distinction, and a collision needs BOTH
+    * digests to agree.
     */
   def exactByDigest(df: DataFrame, contentCols: Seq[String],
       key: String): DataFrame = {
-    val joined = concat_ws("\u0000", contentCols.map(col): _*)
-    df.select(col(key), md5(joined).as("_d1"), xxhash64(joined).as("_d2"))
+    val rendered = to_json(struct(contentCols.map(col): _*),
+      java.util.Collections.singletonMap("ignoreNullFields", "false"))
+    df.select(col(key), md5(rendered).as("_d1"),
+        xxhash64(contentCols.map(col): _*).as("_d2"))
       .groupBy("_d1", "_d2")
       .agg(min(col(key)).as(key), count(lit(1)).as("dup_count"))
       .select(col(key), col("dup_count"))
@@ -213,6 +224,15 @@ object Dedup {
 
   private def shinglesUdf(n: Int) =
     udf((text: String) => Kernels.shingleSet(text, n))
+
+  /** JVM-kernel shingles: same semantics as [[shingles]] but a single
+    * per-row JVM pass ([[Kernels.shingleSet]]) instead of a Catalyst
+    * higher-order-function tree — the HOF form is interpreted per element
+    * (~100× slower on corpus-wide scans; see the [[Kernels]] note). Use
+    * this one in hot paths; [[shingles]] remains for pure-Column
+    * composition (e.g. applying to expressions inside other HOFs).
+    */
+  def shinglesFast(text: Column, n: Int = 3): Column = shinglesUdf(n)(text)
   private val jaccardUdf = udf(Kernels.jaccard _)
 
   /** LSH candidate pairs: minhash-band the shingles, bucket-join on compact
@@ -359,24 +379,43 @@ object Dedup {
     * labels), so by default that raises IllegalStateException; pass
     * `failOnNonConvergence = false` to accept truncated labels instead
     * (e.g. for progressive/monitoring runs).
+    *
+    * Per-round lineage truncation strategy (`reliableLineage`): the default
+    * `false` uses `localCheckpoint` — cheapest, but it TRUNCATES lineage,
+    * so any lost executor (spot/preemptible nodes, dynamic-allocation
+    * decommission) fails the job instead of recomputing; same caveat as
+    * `cacheShingles` in [[minhashNearDuplicates]]. Pass `true` on such
+    * clusters: rounds are pinned with `persist(MEMORY_AND_DISK)`, which
+    * keeps lineage intact (recoverable, at the cost of re-running earlier
+    * rounds on loss); prior rounds are unpersisted as the loop advances.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "key_a",
       bCol: String = "key_b", maxIterations: Int = 25,
-      failOnNonConvergence: Boolean = true): DataFrame = {
+      failOnNonConvergence: Boolean = true,
+      reliableLineage: Boolean = false): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def pin(df: DataFrame, eager: Boolean): DataFrame =
+      if (!reliableLineage) df.localCheckpoint(eager)
+      else {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if (eager) p.count()
+        p
+      }
     // symmetric edge list, computed once and reused every round
-    val edges = pairs
+    val edges = pin(pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), eager = true)
     // seed labels with round 1 for free: component = min(v, neighbors).
     // Near-clique dup clusters converge here already, so the loop below
     // usually runs exactly once (the confirmation round).
-    var labels = edges.groupBy(col("src"))
+    var labels = pin(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("_mn"))
       .select(col("src").as("v"),
-        least(col("src"), col("_mn")).as("component"))
-      .localCheckpoint(true)
+        least(col("src"), col("_mn")).as("component")), eager = true)
+    // the persisted handle backing `labels` (unpersist must see the exact
+    // persisted plan, not a projection of it)
+    var pinnedLabels = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -386,15 +425,17 @@ object Dedup {
       val proposals = edges
         .join(labels.withColumnRenamed("v", "dst"), "dst")
         .select(col("src").as("v"), col("component"), lit(0).as("_self"))
-      val next = labels.withColumn("_self", lit(1))
+      val next = pin(labels.withColumn("_self", lit(1))
         .union(proposals)
         .groupBy("v").agg(
           min("component").as("component"),
-          max(when(col("_self") === 1, col("component"))).as("_old"))
-        .localCheckpoint(false)
+          max(when(col("_self") === 1, col("component"))).as("_old")),
+        eager = false)
       // labels only ever decrease, so "no row changed" == converged; this
-      // count also materializes the lazy checkpoint
+      // count also materializes the lazy checkpoint / persist
       val changed = next.filter(col("component") =!= col("_old")).count()
+      if (reliableLineage) pinnedLabels.unpersist(false)
+      pinnedLabels = next
       labels = next.drop("_old")
       converged = changed == 0
       iter += 1

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.sources.ImageHeaders
 
@@ -58,19 +59,22 @@ object Multimodal {
     */
   def decodeToTensor(df: DataFrame, bytesCol: String, dim: Int,
       keyCol: String): DataFrame = {
-    import df.sparkSession.implicits._
     val keyIdx = df.schema.fieldIndex(keyCol)
     val bytesIdx = df.schema.fieldIndex(bytesCol)
+    // key rides through with its ORIGINAL type (schema-derived Row encoder)
+    // so the documented "join back on the key" stays a same-type equi-join
+    // — no implicit casts, no bigint→string coercion
+    val outSchema = StructType(Seq(df.schema(keyCol),
+      StructField("tensor", ArrayType(FloatType, containsNull = false))))
     df.mapPartitions { rows =>
       // real impl: initialize the codec ONCE here, then stream the batch
       rows.map { r =>
-        val key = r.get(keyIdx).toString
         val tensor = decodeStub(
           if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx),
           dim)
-        (key, tensor)
+        Row(r.get(keyIdx), tensor)
       }
-    }.toDF(keyCol, "tensor")
+    }(Encoders.row(outSchema))
   }
 
   /** Real MP4 container metadata (duration/timescale/track counts) from
@@ -90,22 +94,27 @@ object Multimodal {
     * pixels use the H×W×3 BGR row-major layout every [[PixelOps]] kernel
     * consumes, so the mask → instance-box / repaint / class-id paths run
     * on actual images. Same mapPartitions batch shape as
-    * [[decodeToTensor]]; undecodable/null payloads (and null keys) yield
+    * [[decodeToTensor]]; the key column keeps its ORIGINAL type (and null
+    * keys pass through as null); undecodable/null payloads yield
     * null fields (SQL null semantics).
     */
   def decodeImage(df: DataFrame, bytesCol: String,
       keyCol: String): DataFrame = {
-    import df.sparkSession.implicits._
     val keyIdx = df.schema.fieldIndex(keyCol)
     val bytesIdx = df.schema.fieldIndex(bytesCol)
+    // key keeps its original type — see decodeToTensor
+    val outSchema = StructType(Seq(df.schema(keyCol),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixels", BinaryType)))
     df.mapPartitions { rows =>
       rows.map { r =>
-        val key = if (r.isNullAt(keyIdx)) null else r.get(keyIdx).toString
         val dec = graft.sources.ImageCodec.decodeBgr(
           if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx))
-        (key, dec.map(_._1), dec.map(_._2), dec.map(_._3))
+        Row(r.get(keyIdx), dec.map(d => Int.box(d._1)).orNull,
+          dec.map(d => Int.box(d._2)).orNull, dec.map(_._3).orNull)
       }
-    }.toDF(keyCol, "width", "height", "pixels")
+    }(Encoders.row(outSchema))
   }
 
   /** REAL audio decode + feature extraction via the JDK's built-in codecs
@@ -114,24 +123,33 @@ object Multimodal {
     * duration_sec, rms, zcr) relation — other input columns are not
     * carried (join back on the key if needed); these are the signals an
     * audio-corpus quality filter thresholds on. Same mapPartitions batch
-    * shape; undecodable/compressed payloads (and null keys) yield null
+    * shape; the key column keeps its ORIGINAL type (null keys pass
+    * through); undecodable/compressed payloads yield null
     * fields.
     */
   def audioFeatures(df: DataFrame, bytesCol: String,
       keyCol: String): DataFrame = {
-    import df.sparkSession.implicits._
     val keyIdx = df.schema.fieldIndex(keyCol)
     val bytesIdx = df.schema.fieldIndex(bytesCol)
+    // key keeps its original type — see decodeToTensor
+    val outSchema = StructType(Seq(df.schema(keyCol),
+      StructField("sample_rate", FloatType),
+      StructField("channels", IntegerType),
+      StructField("duration_sec", DoubleType),
+      StructField("rms", DoubleType),
+      StructField("zcr", DoubleType)))
     df.mapPartitions { rows =>
       rows.map { r =>
-        val key = if (r.isNullAt(keyIdx)) null else r.get(keyIdx).toString
         val dec = graft.sources.AudioCodec.decodePcm(
           if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx))
         val feats = dec.map(graft.sources.AudioCodec.features)
-        (key, dec.map(_.sampleRate), dec.map(_.channels),
-          feats.map(_._1), feats.map(_._2), feats.map(_._3))
+        Row(r.get(keyIdx), dec.map(d => Float.box(d.sampleRate)).orNull,
+          dec.map(d => Int.box(d.channels)).orNull,
+          feats.map(f => Double.box(f._1)).orNull,
+          feats.map(f => Double.box(f._2)).orNull,
+          feats.map(f => Double.box(f._3)).orNull)
       }
-    }.toDF(keyCol, "sample_rate", "channels", "duration_sec", "rms", "zcr")
+    }(Encoders.row(outSchema))
   }
 
   /** Frame sampling plumbing for video-like payloads: pick `k` evenly spaced

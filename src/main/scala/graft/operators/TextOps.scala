@@ -254,11 +254,29 @@ object TextOps {
   /** Deterministic polynomial rolling hash of the raw characters —
     * the document fingerprint (order-sensitive, unlike a token set hash).
     * acc = (acc * 31 + codepoint) mod 1e9+7.
+    *
+    * Implemented as a single JVM code-point loop: the Catalyst formulation
+    * (`aggregate` over `split(text, "")`) evaluates an interpreted HOF
+    * fold PER CHARACTER — on multi-KB documents that is thousands of
+    * interpreted expression evaluations per row, the same tax the
+    * [[graft.operators.Dedup.Kernels]] note documents. Null text → null
+    * (SQL semantics, matching the HOF form).
     */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      // filter the trailing "" Spark's split-by-empty-regex emits
-      transform(filter(split(text, ""), c => c =!= ""),
-        c => ascii(c).cast("bigint")),
-      lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+  def fingerprint(text: Column): Column = fingerprintUdf(text)
+
+  private val fingerprintUdf = udf((text: String) => {
+    if (text == null) null
+    else {
+      var acc = 0L
+      var i = 0
+      // iterate unicode CODE POINTS (not UTF-16 units): mirrors the
+      // oracle's ord() over per-character split, surrogate pairs intact
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      java.lang.Long.valueOf(acc)
+    }
+  }: java.lang.Long)
 }

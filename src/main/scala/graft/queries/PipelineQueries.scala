@@ -154,6 +154,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // --- Corpus-wide fingerprint rollup: same kernel as q28 but over the
+    //     WHOLE corpus, reduced to one checksum row — exists so the bench
+    //     sees the fingerprint kernel at corpus scale (q28's 100-doc slice
+    //     hides a per-character cost).
+    Query(
+      "q66_fingerprint_corpus",
+      """SELECT count(*) AS docs,
+        |  count(DISTINCT fp) AS distinct_fp,
+        |  CAST(sum(fp) AS BIGINT) AS fp_sum
+        |FROM (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''),
+        |      x -> CAST(ord(x) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("docs"),
+          count_distinct(col("fp")).as("distinct_fp"),
+          sum(col("fp")).as("fp_sum"))
+    },
+
     // --- Brute-force exact n-gram Jaccard (the O(n²) baseline; bounded).
     Query(
       "q29_ngram_jaccard",
@@ -504,7 +526,10 @@ object PipelineQueries {
         |ORDER BY doc_freq DESC, bigram LIMIT 30""".stripMargin) { (s, d) =>
       Tables.load(s, d, "documents")
         .select(col("doc_id"),
-          explode(Dedup.shingles(col("text"), n = 2)).as("bigram"))
+          // shinglesFast: JVM kernel, not the interpreted-HOF shingles() —
+          // this explode runs over the whole corpus (was the suite's
+          // slowest query on the HOF path)
+          explode(Dedup.shinglesFast(col("text"), n = 2)).as("bigram"))
         // shingles() emits the whole doc as one "shingle" when it has
         // fewer than n tokens — exclude those single-token pseudo-bigrams
         // to match the oracle's len(tk) >= 2 restriction

@@ -57,8 +57,10 @@ object AudioCodec {
         Some(Pcm(fmt.getSampleRate, fmt.getChannels, out))
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // NonFatal (not just the two checked exceptions): the JDK audio SPI
+      // throws unchecked exceptions on corrupt headers/truncated frames;
+      // undecodable payloads must keep SQL null semantics, not fail the task
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

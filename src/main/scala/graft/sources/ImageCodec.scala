@@ -23,7 +23,11 @@ object ImageCodec {
     if (bytes == null || bytes.isEmpty) return None
     val img =
       try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      // NonFatal, not just IOException: JDK image plugins throw unchecked
+      // exceptions on corrupt/truncated payloads (CMMException,
+      // IllegalArgumentException, IndexOutOfBoundsException) — one bad
+      // image must yield null fields, not fail the whole Spark task
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val w = img.getWidth

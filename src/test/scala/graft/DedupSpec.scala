@@ -29,13 +29,32 @@ class DedupSpec extends SparkTestBase {
     val byDigest = Dedup.exactByDigest(docs, Seq("text"), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(byDigest == byContent)
-    // multi-column boundaries are unambiguous (NUL joiner): ("ab","c")
+    // multi-column boundaries are unambiguous (JSON rendering): ("ab","c")
     // must NOT collide with ("a","bc")
     val tricky = Seq((1L, "ab", "c"), (2L, "a", "bc")).toDF("id", "x", "y")
     assert(Dedup.exactByDigest(tricky, Seq("x", "y"), "id").count() == 2)
     val kept = Dedup.dropExactDuplicates(docs, Seq("text"), "doc_id")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L, 5L)) // doc 2 is the exact dup of 1
+  }
+
+  test("exactByDigest hashes nulls distinctly, matching exact()") {
+    // every row here is a DISTINCT content group under exact()'s groupBy:
+    // null vs "" vs value, and (null, x) vs (x, null) — a separator-joined
+    // digest would collide several of them (nulls skipped by concat_ws)
+    val nullish = Seq[(java.lang.Long, String, String)](
+      (1L, null, "x"), (2L, "x", null), (3L, "", "x"), (4L, "x", ""),
+      (5L, null, null), (6L, "", ""), (7L, "x", "x"))
+      .toDF("id", "a", "b")
+    val byDigest = Dedup.exactByDigest(nullish, Seq("a", "b"), "id")
+    assert(byDigest.count() == 7)
+    assert(byDigest.agg(max($"dup_count")).as[Long].head() == 1L)
+    // and true duplicates WITH nulls still collapse
+    val withDup = nullish.unionByName(
+      Seq[(java.lang.Long, String, String)]((8L, null, "x")).toDF("id", "a", "b"))
+    val groups = Dedup.exactByDigest(withDup, Seq("a", "b"), "id")
+    assert(groups.count() == 7)
+    assert(groups.filter($"dup_count" === 2).select("id").as[Long].head() == 1L)
   }
 
   test("jaccard: identical sets → 1.0, disjoint → 0.0") {

@@ -166,6 +166,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(t1 == t2) // deterministic
   }
 
+  test("decode outputs preserve the key column's original type") {
+    // bigint keys must stay bigint (not coerce to string): the documented
+    // "join back on the key" contract needs a same-type equi-join
+    val df = Seq((10L, "payload".getBytes), (11L, null))
+      .toDF("doc_id", "blob")
+    val tensor = Multimodal.decodeToTensor(df, "blob", dim = 4, keyCol = "doc_id")
+    assert(tensor.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(tensor.select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
+    val img = Multimodal.decodeImage(df, "blob", keyCol = "doc_id")
+    assert(img.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // non-image payloads decode to null fields, key intact
+    assert(img.filter($"width".isNull).count() == 2)
+    val audio = Multimodal.audioFeatures(df, "blob", keyCol = "doc_id")
+    assert(audio.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("codecs yield null fields (not task failure) on corrupt payloads") {
+    // truncated/garbage bytes with plausible magic numbers reach the JDK
+    // plugins and historically threw unchecked exceptions mid-decode
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a, 0, 0, 0, 13, 'I', 'H', 'D', 'R', 1, 2, 3)
+    val wavMagic = "RIFF1234WAVEfmt ".getBytes ++ Array.fill[Byte](7)(0x7f)
+    assert(graft.sources.ImageCodec.decodeBgr(pngMagic).isEmpty)
+    assert(graft.sources.AudioCodec.decodePcm(wavMagic).isEmpty)
+  }
+
   test("sampleFrameIndices picks k evenly spaced, bounded indices") {
     val out = Seq(100, 3, 0).toDF("n")
       .select($"n", Multimodal.sampleFrameIndices($"n", 4).as("idx"))
