@@ -18,10 +18,14 @@ import graft.functions.ArrayDotProduct
   * [[GraftExtensions.registerAll]] instead.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // plan rewrite: plain-SQL point-in-interval theta-joins get the binned
+    // equi-join plan (no BroadcastNestedLoopJoin) without user involvement
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -71,8 +75,20 @@ object GraftExtensions {
       }))
 
   /** Register every engine function on an already-running session. */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     functions.foreach { case (name, i, builder) =>
       FunctionShim.register(spark, name, i, builder)
     }
+    // live-session analog of injectOptimizerRule (ExperimentalMethods is
+    // public API); idempotent — the rule never matches its own output, and
+    // duplicate registration only re-runs a no-op
+    spark match {
+      case c: org.apache.spark.sql.classic.SparkSession
+          if !c.experimental.extraOptimizations
+            .contains(graft.plans.RangeJoinRewrite) =>
+        c.experimental.extraOptimizations ++=
+          Seq(graft.plans.RangeJoinRewrite)
+      case _ => ()
+    }
+  }
 }

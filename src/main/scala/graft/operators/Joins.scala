@@ -91,19 +91,21 @@ object Joins {
       leftAt: String, rightStart: String, rightEnd: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be > 0")
+    // the _graft_bin name doubles as the RangeJoinRewrite re-entry guard:
+    // the optimizer rule must not re-bin this already-binned join
     // inverted intervals (end < start) can never contain a point, but
     // Spark's sequence() would step BACKWARDS through them, materializing
     // an arbitrarily large bin array per malformed row — drop them first
     // (semantics-preserving: the containment predicate is always false)
     val rBinned = right
       .filter(col(rightEnd) >= col(rightStart))
-      .withColumn("_bin",
+      .withColumn("_graft_bin",
         explode(sequence(floor(col(rightStart) / binWidth).cast("long"),
           floor(col(rightEnd) / binWidth).cast("long"))))
-    val lBinned = left.withColumn("_bin",
+    val lBinned = left.withColumn("_graft_bin",
       floor(col(leftAt) / binWidth).cast("long"))
-    lBinned.join(rBinned, keyCols :+ "_bin")
+    lBinned.join(rBinned, keyCols :+ "_graft_bin")
       .filter(col(leftAt) >= col(rightStart) && col(leftAt) < col(rightEnd))
-      .drop("_bin")
+      .drop("_graft_bin")
   }
 }

@@ -1,0 +1,193 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite point-in-interval theta-joins to the binned
+  * equi-join form of [[graft.operators.Joins.rangeJoin]].
+  *
+  * A plain-SQL inner join whose only cross-side predicate is
+  * `p.at >= i.start AND p.at < i.end` has no equi-join key, so Spark plans
+  * it as a BroadcastNestedLoopJoin — O(|L|·|R|) and a guaranteed
+  * scale-killer. The engine's `rangeJoin` operator avoids that by binning,
+  * but a user writing raw SQL/DataFrame predicates never sees it. This rule
+  * makes the scale-safe plan the DEFAULT: it detects the containment
+  * pattern in an inner-join condition and rewrites
+  *
+  * {{{
+  *   Join(cond = at >= start AND at < end AND rest)
+  * }}}
+  * into
+  * {{{
+  *   Project(original output,
+  *     Filter(at >= start AND at < end,            // exact containment
+  *       Join(cond = bin(at) = bin AND rest,
+  *         Project(point side + bin(at)),
+  *         Generate(explode(sequence(bin(start), bin(end))),
+  *           Filter(end >= start, interval side)))))
+  * }}}
+  *
+  * so the join carries an equi key (the bin) and candidate pairs are
+  * bounded by bin co-residency, not |L|·|R|. Works whether the point is on
+  * the left or the right side, accepts `>=`/`>` lower and `<`/`<=` upper
+  * bounds (the exact predicate is re-applied above the join, so bins only
+  * need to be a superset), and composes with existing equi keys (they stay
+  * in the join condition; the bin key is appended). One bound pair is
+  * binned per join — a second range dimension stays a residual predicate.
+  *
+  * Bin width: when the upper bound is `at < start + C` (a sliding window —
+  * the common form), C is used directly, giving at most two bins per
+  * interval. Otherwise `spark.graft.rangeJoin.binWidth` (default 3600) in
+  * the units of the bound columns. `spark.graft.rangeJoin.enabled=false`
+  * disables the rule.
+  *
+  * Guards: inner joins only, deterministic numeric bounds, and the
+  * inverted-interval filter (`end >= start`) keeps `sequence()` from
+  * stepping backwards through malformed rows (same guard as `rangeJoin`).
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val EnabledKey = "spark.graft.rangeJoin.enabled"
+  val BinWidthKey = "spark.graft.rangeJoin.binWidth"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(EnabledKey, "true").toLowerCase != "true") plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(_), _) if j.resolved =>
+        rewrite(j).getOrElse(j)
+    }
+
+  /** A detected `point in [start, end)` bound pair inside a join cond. */
+  private final case class Containment(point: Expression, start: Expression,
+      end: Expression, lower: Expression, upper: Expression,
+      pointOnLeft: Boolean, inferredWidth: Option[Long])
+
+  private def rewrite(j: Join): Option[LogicalPlan] = {
+    val cond = j.condition.get
+    val conjuncts = splitConjunctivePredicates(cond)
+    // Re-entry guard: this rule shares the operator-optimization fixpoint
+    // with PushPredicateThroughJoin, which pushes the containment Filter we
+    // emit back into the join condition — without this check the pair
+    // ping-pongs forever. A join whose condition already references a bin
+    // attribute IS our output (the pushed-back exact predicate is the
+    // correct residual of the binned hash join); one bound pair per join.
+    val alreadyBinned = conjuncts.exists(
+      _.references.exists(_.name.startsWith("_graft_bin")))
+    if (alreadyBinned) return None
+    detect(conjuncts, j.left, j.right).map { c =>
+      val width = c.inferredWidth.getOrElse(
+        conf.getConfString(BinWidthKey, "3600").toLong)
+      require(width > 0, s"$BinWidthKey must be > 0, got $width")
+
+      def bin(e: Expression): Expression =
+        Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
+
+      val (pointChild, intervalChild) =
+        if (c.pointOnLeft) (j.left, j.right) else (j.right, j.left)
+      // point side: one bin per row, projected alongside every column
+      val pointBin = Alias(bin(c.point), "_graft_bin_pt")()
+      val pointBinned = Project(
+        pointChild.output :+ pointBin, pointChild)
+      // interval side: explode the covered bin range; drop inverted
+      // intervals FIRST (they contain no point, and sequence() would step
+      // backwards through them)
+      val intervalBin = AttributeReference("_graft_bin", LongType,
+        nullable = false)()
+      // Sequence is TimeZoneAwareExpression: it is only `resolved` with a
+      // timezone id set, even over plain longs — without one the optimizer
+      // rejects the rewritten plan as newly-unresolved
+      val intervalBinned = Generate(
+        Explode(new Sequence(bin(c.start), bin(c.end), None,
+          Some(conf.sessionLocalTimeZone))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(intervalBin),
+        child = Filter(GreaterThanOrEqual(c.end, c.start), intervalChild))
+      val (newLeft, newRight) =
+        if (c.pointOnLeft) (pointBinned, intervalBinned)
+        else (intervalBinned, pointBinned)
+      // bound pair moves ABOVE the join (exact containment re-check; also
+      // what stops this rule from re-matching its own output); every other
+      // conjunct — equi keys included — stays in the join condition
+      val others = conjuncts.filterNot(e =>
+        e.fastEquals(c.lower) || e.fastEquals(c.upper))
+      val newCond = (others :+
+        EqualTo(pointBin.toAttribute, intervalBin): Seq[Expression])
+        .reduce(And)
+      Project(j.output,
+        Filter(And(c.lower, c.upper),
+          Join(newLeft, newRight, Inner, Some(newCond), j.hint)))
+    }
+  }
+
+  /** Find a conjunct pair bounding one point expression inside one
+    * interval, with the point evaluable on one side and both bounds on the
+    * other.
+    */
+  private def detect(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Option[Containment] = {
+    def sideOf(e: Expression): Option[Boolean] =
+      if (e.references.isEmpty) None // constants bound neither side
+      else if (e.references.subsetOf(left.outputSet)) Some(true)
+      else if (e.references.subsetOf(right.outputSet)) Some(false)
+      else None
+    def usable(e: Expression): Boolean =
+      e.deterministic && e.dataType.isInstanceOf[NumericType]
+    // normalized (point, bound, original) views of each conjunct
+    def asLower(e: Expression): Option[(Expression, Expression)] = e match {
+      case GreaterThanOrEqual(p, s) => Some((p, s))
+      case GreaterThan(p, s) => Some((p, s))
+      case LessThanOrEqual(s, p) => Some((p, s))
+      case LessThan(s, p) => Some((p, s))
+      case _ => None
+    }
+    def asUpper(e: Expression): Option[(Expression, Expression)] = e match {
+      case LessThan(p, en) => Some((p, en))
+      case LessThanOrEqual(p, en) => Some((p, en))
+      case GreaterThan(en, p) => Some((p, en))
+      case GreaterThanOrEqual(en, p) => Some((p, en))
+      case _ => None
+    }
+    val candidates = for {
+      lo <- conjuncts.iterator
+      (point, start) <- asLower(lo).iterator
+      if usable(point) && usable(start)
+      pointSide <- sideOf(point).iterator
+      startSide <- sideOf(start).iterator
+      if pointSide != startSide
+      up <- conjuncts.iterator
+      if !up.fastEquals(lo)
+      (point2, end) <- asUpper(up).iterator
+      if point2.semanticEquals(point) && usable(end)
+      endSide <- sideOf(end).iterator
+      if endSide == startSide
+    } yield Containment(point, start, end, lower = lo, upper = up,
+      pointOnLeft = pointSide, inferredWidth = slideWidth(start, end))
+    candidates.nextOption()
+  }
+
+  /** `end = start + C` (either operand order) → the interval length C is
+    * the ideal bin width: each interval covers at most two bins.
+    */
+  private def slideWidth(start: Expression,
+      end: Expression): Option[Long] = end match {
+    case Add(s2, Literal(v, _), _) if s2.semanticEquals(start) =>
+      literalLong(v)
+    case Add(Literal(v, _), s2, _) if s2.semanticEquals(start) =>
+      literalLong(v)
+    case _ => None
+  }
+
+  private def literalLong(v: Any): Option[Long] = (v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case f: Float => Some(math.ceil(f).toLong)
+    case d: Double => Some(math.ceil(d).toLong)
+    case d: Decimal => Some(math.ceil(d.toDouble).toLong)
+    case _ => None
+  }).filter(_ > 0)
+}

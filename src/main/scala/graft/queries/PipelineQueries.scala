@@ -624,6 +624,36 @@ object PipelineQueries {
         .orderBy("click_id", "purchase_id")
     },
 
+    // --- q57's predicate written the way a plain-SQL user would: a raw
+    //     theta-join, NO call to Joins.rangeJoin. The RangeJoinRewrite
+    //     optimizer rule must turn it into the binned equi-join (its
+    //     sliding-window form even infers the 3600000 bin width from the
+    //     `< start + C` literal); RangeJoinRewriteSpec pins the plan shape.
+    Query(
+      "q67_range_join_sql",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_ms(c.ts) >= epoch_ms(p.ts)
+        |  AND epoch_ms(c.ts) < epoch_ms(p.ts) + 3600000
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("at_ms"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          unix_millis(col("ts")).as("start_ms"),
+          col("event_id").as("purchase_id"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("at_ms") >= col("start_ms") &&
+            col("at_ms") < col("start_ms") + 3600000L)
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+
     // --- Latest event per user as ONE max_by aggregation (no window, no
     //     sort — map-side combine applies). The oracle's explicit
     //     (ts DESC, event_id DESC) ranking pins the SAME tie-break as

@@ -63,6 +63,54 @@ class PlanShapeSpec extends SparkTestBase {
       || p.contains("SortAggregate"), s"expected aggregation in:\n$p")
   }
 
+  test("q55 asOf join plans exactly one Exchange and one Sort") {
+    // the operator's whole value is this shape: union both sides, ONE
+    // hash partitioning on the key, ONE per-partition sort, running last()
+    // — the cost envelope of a single sort-merge join
+    val p = plan("q55_asof_join")
+    val body = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan")).mkString("\n")
+    def count(needle: String) =
+      body.sliding(needle.length).count(_ == needle)
+    // the final orderBy of the query contributes one rangepartitioning
+    // exchange + its sort; the asOf core must add exactly one of each
+    assert(count("Exchange hashpartitioning") == 1,
+      s"asOf must hash-partition exactly once:\n$body")
+    assert(count("+- Sort ") + count("+- *Sort ") <= 2,
+      s"asOf core must sort once (plus the output orderBy):\n$body")
+    assert(!body.contains("BroadcastNestedLoopJoin") &&
+      !body.contains("CartesianProduct") && !body.contains("Join"),
+      s"asOf must not plan a join at all:\n$body")
+  }
+
+  test("q57/q67 range joins stay equi-joins — never nested-loop") {
+    for (q <- Seq("q57_range_join", "q67_range_join_sql")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q fell back to a nested-loop plan:\n$p")
+      assert(p.contains("_graft_bin"), s"$q lost its bin key:\n$p")
+    }
+  }
+
+  test("keyless raw-SQL range join is rewritten away from nested-loop") {
+    // the optimizer-rule path with NO equi key: vanilla Spark plans this
+    // exact query as BroadcastNestedLoopJoin
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(unix_millis(col("ts")).as("at_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(unix_millis(col("ts")).as("start_ms"))
+    val joined = clicks.join(purchases,
+      col("at_ms") >= col("start_ms") &&
+        col("at_ms") < col("start_ms") + 60000L)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      p.contains("_graft_bin"),
+      s"keyless range join not rewritten:\n$p")
+  }
+
   private object Tables {
     def docs: DataFrame =
       graft.core.Tables.load(spark, sfDir, "documents")

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+import graft.plans.RangeJoinRewrite
+
+/** The optimizer rule that turns point-in-interval theta-joins into the
+  * binned equi-join: plan shape (no nested-loop join), result parity with
+  * both the naive plan and the explicit [[Joins.rangeJoin]] operator, both
+  * orientations, width inference, and the disable knob.
+  */
+class RangeJoinRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val points = Seq((1L, 5L), (2L, 15L), (3L, 25L), (4L, 250L))
+    .toDF("pid", "at")
+  // iid 13 is inverted (end < start): contains nothing, must not blow up
+  private val intervals = Seq((10L, 0L, 10L), (11L, 10L, 20L),
+    (12L, 240L, 260L), (13L, 30L, 20L)).toDF("iid", "start", "end")
+  private val expected = Set((1L, 10L), (2L, 11L), (4L, 12L))
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("pid", "iid").as[(Long, Long)].collect().toSet
+
+  test("keyless range theta-join plans as a binned equi-join, not BNLJ") {
+    val joined = points.join(intervals,
+      $"at" >= $"start" && $"at" < $"end")
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rewrite did not fire:\n$plan")
+    assert(plan.contains("_graft_bin"), s"no bin key in:\n$plan")
+    assert(pairs(joined) == expected)
+  }
+
+  test("disable knob restores vanilla planning, same results") {
+    spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
+    try {
+      val joined = points.join(intervals,
+        $"at" >= $"start" && $"at" < $"end")
+      assert(physical(joined).contains("BroadcastNestedLoopJoin"))
+      assert(pairs(joined) == expected)
+    } finally spark.conf.unset(RangeJoinRewrite.EnabledKey)
+  }
+
+  test("sliding-window upper bound infers the bin width from the literal") {
+    val starts = intervals.select($"iid", $"start")
+    val joined = points.join(starts,
+      $"at" >= $"start" && $"at" < $"start" + 20L)
+    val plan = physical(joined)
+    assert(plan.contains("_graft_bin"), s"rewrite did not fire:\n$plan")
+    // width 20 (the window length), not the 3600 conf default
+    assert(plan.contains("/ 20.0"), s"inferred width missing in:\n$plan")
+    val manual = points.crossJoin(starts)
+      .filter($"at" >= $"start" && $"at" < $"start" + 20L)
+    assert(pairs(joined) == pairs(manual))
+  }
+
+  test("point on the RIGHT side rewrites too") {
+    val joined = intervals.join(points,
+      $"at" >= $"start" && $"at" < $"end")
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"rewrite did not fire:\n$plan")
+    assert(pairs(joined) == expected)
+  }
+
+  test("composes with equi keys and matches Joins.rangeJoin") {
+    val l = points.withColumn("k", $"pid" % 2)
+    val r = intervals.withColumn("k", $"iid" % 2)
+    val joined = l.as("l").join(r.as("r"),
+      col("l.k") === col("r.k") && $"at" >= $"start" && $"at" < $"end")
+      .select($"pid", $"iid")
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"rewrite did not fire:\n$plan")
+    val viaOperator = Joins.rangeJoin(l, r.withColumnRenamed("k", "k2")
+        .withColumnRenamed("iid", "iid2").withColumnRenamed("k2", "k"),
+        Seq("k"), "at", "start", "end", binWidth = 16L)
+      .select($"pid", col("iid2").as("iid"))
+    assert(pairs(joined) == pairs(viaOperator))
+  }
+
+  test("raw SQL through the extension point gets the rewrite") {
+    points.createOrReplaceTempView("rr_points")
+    intervals.createOrReplaceTempView("rr_intervals")
+    val joined = spark.sql(
+      """SELECT pid, iid FROM rr_points p JOIN rr_intervals i
+        |ON p.at >= i.start AND p.at < i.end""".stripMargin)
+    assert(!physical(joined).contains("BroadcastNestedLoopJoin"))
+    assert(joined.as[(Long, Long)].collect().toSet == expected)
+  }
+
+  test("null bounds and null points drop out (SQL semantics)") {
+    val np = Seq((1L, Some(5L)), (5L, None)).toDF("pid", "at")
+    val ni = Seq((10L, Some(0L), Some(10L)), (14L, None, Some(9L)),
+      (15L, Some(0L), None)).toDF("iid", "start", "end")
+    val joined = np.join(ni, $"at" >= $"start" && $"at" < $"end")
+    assert(physical(joined).contains("_graft_bin"))
+    assert(pairs(joined) == Set((1L, 10L)))
+  }
+}
