@@ -217,6 +217,33 @@ class DedupSpec extends SparkTestBase {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"comps: $comps")
   }
 
+  test("minhash recall vs the exact jaccard baseline (pinned floor)") {
+    // ground truth from the exact O(n²) ngramJaccardPairs on a bounded
+    // slice of the real documents fixture; the banded-LSH path at q30's
+    // parameters (64 hashes, 16 bands, shingle 3, threshold 0.9) must
+    // recover >=0.95 of it. At jaccard s>=0.9 the per-band match
+    // probability is s^4 ~ 0.66, so P(missing all 16 bands) < 1e-7 per
+    // pair — a sub-0.95 recall here means the banding is broken, not
+    // unlucky. Floors documented in COVERAGE.md.
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").filter($"doc_id" < 300).select("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    val truth = pairSet(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.9))
+    assert(truth.nonEmpty, "fixture has no jaccard>=0.9 pairs to test on")
+    val lsh = pairSet(Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.9))
+    val recall = lsh.intersect(truth).size.toDouble / truth.size
+    info(f"jaccard>=0.9 pairs: ${truth.size}, minhash recall $recall%.3f")
+    assert(recall >= 0.95,
+      f"minhash recall $recall%.3f under the 0.95 floor (${truth.size} pairs)")
+    // precision is exact by construction: every candidate is verified with
+    // the true jaccard before the threshold — no false pairs at all
+    assert(lsh.subsetOf(pairSet(Dedup.ngramJaccardPairs(docs, "text",
+      "doc_id", n = 3, threshold = 0.9 - 1e-9))))
+  }
+
   test("ngramJaccardPairs ranks the near-dup above unrelated pairs") {
     val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))

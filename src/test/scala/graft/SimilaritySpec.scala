@@ -105,4 +105,38 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toList == List((0L, 1L)))
   }
+
+  test("lshNeighborPairs recall vs the exact baseline (pinned floor)") {
+    // The embeddings fixture is near-orthogonal gaussian noise (max pair
+    // cosine ~0.55) — it has no true near-duplicates, so recall there is
+    // undefined. Plant them: 30 perturbed copies (cosine ~0.9999) of real
+    // fixture vectors among 200 fixture distractors, then require the LSH
+    // path at q33's parameters to recover a pinned fraction of the exact
+    // cosinePairs ground truth. Everything (vectors, perturbation, seeded
+    // hyperplanes) is deterministic, so the measured recall is a constant;
+    // the floor is slack under it only to survive parameter retuning.
+    // Floors documented in COVERAGE.md.
+    val base = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").filter(col("vec_id") < 200)
+      .select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.001f) + lit(0.0004f)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    val truth = pairSet(Similarity.cosinePairs(corpus, "embedding",
+      "vec_id", threshold = 0.99))
+    assert(truth.size == 30, s"expected the 30 planted pairs, got $truth")
+    val lsh = pairSet(Similarity.lshNeighborPairs(corpus, "embedding",
+      "vec_id", dim = 64, numBits = 4, threshold = 0.15))
+    // single-table sign-bit LSH: a pair is a candidate only when ALL
+    // numBits sign bits agree, so recall rises with similarity — the
+    // near-identical planted pairs are exactly the ones it must not lose
+    val recall = lsh.intersect(truth).size.toDouble / truth.size
+    info(f"planted pairs: ${truth.size}, LSH recall $recall%.3f")
+    assert(recall >= 0.9,
+      f"LSH recall $recall%.3f under the 0.9 floor")
+  }
 }

@@ -117,6 +117,84 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asOfStream parity: equals the batch Joins.asOf on the same fixture") {
+    // the contract that keeps the streaming form honest: on in-order
+    // delivery (the case the online path is FOR), its output must be
+    // byte-identical to the exact batch operator
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.Tagged
+    val fixture = Seq(
+      Tagged(1L, 10L, isRight = true, 1.0),
+      Tagged(1L, 20L, isRight = false, 100.0),
+      Tagged(2L, 30L, isRight = false, 200.0), // no right for key 2 yet
+      Tagged(1L, 40L, isRight = true, 2.0),
+      Tagged(1L, 40L, isRight = false, 101.0), // right AT left ts matches
+      Tagged(2L, 50L, isRight = true, 3.0),
+      Tagged(1L, 60L, isRight = false, 102.0),
+      Tagged(2L, 70L, isRight = false, 201.0),
+      Tagged(3L, 80L, isRight = false, 300.0)) // key with no rights at all
+    val mem = MemoryStream[Tagged]
+    val q = Streams.asOfStream(mem.toDS())
+      .writeStream.format("memory").queryName("asof_parity")
+      .outputMode("append").start()
+    val streamed = try {
+      // two batches, split mid-stream, still in event-time order
+      mem.addData(fixture.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.drop(5): _*)
+      q.processAllAvailable()
+      spark.table("asof_parity").as[Streams.Enriched]
+        .collect().map(e => (e.key, e.tsMs, e.value, e.asofValue)).toSet
+    } finally q.stop()
+    val left = fixture.filter(!_.isRight)
+      .map(t => (t.key, t.tsMs, t.value)).toDF("key", "tsMs", "value")
+    val right = fixture.filter(_.isRight)
+      .map(t => (t.key, t.tsMs, t.value)).toDF("key", "rts", "value")
+    val batch = graft.operators.Joins.asOf(left, right, Seq("key"),
+        leftTs = "tsMs", rightTs = "rts", rightVals = Seq("value"))
+      .select($"key", $"tsMs", $"value", $"asof_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(streamed == batch)
+  }
+
+  test("dedupStream parity: equals batch exact dedup on redelivered rows") {
+    // at-least-once redelivery ships byte-identical records; on that case
+    // (the one both operators exist for) streaming keep-first must equal
+    // the batch digest-path dedup keeping the first delivery
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val deliveries = Seq(
+      (1L, t("2024-01-01 10:00:00"), "a"),
+      (2L, t("2024-01-01 10:00:05"), "b"),
+      (1L, t("2024-01-01 10:00:00"), "a"), // identical redelivery
+      (3L, t("2024-01-01 10:00:10"), "c"),
+      (2L, t("2024-01-01 10:00:05"), "b"), // identical redelivery
+      (2L, t("2024-01-01 10:00:05"), "b")) // twice
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streams.dedupStream(
+        mem.toDF().toDF("id", "ts", "payload"), Seq("id"), "ts")
+      .writeStream.format("memory").queryName("dedup_parity")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(deliveries.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(deliveries.drop(3): _*)
+      q.processAllAvailable()
+      spark.table("dedup_parity").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSet
+    } finally q.stop()
+    val withIdx = deliveries.zipWithIndex
+      .map { case ((id, ts, p), i) => (i.toLong, id, ts, p) }
+      .toDF("idx", "id", "ts", "payload")
+    val batch = graft.operators.Dedup.dropExactDuplicates(withIdx,
+        Seq("id", "ts", "payload"), "idx")
+      .select("id", "ts", "payload").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("sessionize closes a session on gap and keeps state within gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
