@@ -83,12 +83,19 @@ object GraftExtensions {
     // public API); idempotent — the rule never matches its own output, and
     // duplicate registration only re-runs a no-op
     spark match {
-      case c: org.apache.spark.sql.classic.SparkSession
-          if !c.experimental.extraOptimizations
-            .contains(graft.plans.RangeJoinRewrite) =>
-        c.experimental.extraOptimizations ++=
-          Seq(graft.plans.RangeJoinRewrite)
-      case _ => ()
+      case c: org.apache.spark.sql.classic.SparkSession =>
+        if (!c.experimental.extraOptimizations
+            .contains(graft.plans.RangeJoinRewrite))
+          c.experimental.extraOptimizations ++=
+            Seq(graft.plans.RangeJoinRewrite)
+      case other =>
+        // don't silently diverge from the spark.sql.extensions path: the
+        // SQL functions registered above work here, but theta-range joins
+        // will keep their vanilla (nested-loop) plans
+        System.err.println(
+          "graft: RangeJoinRewrite not registered — session is " +
+            s"${other.getClass.getName}, not a classic SparkSession; " +
+            "use spark.sql.extensions=graft.GraftExtensions instead")
     }
   }
 }

@@ -112,7 +112,7 @@ object Dedup {
       */
     def shingleSet(text: String, n: Int): Array[String] = {
       if (text == null) return Array.empty
-      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val tk = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       if (tk.length == 0) Array.empty
       else if (tk.length < n) Array(tk.mkString(" "))
       else {
@@ -185,7 +185,7 @@ object Dedup {
       */
     def simhash32(text: String): java.lang.Long = {
       if (text == null) return null
-      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val tk = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       val seen = new scala.collection.mutable.HashSet[String]
       val votes = new Array[Int](32)
       var ti = 0

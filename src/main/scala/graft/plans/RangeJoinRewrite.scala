@@ -38,11 +38,17 @@ import org.apache.spark.sql.types._
   * in the join condition; the bin key is appended). One bound pair is
   * binned per join — a second range dimension stays a residual predicate.
   *
-  * Bin width: when the upper bound is `at < start + C` (a sliding window —
-  * the common form), C is used directly, giving at most two bins per
-  * interval. Otherwise `spark.graft.rangeJoin.binWidth` (default 3600) in
-  * the units of the bound columns. `spark.graft.rangeJoin.enabled=false`
-  * disables the rule.
+  * Bin width — and when the rule fires at all: when the upper bound is
+  * `at < start + C` (a sliding window — the common form), C is used
+  * directly, giving at most two bins per interval, and the rewrite is
+  * always safe. For arbitrary `[start, end)` columns the interval length
+  * is data, not plan, so NO default width can be right — a blind guess in
+  * the wrong unit would explode each interval into thousands of bin rows
+  * (or overflow `sequence()`'s array cap) and break a query that vanilla
+  * Spark executed fine. So without an inferable C the rule fires ONLY when
+  * the user has explicitly set `spark.graft.rangeJoin.binWidth` (in the
+  * units of the bound columns, sized near the typical interval length).
+  * `spark.graft.rangeJoin.enabled=false` disables the rule entirely.
   *
   * Guards: inner joins only, deterministic numeric bounds, and the
   * inverted-interval filter (`end >= start`) keeps `sequence()` from
@@ -54,7 +60,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf.getConfString(EnabledKey, "true").toLowerCase != "true") plan
+    if (conf.getConfString(EnabledKey, "true").toLowerCase(java.util.Locale.ROOT) != "true") plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(_), _) if j.resolved =>
         rewrite(j).getOrElse(j)
@@ -77,11 +83,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val alreadyBinned = conjuncts.exists(
       _.references.exists(_.name.startsWith("_graft_bin")))
     if (alreadyBinned) return None
-    detect(conjuncts, j.left, j.right).map { c =>
-      val width = c.inferredWidth.getOrElse(
-        conf.getConfString(BinWidthKey, "3600").toLong)
-      require(width > 0, s"$BinWidthKey must be > 0, got $width")
+    detect(conjuncts, j.left, j.right).flatMap { c =>
+      // no sliding-window literal and no explicit user width → leave the
+      // plan alone (see the class doc: a guessed width in the wrong unit
+      // is worse than the nested-loop it replaces)
+      c.inferredWidth.orElse(
+          Option(conf.getConfString(BinWidthKey, null)).map(_.toLong))
+        .filter(_ > 0)
+        .map(width => rewriteWith(j, conjuncts, c, width))
+    }
+  }
 
+  private def rewriteWith(j: Join, conjuncts: Seq[Expression],
+      c: Containment, width: Long): LogicalPlan = {
       def bin(e: Expression): Expression =
         Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
 
@@ -119,7 +133,6 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       Project(j.output,
         Filter(And(c.lower, c.upper),
           Join(newLeft, newRight, Inner, Some(newCond), j.hint)))
-    }
   }
 
   /** Find a conjunct pair bounding one point expression inside one

@@ -21,13 +21,21 @@ object ImageCodec {
     */
   def decodeBgr(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.isEmpty) return None
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      // NonFatal, not just IOException: JDK image plugins throw unchecked
-      // exceptions on corrupt/truncated payloads (CMMException,
-      // IllegalArgumentException, IndexOutOfBoundsException) — one bad
-      // image must yield null fields, not fail the whole Spark task
-      catch { case scala.util.control.NonFatal(_) => null }
+    // NonFatal around the WHOLE decode, not just the read: JDK image
+    // plugins throw unchecked exceptions on corrupt/truncated payloads
+    // (CMMException, IllegalArgumentException, IndexOutOfBoundsException),
+    // and a header that parses with absurd claimed dimensions makes the
+    // w*h*3 allocation below throw (NegativeArraySizeException on Int
+    // overflow, OutOfMemoryError is fatal and NOT caught) while getRGB's
+    // color-model conversion can throw on broken ICC profiles — one bad
+    // image must yield null fields, not fail the whole Spark task
+    try decodeBgrUnsafe(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def decodeBgrUnsafe(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
     if (img == null) None
     else {
       val w = img.getWidth

@@ -15,19 +15,37 @@ import java.net.URI
   */
 object RemoteFetch {
 
+  /** JDK URLConnection defaults to INFINITE timeouts — a black-holed
+    * server would wedge the driver. Bounded but generous (assets, not
+    * RPCs).
+    */
+  private val ConnectTimeoutMs = 30000
+  private val ReadTimeoutMs = 120000
+
   private def withStream[A](url: String)(f: InputStream => A): A = {
-    val in = new BufferedInputStream(
-      URI.create(url).toURL.openConnection().getInputStream)
+    val conn = URI.create(url).toURL.openConnection()
+    conn.setConnectTimeout(ConnectTimeoutMs)
+    conn.setReadTimeout(ReadTimeoutMs)
+    val in = new BufferedInputStream(conn.getInputStream)
     try f(in) finally in.close()
   }
 
   /** Download `url` to local `destination`; returns bytes written.
     * (`io_utils.py:15` — streamed copy, no full-payload buffering.)
+    * A failed transfer deletes the partial destination before rethrowing,
+    * so an interrupted fetch can never be mistaken for a complete payload
+    * by a later run.
     */
   def fetchToFile(url: String, destination: String): Long =
-    withStream(url) { in =>
-      val out = new FileOutputStream(destination)
-      try in.transferTo(out) finally out.close()
+    try
+      withStream(url) { in =>
+        val out = new FileOutputStream(destination)
+        try in.transferTo(out) finally out.close()
+      }
+    catch {
+      case e: Throwable =>
+        new java.io.File(destination).delete()
+        throw e
     }
 
   /** Fetch `url` fully into memory. */

@@ -27,20 +27,41 @@ class RangeJoinRewriteSpec extends SparkTestBase {
   private def pairs(df: DataFrame): Set[(Long, Long)] =
     df.select("pid", "iid").as[(Long, Long)].collect().toSet
 
+  /** Arbitrary [start, end) columns carry no inferable width — the rule
+    * requires the explicit conf for those (see RangeJoinRewrite doc).
+    */
+  private def withBinWidth[A](w: Long)(body: => A): A = {
+    spark.conf.set(RangeJoinRewrite.BinWidthKey, w.toString)
+    try body finally spark.conf.unset(RangeJoinRewrite.BinWidthKey)
+  }
+
   test("keyless range theta-join plans as a binned equi-join, not BNLJ") {
+    withBinWidth(16) {
+      val joined = points.join(intervals,
+        $"at" >= $"start" && $"at" < $"end")
+      val plan = physical(joined)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rewrite did not fire:\n$plan")
+      assert(plan.contains("_graft_bin"), s"no bin key in:\n$plan")
+      assert(pairs(joined) == expected)
+    }
+  }
+
+  test("no inferable width and no conf → plan left alone (no blind bins)") {
+    // a guessed width in the wrong unit could explode the interval side;
+    // the rule must decline rather than gamble
     val joined = points.join(intervals,
       $"at" >= $"start" && $"at" < $"end")
     val plan = physical(joined)
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
-      s"rewrite did not fire:\n$plan")
-    assert(plan.contains("_graft_bin"), s"no bin key in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"rule should not have fired without a width:\n$plan")
     assert(pairs(joined) == expected)
   }
 
   test("disable knob restores vanilla planning, same results") {
     spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
-    try {
+    try withBinWidth(16) {
       val joined = points.join(intervals,
         $"at" >= $"start" && $"at" < $"end")
       assert(physical(joined).contains("BroadcastNestedLoopJoin"))
@@ -62,46 +83,66 @@ class RangeJoinRewriteSpec extends SparkTestBase {
   }
 
   test("point on the RIGHT side rewrites too") {
-    val joined = intervals.join(points,
-      $"at" >= $"start" && $"at" < $"end")
-    val plan = physical(joined)
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"rewrite did not fire:\n$plan")
-    assert(pairs(joined) == expected)
+    withBinWidth(16) {
+      val joined = intervals.join(points,
+        $"at" >= $"start" && $"at" < $"end")
+      val plan = physical(joined)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not fire:\n$plan")
+      assert(pairs(joined) == expected)
+    }
   }
 
   test("composes with equi keys and matches Joins.rangeJoin") {
-    val l = points.withColumn("k", $"pid" % 2)
-    val r = intervals.withColumn("k", $"iid" % 2)
-    val joined = l.as("l").join(r.as("r"),
-      col("l.k") === col("r.k") && $"at" >= $"start" && $"at" < $"end")
-      .select($"pid", $"iid")
-    val plan = physical(joined)
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"rewrite did not fire:\n$plan")
-    val viaOperator = Joins.rangeJoin(l, r.withColumnRenamed("k", "k2")
-        .withColumnRenamed("iid", "iid2").withColumnRenamed("k2", "k"),
-        Seq("k"), "at", "start", "end", binWidth = 16L)
-      .select($"pid", col("iid2").as("iid"))
-    assert(pairs(joined) == pairs(viaOperator))
+    withBinWidth(16) {
+      val l = points.withColumn("k", $"pid" % 2)
+      val r = intervals.withColumn("k", $"iid" % 2)
+      val joined = l.as("l").join(r.as("r"),
+        col("l.k") === col("r.k") && $"at" >= $"start" && $"at" < $"end")
+        .select($"pid", $"iid")
+      val plan = physical(joined)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not fire:\n$plan")
+      val viaOperator = Joins.rangeJoin(l, r.withColumnRenamed("k", "k2")
+          .withColumnRenamed("iid", "iid2").withColumnRenamed("k2", "k"),
+          Seq("k"), "at", "start", "end", binWidth = 16L)
+        .select($"pid", col("iid2").as("iid"))
+      assert(pairs(joined) == pairs(viaOperator))
+    }
   }
 
   test("raw SQL through the extension point gets the rewrite") {
+    withBinWidth(16) {
+      points.createOrReplaceTempView("rr_points")
+      intervals.createOrReplaceTempView("rr_intervals")
+      val joined = spark.sql(
+        """SELECT pid, iid FROM rr_points p JOIN rr_intervals i
+          |ON p.at >= i.start AND p.at < i.end""".stripMargin)
+      assert(!physical(joined).contains("BroadcastNestedLoopJoin"))
+      assert(joined.as[(Long, Long)].collect().toSet == expected)
+    }
+  }
+
+  test("sliding-window SQL needs NO conf: the width comes from the plan") {
     points.createOrReplaceTempView("rr_points")
-    intervals.createOrReplaceTempView("rr_intervals")
+    intervals.select($"iid", $"start").createOrReplaceTempView("rr_starts")
     val joined = spark.sql(
-      """SELECT pid, iid FROM rr_points p JOIN rr_intervals i
-        |ON p.at >= i.start AND p.at < i.end""".stripMargin)
+      """SELECT pid, iid FROM rr_points p JOIN rr_starts i
+        |ON p.at >= i.start AND p.at < i.start + 20""".stripMargin)
     assert(!physical(joined).contains("BroadcastNestedLoopJoin"))
-    assert(joined.as[(Long, Long)].collect().toSet == expected)
+    val manual = points.crossJoin(intervals.select($"iid", $"start"))
+      .filter($"at" >= $"start" && $"at" < $"start" + 20)
+    assert(joined.as[(Long, Long)].collect().toSet == pairs(manual))
   }
 
   test("null bounds and null points drop out (SQL semantics)") {
-    val np = Seq((1L, Some(5L)), (5L, None)).toDF("pid", "at")
-    val ni = Seq((10L, Some(0L), Some(10L)), (14L, None, Some(9L)),
-      (15L, Some(0L), None)).toDF("iid", "start", "end")
-    val joined = np.join(ni, $"at" >= $"start" && $"at" < $"end")
-    assert(physical(joined).contains("_graft_bin"))
-    assert(pairs(joined) == Set((1L, 10L)))
+    withBinWidth(16) {
+      val np = Seq((1L, Some(5L)), (5L, None)).toDF("pid", "at")
+      val ni = Seq((10L, Some(0L), Some(10L)), (14L, None, Some(9L)),
+        (15L, Some(0L), None)).toDF("iid", "start", "end")
+      val joined = np.join(ni, $"at" >= $"start" && $"at" < $"end")
+      assert(physical(joined).contains("_graft_bin"))
+      assert(pairs(joined) == Set((1L, 10L)))
+    }
   }
 }
