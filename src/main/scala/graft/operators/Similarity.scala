@@ -52,25 +52,48 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: `numBits` vectors of `dim` gaussians
-    * from a seeded RNG, as a literal array-of-arrays column.
+    * from a seeded RNG — computed once per operator call and captured in
+    * the bucketing kernel's closure.
     */
-  private def hyperplanes(dim: Int, numBits: Int, seed: Long): Column = {
+  private def hyperplanes(dim: Int, numBits: Int,
+      seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    array((0 until numBits).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
-    }: _*)
+    Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH bucket id for an embedding: bit i = (v · plane_i) > 0. */
+  /** Sign-bit LSH bucket id for an embedding: bit i = (v · plane_i) > 0.
+    *
+    * JVM-loop kernel, not a Catalyst HOF tree: the per-ROW cost is
+    * numBits × dim multiply-adds, and the previous `aggregate`+`zip_with`
+    * formulation evaluated every one of them as an interpreted expression
+    * (the same ~100× tax [[graft.operators.Dedup.Kernels]] documents).
+    * Values are bit-identical to that formulation: same seeded plane
+    * order, same strict `> 0` sign rule, bit i weighted 2^i. Null
+    * embeddings bucket to null and so drop out of the bucket equi-join
+    * (the old form bucketed them to 0; downstream results were identical
+    * because the cosine verify already dropped null-embedding pairs).
+    */
   def lshBucket(emb: Column, dim: Int, numBits: Int = 16,
       seed: Long = 42): Column = {
     val planes = hyperplanes(dim, numBits, seed)
-    aggregate(
-      zip_with(planes, sequence(lit(0), lit(numBits - 1)),
-        (plane, i) => when(dot(emb, plane) > 0,
-          // 1 << i as a column: 2^i over integer domain
-          pow(lit(2.0), i).cast("long")).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    val kernel = udf((v: Seq[Double]) => {
+      if (v == null) null
+      else {
+        var acc = 0L
+        var b = 0
+        while (b < planes.length) {
+          val p = planes(b)
+          val n = math.min(v.length, p.length)
+          var d = 0.0
+          var i = 0
+          while (i < n) { d += v(i) * p(i); i += 1 }
+          if (d > 0) acc |= (1L << b)
+          b += 1
+        }
+        java.lang.Long.valueOf(acc)
+      }
+    }: java.lang.Long)
+    kernel(asDouble(emb))
   }
 
   /** LSH-bucketed near-neighbor pairs: same-bucket candidates verified with
@@ -117,16 +140,23 @@ object Similarity {
       .repartition(1).sortWithinPartitions(col(key))
       .withColumn("_cid", (monotonically_increasing_id() + 1).cast("int"))
       .select("_cid", "_cv")
-    // assign each corpus row to nearest centroid (broadcast nested pass)
+    // assign each corpus row to nearest centroid (broadcast nested pass).
+    // argmin via min(struct(_d, _cid, ...)): a hash aggregate with MAP-SIDE
+    // combine, so the shuffle carries one row per corpus key — a window
+    // would instead shuffle the full nlist-times-expanded relation
+    // (embeddings included) and sort it. The (_d, _cid) prefix is unique
+    // per key (distinct centroid ids), so the trailing payload fields can
+    // never influence the comparison.
     val assigned = corpus
       .select(col(key), asDouble(col(embCol)).as("_emb"),
         norm(col(embCol)).as("_n"))
       .join(broadcast(centroids))
       .withColumn("_d", -dotFast(col("_emb"), col("_cv")))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col(key)).orderBy(col("_d"), col("_cid"))))
-      .filter(col("_rk") === 1)
-      .select(col(key), col("_emb"), col("_n"), col("_cid"))
+      .groupBy(col(key))
+      .agg(min(struct(col("_d"), col("_cid"), col("_emb"), col("_n")))
+        .as("_best"))
+      .select(col(key), col("_best._emb").as("_emb"),
+        col("_best._n").as("_n"), col("_best._cid").as("_cid"))
     // each query probes its nprobe nearest centroid lists
     val probes = queries
       .select(col(key).as("query_id"), asDouble(col(embCol)).as("_q_emb"),
