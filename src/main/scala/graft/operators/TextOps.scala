@@ -44,9 +44,13 @@ object TextOps {
 
   def meanWordLength(text: Column): Column = {
     val tk = tokens(text)
+    // sum of token lengths == length of the lowercased text with ALL
+    // whitespace removed (tokens are exactly the non-whitespace runs) —
+    // an identity that stays in whole-stage codegen, where the literal
+    // `aggregate(tk, 0, acc + length(w))` fold is interpreted per token
+    val totalChars = length(regexp_replace(lower(text), "\\s+", ""))
     when(size(tk) === 0, 0.0).otherwise(
-      aggregate(tk, lit(0L), (acc, w) => acc + length(w)).cast("double")
-        / size(tk))
+      totalChars.cast("double") / size(tk))
   }
 
   /** Fraction of tokens that are (any language's) stopwords. */

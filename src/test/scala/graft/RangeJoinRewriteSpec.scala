@@ -135,6 +135,37 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(joined.as[(Long, Long)].collect().toSet == pairs(manual))
   }
 
+  test("two range dimensions: one pair binned, the other stays residual") {
+    withBinWidth(16) {
+      val pts = Seq((1L, 5L, 100L), (2L, 15L, 200L), (3L, 25L, 300L))
+        .toDF("pid", "at", "at2")
+      val ivs = Seq((10L, 0L, 10L, 90L, 110L), (11L, 10L, 20L, 150L, 160L),
+        (12L, 20L, 30L, 250L, 350L)).toDF("iid", "s1", "e1", "s2", "e2")
+      val joined = pts.join(ivs,
+        $"at" >= $"s1" && $"at" < $"e1" &&
+          $"at2" >= $"s2" && $"at2" < $"e2")
+      val plan = physical(joined)
+      assert(plan.contains("_graft_bin"), s"no rewrite in:\n$plan")
+      val manual = pts.crossJoin(ivs)
+        .filter($"at" >= $"s1" && $"at" < $"e1" &&
+          $"at2" >= $"s2" && $"at2" < $"e2")
+      assert(pairs(joined) == pairs(manual))
+      assert(pairs(joined) == Set((1L, 10L), (3L, 12L))) // iid 11 fails dim 2
+    }
+  }
+
+  test("non-numeric bounds are left alone (no bin math on timestamps)") {
+    withBinWidth(16) {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val pts = Seq((1L, t("2024-01-01 10:00:05"))).toDF("pid", "at")
+      val ivs = Seq((10L, t("2024-01-01 10:00:00"), t("2024-01-01 10:01:00")))
+        .toDF("iid", "start", "end")
+      val joined = pts.join(ivs, $"at" >= $"start" && $"at" < $"end")
+      assert(!physical(joined).contains("_graft_bin"))
+      assert(pairs(joined) == Set((1L, 10L)))
+    }
+  }
+
   test("null bounds and null points drop out (SQL semantics)") {
     withBinWidth(16) {
       val np = Seq((1L, Some(5L)), (5L, None)).toDF("pid", "at")
