@@ -448,6 +448,30 @@ object Dedup {
     labels.select(col("v").as("key"), col("component"))
   }
 
+  /** Cluster-correct near-duplicate REMOVAL: pair generation via MinHash,
+    * full [[connectedComponents]] labeling, keep exactly the MINIMUM key
+    * of every duplicate cluster. Strictly stronger than the greedy
+    * [[dropNearDuplicates]]: greedy keeps every key that never appears on
+    * the drop side of a pair, which over-keeps when a cluster's minimum
+    * sits mid-chain — pairs (5,9) and (3,9) drop only 9 and keep BOTH 5
+    * and 3, though they are one duplicate cluster with representative 3.
+    * Costs the component iteration (a few extra join+agg rounds) on top
+    * of greedy; use greedy when the duplicate graph is known to be
+    * pairwise-only.
+    */
+  def dropNearDuplicateClusters(df: DataFrame, textCol: String, key: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.9, seed: Long = 42,
+      reliableLineage: Boolean = false): DataFrame = {
+    val pairs = minhashNearDuplicates(df, textCol, key, numHashes, bands,
+      shingleSize, threshold, seed)
+    val drops = connectedComponents(pairs,
+        reliableLineage = reliableLineage)
+      .filter(col("key") =!= col("component")) // non-representatives
+      .select(col("key").as(key))
+    df.join(drops, Seq(key), "left_anti")
+  }
+
   /** Exact all-pairs n-gram Jaccard over a (small or pre-filtered) corpus —
     * the brute-force baseline the LSH path approximates. O(n²): only for
     * bounded subsets; at scale use [[minhashNearDuplicates]].

@@ -217,6 +217,29 @@ class DedupSpec extends SparkTestBase {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"comps: $comps")
   }
 
+  test("dropNearDuplicateClusters keeps one row per cluster; greedy can't") {
+    // near-dup chain where the cluster minimum (3) sits mid-chain: doc 9
+    // is a near-dup of BOTH 5 and 3, but 5 and 3 share no pair. Greedy
+    // pair-dropping keeps {3, 5} (+8); cluster labeling keeps only {3}.
+    // unigram jaccard: 5~9 and 3~9 share 9/11 tokens (0.82 ≥ 0.7) but
+    // 5~3 share only 8/12 (0.67 < 0.7) — a true chain, not a clique
+    val chain = Seq(
+      (5L, "b1 b2 b3 b4 b5 b6 b7 b8 x1 x2"),
+      (9L, "b1 b2 b3 b4 b5 b6 b7 b8 x1 yy"), // ~dup of 5 AND of 3
+      (3L, "b1 b2 b3 b4 b5 b6 b7 b8 yy zz"),
+      (8L, "totally different content with none of those words at all"))
+      .toDF("doc_id", "text")
+    val params = (8, 8, 1, 0.7) // (numHashes, bands, shingle, threshold)
+    val clusterKept = Dedup.dropNearDuplicateClusters(chain, "text",
+        "doc_id", params._1, params._2, params._3, params._4)
+      .select("doc_id").as[Long].collect().toSet
+    val greedyKept = Dedup.dropNearDuplicates(chain, "text", "doc_id",
+        params._1, params._2, params._3, params._4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clusterKept == Set(3L, 8L))
+    assert(greedyKept == Set(3L, 5L, 8L)) // the documented over-keep
+  }
+
   test("minhash recall vs the exact jaccard baseline (pinned floor)") {
     // ground truth from the exact O(n²) ngramJaccardPairs on a bounded
     // slice of the real documents fixture; the banded-LSH path at q30's
