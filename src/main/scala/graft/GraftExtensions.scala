@@ -91,11 +91,14 @@ object GraftExtensions {
       case other =>
         // don't silently diverge from the spark.sql.extensions path: the
         // SQL functions registered above work here, but theta-range joins
-        // will keep their vanilla (nested-loop) plans
-        System.err.println(
-          "graft: RangeJoinRewrite not registered — session is " +
-            s"${other.getClass.getName}, not a classic SparkSession; " +
-            "use spark.sql.extensions=graft.GraftExtensions instead")
+        // will keep their vanilla (nested-loop) plans. Through slf4j (the
+        // driver log), not stderr — log4j-managed deployments never
+        // surface raw stderr.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "graft: RangeJoinRewrite not registered — session is {}, not a " +
+            "classic SparkSession; use " +
+            "spark.sql.extensions=graft.GraftExtensions instead",
+          other.getClass.getName)
     }
   }
 }

@@ -387,7 +387,12 @@ object Dedup {
     * `cacheShingles` in [[minhashNearDuplicates]]. Pass `true` on such
     * clusters: rounds are pinned with `persist(MEMORY_AND_DISK)`, which
     * keeps lineage intact (recoverable, at the cost of re-running earlier
-    * rounds on loss); prior rounds are unpersisted as the loop advances.
+    * rounds on loss); prior rounds are unpersisted as the loop advances
+    * and the (large) edge relation is unpersisted when the loop finishes.
+    * Only the FINAL per-vertex label table — bounded by the duplicate
+    * graph, far smaller than the corpus — stays pinned backing the
+    * returned DataFrame; `spark.catalog.clearCache()` reclaims it once
+    * consumed.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "key_a",
       bCol: String = "key_b", maxIterations: Int = 25,
@@ -445,6 +450,11 @@ object Dedup {
         s"connected components did not converge in $maxIterations rounds " +
           "(graph diameter exceeds the bound); raise maxIterations or pass " +
           "failOnNonConvergence = false to accept truncated labels")
+    // the final labels were materialized by the last convergence count, so
+    // the edge relation is no longer needed — drop its (large) pin now
+    // rather than leaking it for the session lifetime; recomputation after
+    // a cache eviction walks the intact lineage back to the source
+    if (reliableLineage) edges.unpersist(false)
     labels.select(col("v").as("key"), col("component"))
   }
 
@@ -465,10 +475,22 @@ object Dedup {
       reliableLineage: Boolean = false): DataFrame = {
     val pairs = minhashNearDuplicates(df, textCol, key, numHashes, bands,
       shingleSize, threshold, seed)
-    val drops = connectedComponents(pairs,
+    // pin the pair relation: connectedComponents' symmetric-edge union
+    // consumes it TWICE, and the banding + jaccard-verify pipeline behind
+    // it is the expensive part of the whole operation. Same pinning
+    // tradeoff as cacheShingles (localCheckpoint truncates lineage) with
+    // the same reliableLineage escape hatch.
+    val pinnedPairs =
+      if (reliableLineage)
+        pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs.localCheckpoint(false)
+    val drops = connectedComponents(pinnedPairs,
         reliableLineage = reliableLineage)
       .filter(col("key") =!= col("component")) // non-representatives
       .select(col("key").as(key))
+    // components' labels are materialized on return, so the pair pin has
+    // served its purpose (the localCheckpoint variant is GC-cleaned)
+    if (reliableLineage) pinnedPairs.unpersist(false)
     df.join(drops, Seq(key), "left_anti")
   }
 

@@ -69,15 +69,18 @@ object Similarity {
     * (the same ~100× tax [[graft.operators.Dedup.Kernels]] documents).
     * Values are bit-identical to that formulation: same seeded plane
     * order, same strict `> 0` sign rule, bit i weighted 2^i. Null
-    * embeddings bucket to null and so drop out of the bucket equi-join
-    * (the old form bucketed them to 0; downstream results were identical
-    * because the cosine verify already dropped null-embedding pairs).
+    * embeddings AND embeddings containing a null element bucket to null
+    * and so drop out of the bucket equi-join (the old HOF form gave them
+    * bucket 0 via null dot products; downstream results were identical
+    * because the cosine verify already dropped such pairs — but a typed
+    * Seq[Double] UDF would CRASH on a null element, so the boxed element
+    * type here is load-bearing).
     */
   def lshBucket(emb: Column, dim: Int, numBits: Int = 16,
       seed: Long = 42): Column = {
     val planes = hyperplanes(dim, numBits, seed)
-    val kernel = udf((v: Seq[Double]) => {
-      if (v == null) null
+    val kernel = udf((v: Seq[java.lang.Double]) => {
+      if (v == null || v.contains(null)) null
       else {
         var acc = 0L
         var b = 0

@@ -86,10 +86,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     detect(conjuncts, j.left, j.right).flatMap { c =>
       // no sliding-window literal and no explicit user width → leave the
       // plan alone (see the class doc: a guessed width in the wrong unit
-      // is worse than the nested-loop it replaces)
-      c.inferredWidth.orElse(
-          Option(conf.getConfString(BinWidthKey, null)).map(_.toLong))
-        .filter(_ > 0)
+      // is worse than the nested-loop it replaces). An EXPLICIT conf value
+      // that is malformed or non-positive fails loudly — the user opted in
+      // and silently declining would be undiagnosable.
+      val confWidth = Option(conf.getConfString(BinWidthKey, null)).map { s =>
+        val w =
+          try s.toLong
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"$BinWidthKey must be a positive integer in the units of " +
+                s"the range-join bound columns, got '$s'")
+          }
+        require(w > 0, s"$BinWidthKey must be > 0, got $w")
+        w
+      }
+      c.inferredWidth.orElse(confWidth)
         .map(width => rewriteWith(j, conjuncts, c, width))
     }
   }

@@ -32,20 +32,25 @@ object RemoteFetch {
 
   /** Download `url` to local `destination`; returns bytes written.
     * (`io_utils.py:15` — streamed copy, no full-payload buffering.)
-    * A failed transfer deletes the partial destination before rethrowing,
+    * A failed TRANSFER deletes the partial destination before rethrowing,
     * so an interrupted fetch can never be mistaken for a complete payload
-    * by a later run.
+    * by a later run. Failures BEFORE the destination is opened (connect
+    * timeout, DNS, bad URL) leave any pre-existing destination file
+    * untouched — deleting there would destroy a previous run's good copy.
     */
   def fetchToFile(url: String, destination: String): Long =
-    try
-      withStream(url) { in =>
+    withStream(url) { in =>
+      // reaching here means the connection succeeded; only now may the
+      // destination be created/truncated, so only from here may a failure
+      // delete it
+      try {
         val out = new FileOutputStream(destination)
         try in.transferTo(out) finally out.close()
+      } catch {
+        case e: Throwable =>
+          new java.io.File(destination).delete()
+          throw e
       }
-    catch {
-      case e: Throwable =>
-        new java.io.File(destination).delete()
-        throw e
     }
 
   /** Fetch `url` fully into memory. */

@@ -135,6 +135,23 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(joined.as[(Long, Long)].collect().toSet == pairs(manual))
   }
 
+  test("explicit malformed or non-positive binWidth fails loudly") {
+    // the user opted in; silently declining the rewrite would be
+    // undiagnosable, so both bad shapes must raise a message naming the key
+    for (bad <- Seq("0", "-5", "1h")) {
+      spark.conf.set(RangeJoinRewrite.BinWidthKey, bad)
+      try {
+        val e = intercept[Throwable] {
+          points.join(intervals, $"at" >= $"start" && $"at" < $"end")
+            .queryExecution.executedPlan
+        }
+        val messages = Iterator.iterate(e)(_.getCause)
+          .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+        assert(messages.contains("binWidth"), s"for '$bad': $messages")
+      } finally spark.conf.unset(RangeJoinRewrite.BinWidthKey)
+    }
+  }
+
   test("two range dimensions: one pair binned, the other stays residual") {
     withBinWidth(16) {
       val pts = Seq((1L, 5L, 100L), (2L, 15L, 200L), (3L, 25L, 300L))

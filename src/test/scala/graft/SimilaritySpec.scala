@@ -106,6 +106,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.toList == List((0L, 1L)))
   }
 
+  test("lshBucket: null arrays and null ELEMENTS bucket to null, no crash") {
+    // a typed Seq[Double] kernel would throw on a null element during
+    // encoder conversion/unboxing and fail the task; boxed elements + the
+    // null check keep SQL semantics (null key drops out of the join)
+    val vecs = Seq(
+      (0L, Some(Seq(Option(1.0), Option(2.0), Option(3.0)))),
+      (1L, Some(Seq(Option(1.0), None, Option(3.0)))), // null element
+      (2L, None)) // null array
+      .toDF("vec_id", "embedding")
+    val out = vecs
+      .select($"vec_id", Similarity.lshBucket($"embedding", dim = 3,
+        numBits = 2).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(0L).isDefined)
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+  }
+
   test("lshNeighborPairs recall vs the exact baseline (pinned floor)") {
     // The embeddings fixture is near-orthogonal gaussian noise (max pair
     // cosine ~0.55) — it has no true near-duplicates, so recall there is
