@@ -243,13 +243,16 @@ object Dedup {
     * Scale shape: the band rows carry ONLY (key, band, bucket) — shingle
     * arrays never ride the band shuffle; they are re-joined by key for just
     * the deduped candidates. Verification cost is per candidate pair, not
-    * per (pair × shared-band).
+    * per (pair × shared-band), and `maxBucketSize` caps the B² candidate
+    * blow-up of degenerate (boilerplate) buckets.
     */
   def minhashNearDuplicates(df: DataFrame, textCol: String, key: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.7, seed: Long = 42,
-      cacheShingles: Boolean = true): DataFrame = {
+      cacheShingles: Boolean = true,
+      maxBucketSize: Long = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucketSize > 1, "maxBucketSize must be > 1")
     val (hashA, hashB) = Kernels.minhashCoefficients(numHashes, seed)
     val bucketsUdf = udf((sh: Seq[String]) =>
       Kernels.bandBuckets(sh, hashA, hashB, bands))
@@ -272,9 +275,24 @@ object Dedup {
       .filter(size(col("_sh")) > 0)
     val withSh =
       if (cacheShingles) projected.localCheckpoint(false) else projected
+    // Skew guard (mirrors simhashNearDuplicates): a degenerate bucket of
+    // B rows — e.g. a boilerplate cluster sharing one band signature —
+    // emits B² candidate pairs from the self-join below. Cap bucket size;
+    // recall loss is confined to pairs whose EVERY shared band is over the
+    // cap (pairs agreeing on another, smaller band still surface there).
+    // Exact duplicates of boilerplate belong to the digest path anyway
+    // ([[exactByDigest]] is O(n)). Guard shape: a count window — its
+    // (band, bucket) exchange is REUSED by the self-join on the same keys,
+    // so the guard costs a sort, not an extra pass (the aggregate +
+    // anti-join alternative recomputes the banding kernel twice and
+    // measured slower).
     val banded = withSh
       .select(col(key), posexplode(bucketsUdf(col("_sh"))))
       .select(col(key), col("pos").as("_band"), col("col").as("_bucket"))
+      .withColumn("_bn", count(lit(1)).over(
+        Window.partitionBy("_band", "_bucket")))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
     val candidates = banded.as("l")
       .join(banded.as("r"), Seq("_band", "_bucket"))
       .select(col(s"l.$key").as("key_a"), col(s"r.$key").as("key_b"))
@@ -323,6 +341,9 @@ object Dedup {
       // Skew guard: a degenerate bucket of B rows emits B² candidates. Cap
       // bucket size (recall loss only inside over-cap buckets — and near
       // dups agreeing on another, smaller band are still found there).
+      // Count window, not aggregate+anti-join: the window's exchange is
+      // reused by the chunk self-join on the same keys (see the
+      // minhashNearDuplicates guard note).
       .withColumn("_bn", count(lit(1)).over(
         Window.partitionBy("_band", "_chunk")))
       .filter(col("_bn") <= maxBucketSize)

@@ -217,6 +217,21 @@ class DedupSpec extends SparkTestBase {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"comps: $comps")
   }
 
+  test("minhash skew cap bounds degenerate buckets, default leaves dups") {
+    // 6 identical docs all land in the same bucket in EVERY band: with the
+    // default cap they pair fully (15 pairs); with a tiny cap the bucket
+    // is dropped in every band and no candidates are emitted — the
+    // documented recall trade for bounding the B² blow-up
+    val boiler = (1L to 6L).map(i => (i, "same boilerplate text here"))
+      .toDF("doc_id", "text")
+    val full = Dedup.minhashNearDuplicates(boiler, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 2)
+    assert(full.count() == 15)
+    val capped = Dedup.minhashNearDuplicates(boiler, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 2, maxBucketSize = 3)
+    assert(capped.count() == 0)
+  }
+
   test("dropNearDuplicateClusters keeps one row per cluster; greedy can't") {
     // near-dup chain where the cluster minimum (3) sits mid-chain: doc 9
     // is a near-dup of BOTH 5 and 3, but 5 and 3 share no pair. Greedy
