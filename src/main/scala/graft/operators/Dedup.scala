@@ -244,7 +244,11 @@ object Dedup {
     * arrays never ride the band shuffle; they are re-joined by key for just
     * the deduped candidates. Verification cost is per candidate pair, not
     * per (pair × shared-band), and `maxBucketSize` caps the B² candidate
-    * blow-up of degenerate (boilerplate) buckets.
+    * blow-up of degenerate (boilerplate) buckets. `maxBucketSize <= 0` is
+    * the documented sentinel for "skip the guard window entirely" — for
+    * corpora already known to be boilerplate-free it removes the count
+    * window (and its sort) from the plan, at the cost of unbounded B²
+    * blow-up if the assumption is wrong.
     */
   def minhashNearDuplicates(df: DataFrame, textCol: String, key: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
@@ -252,7 +256,8 @@ object Dedup {
       cacheShingles: Boolean = true,
       maxBucketSize: Long = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    require(maxBucketSize > 1, "maxBucketSize must be > 1")
+    require(maxBucketSize <= 0 || maxBucketSize > 1,
+      "maxBucketSize must be > 1 (or <= 0 to skip the skew guard)")
     val (hashA, hashB) = Kernels.minhashCoefficients(numHashes, seed)
     val bucketsUdf = udf((sh: Seq[String]) =>
       Kernels.bandBuckets(sh, hashA, hashB, bands))
@@ -286,13 +291,16 @@ object Dedup {
     // so the guard costs a sort, not an extra pass (the aggregate +
     // anti-join alternative recomputes the banding kernel twice and
     // measured slower).
-    val banded = withSh
+    val banded0 = withSh
       .select(col(key), posexplode(bucketsUdf(col("_sh"))))
       .select(col(key), col("pos").as("_band"), col("col").as("_bucket"))
-      .withColumn("_bn", count(lit(1)).over(
-        Window.partitionBy("_band", "_bucket")))
-      .filter(col("_bn") <= maxBucketSize)
-      .drop("_bn")
+    val banded =
+      if (maxBucketSize <= 0) banded0 // sentinel: guard off, no window
+      else banded0
+        .withColumn("_bn", count(lit(1)).over(
+          Window.partitionBy("_band", "_bucket")))
+        .filter(col("_bn") <= maxBucketSize)
+        .drop("_bn")
     val candidates = banded.as("l")
       .join(banded.as("r"), Seq("_band", "_bucket"))
       .select(col(s"l.$key").as("key_a"), col(s"r.$key").as("key_b"))
@@ -325,6 +333,8 @@ object Dedup {
     * other must agree on at least one chunk (pigeonhole) — bucket-join per
     * (band, chunk), dedup candidates, verify exact hamming distance.
     * Output: (key_a, key_b, hamming) with key_a < key_b.
+    * `maxBucketSize <= 0` skips the skew-guard window entirely (same
+    * sentinel contract as [[minhashNearDuplicates]]).
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String, key: String,
       maxDistance: Int = 3, maxBucketSize: Long = 5000): DataFrame = {
@@ -333,21 +343,24 @@ object Dedup {
     require(maxDistance <= 3,
       s"maxDistance $maxDistance exceeds the 4-band pigeonhole bound (3)")
     val hashed = df.select(col(key), simhash(col(textCol)).as("_h"))
-    val banded = hashed.select(col(key), col("_h"),
+    val banded0 = hashed.select(col(key), col("_h"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("_h"), b * 8).bitwiseAND(0xffL)): _*)))
       .select(col(key), col("_h"), col("pos").as("_band"),
         col("col").as("_chunk"))
-      // Skew guard: a degenerate bucket of B rows emits B² candidates. Cap
-      // bucket size (recall loss only inside over-cap buckets — and near
-      // dups agreeing on another, smaller band are still found there).
-      // Count window, not aggregate+anti-join: the window's exchange is
-      // reused by the chunk self-join on the same keys (see the
-      // minhashNearDuplicates guard note).
-      .withColumn("_bn", count(lit(1)).over(
-        Window.partitionBy("_band", "_chunk")))
-      .filter(col("_bn") <= maxBucketSize)
-      .drop("_bn")
+    // Skew guard: a degenerate bucket of B rows emits B² candidates. Cap
+    // bucket size (recall loss only inside over-cap buckets — and near
+    // dups agreeing on another, smaller band are still found there).
+    // Count window, not aggregate+anti-join: the window's exchange is
+    // reused by the chunk self-join on the same keys (see the
+    // minhashNearDuplicates guard note). maxBucketSize <= 0 → guard off.
+    val banded =
+      if (maxBucketSize <= 0) banded0
+      else banded0
+        .withColumn("_bn", count(lit(1)).over(
+          Window.partitionBy("_band", "_chunk")))
+        .filter(col("_bn") <= maxBucketSize)
+        .drop("_bn")
     val l = banded.select(col(key).as("key_a"), col("_h").as("_h_a"),
       col("_band"), col("_chunk"))
     val r = banded.select(col(key).as("key_b"), col("_h").as("_h_b"),

@@ -6,9 +6,15 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for LLM training-data pipelines: tokenization,
   * quality scoring, language identification, document fingerprinting.
   *
-  * All pure Column expressions over builtins — fully codegen'd, no UDFs —
-  * so at 100 TB they run as projections fused into the scan stage with
-  * column pruning (only `text` is read).
+  * Everything here is a per-row projection fused into the scan stage with
+  * column pruning (only `text` is read) — no shuffles, no driver loops.
+  * Two implementation tiers: counting/ratio metrics that reduce to builtin
+  * string functions stay pure Column expressions (whole-stage codegen'd);
+  * the per-token scans ([[stopwordRatio]], [[langId]]) and the per-character
+  * fold ([[fingerprint]]) are single-pass JVM kernels, because the Catalyst
+  * higher-order-function formulation evaluates an interpreted expression
+  * tree PER ELEMENT (the tax [[graft.operators.Dedup.Kernels]] documents).
+  * Either tier is map-only and fully distributed at 100 TB.
   */
 object TextOps {
 
@@ -53,13 +59,21 @@ object TextOps {
       totalChars.cast("double") / size(tk))
   }
 
-  /** Fraction of tokens that are (any language's) stopwords. */
+  /** Fraction of tokens that are (any language's) stopwords.
+    *
+    * JVM HashSet kernel, not `filter(tk, t => array_contains(sw, t))`: the
+    * HOF form is interpreted per token × per stopword (a linear
+    * array_contains scan inside an interpreted lambda), which dominated the
+    * corpus-wide quality-filter scans. Values are identical to the HOF
+    * form: same tokenization ([[Kernels.tokenize]] mirrors [[tokens]]
+    * bit-for-bit), occurrence (not distinct) counting, 0.0 for empty text,
+    * null in → null out.
+    */
   def stopwordRatio(text: Column,
       stopwords: Seq[String] = Languages.all.flatMap(_._2).distinct): Column = {
-    val tk = tokens(text)
-    val sw = array(stopwords.map(lit): _*)
-    when(size(tk) === 0, 0.0).otherwise(
-      size(filter(tk, t => array_contains(sw, t))).cast("double") / size(tk))
+    val stop = stopwords.toSet
+    val kernel = udf((t: String) => Kernels.stopwordRatio(t, stop))
+    kernel(text)
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword lang-ID
@@ -75,17 +89,75 @@ object TextOps {
 
   /** Language-ID heuristic: count distinct stopword hits per language, pick
     * the argmax (ties broken by language order). Returns a language code or
-    * "und" when no stopwords hit.
+    * "und" when no stopwords hit (null text included, matching the Column
+    * formulation where every null comparison falls through to "und").
+    *
+    * One JVM kernel pass (distinct-token HashSet, then |words| membership
+    * probes per language) instead of per-language `array_intersect` HOF
+    * trees — same fix class as [[stopwordRatio]]/[[fingerprint]].
     */
   def langId(text: Column,
       langs: Seq[(String, Seq[String])] = Languages.all): Column = {
-    val tk = array_distinct(tokens(text))
-    val scores = langs.map { case (code, words) =>
-      code -> size(array_intersect(tk, array(words.map(lit): _*)))
+    val langSets = langs.map { case (code, words) => (code, words.toSet) }
+    val kernel = udf((t: String) => Kernels.langId(t, langSets))
+    kernel(text)
+  }
+
+  /** Tight-loop kernels for the per-token scan operators. The contract is
+    * bit-identity with the Column formulations they replaced, so the
+    * tokenizer mirrors [[tokens]] exactly rather than using the more
+    * natural JDK calls: Catalyst `trim` strips SPACE characters only (not
+    * `String.trim`'s <= 0x20 range) and Catalyst `split` keeps trailing
+    * empty strings (Java `split(re)` drops them; `split(re, -1)` matches).
+    */
+  private[operators] object Kernels extends Serializable {
+
+    /** Tokens of lowercased, space-trimmed text: mirrors [[tokens]].
+      * Null → null; empty after trim → zero tokens.
+      */
+    def tokenize(text: String): Array[String] = {
+      if (text == null) return null
+      var b = 0
+      var e = text.length
+      while (b < e && text.charAt(b) == ' ') b += 1
+      while (e > b && text.charAt(e - 1) == ' ') e -= 1
+      if (b == e) return Array.empty
+      text.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+", -1)
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((code, s), acc) =>
-      when(s === best && s > 0, code).otherwise(acc)
+
+    /** Occurrence-counting stopword ratio; 0.0 for token-less text. */
+    def stopwordRatio(text: String, stop: Set[String]): java.lang.Double = {
+      val tk = tokenize(text)
+      if (tk == null) return null
+      if (tk.length == 0) return java.lang.Double.valueOf(0.0)
+      var hits = 0
+      var i = 0
+      while (i < tk.length) {
+        if (stop.contains(tk(i))) hits += 1
+        i += 1
+      }
+      java.lang.Double.valueOf(hits.toDouble / tk.length)
+    }
+
+    /** Distinct-hit argmax over per-language stopword sets; first language
+      * in `langs` order wins ties (strictly-greater update), "und" when
+      * nothing hits or the text is null/empty.
+      */
+    def langId(text: String, langs: Seq[(String, Set[String])]): String = {
+      val tk = tokenize(text)
+      if (tk == null || tk.length == 0) return "und"
+      val distinct = new java.util.HashSet[String](tk.length * 2)
+      var i = 0
+      while (i < tk.length) { distinct.add(tk(i)); i += 1 }
+      var bestCode = "und"
+      var best = 0
+      langs.foreach { case (code, words) =>
+        var s = 0
+        words.foreach { w => if (distinct.contains(w)) s += 1 }
+        if (s > best) { best = s; bestCode = code }
+      }
+      bestCode
     }
   }
 

@@ -232,6 +232,26 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("maxBucketSize <= 0 sentinel skips the skew-guard window entirely") {
+    // guard off: the boilerplate bucket pairs fully (guard would too at the
+    // default cap — same result, cheaper plan), and the physical plan has
+    // no Window node at all; contract holds for minhash AND simhash
+    val boiler = (1L to 6L).map(i => (i, "same boilerplate text here"))
+      .toDF("doc_id", "text")
+    val off = Dedup.minhashNearDuplicates(boiler, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 2, maxBucketSize = 0)
+    assert(off.count() == 15)
+    assert(!off.queryExecution.executedPlan.toString.contains("Window"),
+      "sentinel must remove the guard window from the plan")
+    val simOff = Dedup.simhashNearDuplicates(boiler, "text", "doc_id",
+      maxBucketSize = -1)
+    assert(simOff.count() == 15)
+    assert(!simOff.queryExecution.executedPlan.toString.contains("Window"))
+    // guard ON at the same corpus: identical pairs (clean-corpus no-op)
+    val on = Dedup.simhashNearDuplicates(boiler, "text", "doc_id")
+    assert(on.count() == 15)
+  }
+
   test("dropNearDuplicateClusters keeps one row per cluster; greedy can't") {
     // near-dup chain where the cluster minimum (3) sits mid-chain: doc 9
     // is a near-dup of BOTH 5 and 3, but 5 and 3 share no pair. Greedy

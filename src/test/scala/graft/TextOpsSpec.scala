@@ -26,6 +26,28 @@ class TextOpsSpec extends SparkTestBase {
       lit("the cat and dog"), Seq("the", "and"))) == 0.5)
   }
 
+  test("stopwordRatio/langId kernels mirror the Column formulation edges") {
+    // null propagation: ratio → null, langId → "und" (the fold's
+    // null-conditioned whens all fall through to the literal)
+    val nulls = Seq((1, Option.empty[String])).toDF("x", "t")
+      .select(TextOps.stopwordRatio(col("t"), Seq("the")).as("r"),
+        TextOps.langId(col("t")).as("l"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.getString(1) == "und")
+    // Catalyst trim strips spaces ONLY: a tab-framed text keeps its empty
+    // edge tokens through split — the kernel must count the same way
+    assert(eval1[Double](TextOps.stopwordRatio(
+      lit("\tthe cat\t"), Seq("the"))) == 0.25) // ["","the","cat",""]
+    // occurrence (not distinct) counting
+    assert(eval1[Double](TextOps.stopwordRatio(
+      lit("the the cat"), Seq("the"))) == 2.0 / 3)
+    // whitespace-only → 0.0, not NaN/null
+    assert(eval1[Double](TextOps.stopwordRatio(lit("   "), Seq("the"))) == 0.0)
+    // langId tie (one distinct hit each for en and de) breaks by language
+    // order; repeated tokens don't inflate the distinct count
+    assert(eval1[String](TextOps.langId(lit("the und the und"))) == "en")
+  }
+
   test("langId picks the language with most distinct stopword hits") {
     assert(eval1[String](TextOps.langId(
       lit("the cat is one of the animals that live in a house"))) == "en")
