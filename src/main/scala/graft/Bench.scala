@@ -6,17 +6,20 @@ import graft.core.GraftSession
   * prints one JSON line for the driver (BENCH_r{N}.json).
   *
   * Methodology: one untimed JVM/parquet-footer warm-up query, then
-  * `SPARK_GRAFT_BENCH_RUNS` (default 2) timed passes over the whole suite,
-  * reporting the per-query MINIMUM — single-pass local[32] timings swing
-  * ±30% from JIT, GC and broadcast-build jitter, and min-of-N is the
-  * standard way to report the repeatable cost. The pass count and
-  * aggregation are recorded in the JSON so rounds stay comparable.
+  * `SPARK_GRAFT_BENCH_RUNS` (default 3) timed passes over the whole suite.
+  * `queries` reports the per-query MINIMUM — single-pass local[32] timings
+  * swing ±30% from JIT, GC and broadcast-build jitter, and min-of-N is the
+  * standard way to report the repeatable cost — and `spread` reports
+  * max−min over the successful runs of each query, so a reader can tell a
+  * real regression from scheduler noise (a delta smaller than the spread is
+  * noise). The pass count and aggregation are recorded in the JSON so
+  * rounds stay comparable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = GraftSession.get("graft-bench")
     // Warm the JVM + parquet footers once so per-query times measure the
     // query, not first-touch classloading.
@@ -24,9 +27,9 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    // min over SUCCESSFUL runs only; a query that never succeeds reports
-    // -1 rather than masquerading as a fast time-to-failure
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    // all successful run times per query; a query that never succeeds
+    // reports -1 rather than masquerading as a fast time-to-failure
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
     (1 to runs).foreach { _ =>
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -34,19 +37,26 @@ object Bench {
           try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (ok)
-          best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        if (ok) times(name) = sec :: times.getOrElse(name, Nil)
       }
     }
-    val results = names.map { case (n, _) => n -> best.getOrElse(n, -1.0) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    val results = names.map { case (n, _) => n -> times.getOrElse(n, Nil) }
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.isEmpty) "-1" else fmt(ts.min))
+    }.mkString("{", ",", "}")
+    // per-query max−min over successful runs: the query's observed noise
+    // band this round (0 when it ran once)
+    val spread = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.isEmpty) "-1" else fmt(ts.max - ts.min))
+    }.mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — folding the -1 sentinel in would
     // deflate the total by 1s per failure and make rounds with different
     // failure counts incomparable; failures are reported as their own count
-    val failed = results.count(_._2 < 0)
-    val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2.isEmpty)
+    val total = results.flatMap(_._2.minOption).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

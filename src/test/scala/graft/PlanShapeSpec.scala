@@ -97,6 +97,49 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q30/q40: the skew-guard window's exchange is reused by the " +
+      "bucket self-join") {
+    // The guard's justification (and the round-4 regression trade): its
+    // count window hash-partitions on the (band, bucket) keys the self-join
+    // needs, so the join REUSES that exchange and the banding kernel runs
+    // once — the guard costs a sort, not a second pass. At bench/real scale
+    // the self-join is a shuffle join; force that shape here (broadcast
+    // off; AQE off so static planning applies ReuseExchangeAndSubquery —
+    // AQE reuses stages at runtime instead, same property) and pin the
+    // reuse. A refactor that breaks canonical equality of the two banded
+    // subtrees would silently double the banding shuffle and fail here.
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      for (q <- Seq("q30_minhash_neardup", "q40_simhash_pairs")) {
+        val p = plan(q)
+        val reusedBanding = p.linesIterator.exists(l =>
+          l.contains("ReusedExchange") && l.contains("_band"))
+        assert(reusedBanding,
+          s"$q must reuse the banding (band, bucket) exchange:\n$p")
+      }
+    }
+  }
+
+  test("q41: IVF assignment is an argmin aggregation with map-side combine") {
+    // the round-4 redesign: centroid assignment as min(struct(...)) — a
+    // partial aggregation BEFORE the shuffle means the exchange carries one
+    // row per corpus key, not the nlist×-expanded embedding-laden relation
+    // a window formulation would sort. (min over a struct with array fields
+    // plans as SortAggregate — the partial/final split is the property.)
+    val p = plan("q41_ivf_topk")
+    assert(p.contains("partial_min(struct"),
+      s"q41 assignment lost its map-side partial aggregation:\n$p")
+  }
+
   test("keyless raw-SQL range join is rewritten away from nested-loop") {
     // the optimizer-rule path with NO equi key: vanilla Spark plans this
     // exact query as BroadcastNestedLoopJoin
