@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 import graft.operators.Dedup
 
@@ -250,6 +252,42 @@ class DedupSpec extends SparkTestBase {
     // guard ON at the same corpus: identical pairs (clean-corpus no-op)
     val on = Dedup.simhashNearDuplicates(boiler, "text", "doc_id")
     assert(on.count() == 15)
+  }
+
+  test("simhash pigeonhole completeness: under-cap corpora yield EVERY " +
+      "hamming<=3 pair (property)") {
+    // The operator's whole correctness story is the pigeonhole argument: a
+    // pair within hamming distance 3 of each other must agree on at least
+    // one of the four 8-bit chunks, so chunk-bucket banding can only MISS a
+    // pair when a skew cap drops its every shared bucket. On corpora whose
+    // buckets stay under the cap (any corpus smaller than the cap is), the
+    // result must therefore EQUAL the exhaustive O(n²) answer — soundness
+    // and completeness, cross-checked per random corpus. A tiny shared
+    // vocabulary makes near-dup pairs the common case, so the completeness
+    // direction is exercised hard, not vacuously.
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(3, 12)
+      texts <- Gen.listOfN(n,
+        Gen.choose(3, 10).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def samples[T](g: Gen[T], n: Int): Seq[T] =
+      (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    samples(corpusGen, 6).foreach { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val hashes = df.select(col("doc_id"), Dedup.simhash(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (for {
+        a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+        h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
+      } yield (a, b, h)).toSet
+      val got = Dedup.simhashNearDuplicates(df, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected,
+        s"corpus=$corpus\nmissing=${expected -- got}\nextra=${got -- expected}")
+    }
   }
 
   test("dropNearDuplicateClusters keeps one row per cluster; greedy can't") {
