@@ -35,8 +35,19 @@ import org.apache.spark.sql.types._
   * the left or the right side, accepts `>=`/`>` lower and `<`/`<=` upper
   * bounds (the exact predicate is re-applied above the join, so bins only
   * need to be a superset), and composes with existing equi keys (they stay
-  * in the join condition; the bin key is appended). One bound pair is
-  * binned per join — a second range dimension stays a residual predicate.
+  * in the join condition; the bin key is appended).
+  *
+  * Two range dimensions (e.g. a time window AND a value band) bin
+  * together: the second containment — detected on the same point side —
+  * contributes its own bin pair (`_graft_bin_pt2` = `_graft_bin2`), the
+  * interval side explodes the cross product of the two (≤2-bin) ranges,
+  * and the join carries both equi keys, so candidates must co-reside in
+  * BOTH dimensions — the pruning a residual predicate can't give. The
+  * second dimension is binned ONLY when its width is inferable from its
+  * own `< start + C` literal (the conf width below is a single value in
+  * one dimension's units and would be wrong for the other); a second
+  * containment without an inferable width stays a residual predicate, as
+  * does any third dimension.
   *
   * Bin width — and when the rule fires at all: when the upper bound is
   * `at < start + C` (a sliding window — the common form), C is used
@@ -79,79 +90,114 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // emit back into the join condition — without this check the pair
     // ping-pongs forever. A join whose condition already references a bin
     // attribute IS our output (the pushed-back exact predicate is the
-    // correct residual of the binned hash join); one bound pair per join.
+    // correct residual of the binned hash join); one rewrite per join.
     val alreadyBinned = conjuncts.exists(
       _.references.exists(_.name.startsWith("_graft_bin")))
     if (alreadyBinned) return None
-    detect(conjuncts, j.left, j.right).flatMap { c =>
-      // no sliding-window literal and no explicit user width → leave the
-      // plan alone (see the class doc: a guessed width in the wrong unit
-      // is worse than the nested-loop it replaces). An EXPLICIT conf value
-      // that is malformed or non-positive fails loudly — the user opted in
-      // and silently declining would be undiagnosable.
-      val confWidth = Option(conf.getConfString(BinWidthKey, null)).map { s =>
-        val w =
-          try s.toLong
-          catch {
-            case _: NumberFormatException => throw new IllegalArgumentException(
-              s"$BinWidthKey must be a positive integer in the units of " +
-                s"the range-join bound columns, got '$s'")
-          }
-        require(w > 0, s"$BinWidthKey must be > 0, got $w")
-        w
+    val candidates = detect(conjuncts, j.left, j.right)
+    if (candidates.isEmpty) return None
+    // no sliding-window literal and no explicit user width → leave the
+    // plan alone (see the class doc: a guessed width in the wrong unit
+    // is worse than the nested-loop it replaces). An EXPLICIT conf value
+    // that is malformed or non-positive fails loudly — the user opted in
+    // and silently declining would be undiagnosable.
+    val confWidth = Option(conf.getConfString(BinWidthKey, null)).map { s =>
+      val w =
+        try s.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$BinWidthKey must be a positive integer in the units of " +
+              s"the range-join bound columns, got '$s'")
+        }
+      require(w > 0, s"$BinWidthKey must be > 0, got $w")
+      w
+    }
+    // primary dimension: prefer a containment whose width is inferable
+    // from its own literal (conf-free and always safe) over one that
+    // needs the conf width
+    val primary = candidates.find(_.inferredWidth.isDefined)
+      .getOrElse(candidates.head)
+    primary.inferredWidth.orElse(confWidth).map { primaryWidth =>
+      // second dimension: another containment on the SAME point side, a
+      // DIFFERENT point expression, sharing no conjunct with the primary
+      // (one conjunct can read as a lower bound of one point and an upper
+      // bound of another — it must only be consumed once), and with its
+      // own inferable width (the conf width is in the primary's units)
+      val secondary = candidates.find { c =>
+        c.inferredWidth.isDefined &&
+        c.pointOnLeft == primary.pointOnLeft &&
+        !c.point.semanticEquals(primary.point) &&
+        Seq(c.lower, c.upper).forall(e =>
+          !e.fastEquals(primary.lower) && !e.fastEquals(primary.upper))
       }
-      c.inferredWidth.orElse(confWidth)
-        .map(width => rewriteWith(j, conjuncts, c, width))
+      val dims = (primary, primaryWidth) +:
+        secondary.map(c => (c, c.inferredWidth.get)).toSeq
+      rewriteWith(j, conjuncts, dims)
     }
   }
 
+  /** Build the binned plan for one or two (containment, binWidth)
+    * dimensions — all on the same point side.
+    */
   private def rewriteWith(j: Join, conjuncts: Seq[Expression],
-      c: Containment, width: Long): LogicalPlan = {
-      def bin(e: Expression): Expression =
+      dims: Seq[(Containment, Long)]): LogicalPlan = {
+      def bin(e: Expression, width: Long): Expression =
         Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
+      def suffix(i: Int): String = if (i == 0) "" else (i + 1).toString
 
+      val pointOnLeft = dims.head._1.pointOnLeft
       val (pointChild, intervalChild) =
-        if (c.pointOnLeft) (j.left, j.right) else (j.right, j.left)
-      // point side: one bin per row, projected alongside every column
-      val pointBin = Alias(bin(c.point), "_graft_bin_pt")()
-      val pointBinned = Project(
-        pointChild.output :+ pointBin, pointChild)
-      // interval side: explode the covered bin range; drop inverted
-      // intervals FIRST (they contain no point, and sequence() would step
+        if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
+      // point side: one bin per row per dimension, projected alongside
+      // every column
+      val pointBins = dims.zipWithIndex.map { case ((c, w), i) =>
+        Alias(bin(c.point, w), "_graft_bin_pt" + suffix(i))()
+      }
+      val pointBinned = Project(pointChild.output ++ pointBins, pointChild)
+      // interval side: explode the covered bin range of each dimension
+      // (the cross product — each sliding window covers ≤2 bins, so ≤4
+      // rows per interval in 2-D); drop intervals inverted in ANY binned
+      // dimension FIRST (they contain no point, and sequence() would step
       // backwards through them)
-      val intervalBin = AttributeReference("_graft_bin", LongType,
-        nullable = false)()
-      // Sequence is TimeZoneAwareExpression: it is only `resolved` with a
-      // timezone id set, even over plain longs — without one the optimizer
-      // rejects the rewritten plan as newly-unresolved
-      val intervalBinned = Generate(
-        Explode(new Sequence(bin(c.start), bin(c.end), None,
-          Some(conf.sessionLocalTimeZone))),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(intervalBin),
-        child = Filter(GreaterThanOrEqual(c.end, c.start), intervalChild))
+      val inverted = dims.map { case (c, _) =>
+        GreaterThanOrEqual(c.end, c.start): Expression }.reduce(And)
+      var intervalSide: LogicalPlan = Filter(inverted, intervalChild)
+      val intervalBins = dims.zipWithIndex.map { case ((c, w), i) =>
+        val attr = AttributeReference("_graft_bin" + suffix(i), LongType,
+          nullable = false)()
+        // Sequence is TimeZoneAwareExpression: it is only `resolved` with a
+        // timezone id set, even over plain longs — without one the optimizer
+        // rejects the rewritten plan as newly-unresolved
+        intervalSide = Generate(
+          Explode(new Sequence(bin(c.start, w), bin(c.end, w), None,
+            Some(conf.sessionLocalTimeZone))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(attr), child = intervalSide)
+        attr
+      }
       val (newLeft, newRight) =
-        if (c.pointOnLeft) (pointBinned, intervalBinned)
-        else (intervalBinned, pointBinned)
-      // bound pair moves ABOVE the join (exact containment re-check; also
+        if (pointOnLeft) (pointBinned, intervalSide)
+        else (intervalSide, pointBinned)
+      // bound pairs move ABOVE the join (exact containment re-check; also
       // what stops this rule from re-matching its own output); every other
       // conjunct — equi keys included — stays in the join condition
-      val others = conjuncts.filterNot(e =>
-        e.fastEquals(c.lower) || e.fastEquals(c.upper))
-      val newCond = (others :+
-        EqualTo(pointBin.toAttribute, intervalBin): Seq[Expression])
+      val bounds = dims.flatMap { case (c, _) => Seq(c.lower, c.upper) }
+      val others = conjuncts.filterNot(e => bounds.exists(e.fastEquals))
+      val newCond = (others ++ pointBins.zip(intervalBins).map {
+        case (pb, ib) => EqualTo(pb.toAttribute, ib): Expression })
         .reduce(And)
       Project(j.output,
-        Filter(And(c.lower, c.upper),
+        Filter(bounds.reduce(And),
           Join(newLeft, newRight, Inner, Some(newCond), j.hint)))
   }
 
-  /** Find a conjunct pair bounding one point expression inside one
+  /** Find every conjunct pair bounding one point expression inside one
     * interval, with the point evaluable on one side and both bounds on the
-    * other.
+    * other — in conjunct order, so callers picking the head preserve the
+    * single-dimension behavior.
     */
   private def detect(conjuncts: Seq[Expression], left: LogicalPlan,
-      right: LogicalPlan): Option[Containment] = {
+      right: LogicalPlan): Seq[Containment] = {
     def sideOf(e: Expression): Option[Boolean] =
       if (e.references.isEmpty) None // constants bound neither side
       else if (e.references.subsetOf(left.outputSet)) Some(true)
@@ -189,7 +235,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if endSide == startSide
     } yield Containment(point, start, end, lower = lo, upper = up,
       pointOnLeft = pointSide, inferredWidth = slideWidth(start, end))
-    candidates.nextOption()
+    candidates.toSeq
   }
 
   /** `end = start + C` (either operand order) → the interval length C is

@@ -654,6 +654,38 @@ object PipelineQueries {
         .orderBy("click_id", "purchase_id")
     },
 
+    // --- TWO-dimensional range join, raw theta predicates and NO equi
+    //     key: clicks within an hour after a purchase AND within a $50
+    //     value band above it. Vanilla Spark plans this keyless join as
+    //     BroadcastNestedLoopJoin (O(|L|·|R|)); RangeJoinRewrite bins BOTH
+    //     sliding windows (widths inferred from the two `< start + C`
+    //     literals) so the join carries two equi keys and candidates must
+    //     co-reside in time AND value. PlanShapeSpec pins both bin keys.
+    Query(
+      "q68_range_join_2d",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON epoch_ms(c.ts) >= epoch_ms(p.ts)
+        |  AND epoch_ms(c.ts) < epoch_ms(p.ts) + 3600000
+        |  AND c.value >= p.value AND c.value < p.value + 50
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(unix_millis(col("ts")).as("at_ms"), col("value"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(unix_millis(col("ts")).as("start_ms"),
+          col("value").as("v_lo"), col("event_id").as("purchase_id"))
+      clicks.join(purchases,
+          col("at_ms") >= col("start_ms") &&
+            col("at_ms") < col("start_ms") + 3600000L &&
+            col("value") >= col("v_lo") &&
+            col("value") < col("v_lo") + 50.0)
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+
     // --- Latest event per user as ONE max_by aggregation (no window, no
     //     sort — map-side combine applies). The oracle's explicit
     //     (ts DESC, event_id DESC) ranking pins the SAME tie-break as

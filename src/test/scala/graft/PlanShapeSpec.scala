@@ -87,14 +87,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"asOf must not plan a join at all:\n$body")
   }
 
-  test("q57/q67 range joins stay equi-joins — never nested-loop") {
-    for (q <- Seq("q57_range_join", "q67_range_join_sql")) {
+  test("q57/q67/q68 range joins stay equi-joins — never nested-loop") {
+    for (q <- Seq("q57_range_join", "q67_range_join_sql",
+        "q68_range_join_2d")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"),
         s"$q fell back to a nested-loop plan:\n$p")
       assert(p.contains("_graft_bin"), s"$q lost its bin key:\n$p")
     }
+    // the 2-D query must carry BOTH bin keys through the join — losing the
+    // second silently degrades pruning back to a residual predicate
+    val p2 = plan("q68_range_join_2d")
+    assert(p2.contains("_graft_bin_pt2") && p2.contains("_graft_bin2"),
+      s"q68 lost its second bin key:\n$p2")
   }
 
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {

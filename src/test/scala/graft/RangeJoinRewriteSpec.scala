@@ -152,7 +152,8 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
-  test("two range dimensions: one pair binned, the other stays residual") {
+  test("two range dimensions: one pair binned, the other stays residual " +
+      "when its width is not inferable") {
     withBinWidth(16) {
       val pts = Seq((1L, 5L, 100L), (2L, 15L, 200L), (3L, 25L, 300L))
         .toDF("pid", "at", "at2")
@@ -163,6 +164,10 @@ class RangeJoinRewriteSpec extends SparkTestBase {
           $"at2" >= $"s2" && $"at2" < $"e2")
       val plan = physical(joined)
       assert(plan.contains("_graft_bin"), s"no rewrite in:\n$plan")
+      // dim 2's [s2, e2) carries no sliding literal and the conf width is
+      // in dim 1's units — it must NOT be binned
+      assert(!plan.contains("_graft_bin2"),
+        s"uninferable second dimension must stay residual:\n$plan")
       val manual = pts.crossJoin(ivs)
         .filter($"at" >= $"s1" && $"at" < $"e1" &&
           $"at2" >= $"s2" && $"at2" < $"e2")
@@ -170,6 +175,33 @@ class RangeJoinRewriteSpec extends SparkTestBase {
       assert(pairs(joined) == Set((1L, 10L), (3L, 12L))) // iid 11 fails dim 2
     }
   }
+
+  test("two sliding-window dimensions bin together: both equi keys, no " +
+      "conf needed") {
+    // time-window AND value-band — the 2-D shape; both widths come from
+    // the `< start + C` literals, so the rewrite is conf-free
+    val pts = Seq((1L, 5L, 100L), (2L, 15L, 200L), (3L, 25L, 300L),
+      (4L, 5L, 300L)).toDF("pid", "at", "v")
+    val ivs = Seq((10L, 0L, 95L), (11L, 10L, 150L), (12L, 20L, 290L),
+      (13L, 0L, 290L)).toDF("iid", "s1", "s2")
+    val joined = pts.join(ivs,
+      $"at" >= $"s1" && $"at" < $"s1" + 20L &&
+        $"v" >= $"s2" && $"v" < $"s2" + 30L)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"2-D rewrite did not fire:\n$plan")
+    assert(plan.contains("_graft_bin_pt2") && plan.contains("_graft_bin2"),
+      s"second dimension lost its bin key:\n$plan")
+    val manual = pts.crossJoin(ivs)
+      .filter($"at" >= $"s1" && $"at" < $"s1" + 20L &&
+        $"v" >= $"s2" && $"v" < $"s2" + 30L)
+    assert(pairs(joined) == pairs(manual))
+    // (1,10): at 5∈[0,20), v 100∈[95,125); (3,12): at 25∈[20,40),
+    // v 300∈[290,320); (4,13): at 5∈[0,20), v 300∈[290,320);
+    // (2,11): at 15∈[10,30) but v 200∉[150,180) — dim 2 must reject it
+    assert(pairs(joined) == Set((1L, 10L), (3L, 12L), (4L, 13L)))
+  }
+
 
   test("non-numeric bounds are left alone (no bin math on timestamps)") {
     withBinWidth(16) {
