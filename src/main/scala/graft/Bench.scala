@@ -47,9 +47,10 @@ object Bench {
       "\"" + k + "\":" + (if (ts.isEmpty) "-1" else fmt(ts.min))
     }.mkString("{", ",", "}")
     // per-query max−min over successful runs: the query's observed noise
-    // band this round (0 when it ran once)
+    // band this round. -1 when fewer than 2 runs succeeded — a partially
+    // failing query must not masquerade as a perfectly stable one
     val spread = results.map { case (k, ts) =>
-      "\"" + k + "\":" + (if (ts.isEmpty) "-1" else fmt(ts.max - ts.min))
+      "\"" + k + "\":" + (if (ts.length < 2) "-1" else fmt(ts.max - ts.min))
     }.mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — folding the -1 sentinel in would
     // deflate the total by 1s per failure and make rounds with different

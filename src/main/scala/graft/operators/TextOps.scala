@@ -112,8 +112,15 @@ object TextOps {
     */
   private[operators] object Kernels extends Serializable {
 
+    // precompiled: String.split only fast-paths single-char separators, so
+    // an inline "\\s+" would Pattern.compile once PER DOCUMENT
+    private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
     /** Tokens of lowercased, space-trimmed text: mirrors [[tokens]].
-      * Null → null; empty after trim → zero tokens.
+      * Null → null; empty after trim → zero tokens. Lowercasing uses
+      * Locale.ROOT: identical to Catalyst `lower()` for ASCII (and to
+      * DuckDB's `lower()`), deliberately NOT the JVM default locale, whose
+      * tr/az dotted-I rules would diverge from both engines.
       */
     def tokenize(text: String): Array[String] = {
       if (text == null) return null
@@ -122,8 +129,8 @@ object TextOps {
       while (b < e && text.charAt(b) == ' ') b += 1
       while (e > b && text.charAt(e - 1) == ' ') e -= 1
       if (b == e) return Array.empty
-      text.substring(b, e).toLowerCase(java.util.Locale.ROOT)
-        .split("\\s+", -1)
+      Whitespace.split(
+        text.substring(b, e).toLowerCase(java.util.Locale.ROOT), -1)
     }
 
     /** Occurrence-counting stopword ratio; 0.0 for token-less text. */
