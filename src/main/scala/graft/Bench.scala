@@ -40,8 +40,11 @@ object Bench {
         if (ok) times(name) = sec :: times.getOrElse(name, Nil)
       }
     }
+    // 3 decimals: 1 ms resolution against a measured ~100 ms noise floor;
+    // keeps the one-line JSON as short as the query count allows (the
+    // driver's log capture tails the output, so every byte costs data)
     def fmt(v: Double): String = BigDecimal(v)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val results = names.map { case (n, _) => n -> times.getOrElse(n, Nil) }
     val qs = results.map { case (k, ts) =>
       "\"" + k + "\":" + (if (ts.isEmpty) "-1" else fmt(ts.min))
@@ -57,7 +60,17 @@ object Bench {
     // failure counts incomparable; failures are reported as their own count
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2.minOption).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // field order is deliberate: the driver's log capture keeps only the
+    // TAIL of the output, so the per-query minimums — the numbers every
+    // cross-round comparison needs — go last, with the scalars and the
+    // spread map in front of them to be truncated first
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"sf":"$sfDir","spread":$spread,"queries":$qs}"""
+    println(line)
+    // the full record survives truncation on disk; best-effort — a
+    // read-only cwd must not fail the bench
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
