@@ -203,6 +203,24 @@ class RangeJoinRewriteSpec extends SparkTestBase {
   }
 
 
+  test("raw 2-D SQL gets both bin keys through the extension point") {
+    val pts = Seq((1L, 5L, 100L), (2L, 15L, 200L), (3L, 25L, 300L),
+      (4L, 5L, 300L)).toDF("pid", "at", "v")
+    val ivs = Seq((10L, 0L, 95L), (11L, 10L, 150L), (12L, 20L, 290L),
+      (13L, 0L, 290L)).toDF("iid", "s1", "s2")
+    pts.createOrReplaceTempView("rr2_points")
+    ivs.createOrReplaceTempView("rr2_ivs")
+    val joined = spark.sql(
+      """SELECT pid, iid FROM rr2_points p JOIN rr2_ivs i
+        |ON p.at >= i.s1 AND p.at < i.s1 + 20
+        |AND p.v >= i.s2 AND p.v < i.s2 + 30""".stripMargin)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("_graft_bin2"), s"2-D SQL rewrite did not fire:\n$plan")
+    assert(joined.as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (3L, 12L), (4L, 13L)))
+  }
+
   test("non-numeric bounds are left alone (no bin math on timestamps)") {
     withBinWidth(16) {
       def t(s: String) = java.sql.Timestamp.valueOf(s)
