@@ -3,19 +3,26 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ARRAY<FLOAT/DOUBLE>` embedding columns, built from
-  * codegen'd higher-order builtins (`zip_with` + `aggregate`) — no UDFs, so
-  * the expressions stay inside WholeStageCodegen and can be pushed around by
-  * Catalyst like any other projection.
+/** Vector math over `ARRAY<FLOAT/DOUBLE>` embedding columns.
+  *
+  * The dot-product family (`dot`/`norm`/`cosine`) rides the native
+  * codegen'd [[ArrayDotProduct]] expression — the same kernel the
+  * `graft_dot`/`graft_cosine` SQL functions use — because Catalyst
+  * higher-order functions (`zip_with`+`aggregate`) are interpreted PER
+  * ELEMENT, and these primitives run once per corpus row in every
+  * similarity operator. Values are identical to the HOF formulation for
+  * well-formed vectors (same left-to-right summation order); the edge
+  * contracts follow the native expression: a null ARRAY is null, a null
+  * ELEMENT reads as 0.0 (the HOF form nulled the whole result), and
+  * mismatched lengths use the common prefix. The remaining
+  * shape-transforming helpers (`l2sq`, `maxAbs`, `l2normalize`,
+  * `quantizeInt8`) stay HOF-built: they are off the similarity hot path
+  * and their outputs are arrays, which a scalar expression can't produce.
   */
 object VectorFunctions {
 
   /** Elementwise dot product; inputs cast to double for stable math. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"),
-        (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = ArrayDotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -18,14 +18,13 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Per-PAIR vector math — evaluated O(candidates) times — uses the native
-    * codegen'd [[graft.functions.ArrayDotProduct]] expression: no UDF
-    * serialization boundary, stays inside the generated loop. (Catalyst
-    * higher-order functions are interpreted per element, so `zip_with`+
-    * `aggregate` is reserved for per-ROW math.)
+  /** All dot products here — the per-ROW norms and the per-PAIR scores —
+    * ride the native codegen'd [[graft.functions.ArrayDotProduct]]
+    * expression via [[graft.functions.VectorFunctions.dot]]: no UDF
+    * serialization boundary, no interpreted-per-element HOF tree, stays
+    * inside the generated loop.
     */
-  private def dotFast(a: Column, b: Column): Column =
-    graft.functions.ArrayDotProduct(a, b)
+  private def dotFast(a: Column, b: Column): Column = dot(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
