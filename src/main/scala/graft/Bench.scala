@@ -70,7 +70,7 @@ object Bench {
     // read-only cwd must not fail the bench
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

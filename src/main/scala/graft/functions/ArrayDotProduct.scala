@@ -12,14 +12,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * first-class expression (no UDF serialization boundary, stays inside the
   * generated loop).
   *
-  * Null handling: null array → null result (BinaryExpression default);
-  * mismatched lengths use the common prefix. The Column constructor casts
-  * both inputs to ARRAY<DOUBLE>, so no ExpectsInputTypes contract is needed.
+  * Null handling follows SQL arithmetic: null array → null result
+  * (BinaryExpression default) AND a null ELEMENT in either array → null
+  * result — a corrupted vector must rank nowhere and fail every threshold,
+  * not score as if the null slot were 0.0 (the silent-masking failure a
+  * zero-read would cause in cosinePairs/cosineTopK). Mismatched lengths use
+  * the common prefix. The Column constructor casts both inputs to
+  * ARRAY<DOUBLE>, so no ExpectsInputTypes contract is needed.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null can surface from ELEMENT nulls even when both array columns are
+  // non-nullable — and this also guarantees codegen allocates a real
+  // isNull variable for the mid-loop assignment below
+  override def nullable: Boolean = true
 
   override def prettyName: String = "array_dot"
 
@@ -29,7 +38,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -42,8 +55,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

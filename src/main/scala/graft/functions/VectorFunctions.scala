@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * higher-order functions (`zip_with`+`aggregate`) are interpreted PER
   * ELEMENT, and these primitives run once per corpus row in every
   * similarity operator. Values are identical to the HOF formulation for
-  * well-formed vectors (same left-to-right summation order); the edge
-  * contracts follow the native expression: a null ARRAY is null, a null
-  * ELEMENT reads as 0.0 (the HOF form nulled the whole result), and
-  * mismatched lengths use the common prefix. The remaining
-  * shape-transforming helpers (`l2sq`, `maxAbs`, `l2normalize`,
-  * `quantizeInt8`) stay HOF-built: they are off the similarity hot path
-  * and their outputs are arrays, which a scalar expression can't produce.
+  * well-formed vectors (same left-to-right summation order), and the null
+  * contract matches it too: a null ARRAY or a null ELEMENT gives null, so
+  * corrupted vectors rank nowhere instead of scoring as if the hole were
+  * 0. The one documented divergence: mismatched lengths use the common
+  * prefix (the HOF form gave null). The remaining helpers (`l2sq`,
+  * `maxAbs`, `l2normalize`, `quantizeInt8`) stay HOF-built only because
+  * they are off the similarity hot path — nothing structural prevents
+  * native forms if one ever lands on it.
   */
 object VectorFunctions {
 

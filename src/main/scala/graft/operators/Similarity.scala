@@ -18,13 +18,10 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** All dot products here — the per-ROW norms and the per-PAIR scores —
-    * ride the native codegen'd [[graft.functions.ArrayDotProduct]]
-    * expression via [[graft.functions.VectorFunctions.dot]]: no UDF
-    * serialization boundary, no interpreted-per-element HOF tree, stays
-    * inside the generated loop.
-    */
-  private def dotFast(a: Column, b: Column): Column = dot(a, b)
+  // All dot products here — the per-ROW norms and the per-PAIR scores —
+  // ride the native codegen'd ArrayDotProduct expression via
+  // VectorFunctions.dot: no UDF serialization boundary, no
+  // interpreted-per-element HOF tree, stays inside the generated loop.
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -42,7 +39,7 @@ object Similarity {
         norm(col(embCol)).as("_c_n"))
       .join(broadcast(q), col(key) =!= col("query_id"))
       .select(col("query_id"), col(key).as("neighbor_id"),
-        (dotFast(col("_q_emb"), col("_c_emb"))
+        (dot(col("_q_emb"), col("_c_emb"))
           / (col("_q_n") * col("_c_n"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -116,7 +113,7 @@ object Similarity {
     a.join(b, Seq("_bucket"))
       .filter(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"),
-        (dotFast(col("_emb_a"), col("_emb_b"))
+        (dot(col("_emb_a"), col("_emb_b"))
           / (col("_n_a") * col("_n_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("key_a", "key_b")
@@ -153,7 +150,7 @@ object Similarity {
       .select(col(key), asDouble(col(embCol)).as("_emb"),
         norm(col(embCol)).as("_n"))
       .join(broadcast(centroids))
-      .withColumn("_d", -dotFast(col("_emb"), col("_cv")))
+      .withColumn("_d", -dot(col("_emb"), col("_cv")))
       .groupBy(col(key))
       .agg(min(struct(col("_d"), col("_cid"), col("_emb"), col("_n")))
         .as("_best"))
@@ -164,7 +161,7 @@ object Similarity {
       .select(col(key).as("query_id"), asDouble(col(embCol)).as("_q_emb"),
         norm(col(embCol)).as("_q_n"))
       .join(broadcast(centroids))
-      .withColumn("_d", -dotFast(col("_q_emb"), col("_cv")))
+      .withColumn("_d", -dot(col("_q_emb"), col("_cv")))
       .withColumn("_rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("_d"), col("_cid"))))
       .filter(col("_rk") <= nprobe)
@@ -172,7 +169,7 @@ object Similarity {
     probes.join(assigned, Seq("_cid"))
       .filter(col("query_id") =!= col(key))
       .select(col("query_id"), col(key).as("neighbor_id"),
-        (dotFast(col("_q_emb"), col("_emb"))
+        (dot(col("_q_emb"), col("_emb"))
           / (col("_q_n") * col("_n"))).as("cosine"))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("neighbor_id"))))
@@ -195,7 +192,7 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"),
-        (dotFast(col("_emb_a"), col("_emb_b"))
+        (dot(col("_emb_a"), col("_emb_b"))
           / (col("_n_a") * col("_n_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -31,8 +31,11 @@ class LayoutInvarianceSpec extends SparkTestBase {
   private def shuffled(df: DataFrame): DataFrame =
     df.repartition(7, xxhash64(col(df.columns.head), lit(987654321L)))
 
-  private def rows(df: DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  // MULTISET compare (row → count): a set would be blind to a relayout
+  // that emits the same logical row twice (e.g. a dropped dedup step
+  // duplicating a pair once per shared band)
+  private def rows(df: DataFrame): Map[String, Int] =
+    df.collect().groupBy(_.toString).map { case (k, v) => k -> v.length }
 
   test("minhash near-dup pairs are identical under relayout") {
     val base = Dedup.minhashNearDuplicates(docs, "text", "doc_id",

@@ -52,6 +52,13 @@ class SimilaritySpec extends SparkTestBase {
     val out = df.select(ArrayDotProduct($"a", $"b").as("d"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(out.toList == List(Some(32.0), None))
+    // a null ELEMENT nulls the whole product (SQL arithmetic): a corrupted
+    // vector must fail every threshold, not score as if the hole were 0
+    val ne = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(Some(4.0), Some(5.0),
+        Some(6.0))))
+      .toDF("a", "b")
+      .select(ArrayDotProduct($"a", $"b").as("d")).collect().head
+    assert(ne.isNullAt(0), "null element must null the dot product")
     // float arrays are cast transparently (embeddings path)
     val f = Seq((Seq(0.5f, 0.5f), Seq(2.0f, 2.0f))).toDF("a", "b")
       .select(ArrayDotProduct($"a", $"b")).collect().head.getDouble(0)
