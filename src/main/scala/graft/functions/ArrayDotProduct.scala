@@ -13,11 +13,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * generated loop).
   *
   * Null handling follows SQL arithmetic: null array → null result
-  * (BinaryExpression default) AND a null ELEMENT in either array → null
-  * result — a corrupted vector must rank nowhere and fail every threshold,
-  * not score as if the null slot were 0.0 (the silent-masking failure a
-  * zero-read would cause in cosinePairs/cosineTopK). Mismatched lengths use
-  * the common prefix. The Column constructor casts both inputs to
+  * (BinaryExpression default), a null ELEMENT in either array → null
+  * result, and MISMATCHED lengths → null result — a corrupted or truncated
+  * vector must rank nowhere and fail every threshold, not score as if the
+  * hole were 0.0 or the tail didn't exist (a shorter vector's smaller norm
+  * would otherwise INFLATE its cosine and displace genuine neighbors in
+  * cosineTopK/cosinePairs). The Column constructor casts both inputs to
   * ARRAY<DOUBLE>, so no ExpectsInputTypes contract is needed.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
@@ -35,7 +36,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -53,8 +55,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |}
          |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |    ${ev.isNull} = true;

@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * ELEMENT, and these primitives run once per corpus row in every
   * similarity operator. Values are identical to the HOF formulation for
   * well-formed vectors (same left-to-right summation order), and the null
-  * contract matches it too: a null ARRAY or a null ELEMENT gives null, so
-  * corrupted vectors rank nowhere instead of scoring as if the hole were
-  * 0. The one documented divergence: mismatched lengths use the common
-  * prefix (the HOF form gave null). The remaining helpers (`l2sq`,
+  * contract matches it too: a null ARRAY, a null ELEMENT, or MISMATCHED
+  * lengths give null, so corrupted or truncated vectors rank nowhere
+  * instead of scoring as if the hole were 0 or the tail didn't exist.
+  * The remaining helpers (`l2sq`,
   * `maxAbs`, `l2normalize`, `quantizeInt8`) stay HOF-built only because
   * they are off the similarity hot path — nothing structural prevents
   * native forms if one ever lands on it.

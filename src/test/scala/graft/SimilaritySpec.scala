@@ -59,6 +59,11 @@ class SimilaritySpec extends SparkTestBase {
       .toDF("a", "b")
       .select(ArrayDotProduct($"a", $"b").as("d")).collect().head
     assert(ne.isNullAt(0), "null element must null the dot product")
+    // mismatched lengths too: a truncated vector's smaller norm would
+    // otherwise inflate its cosine and displace genuine neighbors
+    val mm = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(ArrayDotProduct($"a", $"b").as("d")).collect().head
+    assert(mm.isNullAt(0), "length mismatch must null the dot product")
     // float arrays are cast transparently (embeddings path)
     val f = Seq((Seq(0.5f, 0.5f), Seq(2.0f, 2.0f))).toDF("a", "b")
       .select(ArrayDotProduct($"a", $"b")).collect().head.getDouble(0)
