@@ -14,6 +14,11 @@ import graft.core.GraftSession
   * real regression from scheduler noise (a delta smaller than the spread is
   * noise). The pass count and aggregation are recorded in the JSON so
   * rounds stay comparable.
+  *
+  * Two outputs: the printed line is compacted (short `qNN` keys, spread
+  * summarized to median/p90) to fit the driver's ~2000-char log-capture
+  * window; `BENCH_FULL.json` on disk carries full query names and the
+  * per-query spread map.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,30 +51,50 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val results = names.map { case (n, _) => n -> times.getOrElse(n, Nil) }
-    val qs = results.map { case (k, ts) =>
-      "\"" + k + "\":" + (if (ts.isEmpty) "-1" else fmt(ts.min))
-    }.mkString("{", ",", "}")
+    // the driver's log capture keeps only the last ~2000 characters of the
+    // run output, so the printed line must fit entirely inside that window
+    // or the driver parses nothing (rounds 1–6 all recorded parsed=null).
+    // Budget: short "qNN" keys (the full names live in BENCH_FULL.json and
+    // BASELINE.md), per-query spread summarized to two scalars inline with
+    // the full map on disk. ~1 kB total — half the window.
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    def mapJson(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qsShort = mapJson(results.map { case (k, ts) =>
+      shortKey(k) -> (if (ts.isEmpty) "-1" else fmt(ts.min))
+    })
+    val qsFull = mapJson(results.map { case (k, ts) =>
+      k -> (if (ts.isEmpty) "-1" else fmt(ts.min))
+    })
     // per-query max−min over successful runs: the query's observed noise
     // band this round. -1 when fewer than 2 runs succeeded — a partially
     // failing query must not masquerade as a perfectly stable one
-    val spread = results.map { case (k, ts) =>
-      "\"" + k + "\":" + (if (ts.length < 2) "-1" else fmt(ts.max - ts.min))
-    }.mkString("{", ",", "}")
+    val spreadFull = mapJson(results.map { case (k, ts) =>
+      k -> (if (ts.length < 2) "-1" else fmt(ts.max - ts.min))
+    })
+    // inline noise floor: median and p90 of the per-query spreads, so the
+    // one-line record still says how big a delta counts as real
+    val spreads = results.collect {
+      case (_, ts) if ts.length >= 2 => ts.max - ts.min
+    }.sorted
+    def pct(p: Double): String =
+      if (spreads.isEmpty) "-1"
+      else fmt(spreads(math.min(spreads.length - 1,
+        (p * spreads.length).toInt)))
     // total sums SUCCESSFUL queries only — folding the -1 sentinel in would
     // deflate the total by 1s per failure and make rounds with different
     // failure counts incomparable; failures are reported as their own count
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2.minOption).sum
-    // field order is deliberate: the driver's log capture keeps only the
-    // TAIL of the output, so the per-query minimums — the numbers every
-    // cross-round comparison needs — go last, with the scalars and the
-    // spread map in front of them to be truncated first
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"sf":"$sfDir","spread":$spread,"queries":$qs}"""
-    println(line)
-    // the full record survives truncation on disk; best-effort — a
-    // read-only cwd must not fail the bench
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"sf":"$sfDir","spread_med":${pct(0.5)},"spread_p90":${pct(0.9)}"""
+    println(s"""{$head,"queries":$qsShort}""")
+    // the full record (long names + per-query spread) lives on disk where
+    // truncation can't reach it; best-effort — a read-only cwd must not
+    // fail the bench
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (s"""{$head,"spread":$spreadFull,"queries":$qsFull}""" + "\n")
+        .getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
