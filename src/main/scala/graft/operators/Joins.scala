@@ -73,6 +73,16 @@ object Joins {
     joined.select(leftCols ++ rightCols: _*)
   }
 
+  /** One point-in-interval dimension of a [[rangeJoin]]: the left point
+    * column, the right interval's bound columns, and the bin width in the
+    * units of those columns (cast everything numeric — for timestamps,
+    * epoch seconds). Choose the width near the typical interval length:
+    * wider bins → fewer explode rows but more false candidates; narrower →
+    * the reverse.
+    */
+  final case class RangeDim(leftAt: String, rightStart: String,
+      rightEnd: String, binWidth: Long)
+
   /** Range join: pair each left row with the right rows whose
     * [`rightStart`, `rightEnd`) interval contains the left row's `leftAt`
     * point, per equality key. Spark plans a raw inequality join as a
@@ -81,31 +91,88 @@ object Joins {
     * it overlaps, the left point equi-joins on its single bin (plus the
     * key), and the exact containment predicate filters within the bin —
     * candidate pairs are bounded by bin co-residency, not |L|·|R|.
-    *
-    * `binWidth` is in the units of the boundary columns (cast everything
-    * numeric — for timestamps, epoch seconds). Choose it near the typical
-    * interval length: wider bins → fewer explode rows but more false
-    * candidates; narrower → the reverse.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftAt: String, rightStart: String, rightEnd: String,
-      binWidth: Long): DataFrame = {
-    require(binWidth > 0, "binWidth must be > 0")
-    // the _graft_bin name doubles as the RangeJoinRewrite re-entry guard:
+      binWidth: Long): DataFrame =
+    rangeJoin(left, right, keyCols,
+      Seq(RangeDim(leftAt, rightStart, rightEnd, binWidth)))
+
+  /** Multi-dimensional range join: each of `dims` is an independent
+    * point-in-interval containment (e.g. a time window AND a value band),
+    * and every dimension contributes its own bin equi-key, so candidate
+    * pairs must co-reside in ALL dimensions — the pruning a residual
+    * predicate can't give. The right side explodes the cross product of
+    * its per-dimension bin ranges (size the widths near the interval
+    * lengths to keep that ≤2 bins per dimension).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      dims: Seq[RangeDim]): DataFrame = {
+    require(dims.nonEmpty, "rangeJoin needs at least one dimension")
+    dims.foreach(d => require(d.binWidth > 0,
+      s"binWidth must be > 0 for $d"))
+    // the _graft_bin names double as the RangeJoinRewrite re-entry guard:
     // the optimizer rule must not re-bin this already-binned join
+    def binName(i: Int): String =
+      "_graft_bin" + (if (i == 0) "" else (i + 1).toString)
     // inverted intervals (end < start) can never contain a point, but
     // Spark's sequence() would step BACKWARDS through them, materializing
     // an arbitrarily large bin array per malformed row — drop them first
     // (semantics-preserving: the containment predicate is always false)
-    val rBinned = right
-      .filter(col(rightEnd) >= col(rightStart))
+    val rBinned = dims.zipWithIndex.foldLeft(
+      right.filter(dims.map(d =>
+        col(d.rightEnd) >= col(d.rightStart)).reduce(_ && _))) {
+      case (df, (d, i)) => df.withColumn(binName(i),
+        explode(sequence(floor(col(d.rightStart) / d.binWidth).cast("long"),
+          floor(col(d.rightEnd) / d.binWidth).cast("long"))))
+    }
+    val lBinned = dims.zipWithIndex.foldLeft(left) { case (df, (d, i)) =>
+      df.withColumn(binName(i), floor(col(d.leftAt) / d.binWidth).cast("long"))
+    }
+    lBinned.join(rBinned, keyCols ++ dims.indices.map(binName))
+      .filter(dims.map(d => col(d.leftAt) >= col(d.rightStart) &&
+        col(d.leftAt) < col(d.rightEnd)).reduce(_ && _))
+      .drop(dims.indices.map(binName): _*)
+  }
+
+  /** Interval-overlap join: pair each left [`leftStart`, `leftEnd`)
+    * interval with the right [`rightStart`, `rightEnd`) intervals it
+    * overlaps (`leftStart < rightEnd AND rightStart < leftEnd` — the
+    * standard half-open overlap predicate), per equality key.
+    *
+    * Like [[rangeJoin]] but BOTH sides carry intervals, so both sides
+    * explode to their covered bins and equi-join on the bin. A pair whose
+    * intervals span several shared bins would match once per shared bin;
+    * instead of a dedup shuffle, each pair is emitted from exactly ONE
+    * canonical bin — the bin containing `greatest(leftStart, rightStart)`
+    * (the overlap's own start, which always lies inside both intervals'
+    * covered bin ranges when the overlap predicate holds) — so the output
+    * is duplicate-free without any post-join aggregation.
+    *
+    * `binWidth` is in the units of the boundary columns; size it near the
+    * typical interval length of the LONGER side so each interval covers
+    * ~2 bins. The boundary column names must be distinct across the two
+    * sides (they both survive into the joined row for the exact
+    * predicate).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be > 0")
+    require(Set(leftStart, leftEnd).intersect(Set(rightStart, rightEnd))
+        .isEmpty,
+      "boundary column names must differ between the two sides")
+    def binOf(c: Column): Column = floor(c / binWidth).cast("long")
+    def binned(df: DataFrame, start: String, end: String): DataFrame = df
+      .filter(col(end) >= col(start)) // inverted: see rangeJoin
       .withColumn("_graft_bin",
-        explode(sequence(floor(col(rightStart) / binWidth).cast("long"),
-          floor(col(rightEnd) / binWidth).cast("long"))))
-    val lBinned = left.withColumn("_graft_bin",
-      floor(col(leftAt) / binWidth).cast("long"))
-    lBinned.join(rBinned, keyCols :+ "_graft_bin")
-      .filter(col(leftAt) >= col(rightStart) && col(leftAt) < col(rightEnd))
+        explode(sequence(binOf(col(start)), binOf(col(end)))))
+    binned(left, leftStart, leftEnd)
+      .join(binned(right, rightStart, rightEnd), keyCols :+ "_graft_bin")
+      .filter(col(leftStart) < col(rightEnd) &&
+        col(rightStart) < col(leftEnd) &&
+        col("_graft_bin") === binOf(greatest(col(leftStart),
+          col(rightStart))))
       .drop("_graft_bin")
   }
 }

@@ -119,26 +119,104 @@ object Similarity {
       .dropDuplicates("key_a", "key_b")
   }
 
+  /** Deterministic "training-free" IVF centroids: the first `nlist` corpus
+    * rows by content hash of the key — no training pass, adequate when the
+    * corpus has no strong cluster structure.
+    */
+  private def sampledCentroids(corpus: DataFrame, embCol: String,
+      key: String, nlist: Int): DataFrame = corpus
+    .select(col(key), asDouble(col(embCol)).as("_cv"))
+    .orderBy(xxhash64(col(key)), col(key)).limit(nlist)
+    // ≤ nlist rows here: number them in one partition WITHOUT a window
+    // (an unpartitioned WindowExec warns and a constant partition key is
+    // constant-folded away) — sort the single partition and use the
+    // in-partition row offset.
+    .repartition(1).sortWithinPartitions(col(key))
+    .withColumn("_cid", (monotonically_increasing_id() + 1).cast("int"))
+    .select("_cid", "_cv")
+
+  /** Spherical k-means (Lloyd) refinement of the IVF centroids — the
+    * quality path when the corpus IS clustered: hash-sampled init, then
+    * `iters` rounds of assign-to-nearest + component-wise mean +
+    * re-normalize. Output schema matches [[sampledCentroids]]:
+    * (`_cid` int, `_cv` array<double>), centroids unit-length.
+    *
+    * Scale shape per round: assignment is the same broadcast-join +
+    * `min(struct)` argmin hash aggregation as [[ivfTopK]] (map-side
+    * combine, one row per corpus key through the shuffle); the mean is a
+    * posexplode to (cid, component) then an avg hash aggregate — partial
+    * aggregation applies, and the shuffle carries nlist × dim rows, not
+    * the corpus. Only the nlist centroids themselves come to the driver
+    * between rounds (same bounded-collect class as the label
+    * dictionaries). A cluster that loses all members keeps its previous
+    * centroid instead of vanishing.
+    *
+    * Component means average double sums whose partition order Spark does
+    * not fix, so centroids are deterministic only to FP addition
+    * reordering — use full probe (`nprobe = nlist`) where bit-stable
+    * results matter; the top-k is then exhaustive and centroid jitter
+    * cannot surface.
+    */
+  def kmeansCentroids(corpus: DataFrame, embCol: String, key: String,
+      nlist: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val vecs = corpus.select(col(key), asDouble(col(embCol)).as("_emb"))
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var cents: Seq[(Int, Array[Double])] =
+      sampledCentroids(corpus, embCol, key, nlist)
+        .as[(Int, Array[Double])].collect().toSeq
+        .map { case (cid, v) => (cid, normalize(v)) }
+    for (_ <- 0 until iters) {
+      val cdf = cents.toDF("_cid", "_cv")
+      // argmin assignment: unit centroids make max-dot = max-cosine
+      val assigned = vecs.join(broadcast(cdf))
+        .withColumn("_d", -dot(col("_emb"), col("_cv")))
+        .groupBy(col(key))
+        .agg(min(struct(col("_d"), col("_cid"), col("_emb"))).as("_best"))
+        .select(col("_best._cid").as("_cid"), col("_best._emb").as("_emb"))
+      // component-wise mean: explode to (cid, pos, x), avg, re-assemble
+      // in component order (array_sort on the (pos, mean) struct sorts by
+      // the leading pos field)
+      val means = assigned
+        .select(col("_cid"), posexplode(col("_emb")).as(Seq("_pos", "_x")))
+        .groupBy(col("_cid"), col("_pos"))
+        .agg(avg(col("_x")).as("_m"))
+        .groupBy(col("_cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          s => s.getField("_m")).as("_cv"))
+      val updated = means.as[(Int, Array[Double])].collect().toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, updated.get(cid).map(normalize).getOrElse(old))
+      }
+    }
+    cents.toDF("_cid", "_cv")
+  }
+
   /** IVF-style ANN (the second scale path besides sign-bit LSH): pick
-    * `nlist` deterministic centroids (content-hash sample of the corpus),
+    * `nlist` deterministic centroids (content-hash sample of the corpus,
+    * optionally refined by `kmeansIters` rounds of spherical k-means),
     * assign every corpus row to its nearest centroid (one broadcast pass),
     * then answer each query by searching only the `nprobe` nearest
     * centroids' lists. Recall/cost knob = nprobe/nlist; the corpus scan
-    * becomes a hash join on the centroid id.
+    * becomes a hash join on the centroid id. `kmeansIters = 0` (default)
+    * keeps the training-free sampled centroids; on clustered corpora a few
+    * Lloyd rounds align the lists with the real clusters and raise recall
+    * at the same nprobe (see [[kmeansCentroids]] for the determinism
+    * caveat).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
-      key: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // deterministic "training-free" centroids: first nlist rows by key hash
-    val centroids = corpus
-      .select(col(key), asDouble(col(embCol)).as("_cv"))
-      .orderBy(xxhash64(col(key)), col(key)).limit(nlist)
-      // ≤ nlist rows here: number them in one partition WITHOUT a window
-      // (an unpartitioned WindowExec warns and a constant partition key is
-      // constant-folded away) — sort the single partition and use the
-      // in-partition row offset.
-      .repartition(1).sortWithinPartitions(col(key))
-      .withColumn("_cid", (monotonically_increasing_id() + 1).cast("int"))
-      .select("_cid", "_cv")
+      key: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
+    val centroids =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, embCol, key, nlist, kmeansIters)
+      else sampledCentroids(corpus, embCol, key, nlist)
     // assign each corpus row to nearest centroid (broadcast nested pass).
     // argmin via min(struct(_d, _cid, ...)): a hash aggregate with MAP-SIDE
     // combine, so the shuffle carries one row per corpus key — a window

@@ -37,6 +37,18 @@ import org.apache.spark.sql.types._
   * need to be a superset), and composes with existing equi keys (they stay
   * in the join condition; the bin key is appended).
   *
+  * Interval-OVERLAP theta-joins (`a.start < b.end AND b.start < a.end` —
+  * two intervals, one bound pair pointing each way across the join) get
+  * the same treatment via the symmetric form: both sides explode to their
+  * covered bins, the join carries the bin equi-key, and a canonical-bin
+  * filter (the bin of `greatest(a.start, b.start)`) emits each
+  * overlapping pair exactly once with no dedup shuffle. The overlap width
+  * is inferred only when BOTH sides are sliding windows (`end = start +
+  * C`), taking the larger C; otherwise the explicit conf width applies.
+  * Containment is tried first — it is the cheaper plan (one exploding
+  * side, no canonical filter) and every containment also parses as a
+  * degenerate overlap.
+  *
   * Two range dimensions (e.g. a time window AND a value band) bin
   * together: the second containment — detected on the same point side —
   * contributes its own bin pair (`_graft_bin_pt2` = `_graft_bin2`), the
@@ -94,24 +106,36 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val alreadyBinned = conjuncts.exists(
       _.references.exists(_.name.startsWith("_graft_bin")))
     if (alreadyBinned) return None
-    val candidates = detect(conjuncts, j.left, j.right)
-    if (candidates.isEmpty) return None
     // no sliding-window literal and no explicit user width → leave the
     // plan alone (see the class doc: a guessed width in the wrong unit
     // is worse than the nested-loop it replaces). An EXPLICIT conf value
     // that is malformed or non-positive fails loudly — the user opted in
-    // and silently declining would be undiagnosable.
-    val confWidth = Option(conf.getConfString(BinWidthKey, null)).map { s =>
-      val w =
-        try s.toLong
-        catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"$BinWidthKey must be a positive integer in the units of " +
-              s"the range-join bound columns, got '$s'")
-        }
-      require(w > 0, s"$BinWidthKey must be > 0, got $w")
-      w
+    // and silently declining would be undiagnosable. Lazy: a join with no
+    // range pattern at all must not trip over a malformed conf.
+    lazy val confWidth = Option(conf.getConfString(BinWidthKey, null)).map {
+      s =>
+        val w =
+          try s.toLong
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$BinWidthKey must be a positive integer in the units of " +
+                  s"the range-join bound columns, got '$s'")
+          }
+        require(w > 0, s"$BinWidthKey must be > 0, got $w")
+        w
     }
+    // containment (point-in-interval) first: only one side explodes and no
+    // canonical-bin filter is needed; the symmetric overlap form is the
+    // fallback for genuinely two-interval conditions
+    rewriteContainment(j, conjuncts, confWidth)
+      .orElse(rewriteOverlap(j, conjuncts, confWidth))
+  }
+
+  private def rewriteContainment(j: Join, conjuncts: Seq[Expression],
+      confWidth: => Option[Long]): Option[LogicalPlan] = {
+    val candidates = detect(conjuncts, j.left, j.right)
+    if (candidates.isEmpty) return None
     // primary dimension: prefer a containment whose width is inferable
     // from its own literal (conf-free and always safe) over one that
     // needs the conf width
@@ -191,6 +215,128 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Join(newLeft, newRight, Inner, Some(newCond), j.hint)))
   }
 
+  /** A detected interval-overlap pattern `lStart < rEnd AND rStart < lEnd`
+    * (either or both bounds possibly non-strict), with the l-bounds
+    * evaluable on the join's left side. `inferredWidth` is the max of the
+    * two sides' sliding-window lengths when BOTH are inferable — with a
+    * bin width ≥ both interval lengths, each side explodes to ≤2 bins.
+    */
+  private final case class Overlap(lStart: Expression, lEnd: Expression,
+      rStart: Expression, rEnd: Expression, c1: Expression, c2: Expression,
+      inferredWidth: Option[Long])
+
+  /** Rewrite a two-interval overlap theta-join (`a.start < b.end AND
+    * b.start < a.end`) into the binned equi-join of
+    * [[graft.operators.Joins.intervalOverlapJoin]]: BOTH sides explode to
+    * the bins their interval covers, the join carries the bin equi-key,
+    * and each pair is emitted from exactly one canonical bin — the bin of
+    * `greatest(lStart, rStart)`, which lies inside both sides' covered
+    * ranges whenever the overlap predicate holds — so multi-bin overlaps
+    * do not duplicate and no dedup shuffle is needed. The exact overlap
+    * predicate is re-applied above the join, so bins only need to be a
+    * superset.
+    */
+  private def rewriteOverlap(j: Join, conjuncts: Seq[Expression],
+      confWidth: => Option[Long]): Option[LogicalPlan] = {
+    val candidates = detectOverlap(conjuncts, j.left, j.right)
+    if (candidates.isEmpty) return None
+    val primary = candidates.find(_.inferredWidth.isDefined)
+      .getOrElse(candidates.head)
+    primary.inferredWidth.orElse(confWidth).map { width =>
+      buildOverlap(j, conjuncts, primary, width)
+    }
+  }
+
+  private def buildOverlap(j: Join, conjuncts: Seq[Expression], o: Overlap,
+      width: Long): LogicalPlan = {
+    def bin(e: Expression): Expression =
+      Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
+    // explode each side over its covered bins; inverted intervals
+    // (end < start) overlap nothing and sequence() must not step
+    // backwards through them — same guard as the containment form
+    def explodeBins(child: LogicalPlan, start: Expression, end: Expression,
+        name: String): (LogicalPlan, Attribute) = {
+      val attr = AttributeReference(name, LongType, nullable = false)()
+      val g = Generate(
+        Explode(new Sequence(bin(start), bin(end), None,
+          Some(conf.sessionLocalTimeZone))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(attr),
+        child = Filter(GreaterThanOrEqual(end, start), child))
+      (g, attr)
+    }
+    val (newLeft, binL) = explodeBins(j.left, o.lStart, o.lEnd,
+      "_graft_bin_l")
+    val (newRight, binR) = explodeBins(j.right, o.rStart, o.rEnd,
+      "_graft_bin")
+    val others = conjuncts.filterNot(e =>
+      e.fastEquals(o.c1) || e.fastEquals(o.c2))
+    val newCond = (others :+ (EqualTo(binL, binR): Expression)).reduce(And)
+    // canonical-bin emission (see the method doc) plus the exact overlap
+    // predicate; both sit above the join, and their push-back into the
+    // join condition is stopped by the _graft_bin re-entry guard
+    val canonical = EqualTo(binL, bin(Greatest(Seq(
+      Cast(o.lStart, DoubleType), Cast(o.rStart, DoubleType)))))
+    Project(j.output,
+      Filter(Seq(o.c1, o.c2, canonical).reduce(And),
+        Join(newLeft, newRight, Inner, Some(newCond), j.hint)))
+  }
+
+  /** Find conjunct pairs forming `x < y AND z < w` with x,w on one side
+    * and y,z on the other — the overlap of intervals [x, w) and [z, y).
+    * Containment reads as a degenerate overlap (a zero-length interval),
+    * which is why the containment branch must run first.
+    */
+  private def detectOverlap(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Seq[Overlap] = {
+    // normalized strictly/non-strictly-less view: e says "small ≲ big"
+    def asLess(e: Expression): Option[(Expression, Expression)] = e match {
+      case LessThan(a, b) => Some((a, b))
+      case LessThanOrEqual(a, b) => Some((a, b))
+      case GreaterThan(b, a) => Some((a, b))
+      case GreaterThanOrEqual(b, a) => Some((a, b))
+      case _ => None
+    }
+    val found = for {
+      c1 <- conjuncts.iterator
+      (x, y) <- asLess(c1).iterator
+      if usable(x) && usable(y)
+      xSide <- sideIn(x, left, right).iterator
+      ySide <- sideIn(y, left, right).iterator
+      if xSide != ySide
+      c2 <- conjuncts.iterator
+      if !c2.fastEquals(c1)
+      (z, w) <- asLess(c2).iterator
+      if usable(z) && usable(w)
+      zSide <- sideIn(z, left, right).iterator
+      if zSide == ySide
+      wSide <- sideIn(w, left, right).iterator
+      if wSide == xSide
+    } yield {
+      // x's side holds interval [x, w); the other side holds [z, y)
+      val (lS, lE, rS, rE) =
+        if (xSide) (x, w, z, y) else (z, y, x, w)
+      val inferred = for {
+        a <- slideWidth(x, w); b <- slideWidth(z, y)
+      } yield math.max(a, b)
+      Overlap(lS, lE, rS, rE, c1, c2, inferred)
+    }
+    found.toSeq
+  }
+
+  /** Which join side can evaluate `e`: Some(true)=left, Some(false)=right,
+    * None for constants (bound to neither) and cross-side expressions.
+    */
+  private def sideIn(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[Boolean] =
+    if (e.references.isEmpty) None // constants bound neither side
+    else if (e.references.subsetOf(left.outputSet)) Some(true)
+    else if (e.references.subsetOf(right.outputSet)) Some(false)
+    else None
+
+  private def usable(e: Expression): Boolean =
+    e.deterministic && e.dataType.isInstanceOf[NumericType]
+
   /** Find every conjunct pair bounding one point expression inside one
     * interval, with the point evaluable on one side and both bounds on the
     * other — in conjunct order, so callers picking the head preserve the
@@ -198,13 +344,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def detect(conjuncts: Seq[Expression], left: LogicalPlan,
       right: LogicalPlan): Seq[Containment] = {
-    def sideOf(e: Expression): Option[Boolean] =
-      if (e.references.isEmpty) None // constants bound neither side
-      else if (e.references.subsetOf(left.outputSet)) Some(true)
-      else if (e.references.subsetOf(right.outputSet)) Some(false)
-      else None
-    def usable(e: Expression): Boolean =
-      e.deterministic && e.dataType.isInstanceOf[NumericType]
+    def sideOf(e: Expression): Option[Boolean] = sideIn(e, left, right)
     // normalized (point, bound, original) views of each conjunct
     def asLower(e: Expression): Option[(Expression, Expression)] = e match {
       case GreaterThanOrEqual(p, s) => Some((p, s))

@@ -686,6 +686,66 @@ object PipelineQueries {
         .orderBy("click_id", "purchase_id")
     },
 
+    // --- Interval OVERLAP join (both sides are intervals): 30-minute
+    //     click sessions overlapping 60-minute purchase attribution
+    //     windows, per user. Joins.intervalOverlapJoin explodes BOTH
+    //     sides over shared bins and emits each pair from one canonical
+    //     bin (the overlap's start), so multi-bin overlaps never
+    //     duplicate; the oracle replays the raw inequality join.
+    Query(
+      "q69_interval_overlap",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_ms(c.ts) < epoch_ms(p.ts) + 3600000
+        |  AND epoch_ms(p.ts) < epoch_ms(c.ts) + 1800000
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("c_start"),
+          (unix_millis(col("ts")) + 1800000L).as("c_end"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("p_start"),
+          (unix_millis(col("ts")) + 3600000L).as("p_end"),
+          col("event_id").as("purchase_id"))
+      Joins.intervalOverlapJoin(clicks, purchases, Seq("user_id"),
+          leftStart = "c_start", leftEnd = "c_end",
+          rightStart = "p_start", rightEnd = "p_end",
+          binWidth = 3600000L)
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+
+    // --- The overlap predicate written as raw theta conjuncts with NO
+    //     equi key — vanilla Spark plans it as BroadcastNestedLoopJoin;
+    //     RangeJoinRewrite's symmetric branch must bin BOTH sliding
+    //     windows (width = the larger inferred literal) and dedup via the
+    //     canonical bin. Short 5/10-minute windows keep the keyless
+    //     result bounded. RangeJoinRewriteSpec pins the plan shape.
+    Query(
+      "q70_overlap_sql",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON epoch_ms(c.ts) < epoch_ms(p.ts) + 600000
+        |  AND epoch_ms(p.ts) < epoch_ms(c.ts) + 300000
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(unix_millis(col("ts")).as("c_start"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(unix_millis(col("ts")).as("p_start"),
+          col("event_id").as("purchase_id"))
+      clicks.join(purchases,
+          col("c_start") < col("p_start") + 600000L &&
+            col("p_start") < col("c_start") + 300000L)
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+
     // --- Latest event per user as ONE max_by aggregation (no window, no
     //     sort — map-side combine applies). The oracle's explicit
     //     (ts DESC, event_id DESC) ranking pins the SAME tie-break as

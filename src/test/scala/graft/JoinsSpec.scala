@@ -138,4 +138,76 @@ class JoinsSpec extends SparkTestBase {
     assert(got == Set(("p1", "w1"), ("p2", "w1"), ("p2", "w2"),
       ("p3", "w2"), ("p5", "w3")))
   }
+
+  test("multi-dimension rangeJoin matches the brute force and carries " +
+      "both bin keys") {
+    // points must co-reside in time AND value bins to become candidates
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+      .toDF("pid", "at", "v")
+    val ivs = (1 to 100).map { i =>
+      val t0 = rnd.nextInt(1000).toLong
+      val v0 = rnd.nextInt(100).toDouble
+      (1000L + i, t0, t0 + rnd.nextInt(80).toLong,
+        v0, v0 + rnd.nextInt(20))
+    }.toDF("iid", "t_lo", "t_hi", "v_lo", "v_hi")
+    val got = Joins.rangeJoin(pts, ivs, keyCols = Nil, dims = Seq(
+        Joins.RangeDim("at", "t_lo", "t_hi", binWidth = 64),
+        Joins.RangeDim("v", "v_lo", "v_hi", binWidth = 16)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"2-D rangeJoin must stay an equi-join:\n$plan")
+    assert(plan.contains("_graft_bin") && plan.contains("_graft_bin2"),
+      s"both bin keys expected in:\n$plan")
+    val expected = pts.crossJoin(ivs)
+      .filter($"at" >= $"t_lo" && $"at" < $"t_hi" &&
+        $"v" >= $"v_lo" && $"v" < $"v_hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(pairs(got) == pairs(expected))
+    assert(pairs(got).nonEmpty, "fixture produced no matches — weaken it")
+  }
+
+  test("intervalOverlapJoin matches the brute force, including multi-bin " +
+      "overlaps, zero-length intervals, and inverted rows") {
+    val rnd = new scala.util.Random(11)
+    // long intervals vs binWidth=16 → overlapping pairs share MANY bins;
+    // the canonical-bin emission must still yield each pair exactly once.
+    // Zero-length intervals ([s, s)) act as points; inverted rows drop.
+    def gen(n: Int, idBase: Long) = (1 to n).map { i =>
+      val s = rnd.nextInt(500).toLong
+      val len = rnd.nextInt(4) match {
+        case 0 => 0L                       // zero-length
+        case 1 => -(1 + rnd.nextInt(50)).toLong // inverted
+        case _ => rnd.nextInt(120).toLong  // up to ~8 bins at width 16
+      }
+      (idBase + i, rnd.nextInt(3).toLong, s, s + len)
+    }
+    val l = gen(150, 0).toDF("lid", "k", "l_lo", "l_hi")
+    val r = gen(150, 1000).toDF("rid", "k", "r_lo", "r_hi")
+    val got = Joins.intervalOverlapJoin(l, r, Seq("k"),
+      "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 16)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"overlap join must stay an equi-join:\n$plan")
+    val expected = l.crossJoin(r)
+      .filter(l("k") === r("k") &&
+        $"l_hi" >= $"l_lo" && $"r_hi" >= $"r_lo" &&
+        $"l_lo" < $"r_hi" && $"r_lo" < $"l_hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    val gotPairs = pairs(got)
+    assert(gotPairs == gotPairs.distinct,
+      "canonical-bin emission produced duplicate pairs")
+    assert(gotPairs == pairs(expected))
+    assert(gotPairs.nonEmpty, "fixture produced no overlaps — weaken it")
+  }
+
+  test("intervalOverlapJoin rejects colliding boundary column names") {
+    val df = Seq((1L, 0L, 1L)).toDF("id", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      Joins.intervalOverlapJoin(df, df, Nil, "lo", "hi", "lo", "hi", 16)
+    }
+  }
 }

@@ -103,6 +103,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"q68 lost its second bin key:\n$p2")
   }
 
+  test("q69/q70 interval-overlap joins stay equi-joins — never " +
+      "nested-loop") {
+    for (q <- Seq("q69_interval_overlap", "q70_overlap_sql")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q fell back to a nested-loop plan:\n$p")
+      assert(p.contains("_graft_bin"), s"$q lost its bin key:\n$p")
+    }
+    // the raw-SQL overlap must go through the rule's SYMMETRIC branch —
+    // both sides binned, left bin named _graft_bin_l
+    val p = plan("q70_overlap_sql")
+    assert(p.contains("_graft_bin_l"),
+      s"q70 did not take the two-sided overlap rewrite:\n$p")
+  }
+
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

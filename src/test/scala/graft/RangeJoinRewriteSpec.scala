@@ -243,4 +243,87 @@ class RangeJoinRewriteSpec extends SparkTestBase {
       assert(pairs(joined) == Set((1L, 10L)))
     }
   }
+
+  // --- interval-OVERLAP form: both sides are intervals, one bound pair
+  //     pointing each way across the join ---
+
+  private val ovRnd = new scala.util.Random(13)
+  private def ovSide(n: Int, base: Long, name: String) =
+    (1 to n).map(i => (base + i, ovRnd.nextInt(400).toLong))
+      .toDF(name, name.take(1) + "_s")
+
+  test("two-sliding-window overlap rewrites conf-free, duplicate-free, " +
+      "and matches the brute force") {
+    val a = ovSide(120, 0, "aid")      // [a_s, a_s + 24)
+    val b = ovSide(120, 1000, "bid")   // [b_s, b_s + 40)
+    val joined = a.join(b,
+      $"a_s" < $"b_s" + 40L && $"b_s" < $"a_s" + 24L)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap rewrite did not fire:\n$plan")
+    // _graft_bin_l is the overlap form's left-side bin — its presence
+    // proves the symmetric branch ran, not a degenerate containment
+    assert(plan.contains("_graft_bin_l"), s"no overlap bins in:\n$plan")
+    val expected = a.crossJoin(b)
+      .filter($"a_s" < $"b_s" + 40L && $"b_s" < $"a_s" + 24L)
+    def ids(df: DataFrame) =
+      df.select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    val got = ids(joined)
+    assert(got == got.distinct, "multi-bin overlap pairs duplicated — " +
+      "canonical-bin emission broken")
+    assert(got == ids(expected))
+    assert(got.nonEmpty, "fixture produced no overlaps — weaken it")
+  }
+
+  test("overlap of arbitrary intervals needs the conf width; without it " +
+      "the plan is left alone") {
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 35L)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 5L, 25L), (11L, 40L, 50L)).toDF("bid", "b_lo", "b_hi")
+    val cond = $"a_lo" < $"b_hi" && $"b_lo" < $"a_hi"
+    val naive = a.join(b, cond)
+    assert(physical(naive).contains("BroadcastNestedLoopJoin"),
+      "no inferable width and no conf: the rule must decline")
+    assert(pairs2(naive) == Set((1L, 10L), (2L, 10L)))
+    withBinWidth(16) {
+      val joined = a.join(b, cond)
+      val plan = physical(joined)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        plan.contains("_graft_bin_l"),
+        s"conf-width overlap rewrite did not fire:\n$plan")
+      assert(pairs2(joined) == Set((1L, 10L), (2L, 10L)))
+    }
+  }
+
+  private def pairs2(df: DataFrame): Set[(Long, Long)] =
+    df.select("aid", "bid").as[(Long, Long)].collect().toSet
+
+  test("raw overlap SQL through the extension point gets the rewrite") {
+    ovSide(80, 0, "aid").createOrReplaceTempView("ov_a")
+    ovSide(80, 1000, "bid").createOrReplaceTempView("ov_b")
+    val joined = spark.sql(
+      """SELECT aid, bid FROM ov_a a JOIN ov_b b
+        |ON a.a_s < b.b_s + 40 AND b.b_s < a.a_s + 24""".stripMargin)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("_graft_bin_l"),
+      s"SQL overlap rewrite did not fire:\n$plan")
+    val manual = spark.table("ov_a").crossJoin(spark.table("ov_b"))
+      .filter($"a_s" < $"b_s" + 40L && $"b_s" < $"a_s" + 24L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(joined.as[(Long, Long)].collect().toSet == manual)
+  }
+
+  test("containment keeps priority over the overlap reading of the same " +
+      "condition") {
+    // a containment condition also parses as a degenerate overlap; the
+    // cheaper one-exploding-side containment plan must win
+    val starts = intervals.select($"iid", $"start")
+    val joined = points.join(starts,
+      $"at" >= $"start" && $"at" < $"start" + 20L)
+    val plan = physical(joined)
+    assert(plan.contains("_graft_bin"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("_graft_bin_l"),
+      s"containment must not take the two-sided overlap plan:\n$plan")
+  }
 }
