@@ -141,15 +141,16 @@ object Similarity {
     * re-normalize. Output schema matches [[sampledCentroids]]:
     * (`_cid` int, `_cv` array<double>), centroids unit-length.
     *
-    * Scale shape per round: assignment is the same broadcast-join +
-    * `min(struct)` argmin hash aggregation as [[ivfTopK]] (map-side
-    * combine, one row per corpus key through the shuffle); the mean is a
-    * posexplode to (cid, component) then an avg hash aggregate — partial
-    * aggregation applies, and the shuffle carries nlist × dim rows, not
-    * the corpus. Only the nlist centroids themselves come to the driver
-    * between rounds (same bounded-collect class as the label
-    * dictionaries). A cluster that loses all members keeps its previous
-    * centroid instead of vanishing.
+    * Scale shape per round: the centroids live on the driver between
+    * rounds (same bounded-collect class as the label dictionaries —
+    * nlist × dim doubles), so assignment is a map-only JVM kernel over
+    * the closure-captured centroid array — NO corpus shuffle, unlike the
+    * broadcast-join + argmin aggregation [[ivfTopK]] needs for its
+    * (queryable) assignment output. The only shuffle per round is the
+    * component mean: posexplode to (cid, component) then an avg hash
+    * aggregate — partial aggregation applies, and the shuffle carries
+    * nlist × dim rows, not the corpus. A cluster that loses all members
+    * keeps its previous centroid instead of vanishing.
     *
     * Component means average double sums whose partition order Spark does
     * not fix, so centroids are deterministic only to FP addition
@@ -167,22 +168,47 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
+    // cid-ascending order makes the kernel's keep-first tie-break match
+    // min(struct(_d, _cid)) — equal dots resolve to the smallest cid
     var cents: Seq[(Int, Array[Double])] =
       sampledCentroids(corpus, embCol, key, nlist)
         .as[(Int, Array[Double])].collect().toSeq
         .map { case (cid, v) => (cid, normalize(v)) }
+        .sortBy(_._1)
     for (_ <- 0 until iters) {
-      val cdf = cents.toDF("_cid", "_cv")
-      // argmin assignment: unit centroids make max-dot = max-cosine
-      val assigned = vecs.join(broadcast(cdf))
-        .withColumn("_d", -dot(col("_emb"), col("_cv")))
-        .groupBy(col(key))
-        .agg(min(struct(col("_d"), col("_cid"), col("_emb"))).as("_best"))
-        .select(col("_best._cid").as("_cid"), col("_best._emb").as("_emb"))
+      val cids = cents.map(_._1).toArray
+      val cvs = cents.map(_._2).toArray
+      // map-only argmax-dot assignment (unit centroids: max-dot =
+      // max-cosine); JVM loop kernel, not a Catalyst HOF tree — nlist ×
+      // dim multiply-adds per row (see lshBucket for the rationale).
+      // Null embeddings and null elements assign to null and drop out of
+      // the mean (posexplode generates nothing for a null array).
+      val assign = udf((v: Seq[java.lang.Double]) => {
+        if (v == null || v.contains(null)) null
+        else {
+          var best = 0
+          var bestD = Double.NegativeInfinity
+          var c = 0
+          while (c < cvs.length) {
+            val p = cvs(c)
+            val n = math.min(v.length, p.length)
+            var d = 0.0
+            var i = 0
+            while (i < n) { d += v(i) * p(i); i += 1 }
+            if (d > bestD) { bestD = d; best = c }
+            c += 1
+          }
+          java.lang.Integer.valueOf(cids(best))
+        }
+      }: java.lang.Integer)
       // component-wise mean: explode to (cid, pos, x), avg, re-assemble
       // in component order (array_sort on the (pos, mean) struct sorts by
-      // the leading pos field)
-      val means = assigned
+      // the leading pos field). The assignment is projected BELOW the
+      // explode — in the same select, the generate would re-evaluate the
+      // kernel once per exploded component (dim× per vector)
+      val means = vecs
+        .select(assign(col("_emb")).as("_cid"), col("_emb"))
+        .filter(col("_cid").isNotNull)
         .select(col("_cid"), posexplode(col("_emb")).as(Seq("_pos", "_x")))
         .groupBy(col("_cid"), col("_pos"))
         .agg(avg(col("_x")).as("_m"))

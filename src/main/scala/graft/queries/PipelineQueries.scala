@@ -353,6 +353,41 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // --- q41 with the k-means-refined index: two Lloyd rounds train the
+    //     IVF centroids (assignment = argmin hash agg, means = posexplode
+    //     avg — both map-side-combined), then the same full-probe search.
+    //     Full probe keeps the result exhaustive, so the oracle is exact
+    //     even though FP-sum ordering jitters the centroids themselves;
+    //     SimilaritySpec covers the recall gain at partial probe.
+    Query(
+      "q71_ivf_kmeans",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |      WHERE vec_id IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, e.v) AS c
+        |  FROM q, e WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, c,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+        |  round(c, 4) AS cosine
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id").isin(0, 1, 2)),
+          "embedding", "vec_id", k = 5, nlist = 16, nprobe = 16,
+          kmeansIters = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // --- Exact all-pairs cosine ≥ threshold on a bounded slice — the
     //     brute-force baseline the LSH (q33) and IVF (q41) paths
     //     approximate, and the only embedding-similarity variant whose

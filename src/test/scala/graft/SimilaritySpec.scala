@@ -169,4 +169,60 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9,
       f"LSH recall $recall%.3f under the 0.9 floor")
   }
+
+  /** Well-separated clusters around 4 orthogonal axes: the shape where
+    * hash-sampled centroids underperform (several samples land in one
+    * cluster, another cluster gets none) and Lloyd rounds must fix it.
+    */
+  private def clusteredCorpus(perCluster: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(19)
+    val dim = 16
+    (0 until 4).flatMap { c =>
+      (0 until perCluster).map { i =>
+        val v = Array.tabulate(dim)(j =>
+          (if (j == c * 4) 10.0f else 0.0f) + rnd.nextFloat() * 0.5f)
+        ((c * perCluster + i).toLong, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("kmeansCentroids converges onto the true clusters") {
+    val corpus = clusteredCorpus(25)
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", "vec_id",
+        nlist = 4, iters = 5)
+      .as[(Int, Array[Double])].collect()
+    assert(cents.length == 4)
+    // every centroid is unit-length and dominated by exactly one cluster
+    // axis; all 4 cluster axes are claimed by some centroid
+    val axes = cents.map { case (_, v) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9,
+        "centroid not unit-length")
+      v.indexOf(v.max)
+    }
+    assert(axes.toSet == Set(0, 4, 8, 12),
+      s"centroids missed a cluster axis: ${axes.toList}")
+  }
+
+  test("k-means centroids beat sampled centroids at partial probe on " +
+      "clustered data") {
+    val corpus = clusteredCorpus(25)
+    val queries = corpus.filter($"vec_id".isin(0L, 30L, 60L, 90L))
+    def recallOf(kmeansIters: Int): Double = {
+      val brute = Similarity.cosineTopK(corpus, queries, "embedding",
+          "vec_id", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val ivf = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id",
+          k = 5, nlist = 4, nprobe = 1, kmeansIters = kmeansIters)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      ivf.intersect(brute).size.toDouble / brute.size
+    }
+    val trained = recallOf(3)
+    val sampled = recallOf(0)
+    info(f"nprobe=1 recall: sampled $sampled%.3f, k-means $trained%.3f")
+    // with one aligned centroid per true cluster, probing a single list
+    // must recover every true neighbor
+    assert(trained >= 0.999, f"k-means recall $trained%.3f under 1.0")
+    assert(trained >= sampled,
+      f"k-means ($trained%.3f) must not lose to sampling ($sampled%.3f)")
+  }
 }
