@@ -154,6 +154,17 @@ object Joins {
     * ~2 bins. The boundary column names must be distinct across the two
     * sides (they both survive into the joined row for the exact
     * predicate).
+    *
+    * Unlike [[rangeJoin]], rows whose own interval is inverted
+    * (`end < start`) are NOT dropped: the raw overlap predicate is
+    * satisfiable by such a row — left (10, 5) matches right (3, 20)
+    * because 10 < 20 AND 3 < 5 — so this operator matches the plain-SQL
+    * predicate exactly. Each side explodes the bins of
+    * `[least(start, end), greatest(start, end)]` (so `sequence()` never
+    * steps backwards), and the canonical bin of
+    * `greatest(leftStart, rightStart)` provably lies in both sides'
+    * covered ranges whenever the predicate holds (both sides inverted is
+    * unsatisfiable — the predicate would form a cycle).
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftStart: String, leftEnd: String,
@@ -164,9 +175,9 @@ object Joins {
       "boundary column names must differ between the two sides")
     def binOf(c: Column): Column = floor(c / binWidth).cast("long")
     def binned(df: DataFrame, start: String, end: String): DataFrame = df
-      .filter(col(end) >= col(start)) // inverted: see rangeJoin
       .withColumn("_graft_bin",
-        explode(sequence(binOf(col(start)), binOf(col(end)))))
+        explode(sequence(binOf(least(col(start), col(end))),
+          binOf(greatest(col(start), col(end))))))
     binned(left, leftStart, leftEnd)
       .join(binned(right, rightStart, rightEnd), keyCols :+ "_graft_bin")
       .filter(col(leftStart) < col(rightEnd) &&

@@ -73,6 +73,18 @@ import org.apache.spark.sql.types._
   * units of the bound columns, sized near the typical interval length).
   * `spark.graft.rangeJoin.enabled=false` disables the rule entirely.
   *
+  * Scope caveat: the conf width is session-global, and the overlap
+  * detector matches ANY inner join carrying a pair of opposite-direction
+  * cross-side inequalities — not just ones the user thinks of as interval
+  * overlaps. While the width is set, every such join in the session is
+  * rewritten with that width; a width in the wrong unit for one of them
+  * trades the nested-loop for a large bin explode (results stay correct —
+  * the exact predicate is re-applied above the join — but the plan can be
+  * worse). Set the conf around the statement that needs it and unset it
+  * after, or prefer the explicit `Joins.rangeJoin` /
+  * `Joins.intervalOverlapJoin` operators, whose width is a per-call
+  * argument.
+  *
   * Guards: inner joins only, deterministic numeric bounds, and the
   * inverted-interval filter (`end >= start`) keeps `sequence()` from
   * stepping backwards through malformed rows (same guard as `rangeJoin`).
@@ -235,6 +247,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * do not duplicate and no dedup shuffle is needed. The exact overlap
     * predicate is re-applied above the join, so bins only need to be a
     * superset.
+    *
+    * Inverted rows (a row's own `end < start`) must NOT be filtered here,
+    * unlike the containment form: the raw overlap predicate is satisfiable
+    * by a row whose own interval is inverted — left (10, 5) matches right
+    * (3, 20) because 10 < 20 AND 3 < 5 — so dropping such rows would lose
+    * results vs vanilla Spark. Each side instead explodes the bins of
+    * `[least(start, end), greatest(start, end)]` (so `sequence()` never
+    * steps backwards), and the canonical bin still lies in both sides'
+    * covered ranges: with g = max(lStart, rStart) and the predicate held,
+    * g ≥ lStart and g ≥ rStart bound it below on both sides; above,
+    * either a side is not inverted (then g ≤ that side's end via
+    * `rStart < lEnd` / `lStart < rEnd`) or it is inverted (then its start
+    * IS its greatest bound and the other side's start falls under it via
+    * the same predicate); both sides inverted is unsatisfiable
+    * (`lEnd < lStart < rEnd < rStart < lEnd` is a cycle).
     */
   private def rewriteOverlap(j: Join, conjuncts: Seq[Expression],
       confWidth: => Option[Long]): Option[LogicalPlan] = {
@@ -251,18 +278,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       width: Long): LogicalPlan = {
     def bin(e: Expression): Expression =
       Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
-    // explode each side over its covered bins; inverted intervals
-    // (end < start) overlap nothing and sequence() must not step
-    // backwards through them — same guard as the containment form
+    // explode each side over the bins of [least(start, end),
+    // greatest(start, end)]: sequence() never steps backwards, and rows
+    // whose own interval is inverted keep their matches (see the method
+    // doc — filtering them here would change raw-SQL semantics). Null
+    // bounds survive the explode (least/greatest skip nulls) but the
+    // exact predicate above the join nulls them out, same as vanilla.
     def explodeBins(child: LogicalPlan, start: Expression, end: Expression,
         name: String): (LogicalPlan, Attribute) = {
       val attr = AttributeReference(name, LongType, nullable = false)()
+      val bounds = Seq(Cast(start, DoubleType), Cast(end, DoubleType))
       val g = Generate(
-        Explode(new Sequence(bin(start), bin(end), None,
-          Some(conf.sessionLocalTimeZone))),
+        Explode(new Sequence(bin(Least(bounds)), bin(Greatest(bounds)),
+          None, Some(conf.sessionLocalTimeZone))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(attr),
-        child = Filter(GreaterThanOrEqual(end, start), child))
+        generatorOutput = Seq(attr), child = child)
       (g, attr)
     }
     val (newLeft, binL) = explodeBins(j.left, o.lStart, o.lEnd,

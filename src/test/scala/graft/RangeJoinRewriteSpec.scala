@@ -278,20 +278,28 @@ class RangeJoinRewriteSpec extends SparkTestBase {
 
   test("overlap of arbitrary intervals needs the conf width; without it " +
       "the plan is left alone") {
-    val a = Seq((1L, 0L, 10L), (2L, 20L, 35L)).toDF("aid", "a_lo", "a_hi")
-    val b = Seq((10L, 5L, 25L), (11L, 40L, 50L)).toDF("bid", "b_lo", "b_hi")
+    // aid=3 is INVERTED (end < start) yet satisfies the raw predicate
+    // against the wide bid=10 (10 < 25 AND 5 < 5 is false; use (12, 3, 20):
+    // 10 < 20 AND 3 < 5) — the rewrite must keep such rows, matching the
+    // vanilla plan it replaces (they were lost before round 8)
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 35L), (3L, 10L, 5L))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 5L, 25L), (11L, 40L, 50L), (12L, 3L, 20L))
+      .toDF("bid", "b_lo", "b_hi")
     val cond = $"a_lo" < $"b_hi" && $"b_lo" < $"a_hi"
     val naive = a.join(b, cond)
     assert(physical(naive).contains("BroadcastNestedLoopJoin"),
       "no inferable width and no conf: the rule must decline")
-    assert(pairs2(naive) == Set((1L, 10L), (2L, 10L)))
+    val vanilla = pairs2(naive)
+    assert(vanilla.contains((3L, 12L)),
+      "fixture must exercise an inverted-interval match")
     withBinWidth(16) {
       val joined = a.join(b, cond)
       val plan = physical(joined)
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         plan.contains("_graft_bin_l"),
         s"conf-width overlap rewrite did not fire:\n$plan")
-      assert(pairs2(joined) == Set((1L, 10L), (2L, 10L)))
+      assert(pairs2(joined) == vanilla)
     }
   }
 
