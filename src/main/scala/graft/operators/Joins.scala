@@ -98,6 +98,16 @@ object Joins {
     rangeJoin(left, right, keyCols,
       Seq(RangeDim(leftAt, rightStart, rightEnd, binWidth)))
 
+  /** Single-dimension [[rangeJoin]] with an explicit hot-bin cap (Scala
+    * allows default arguments on only one overload — the `dims` form
+    * carries them).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftAt: String, rightStart: String, rightEnd: String,
+      binWidth: Long, maxBinSize: Long): DataFrame =
+    rangeJoin(left, right, keyCols,
+      Seq(RangeDim(leftAt, rightStart, rightEnd, binWidth)), maxBinSize)
+
   /** Multi-dimensional range join: each of `dims` is an independent
     * point-in-interval containment (e.g. a time window AND a value band),
     * and every dimension contributes its own bin equi-key, so candidate
@@ -105,12 +115,31 @@ object Joins {
     * predicate can't give. The right side explodes the cross product of
     * its per-dimension bin ranges (size the widths near the interval
     * lengths to keep that ≤2 bins per dimension).
+    *
+    * Hot-bin skew guard (`maxBinSize`, same contract as
+    * `Dedup.minhashNearDuplicates`'s `maxBucketSize`): a hot (key, bin)
+    * cohort — epoch-zero default timestamps, a flash-sale hour — makes
+    * B_l × B_r candidate pairs inside that one bin, the binned join's
+    * only quadratic failure mode. Each side's rows in a (key, bins…)
+    * cohort larger than `maxBinSize` are dropped before the join (the
+    * WHOLE cohort, mirroring the minhash guard), so per-bin work is
+    * bounded by `maxBinSize²`. This trades results for survival: matches
+    * involving a dropped cohort are lost, so the cap is sized (10 000)
+    * to engage only on pathological cohorts — `10000²` pairs in ONE bin
+    * is already a data bug to investigate, not a query to answer.
+    * `maxBinSize <= 0` is the documented sentinel for "no guard": exact
+    * results whatever the skew, at the risk of a quadratic bin. Guard
+    * shape: a count window partitioned by the join's own (key, bins…)
+    * keys, so its exchange (and sort, under sort-merge) is REUSED by the
+    * join — the guard costs no extra shuffle.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      dims: Seq[RangeDim]): DataFrame = {
+      dims: Seq[RangeDim], maxBinSize: Long = 10000): DataFrame = {
     require(dims.nonEmpty, "rangeJoin needs at least one dimension")
     dims.foreach(d => require(d.binWidth > 0,
       s"binWidth must be > 0 for $d"))
+    require(maxBinSize <= 0 || maxBinSize > 1,
+      "maxBinSize must be > 1 (or <= 0 to skip the skew guard)")
     // the _graft_bin names double as the RangeJoinRewrite re-entry guard:
     // the optimizer rule must not re-bin this already-binned join
     def binName(i: Int): String =
@@ -129,10 +158,93 @@ object Joins {
     val lBinned = dims.zipWithIndex.foldLeft(left) { case (df, (d, i)) =>
       df.withColumn(binName(i), floor(col(d.leftAt) / d.binWidth).cast("long"))
     }
-    lBinned.join(rBinned, keyCols ++ dims.indices.map(binName))
+    val joinKeys = keyCols ++ dims.indices.map(binName)
+    val guard = binGuard(joinKeys, maxBinSize) _
+    guard(lBinned).join(guard(rBinned), joinKeys)
       .filter(dims.map(d => col(d.leftAt) >= col(d.rightStart) &&
         col(d.leftAt) < col(d.rightEnd)).reduce(_ && _))
       .drop(dims.indices.map(binName): _*)
+  }
+
+  /** The hot-bin cap shared by the binned join family: drop every row of
+    * a (key, bin) cohort larger than `maxBinSize` (see [[rangeJoin]]'s
+    * guard doc for the trade). The count window partitions on the join's
+    * own keys, so its exchange is reused by the join itself.
+    */
+  private def binGuard(joinKeys: Seq[String], maxBinSize: Long)(
+      df: DataFrame): DataFrame =
+    if (maxBinSize <= 0) df
+    else df
+      .withColumn("_graft_bn", count(lit(1)).over(
+        Window.partitionBy(joinKeys.map(col): _*)))
+      .filter(col("_graft_bn") <= maxBinSize)
+      .drop("_graft_bn")
+
+  /** Left-outer [[rangeJoin]] (single dimension): every left row
+    * survives; points inside no right interval carry nulls for the right
+    * columns. See the `dims` overload for the mechanics.
+    */
+  def rangeJoinLeftOuter(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftAt: String, rightStart: String,
+      rightEnd: String, binWidth: Long): DataFrame =
+    rangeJoinLeftOuter(left, right, keyCols,
+      Seq(RangeDim(leftAt, rightStart, rightEnd, binWidth)))
+
+  /** Left-outer [[rangeJoin]]: "each event with its containing window,
+    * keeping events with none" — the everyday complement of the inner
+    * form, which otherwise needs a hand-rolled anti-join union.
+    *
+    * Shape: the point side keeps its single bin per row, the exact
+    * containment predicate moves INTO the left-outer join condition
+    * (equi keys: the keys + bins; containment becomes the residual), so
+    * unmatched left rows surface with nulls directly — no second pass,
+    * no row-id bookkeeping, same single-shuffle cost envelope as the
+    * inner form. The right side's key/bound columns must not collide
+    * with left column names (right keys are renamed internally; its
+    * value columns pass through).
+    *
+    * The hot-bin guard caps the RIGHT side only: a left-outer join must
+    * preserve every left row, so left cohorts are never dropped — an
+    * over-cap right cohort loses its matches and those left rows emit as
+    * unmatched (see [[rangeJoin]]'s guard doc for sizing).
+    */
+  def rangeJoinLeftOuter(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], dims: Seq[RangeDim],
+      maxBinSize: Long = 10000): DataFrame = {
+    require(dims.nonEmpty, "rangeJoinLeftOuter needs at least one dimension")
+    dims.foreach(d => require(d.binWidth > 0, s"binWidth must be > 0 for $d"))
+    require(maxBinSize <= 0 || maxBinSize > 1,
+      "maxBinSize must be > 1 (or <= 0 to skip the skew guard)")
+    def binName(i: Int): String =
+      "_graft_bin" + (if (i == 0) "" else (i + 1).toString)
+    def rBinName(i: Int): String = binName(i) + "_r"
+    def rKey(k: String): String = "_graft_rk_" + k
+    // right side: rename keys out of the left's namespace, drop inverted
+    // intervals (containment-safe, see rangeJoin), explode covered bins
+    val renamed = keyCols.foldLeft(right)(
+      (df, k) => df.withColumnRenamed(k, rKey(k)))
+    val rBinned = dims.zipWithIndex.foldLeft(
+      renamed.filter(dims.map(d =>
+        col(d.rightEnd) >= col(d.rightStart)).reduce(_ && _))) {
+      case (df, (d, i)) => df.withColumn(rBinName(i),
+        explode(sequence(floor(col(d.rightStart) / d.binWidth).cast("long"),
+          floor(col(d.rightEnd) / d.binWidth).cast("long"))))
+    }
+    val rGuarded = binGuard(
+      keyCols.map(rKey) ++ dims.indices.map(rBinName), maxBinSize)(rBinned)
+    val lBinned = dims.zipWithIndex.foldLeft(left) { case (df, (d, i)) =>
+      df.withColumn(binName(i), floor(col(d.leftAt) / d.binWidth).cast("long"))
+    }
+    // a null point or key bins/equi-joins to nothing and falls out as an
+    // unmatched left row — exactly vanilla LEFT JOIN semantics
+    val cond = (keyCols.map(k => col(k) === col(rKey(k))) ++
+      dims.indices.map(i => col(binName(i)) === col(rBinName(i))) ++
+      dims.map(d => col(d.leftAt) >= col(d.rightStart) &&
+        col(d.leftAt) < col(d.rightEnd))).reduce(_ && _)
+    lBinned.join(rGuarded, cond, "left_outer")
+      .drop(dims.indices.map(binName): _*)
+      .drop(dims.indices.map(rBinName): _*)
+      .drop(keyCols.map(rKey): _*)
   }
 
   /** Interval-overlap join: pair each left [`leftStart`, `leftEnd`)
@@ -165,25 +277,149 @@ object Joins {
     * `greatest(leftStart, rightStart)` provably lies in both sides'
     * covered ranges whenever the predicate holds (both sides inverted is
     * unsatisfiable — the predicate would form a cycle).
+    *
+    * `maxBinSize` is the same hot-bin skew guard as [[rangeJoin]]'s (see
+    * its doc for the full trade): cohorts larger than the cap in one
+    * (key, bin) are dropped from BOTH sides before the join, bounding
+    * per-bin work at `maxBinSize²` instead of B_l × B_r. Matches whose
+    * canonical bin falls in a dropped cohort are lost — the cap is sized
+    * to engage only on pathological cohorts (boilerplate epoch-zero
+    * intervals). `maxBinSize <= 0` skips the guard entirely.
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftStart: String, leftEnd: String,
-      rightStart: String, rightEnd: String, binWidth: Long): DataFrame = {
+      rightStart: String, rightEnd: String, binWidth: Long,
+      maxBinSize: Long = 10000): DataFrame =
+    intervalOverlapJoin(left, right, keyCols,
+      Seq(OverlapDim(leftStart, leftEnd, rightStart, rightEnd, binWidth)),
+      maxBinSize)
+
+  /** One interval-vs-interval dimension of a multi-dimensional
+    * [[intervalOverlapJoin]]: both sides' bound columns and the bin width
+    * in their units (size near the LONGER side's typical interval
+    * length).
+    */
+  final case class OverlapDim(leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String, binWidth: Long)
+
+  /** Multi-dimensional interval-overlap join: each of `dims` is an
+    * independent interval-overlap (e.g. a time overlap AND a value-band
+    * overlap), and every dimension contributes its own bin equi-key, so
+    * candidate pairs must co-reside in ALL dimensions — without this a
+    * second dimension is only a residual predicate filtering the first
+    * dimension's (possibly much larger) candidate set. Both sides
+    * explode the cross product of their per-dimension bin ranges (size
+    * widths near the interval lengths to keep that ≤2 bins per
+    * dimension), and each pair is emitted from its per-dimension
+    * CANONICAL bin combination — dimension i's bin of
+    * `greatest(leftStart_i, rightStart_i)` — which is unique per pair,
+    * so multi-bin overlaps never duplicate in any dimension and no dedup
+    * shuffle is needed (the 1-D canonical-bin proof applies per
+    * dimension independently).
+    *
+    * `maxBinSize` is shared across the whole (key, bins…) cohort — see
+    * the single-dimension overload's doc for the trade. (Scala permits
+    * default arguments on only one overload, so this form takes it
+    * explicitly; pass 10000 for the default behavior.)
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], dims: Seq[OverlapDim],
+      maxBinSize: Long): DataFrame = {
+    require(dims.nonEmpty, "intervalOverlapJoin needs at least one dimension")
+    dims.foreach(d => require(d.binWidth > 0,
+      s"binWidth must be > 0 for $d"))
+    val lBounds = dims.flatMap(d => Seq(d.leftStart, d.leftEnd))
+    val rBounds = dims.flatMap(d => Seq(d.rightStart, d.rightEnd))
+    require(lBounds.toSet.intersect(rBounds.toSet).isEmpty,
+      "boundary column names must differ between the two sides")
+    require(maxBinSize <= 0 || maxBinSize > 1,
+      "maxBinSize must be > 1 (or <= 0 to skip the skew guard)")
+    def binName(i: Int): String =
+      "_graft_bin" + (if (i == 0) "" else (i + 1).toString)
+    def binOf(d: OverlapDim)(c: Column): Column =
+      floor(c / d.binWidth).cast("long")
+    def binned(df: DataFrame, start: OverlapDim => String,
+        end: OverlapDim => String): DataFrame =
+      dims.zipWithIndex.foldLeft(df) { case (acc, (d, i)) =>
+        acc.withColumn(binName(i),
+          explode(sequence(
+            binOf(d)(least(col(start(d)), col(end(d)))),
+            binOf(d)(greatest(col(start(d)), col(end(d)))))))
+      }
+    val joinKeys = keyCols ++ dims.indices.map(binName)
+    val guard = binGuard(joinKeys, maxBinSize) _
+    guard(binned(left, _.leftStart, _.leftEnd))
+      .join(guard(binned(right, _.rightStart, _.rightEnd)), joinKeys)
+      .filter(dims.zipWithIndex.map { case (d, i) =>
+        col(d.leftStart) < col(d.rightEnd) &&
+          col(d.rightStart) < col(d.leftEnd) &&
+          col(binName(i)) === binOf(d)(greatest(col(d.leftStart),
+            col(d.rightStart)))
+      }.reduce(_ && _))
+      .drop(dims.indices.map(binName): _*)
+  }
+
+  /** Left-outer [[intervalOverlapJoin]]: every left interval survives;
+    * left rows overlapping no right interval carry nulls for the right
+    * columns.
+    *
+    * Mechanics beyond the inner form: the left side explodes to several
+    * bin copies, so "unmatched" must be decided per ROW, not per copy —
+    * a copy in bin b only sees right rows whose pair-canonical bin is b,
+    * and a matched row's other copies would otherwise emit spurious null
+    * rows. The full overlap + canonical-bin predicate moves into the
+    * left-outer join condition, then a count window partitioned by the
+    * left's own columns counts each row's matches across ALL its copies:
+    * matched rows keep their matches, rows with zero matches anywhere
+    * emit exactly once from their HOME bin (the bin of
+    * `least(start, end)`, null-safe so null-bound rows — kept by
+    * `explode_outer` with a null bin — emit too). Identical left rows
+    * share a window partition, which is semantically safe (identical
+    * rows have identical match sets) and keeps their null-row
+    * multiplicity right. Cost vs the inner form: one extra exchange
+    * (the window over left columns) — the price of outer semantics
+    * without a caller-supplied row id.
+    *
+    * The hot-bin guard caps the RIGHT side only (a left-outer join must
+    * preserve every left row); over-cap right cohorts lose their matches
+    * and those left rows emit as unmatched.
+    */
+  def intervalOverlapJoinLeftOuter(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String, binWidth: Long,
+      maxBinSize: Long = 10000): DataFrame = {
     require(binWidth > 0, "binWidth must be > 0")
     require(Set(leftStart, leftEnd).intersect(Set(rightStart, rightEnd))
         .isEmpty,
       "boundary column names must differ between the two sides")
+    require(maxBinSize <= 0 || maxBinSize > 1,
+      "maxBinSize must be > 1 (or <= 0 to skip the skew guard)")
     def binOf(c: Column): Column = floor(c / binWidth).cast("long")
-    def binned(df: DataFrame, start: String, end: String): DataFrame = df
-      .withColumn("_graft_bin",
-        explode(sequence(binOf(least(col(start), col(end))),
-          binOf(greatest(col(start), col(end))))))
-    binned(left, leftStart, leftEnd)
-      .join(binned(right, rightStart, rightEnd), keyCols :+ "_graft_bin")
-      .filter(col(leftStart) < col(rightEnd) &&
-        col(rightStart) < col(leftEnd) &&
-        col("_graft_bin") === binOf(greatest(col(leftStart),
-          col(rightStart))))
-      .drop("_graft_bin")
+    def rKey(k: String): String = "_graft_rk_" + k
+    val lBinned = left.withColumn("_graft_bin",
+      explode_outer(sequence(binOf(least(col(leftStart), col(leftEnd))),
+        binOf(greatest(col(leftStart), col(leftEnd))))))
+    val rBinned = keyCols.foldLeft(right)(
+        (df, k) => df.withColumnRenamed(k, rKey(k)))
+      .withColumn("_graft_rbin",
+        explode(sequence(binOf(least(col(rightStart), col(rightEnd))),
+          binOf(greatest(col(rightStart), col(rightEnd))))))
+      .withColumn("_graft_m", lit(1))
+    val rGuarded = binGuard(keyCols.map(rKey) :+ "_graft_rbin",
+      maxBinSize)(rBinned)
+    val cond = (keyCols.map(k => col(k) === col(rKey(k))) ++ Seq(
+      col("_graft_bin") === col("_graft_rbin"),
+      col(leftStart) < col(rightEnd),
+      col(rightStart) < col(leftEnd),
+      col("_graft_bin") === binOf(greatest(col(leftStart),
+        col(rightStart))))).reduce(_ && _)
+    val home = binOf(least(col(leftStart), col(leftEnd)))
+    val w = Window.partitionBy(left.columns.map(col).toIndexedSeq: _*)
+    lBinned.join(rGuarded, cond, "left_outer")
+      .withColumn("_graft_mc", count(col("_graft_m")).over(w))
+      .filter(col("_graft_m").isNotNull ||
+        (col("_graft_mc") === 0 && col("_graft_bin") <=> home))
+      .drop("_graft_bin", "_graft_rbin", "_graft_m", "_graft_mc")
+      .drop(keyCols.map(rKey): _*)
   }
 }

@@ -659,6 +659,37 @@ object PipelineQueries {
         .orderBy("click_id", "purchase_id")
     },
 
+    // --- LEFT-OUTER range join: every click, with its containing
+    //     purchase window OR nulls — "events with no matching window" is
+    //     the everyday complement of q57 and needs a hand-rolled
+    //     anti-join without the operator. Unmatched ids coalesce to -1
+    //     on BOTH sides (a nullable int64 turns to float in the
+    //     checker's pandas frame otherwise).
+    Query(
+      "q72_range_join_outer",
+      """SELECT c.event_id AS click_id,
+        |  COALESCE(p.event_id, -1) AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_ms(c.ts) >= epoch_ms(p.ts)
+        |  AND epoch_ms(c.ts) < epoch_ms(p.ts) + 3600000
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("at_ms"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("start_ms"),
+          (unix_millis(col("ts")) + 3600000L).as("end_ms"),
+          col("event_id").as("purchase_id"))
+      Joins.rangeJoinLeftOuter(clicks, purchases, Seq("user_id"),
+          "at_ms", "start_ms", "end_ms", binWidth = 3600000L)
+        .select(col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+
     // --- q57's predicate written the way a plain-SQL user would: a raw
     //     theta-join, NO call to Joins.rangeJoin. The RangeJoinRewrite
     //     optimizer rule must turn it into the binned equi-join (its

@@ -214,6 +214,156 @@ class JoinsSpec extends SparkTestBase {
       "fixture produced no surviving inverted-interval match — weaken it")
   }
 
+  test("multi-dimension intervalOverlapJoin matches the brute force, " +
+      "carries both bin keys, and never duplicates") {
+    // time overlap AND value-band overlap: candidates must co-reside in
+    // BOTH dimensions' bins; each pair emits from its per-dimension
+    // canonical bin combination exactly once
+    val rnd = new scala.util.Random(31)
+    def gen(n: Int, idBase: Long) = (1 to n).map { i =>
+      val t0 = rnd.nextInt(400).toLong
+      val v0 = rnd.nextInt(100).toLong
+      (idBase + i, t0, t0 + rnd.nextInt(100).toLong - 10L, // some inverted
+        v0, v0 + rnd.nextInt(30).toLong - 3L)
+    }
+    val l = gen(120, 0).toDF("lid", "l_t0", "l_t1", "l_v0", "l_v1")
+    val r = gen(120, 1000).toDF("rid", "r_t0", "r_t1", "r_v0", "r_v1")
+    val got = Joins.intervalOverlapJoin(l, r, keyCols = Nil, dims = Seq(
+      Joins.OverlapDim("l_t0", "l_t1", "r_t0", "r_t1", binWidth = 64),
+      Joins.OverlapDim("l_v0", "l_v1", "r_v0", "r_v1", binWidth = 16)),
+      maxBinSize = 10000)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"2-D overlap join must stay an equi-join:\n$plan")
+    assert(plan.contains("_graft_bin") && plan.contains("_graft_bin2"),
+      s"both bin keys expected in:\n$plan")
+    val expected = l.crossJoin(r)
+      .filter($"l_t0" < $"r_t1" && $"r_t0" < $"l_t1" &&
+        $"l_v0" < $"r_v1" && $"r_v0" < $"l_v1")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    val gotPairs = pairs(got)
+    assert(gotPairs == gotPairs.distinct, "2-D canonical emission duplicated")
+    assert(gotPairs == pairs(expected))
+    assert(gotPairs.nonEmpty, "fixture produced no 2-D overlaps — weaken it")
+  }
+
+  test("rangeJoinLeftOuter keeps every left row, nulls the unmatched, " +
+      "and matches the vanilla LEFT JOIN") {
+    val intervals = Seq(("u1", 0L, 100L, 10L), ("u1", 50L, 150L, 11L),
+      ("u2", 0L, 100L, 12L), ("u1", 500L, 400L, 13L)) // 13 inverted
+      .toDF("k", "lo", "hi", "iid")
+    val points = Seq(
+      (Some("u1"), Some(75L), 1L),  // two containing windows
+      (Some("u1"), Some(200L), 2L), // none → null
+      (Some("u3"), Some(50L), 3L),  // key with no intervals → null
+      (Some("u1"), None, 4L),       // null point → null (SQL semantics)
+      (None, Some(50L), 5L))        // null key → null
+      .toDF("k", "at", "pid")
+    val got = Joins.rangeJoinLeftOuter(points, intervals, Seq("k"),
+      "at", "lo", "hi", binWidth = 64)
+    assert(!got.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "left-outer range join must stay an equi-join")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("pid"), coalesce(col("iid"), lit(-1L)).as("iid"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val expected = points.as("p").join(intervals.as("i"),
+        col("p.k") === col("i.k") && $"at" >= $"lo" && $"at" < $"hi",
+        "left_outer")
+      .select(col("pid"), col("iid"))
+    assert(rows(got) == rows(expected))
+    assert(rows(got) == Seq((1L, 10L), (1L, 11L), (2L, -1L), (3L, -1L),
+      (4L, -1L), (5L, -1L)))
+  }
+
+  test("intervalOverlapJoinLeftOuter matches the vanilla LEFT JOIN on a " +
+      "generated fixture (multi-bin, inverted, null bounds)") {
+    val rnd = new scala.util.Random(23)
+    def gen(n: Int, idBase: Long) = (1 to n).map { i =>
+      val s = rnd.nextInt(400).toLong
+      val len = rnd.nextInt(5) match {
+        case 0 => 0L
+        case 1 => -(1 + rnd.nextInt(40)).toLong
+        case _ => rnd.nextInt(100).toLong
+      }
+      (idBase + i, rnd.nextInt(4).toLong,
+        if (rnd.nextInt(20) == 0) None else Some(s),
+        if (rnd.nextInt(20) == 0) None else Some(s + len))
+    }
+    val l = gen(120, 0).toDF("lid", "k", "l_lo", "l_hi")
+    val r = gen(120, 1000).toDF("rid", "k", "r_lo", "r_hi")
+    val got = Joins.intervalOverlapJoinLeftOuter(l, r, Seq("k"),
+      "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lid"), coalesce(col("rid"), lit(-1L)).as("rid"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val expected = l.as("L").join(r.as("R"),
+        col("L.k") === col("R.k") &&
+          $"l_lo" < $"r_hi" && $"r_lo" < $"l_hi", "left_outer")
+      .select(col("lid"), col("rid"))
+    val gotRows = rows(got)
+    assert(gotRows == rows(expected))
+    // the fixture must exercise both sides of the outer semantics
+    assert(gotRows.exists(_._2 == -1L), "no unmatched left rows — weaken")
+    assert(gotRows.exists(_._2 != -1L), "no matched left rows — weaken")
+    assert(gotRows.count(_._2 == -1L) < gotRows.size)
+    assert(gotRows.map(_._1).distinct.size == 120,
+      "every left row must appear at least once")
+  }
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("rangeJoin hot-bin guard: over-cap (key, bin) cohorts drop, the " +
+      "sentinel restores them, and the guard adds no exchange") {
+    // 30 points and 30 intervals piled into ONE (key, bin) cohort — the
+    // quadratic B_l × B_r shape the guard exists for — plus one healthy
+    // cohort that must survive untouched
+    val pts = ((1 to 30).map(i => ("hot", 32L, i.toLong)) :+
+      (("ok", 32L, 100L))).toDF("k", "at", "pid")
+    val ivs = ((1 to 30).map(i => ("hot", 0L, 64L, i.toLong)) :+
+      (("ok", 0L, 64L, 100L))).toDF("k", "lo", "hi", "iid")
+    def run(cap: Long) = Joins.rangeJoin(pts, ivs, Seq("k"),
+      "at", "lo", "hi", binWidth = 64, maxBinSize = cap)
+    assert(run(10).select("pid", "iid").as[(Long, Long)].collect().toSet ==
+      Set((100L, 100L)), "cap=10 must drop the hot cohort, keep the healthy")
+    assert(run(-1).count() == 30L * 30 + 1, "sentinel must restore all pairs")
+    assert(Joins.rangeJoin(pts, ivs, Seq("k"), "at", "lo", "hi",
+      binWidth = 64).count() == 30L * 30 + 1,
+      "the 10000 default must not engage on a small cohort")
+    // the guard windows partition on the join's own (key, bin) keys, so
+    // the sort-merge join runs on the windows' exchanges — guarded and
+    // unguarded plans shuffle the same number of times
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      def exchanges(cap: Long) = run(cap).queryExecution.executedPlan
+        .toString.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges(10) == exchanges(-1),
+        "the hot-bin guard must not add a shuffle")
+    }
+  }
+
+  test("intervalOverlapJoin hot-bin guard engages and the sentinel " +
+      "restores exactness") {
+    val l = ((1 to 25).map(i => ("hot", 0L, 60L, i.toLong)) :+
+      (("ok", 0L, 60L, 100L))).toDF("k", "l_lo", "l_hi", "lid")
+    val r = ((1 to 25).map(i => ("hot", 10L, 50L, i.toLong)) :+
+      (("ok", 10L, 50L, 100L))).toDF("k", "r_lo", "r_hi", "rid")
+    def run(cap: Long) = Joins.intervalOverlapJoin(l, r, Seq("k"),
+      "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 64, maxBinSize = cap)
+    assert(run(10).select("lid", "rid").as[(Long, Long)].collect().toSet ==
+      Set((100L, 100L)))
+    assert(run(-1).count() == 25L * 25 + 1)
+    assert(Joins.intervalOverlapJoin(l, r, Seq("k"),
+      "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 64).count() == 25L * 25 + 1)
+  }
+
   test("intervalOverlapJoin rejects colliding boundary column names") {
     val df = Seq((1L, 0L, 1L)).toDF("id", "lo", "hi")
     intercept[IllegalArgumentException] {
