@@ -86,8 +86,23 @@ import org.apache.spark.sql.types._
   * argument.
   *
   * Guards: inner joins only, deterministic numeric bounds, and the
-  * inverted-interval filter (`end >= start`) keeps `sequence()` from
-  * stepping backwards through malformed rows (same guard as `rangeJoin`).
+  * containment form filters inverted intervals (`end >= start` — safe
+  * there because containment implies `start <= point < end`; the overlap
+  * form instead bins `[least, greatest]`, see `buildOverlap`).
+  *
+  * Hot-bin skew: the operators (`Joins.rangeJoin` /
+  * `Joins.intervalOverlapJoin`) expose a `maxBinSize` cap that DROPS
+  * over-cap (key, bin) cohorts — an explicit, documented trade a caller
+  * opts into. This rule deliberately carries no such cap: it rewrites
+  * queries the user wrote as plain SQL, whose results must match vanilla
+  * Spark row-for-row (silently dropping rows from an optimizer rule is a
+  * correctness bug, not a guard). A hot (key, bin) under the rewrite
+  * means the QUERY's result is quadratic in that cohort — vanilla's
+  * nested-loop would compute the same pairs, only slower — and the
+  * execution-side skew (one oversized shuffle partition) is what AQE's
+  * skew-join splitting handles at runtime (`spark.sql.adaptive.*`, on by
+  * default in `GraftSession`). Callers who want the cap semantics should
+  * call the operators.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 

@@ -322,6 +322,55 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(joined.as[(Long, Long)].collect().toSet == manual)
   }
 
+  test("AQE on (the production default): every rewrite branch fires and " +
+      "no nested-loop join survives into the FINAL adaptive plan") {
+    // PlanShapeSpec's shuffle-shape pins force AQE off (static planning);
+    // this pin covers the configuration every real run uses — the rule
+    // runs before AQE re-plans, so its bins must survive runtime
+    // re-optimization, and the executed (isFinalPlan=true) plan must not
+    // have fallen back to a nested loop
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      def finalPlan(df: DataFrame): String = {
+        df.collect() // finalize the adaptive plan before reading it
+        val p = physical(df)
+        assert(p.contains("isFinalPlan=true"),
+          s"expected an executed adaptive plan:\n$p")
+        p
+      }
+      def assertBinned(p: String, branch: String): Unit = {
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"),
+          s"$branch fell back to a nested loop under AQE:\n$p")
+        assert(p.contains("_graft_bin"), s"$branch bins lost under AQE:\n$p")
+      }
+      withBinWidth(16) { // containment, conf width (the q57/q67 shape)
+        val c = points.join(intervals, $"at" >= $"start" && $"at" < $"end")
+        assert(pairs(c) == expected)
+        assertBinned(finalPlan(c), "containment")
+      }
+      // 2-D inferred widths (the q68 shape)
+      val pts2 = Seq((1L, 5L, 100L), (3L, 25L, 300L)).toDF("pid", "at", "v")
+      val ivs2 = Seq((10L, 0L, 95L), (12L, 20L, 290L)).toDF("iid", "s1", "s2")
+      val d2 = pts2.join(ivs2, $"at" >= $"s1" && $"at" < $"s1" + 20L &&
+        $"v" >= $"s2" && $"v" < $"s2" + 30L)
+      val d2p = finalPlan(d2)
+      assertBinned(d2p, "2-D containment")
+      assert(d2p.contains("_graft_bin2"), s"second dimension lost:\n$d2p")
+      // symmetric overlap, inferred width (the q70 shape)
+      val a = ovSide(40, 0, "aid")
+      val b = ovSide(40, 1000, "bid")
+      val ov = a.join(b, $"a_s" < $"b_s" + 40L && $"b_s" < $"a_s" + 24L)
+      val ovp = finalPlan(ov)
+      assertBinned(ovp, "overlap")
+      assert(ovp.contains("_graft_bin_l"), s"overlap bins lost:\n$ovp")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("containment keeps priority over the overlap reading of the same " +
       "condition") {
     // a containment condition also parses as a degenerate overlap; the
