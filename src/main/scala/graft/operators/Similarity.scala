@@ -159,11 +159,33 @@ object Similarity {
     * cannot surface.
     */
   def kmeansCentroids(corpus: DataFrame, embCol: String, key: String,
-      nlist: Int, iters: Int): DataFrame = {
+      nlist: Int, iters: Int, cacheVecs: Boolean = true): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    // Every Lloyd round launches its own job over the projection
+    // (assignment + component mean), so without caching the SOURCE is
+    // re-scanned and re-projected once per round — at 100 TB, `iters`
+    // full-corpus scans dominate the training cost. Persist the narrow
+    // (key, emb) relation across rounds when more than one round will
+    // read it: MEMORY_AND_DISK spills rather than OOMs, and the relation
+    // is the embedding column plus a key — a fraction of the source
+    // table. This method is eager (it collects centroids every round),
+    // so the unpersist in `finally` is deterministic — unlike lazy
+    // operators, which must localCheckpoint instead (see
+    // Dedup.minhashNearDuplicates). Set cacheVecs=false where executor
+    // storage is scarcer than the re-scan is expensive.
+    val projected = corpus.select(col(key), asDouble(col(embCol)).as("_emb"))
+    val doCache = cacheVecs && iters > 1
+    val vecs = if (doCache)
+      projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else projected
+    try kmeansLoop(vecs, corpus, embCol, key, nlist, iters)
+    finally if (doCache) vecs.unpersist(blocking = false)
+  }
+
+  private def kmeansLoop(vecs: DataFrame, corpus: DataFrame, embCol: String,
+      key: String, nlist: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    require(iters >= 0, s"iters must be >= 0, got $iters")
-    val vecs = corpus.select(col(key), asDouble(col(embCol)).as("_emb"))
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)

@@ -203,6 +203,30 @@ class SimilaritySpec extends SparkTestBase {
       s"centroids missed a cluster axis: ${axes.toList}")
   }
 
+  test("kmeansCentroids caches the projection across Lloyd rounds and " +
+      "releases it on exit; cacheVecs=false trains identically-shaped " +
+      "centroids") {
+    val corpus = clusteredCorpus(25)
+    def leakedRdds() = spark.sparkContext.getPersistentRDDs.size
+    val before = leakedRdds()
+    val cached = Similarity.kmeansCentroids(corpus, "embedding", "vec_id",
+        nlist = 4, iters = 3)
+      .as[(Int, Array[Double])].collect()
+    assert(leakedRdds() == before,
+      "the persisted (key, emb) projection must be unpersisted on exit")
+    val uncached = Similarity.kmeansCentroids(corpus, "embedding", "vec_id",
+        nlist = 4, iters = 3, cacheVecs = false)
+      .as[(Int, Array[Double])].collect()
+    // centroid VALUES are deterministic only to FP-sum reordering (see the
+    // operator doc), so compare the structural outcome: same cluster axes
+    // claimed, all unit-length
+    def axes(cs: Array[(Int, Array[Double])]) =
+      cs.map { case (_, v) => v.indexOf(v.max) }.toSet
+    assert(cached.length == 4 && uncached.length == 4)
+    assert(axes(cached) == axes(uncached))
+    assert(axes(cached) == Set(0, 4, 8, 12))
+  }
+
   test("k-means centroids beat sampled centroids at partial probe on " +
       "clustered data") {
     val corpus = clusteredCorpus(25)
