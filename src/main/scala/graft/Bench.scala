@@ -26,12 +26,15 @@ object Bench {
     val runs = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = GraftSession.get("graft-bench")
-    // Warm the JVM + parquet footers once so per-query times measure the
-    // query, not first-touch classloading.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // One discarded warm-up pass over the WHOLE suite (not just one
+    // query): JIT compilation, codegen class loading, and parquet footer
+    // caches all warm per query shape, and the round-7 spread widening
+    // (p90 0.26 s → 0.50 s) tracked exactly the queries that JIT mid-run.
+    // The timed runs then measure steady state.
+    names.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // all successful run times per query; a query that never succeeds
     // reports -1 rather than masquerading as a fast time-to-failure
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -58,6 +61,15 @@ object Bench {
     // BASELINE.md), per-query spread summarized to two scalars inline with
     // the full map on disk. ~1 kB total — half the window.
     def shortKey(n: String): String = n.takeWhile(_ != '_')
+    // two queries sharing a qNN prefix would silently emit duplicate JSON
+    // keys (last-wins on parse) and corrupt cross-round comparisons —
+    // fail fast instead
+    locally {
+      val dups = names.map(n => shortKey(n._1))
+        .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+      require(dups.isEmpty,
+        s"short bench keys must be unique, duplicated: ${dups.mkString(",")}")
+    }
     def mapJson(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
