@@ -130,8 +130,12 @@ object Joins {
     * `maxBinSize <= 0` is the documented sentinel for "no guard": exact
     * results whatever the skew, at the risk of a quadratic bin. Guard
     * shape: a count window partitioned by the join's own (key, bins…)
-    * keys, so its exchange (and sort, under sort-merge) is REUSED by the
-    * join — the guard costs no extra shuffle.
+    * keys, so its exchange (and sort) is exactly what the sort-merge
+    * join a real cluster plans here needs anyway — at scale the guard
+    * costs no extra shuffle. At broadcast-size inputs it does force the
+    * exchange the broadcast join would have skipped (~0.2 s on the
+    * sf0.1 bench queries); set the sentinel where inputs are known tiny
+    * AND skew-free.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       dims: Seq[RangeDim], maxBinSize: Long = 10000): DataFrame = {

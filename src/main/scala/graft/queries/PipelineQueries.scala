@@ -784,6 +784,43 @@ object PipelineQueries {
         .orderBy("click_id", "purchase_id")
     },
 
+    // --- TWO-dimensional interval-overlap join: click sessions
+    //     overlapping purchase attribution windows in TIME and in a
+    //     VALUE band, per user. Each OverlapDim contributes its own bin
+    //     equi-key (candidates co-reside in both dimensions) and its own
+    //     canonical bin (duplicate-free with no dedup shuffle); the
+    //     oracle replays the raw four-inequality join.
+    Query(
+      "q73_overlap_2d",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_ms(c.ts) < epoch_ms(p.ts) + 3600000
+        |  AND epoch_ms(p.ts) < epoch_ms(c.ts) + 1800000
+        |  AND c.value < p.value + 100 AND p.value < c.value + 80
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("c_start"),
+          (unix_millis(col("ts")) + 1800000L).as("c_end"),
+          col("value").as("cv_lo"), (col("value") + 80.0).as("cv_hi"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("p_start"),
+          (unix_millis(col("ts")) + 3600000L).as("p_end"),
+          col("value").as("pv_lo"), (col("value") + 100.0).as("pv_hi"),
+          col("event_id").as("purchase_id"))
+      Joins.intervalOverlapJoin(clicks, purchases, Seq("user_id"), Seq(
+          Joins.OverlapDim("c_start", "c_end", "p_start", "p_end",
+            binWidth = 3600000L),
+          Joins.OverlapDim("cv_lo", "cv_hi", "pv_lo", "pv_hi",
+            binWidth = 128L)),
+          maxBinSize = 10000L)
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+
     // --- The overlap predicate written as raw theta conjuncts with NO
     //     equi key — vanilla Spark plans it as BroadcastNestedLoopJoin;
     //     RangeJoinRewrite's symmetric branch must bin BOTH sliding
