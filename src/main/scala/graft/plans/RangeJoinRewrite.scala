@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -85,10 +85,28 @@ import org.apache.spark.sql.types._
   * `Joins.intervalOverlapJoin` operators, whose width is a per-call
   * argument.
   *
-  * Guards: inner joins only, deterministic numeric bounds, and the
+  * Join types: the containment form also rewrites LEFT OUTER, LEFT SEMI,
+  * LEFT ANTI (point on the left) and RIGHT OUTER (point on the right) —
+  * exactly the types whose PRESERVED/probe side is the point side, which
+  * is never exploded, so unmatched preserved rows surface exactly once
+  * with no dedup pass. Two shape differences from the inner form: the
+  * exact bound predicate stays IN the join condition (a Filter above an
+  * outer join would eat the unmatched rows' nulls — for inner joins the
+  * optimizer pushes it back into the condition anyway), and match sets
+  * are provably identical to vanilla's because a right row satisfying the
+  * bounds matches exactly one of its exploded bin copies (the point's own
+  * bin). Types whose non-preserved side would have to explode (LEFT
+  * OUTER with the point on the right, FULL OUTER, and every outer
+  * overlap) are left alone — exploding a preserved side duplicates its
+  * unmatched rows, and deduplicating them back needs the count-window
+  * machinery of `Joins.intervalOverlapJoinLeftOuter`, a cost a silent
+  * rule should not impose.
+  *
+  * Guards: deterministic numeric bounds, and the
   * containment form filters inverted intervals (`end >= start` — safe
-  * there because containment implies `start <= point < end`; the overlap
-  * form instead bins `[least, greatest]`, see `buildOverlap`).
+  * there because containment implies `start <= point < end` and, for the
+  * outer types, a row that can contain no point changes no match set; the
+  * overlap form instead bins `[least, greatest]`, see `buildOverlap`).
   *
   * Hot-bin skew: the operators (`Joins.rangeJoin` /
   * `Joins.intervalOverlapJoin`) expose a `maxBinSize` cap that DROPS
@@ -112,7 +130,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(EnabledKey, "true").toLowerCase(java.util.Locale.ROOT) != "true") plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) if j.resolved =>
+      case j @ Join(_, _, Inner | LeftOuter | RightOuter | LeftSemi |
+          LeftAnti, Some(_), _) if j.resolved =>
         rewrite(j).getOrElse(j)
     }
 
@@ -154,14 +173,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     // containment (point-in-interval) first: only one side explodes and no
     // canonical-bin filter is needed; the symmetric overlap form is the
-    // fallback for genuinely two-interval conditions
+    // fallback for genuinely two-interval conditions (and, exploding BOTH
+    // sides, is inner-only — see the class doc on join types)
     rewriteContainment(j, conjuncts, confWidth)
-      .orElse(rewriteOverlap(j, conjuncts, confWidth))
+      .orElse(if (j.joinType == Inner)
+        rewriteOverlap(j, conjuncts, confWidth) else None)
   }
 
   private def rewriteContainment(j: Join, conjuncts: Seq[Expression],
       confWidth: => Option[Long]): Option[LogicalPlan] = {
+    // non-inner types rewrite only when the point sits on the side the
+    // join preserves (left for LEFT OUTER/SEMI/ANTI, right for RIGHT
+    // OUTER): the point side is never exploded, so preserved-row
+    // multiplicity is untouched; the exploding interval side is exactly
+    // the side those types do NOT preserve
+    val requiredPointSide: Option[Boolean] = j.joinType match {
+      case Inner => None
+      case LeftOuter | LeftSemi | LeftAnti => Some(true)
+      case RightOuter => Some(false)
+      case _ => return None
+    }
     val candidates = detect(conjuncts, j.left, j.right)
+      .filter(c => requiredPointSide.forall(_ == c.pointOnLeft))
     if (candidates.isEmpty) return None
     // primary dimension: prefer a containment whose width is inferable
     // from its own literal (conf-free and always safe) over one that
@@ -229,17 +262,26 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val (newLeft, newRight) =
         if (pointOnLeft) (pointBinned, intervalSide)
         else (intervalSide, pointBinned)
-      // bound pairs move ABOVE the join (exact containment re-check; also
-      // what stops this rule from re-matching its own output); every other
-      // conjunct — equi keys included — stays in the join condition
+      // inner: bound pairs move ABOVE the join (exact containment
+      // re-check; the optimizer pushes them back into the condition as
+      // the hash join's residual); every other conjunct — equi keys
+      // included — stays in the join condition. Non-inner: the bounds
+      // must stay IN the condition — a Filter above a left-outer join
+      // would drop the unmatched rows it exists to keep, and semi/anti
+      // decide row survival from the condition itself.
       val bounds = dims.flatMap { case (c, _) => Seq(c.lower, c.upper) }
       val others = conjuncts.filterNot(e => bounds.exists(e.fastEquals))
-      val newCond = (others ++ pointBins.zip(intervalBins).map {
-        case (pb, ib) => EqualTo(pb.toAttribute, ib): Expression })
-        .reduce(And)
-      Project(j.output,
-        Filter(bounds.reduce(And),
-          Join(newLeft, newRight, Inner, Some(newCond), j.hint)))
+      val binEqs = pointBins.zip(intervalBins).map {
+        case (pb, ib) => EqualTo(pb.toAttribute, ib): Expression }
+      val joined =
+        if (j.joinType == Inner)
+          Filter(bounds.reduce(And),
+            Join(newLeft, newRight, Inner,
+              Some((others ++ binEqs).reduce(And)), j.hint))
+        else
+          Join(newLeft, newRight, j.joinType,
+            Some((others ++ binEqs ++ bounds).reduce(And)), j.hint)
+      Project(j.output, joined)
   }
 
   /** A detected interval-overlap pattern `lStart < rEnd AND rStart < lEnd`

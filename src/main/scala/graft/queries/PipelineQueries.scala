@@ -690,6 +690,42 @@ object PipelineQueries {
         .orderBy("click_id", "purchase_id")
     },
 
+    // --- q72's LEFT JOIN written the way a plain-SQL user would: a raw
+    //     left-outer theta-join, NO call to Joins.rangeJoinLeftOuter.
+    //     Vanilla Spark plans it as BroadcastNestedLoopJoin; the
+    //     RangeJoinRewrite containment branch rewrites LEFT OUTER when the
+    //     point is on the preserved side (the point side is never
+    //     exploded, so unmatched clicks surface exactly once), keeping
+    //     the exact bounds in the join condition instead of a filter that
+    //     would eat the null rows. RangeJoinRewriteSpec pins plan + nulls.
+    Query(
+      "q74_range_outer_sql",
+      """SELECT c.event_id AS click_id,
+        |  COALESCE(p.event_id, -1) AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_ms(c.ts) >= epoch_ms(p.ts)
+        |  AND epoch_ms(c.ts) < epoch_ms(p.ts) + 3600000
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("at_ms"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          unix_millis(col("ts")).as("start_ms"),
+          col("event_id").as("purchase_id"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("at_ms") >= col("start_ms") &&
+            col("at_ms") < col("start_ms") + 3600000L,
+          "left_outer")
+        .select(col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+
     // --- q57's predicate written the way a plain-SQL user would: a raw
     //     theta-join, NO call to Joins.rangeJoin. The RangeJoinRewrite
     //     optimizer rule must turn it into the binned equi-join (its

@@ -88,8 +88,12 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q57/q67/q68 range joins stay equi-joins — never nested-loop") {
+    // q72 is the operator's left-outer form; q74 is the same LEFT JOIN as
+    // raw SQL through the rewrite rule's left-outer branch — both must
+    // keep the bin equi-key and never fall back to a nested loop
     for (q <- Seq("q57_range_join", "q67_range_join_sql",
-        "q68_range_join_2d")) {
+        "q68_range_join_2d", "q72_range_join_outer",
+        "q74_range_outer_sql")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"),

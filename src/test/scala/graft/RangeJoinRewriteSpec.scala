@@ -365,9 +365,128 @@ class RangeJoinRewriteSpec extends SparkTestBase {
       val ovp = finalPlan(ov)
       assertBinned(ovp, "overlap")
       assert(ovp.contains("_graft_bin_l"), s"overlap bins lost:\n$ovp")
+      withBinWidth(16) { // left-outer containment (the q74 shape)
+        val lo = points.join(intervals,
+          $"at" >= $"start" && $"at" < $"end", "left_outer")
+        val lop = finalPlan(lo)
+        assertBinned(lop, "left-outer containment")
+        // unmatched pid 3 must still null-extend under the adaptive plan
+        assert(lo.collect().exists(r => r.getLong(0) == 3L && r.isNullAt(2)),
+          "left-outer null row lost under AQE")
+      }
     } finally saved match {
       case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
       case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  // --- non-inner join types: the containment rewrite fires when the
+  //     point is on the preserved side (which is never exploded), and
+  //     declines when the preserved side would have to explode ---
+
+  /** Vanilla result with the rule disabled — the semantics the rewrite
+    * must reproduce row-for-row, nulls and multiplicity included.
+    */
+  private def vanillaRows(build: => DataFrame): Set[Seq[Any]] = {
+    spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
+    try build.collect().map(_.toSeq).toSet
+    finally spark.conf.unset(RangeJoinRewrite.EnabledKey)
+  }
+
+  test("LEFT OUTER containment (point on the left) rewrites: unmatched " +
+      "and null points keep their null rows, no nested loop") {
+    withBinWidth(16) {
+      // pid 3 matches nothing; pid 5 has a null point — both must emit
+      // exactly once with null interval columns
+      val np = Seq((1L, Some(5L)), (2L, Some(15L)), (3L, Some(29L)),
+        (4L, Some(250L)), (5L, Option.empty[Long])).toDF("pid", "at")
+      def build = np.join(intervals,
+        $"at" >= $"start" && $"at" < $"end", "left_outer")
+      val expectedRows = vanillaRows(build)
+      val joined = build
+      val plan = physical(joined)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"left-outer rewrite did not fire:\n$plan")
+      assert(plan.contains("_graft_bin"), s"no bin key in:\n$plan")
+      val got = joined.collect().map(_.toSeq).toSet
+      assert(got == expectedRows)
+      assert(got.exists(r => r.head == 3L && r.last == null),
+        "unmatched left row lost its null row")
+      assert(got.exists(r => r.head == 5L && r.last == null),
+        "null-point left row lost its null row")
+    }
+  }
+
+  test("LEFT OUTER with the point on the RIGHT declines: rewriting would " +
+      "explode the preserved side") {
+    withBinWidth(16) {
+      def build = intervals.join(points,
+        $"at" >= $"start" && $"at" < $"end", "left_outer")
+      val expectedRows = vanillaRows(build)
+      val joined = build
+      val plan = physical(joined)
+      assert(!plan.contains("_graft_bin"),
+        s"must not explode a preserved side:\n$plan")
+      assert(joined.collect().map(_.toSeq).toSet == expectedRows)
+    }
+  }
+
+  test("RIGHT OUTER containment (point on the right) rewrites and keeps " +
+      "unmatched point rows") {
+    withBinWidth(16) {
+      val np = Seq((1L, 5L), (2L, 15L), (3L, 29L), (4L, 250L))
+        .toDF("pid", "at")
+      def build = intervals.join(np,
+        $"at" >= $"start" && $"at" < $"end", "right_outer")
+      val expectedRows = vanillaRows(build)
+      val joined = build
+      val plan = physical(joined)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        plan.contains("_graft_bin"),
+        s"right-outer rewrite did not fire:\n$plan")
+      val got = joined.collect().map(_.toSeq).toSet
+      assert(got == expectedRows)
+      assert(got.exists(r => r.head == null && r.contains(3L)),
+        "unmatched right point lost its null row")
+    }
+  }
+
+  test("LEFT SEMI and LEFT ANTI containment rewrite and partition the " +
+      "point set exactly") {
+    withBinWidth(16) {
+      val np = Seq((1L, 5L), (2L, 15L), (3L, 29L), (4L, 250L))
+        .toDF("pid", "at")
+      val semi = np.join(intervals,
+        $"at" >= $"start" && $"at" < $"end", "left_semi")
+      val anti = np.join(intervals,
+        $"at" >= $"start" && $"at" < $"end", "left_anti")
+      for ((df, kind) <- Seq((semi, "semi"), (anti, "anti"))) {
+        val plan = physical(df)
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          plan.contains("_graft_bin"),
+          s"$kind rewrite did not fire:\n$plan")
+      }
+      val semiIds = semi.select("pid").as[Long].collect().toSet
+      val antiIds = anti.select("pid").as[Long].collect().toSet
+      assert(semiIds == Set(1L, 2L, 4L))
+      assert(antiIds == Set(3L))
+      // bin-copy multiplicity must not leak into semi output
+      assert(semi.count() == 3L, "semi join duplicated a matched row")
+    }
+  }
+
+  test("outer OVERLAP joins are left alone: both sides would explode") {
+    withBinWidth(16) {
+      val a = Seq((1L, 0L, 10L), (2L, 20L, 35L)).toDF("aid", "a_lo", "a_hi")
+      val b = Seq((10L, 5L, 25L), (11L, 40L, 50L)).toDF("bid", "b_lo", "b_hi")
+      def build = a.join(b,
+        $"a_lo" < $"b_hi" && $"b_lo" < $"a_hi", "left_outer")
+      val expectedRows = vanillaRows(build)
+      val joined = build
+      assert(!physical(joined).contains("_graft_bin"),
+        s"outer overlap must not rewrite:\n${physical(joined)}")
+      assert(joined.collect().map(_.toSeq).toSet == expectedRows)
     }
   }
 
