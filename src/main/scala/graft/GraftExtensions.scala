@@ -79,9 +79,23 @@ object GraftExtensions {
     functions.foreach { case (name, i, builder) =>
       FunctionShim.register(spark, name, i, builder)
     }
-    // live-session analog of injectOptimizerRule (ExperimentalMethods is
-    // public API); idempotent — the rule never matches its own output, and
-    // duplicate registration only re-runs a no-op
+    registerLateRule(spark)
+  }
+
+  /** Register the plan rewrite in the LAST optimizer batch ("User
+    * Provided Optimizers", via `ExperimentalMethods` — public API).
+    *
+    * This is both the live-session analog of `injectOptimizerRule` AND a
+    * required complement to it: the extensions path injects into the
+    * operator-optimization batch, which runs BEFORE `RewriteSubquery`
+    * turns `EXISTS`/`IN` predicates into semi/anti joins — so a range
+    * predicate inside a subquery is invisible to the early rule and would
+    * keep its BroadcastNestedLoopJoin. The late batch sees those joins.
+    * Both registrations are safe together: the rule never matches its own
+    * output (`_graft_bin` re-entry guard), so the late pass only touches
+    * joins born after the early one ran. Idempotent.
+    */
+  def registerLateRule(spark: SparkSession): Unit = {
     spark match {
       case c: org.apache.spark.sql.classic.SparkSession =>
         if (!c.experimental.extraOptimizations
@@ -89,15 +103,15 @@ object GraftExtensions {
           c.experimental.extraOptimizations ++=
             Seq(graft.plans.RangeJoinRewrite)
       case other =>
-        // don't silently diverge from the spark.sql.extensions path: the
-        // SQL functions registered above work here, but theta-range joins
-        // will keep their vanilla (nested-loop) plans. Through slf4j (the
-        // driver log), not stderr — log4j-managed deployments never
-        // surface raw stderr.
+        // don't silently degrade: without this registration theta-range
+        // joins inside EXISTS/IN subqueries keep their vanilla
+        // (nested-loop) plans. Through slf4j (the driver log), not
+        // stderr — log4j-managed deployments never surface raw stderr.
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          "graft: RangeJoinRewrite not registered — session is {}, not a " +
-            "classic SparkSession; use " +
-            "spark.sql.extensions=graft.GraftExtensions instead",
+          "graft: RangeJoinRewrite not registered in the late optimizer " +
+            "batch — session is {}, not a classic SparkSession; range " +
+            "predicates inside EXISTS/IN subqueries will keep " +
+            "nested-loop plans",
           other.getClass.getName)
     }
   }

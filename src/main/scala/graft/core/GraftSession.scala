@@ -31,6 +31,11 @@ object GraftSession {
   def get(appName: String): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the extensions conf above injects RangeJoinRewrite into the
+    // operator-optimization batch, which runs BEFORE RewriteSubquery turns
+    // EXISTS/IN predicates into semi/anti joins; this second, late-batch
+    // registration catches those (idempotent — see its doc)
+    graft.GraftExtensions.registerLateRule(spark)
     spark
   }
 }

@@ -476,6 +476,38 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("EXISTS / NOT EXISTS range subqueries get the binned semi/anti " +
+      "plan") {
+    // RewritePredicateSubquery turns these into LeftSemi/LeftAnti joins in
+    // a batch AFTER the extension-injected operator-optimization rules, so
+    // the spark.sql.extensions path alone never sees them; GraftSession
+    // also registers the rule via experimental.extraOptimizations (the
+    // User Provided Optimizers batch, which runs last) to catch them
+    points.createOrReplaceTempView("rr_ex_points")
+    intervals.select($"iid", $"start").createOrReplaceTempView("rr_ex_starts")
+    val exists = spark.sql(
+      """SELECT pid FROM rr_ex_points p WHERE EXISTS (
+        |  SELECT 1 FROM rr_ex_starts i
+        |  WHERE p.at >= i.start AND p.at < i.start + 20)""".stripMargin)
+    val notExists = spark.sql(
+      """SELECT pid FROM rr_ex_points p WHERE NOT EXISTS (
+        |  SELECT 1 FROM rr_ex_starts i
+        |  WHERE p.at >= i.start AND p.at < i.start + 20)""".stripMargin)
+    for ((df, kind) <- Seq((exists, "EXISTS"), (notExists, "NOT EXISTS"))) {
+      val plan = physical(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        plan.contains("_graft_bin"),
+        s"$kind range subquery kept a nested-loop plan:\n$plan")
+    }
+    // semantics vs the brute-force membership sets
+    val contained = points.crossJoin(intervals.select($"start"))
+      .filter($"at" >= $"start" && $"at" < $"start" + 20L)
+      .select("pid").as[Long].collect().toSet
+    assert(exists.as[Long].collect().toSet == contained)
+    assert(notExists.as[Long].collect().toSet ==
+      points.select("pid").as[Long].collect().toSet -- contained)
+  }
+
   test("outer OVERLAP joins are left alone: both sides would explode") {
     withBinWidth(16) {
       val a = Seq((1L, 0L, 10L), (2L, 20L, 35L)).toDF("aid", "a_lo", "a_hi")
