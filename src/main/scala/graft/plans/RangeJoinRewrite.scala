@@ -73,6 +73,15 @@ import org.apache.spark.sql.types._
   * units of the bound columns, sized near the typical interval length).
   * `spark.graft.rangeJoin.enabled=false` disables the rule entirely.
   *
+  * TIMESTAMP bounds work too — `e.ts >= w.ts AND e.ts < w.ts + INTERVAL
+  * '1' HOUR` rewrites with no unit juggling: the bin image is epoch
+  * micros (`UnixMicros`; NTZ via the session zone) and the width is the
+  * interval literal's micros (year-month intervals decline — they have no
+  * fixed length). Timestamps rewrite ONLY on this inferred sliding-window
+  * path: the conf width's unit is defined for numeric columns, and
+  * guessing micros-vs-seconds on a timestamp would be exactly the blind
+  * bet the conf exists to avoid.
+  *
   * Scope caveat: the conf width is session-global, and the overlap
   * detector matches ANY inner join carrying a pair of opposite-direction
   * cross-side inequalities — not just ones the user thinks of as interval
@@ -198,9 +207,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (candidates.isEmpty) return None
     // primary dimension: prefer a containment whose width is inferable
     // from its own literal (conf-free and always safe) over one that
-    // needs the conf width
+    // needs the conf width. The conf width is defined in the units of
+    // NUMERIC bound columns; a timestamp containment without an interval
+    // literal has no user-expressible width (micros vs the conf's unknown
+    // unit), so it only ever rewrites on the inferred path.
     val primary = candidates.find(_.inferredWidth.isDefined)
-      .getOrElse(candidates.head)
+      .orElse(candidates.find(c => !isTimestamp(c.point.dataType)))
+      .getOrElse(return None)
     primary.inferredWidth.orElse(confWidth).map { primaryWidth =>
       // second dimension: another containment on the SAME point side, a
       // DIFFERENT point expression, sharing no conjunct with the primary
@@ -226,7 +239,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def rewriteWith(j: Join, conjuncts: Seq[Expression],
       dims: Seq[(Containment, Long)]): LogicalPlan = {
       def bin(e: Expression, width: Long): Expression =
-        Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
+        Floor(Divide(binnable(e), Literal(width.toDouble)))
       def suffix(i: Int): String = if (i == 0) "" else (i + 1).toString
 
       val pointOnLeft = dims.head._1.pointOnLeft
@@ -324,8 +337,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       confWidth: => Option[Long]): Option[LogicalPlan] = {
     val candidates = detectOverlap(conjuncts, j.left, j.right)
     if (candidates.isEmpty) return None
+    // timestamp overlaps rewrite only on the inferred (both-sides-sliding)
+    // path — the conf width's unit is for numeric columns (see
+    // rewriteContainment)
     val primary = candidates.find(_.inferredWidth.isDefined)
-      .getOrElse(candidates.head)
+      .orElse(candidates.find(o => !isTimestamp(o.lStart.dataType)))
+      .getOrElse(return None)
     primary.inferredWidth.orElse(confWidth).map { width =>
       buildOverlap(j, conjuncts, primary, width)
     }
@@ -333,8 +350,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def buildOverlap(j: Join, conjuncts: Seq[Expression], o: Overlap,
       width: Long): LogicalPlan = {
+    // [[binnable]] maps timestamps to epoch micros (width is then in
+    // micros, from the interval literal) and numerics to themselves
     def bin(e: Expression): Expression =
-      Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
+      Floor(Divide(e, Literal(width.toDouble)))
     // explode each side over the bins of [least(start, end),
     // greatest(start, end)]: sequence() never steps backwards, and rows
     // whose own interval is inverted keep their matches (see the method
@@ -344,7 +363,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     def explodeBins(child: LogicalPlan, start: Expression, end: Expression,
         name: String): (LogicalPlan, Attribute) = {
       val attr = AttributeReference(name, LongType, nullable = false)()
-      val bounds = Seq(Cast(start, DoubleType), Cast(end, DoubleType))
+      val bounds = Seq(binnable(start), binnable(end))
       val g = Generate(
         Explode(new Sequence(bin(Least(bounds)), bin(Greatest(bounds)),
           None, Some(conf.sessionLocalTimeZone))),
@@ -363,7 +382,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // predicate; both sit above the join, and their push-back into the
     // join condition is stopped by the _graft_bin re-entry guard
     val canonical = EqualTo(binL, bin(Greatest(Seq(
-      Cast(o.lStart, DoubleType), Cast(o.rStart, DoubleType)))))
+      binnable(o.lStart), binnable(o.rStart)))))
     Project(j.output,
       Filter(Seq(o.c1, o.c2, canonical).reduce(And),
         Join(newLeft, newRight, Inner, Some(newCond), j.hint)))
@@ -422,7 +441,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else None
 
   private def usable(e: Expression): Boolean =
-    e.deterministic && e.dataType.isInstanceOf[NumericType]
+    e.deterministic &&
+      (e.dataType.isInstanceOf[NumericType] || isTimestamp(e.dataType))
+
+  private def isTimestamp(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  /** The numeric image an expression bins on: timestamps map to epoch
+    * micros (`UnixMicros`; NTZ goes through the session zone first — the
+    * same monotone mapping on both join sides, which is all binning
+    * needs), numerics to their own value. Monotone + deterministic, so
+    * `bin(start) <= bin(point) <= bin(end)` survives the mapping and the
+    * exact predicate — re-applied on the ORIGINAL columns — still decides
+    * membership.
+    */
+  private def binnable(e: Expression): Expression = e.dataType match {
+    case TimestampType => Cast(UnixMicros(e), DoubleType)
+    case TimestampNTZType =>
+      Cast(UnixMicros(
+        Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))), DoubleType)
+    case _ => Cast(e, DoubleType)
+  }
 
   /** Find every conjunct pair bounding one point expression inside one
     * interval, with the point evaluable on one side and both bounds on the
@@ -466,7 +505,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** `end = start + C` (either operand order) → the interval length C is
-    * the ideal bin width: each interval covers at most two bins.
+    * the ideal bin width: each interval covers at most two bins. For
+    * timestamps the pattern is `start + INTERVAL ...` —
+    * `TimestampAddInterval` with a literal interval — and the width is
+    * the interval length in MICROS, matching [[binnable]]'s epoch-micros
+    * image. Year-month intervals have no fixed micros length and are
+    * declined; calendar intervals qualify only when month-free (days are
+    * taken at 24 h — at worst a DST shift makes the width a near-miss of
+    * the true added length, which costs one extra candidate bin, never
+    * correctness, since the exact predicate is re-applied).
     */
   private def slideWidth(start: Expression,
       end: Expression): Option[Long] = end match {
@@ -474,6 +521,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       literalLong(v)
     case Add(Literal(v, _), s2, _) if s2.semanticEquals(start) =>
       literalLong(v)
+    case TimestampAddInterval(s2, Literal(v: Long, _: DayTimeIntervalType),
+        _) if s2.semanticEquals(start) =>
+      Some(v).filter(_ > 0)
+    case TimestampAddInterval(s2,
+        Literal(iv: org.apache.spark.unsafe.types.CalendarInterval,
+          CalendarIntervalType), _)
+        if s2.semanticEquals(start) && iv.months == 0 =>
+      Some(iv.days * 86400000000L + iv.microseconds).filter(_ > 0)
     case _ => None
   }
 

@@ -726,6 +726,39 @@ object PipelineQueries {
         .orderBy("click_id", "purchase_id")
     },
 
+    // --- The range join written on the TIMESTAMP column directly —
+    //     `c.ts < p.ts + INTERVAL '1' HOUR` — the shape users actually
+    //     write, with no epoch_ms conversion anywhere. RangeJoinRewrite
+    //     bins on epoch micros with the interval literal's micros as the
+    //     width (conf-free); unlike q57/q67 this compares at FULL
+    //     timestamp precision (the testdata has sub-millisecond
+    //     components, so the result legitimately differs from the
+    //     ms-truncated epoch_ms variants — the oracle replays the same
+    //     full-precision predicate in DuckDB).
+    Query(
+      "q75_range_join_ts",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts
+        |  AND c.ts < p.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("c_ts") >= col("p_ts") &&
+            col("c_ts") < col("p_ts") + expr("INTERVAL '1' HOUR"))
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+
     // --- q57's predicate written the way a plain-SQL user would: a raw
     //     theta-join, NO call to Joins.rangeJoin. The RangeJoinRewrite
     //     optimizer rule must turn it into the binned equi-join (its

@@ -91,9 +91,11 @@ class PlanShapeSpec extends SparkTestBase {
     // q72 is the operator's left-outer form; q74 is the same LEFT JOIN as
     // raw SQL through the rewrite rule's left-outer branch — both must
     // keep the bin equi-key and never fall back to a nested loop
+    // q75 is the same predicate on the raw TIMESTAMP column (epoch-micros
+    // binning, width inferred from the interval literal)
     for (q <- Seq("q57_range_join", "q67_range_join_sql",
         "q68_range_join_2d", "q72_range_join_outer",
-        "q74_range_outer_sql")) {
+        "q74_range_outer_sql", "q75_range_join_ts")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"),

@@ -221,7 +221,8 @@ class RangeJoinRewriteSpec extends SparkTestBase {
       Set((1L, 10L), (3L, 12L), (4L, 13L)))
   }
 
-  test("non-numeric bounds are left alone (no bin math on timestamps)") {
+  test("timestamp bounds with NO interval literal are left alone even " +
+      "with the conf width set (its unit is numeric-only)") {
     withBinWidth(16) {
       def t(s: String) = java.sql.Timestamp.valueOf(s)
       val pts = Seq((1L, t("2024-01-01 10:00:05"))).toDF("pid", "at")
@@ -231,6 +232,82 @@ class RangeJoinRewriteSpec extends SparkTestBase {
       assert(!physical(joined).contains("_graft_bin"))
       assert(pairs(joined) == Set((1L, 10L)))
     }
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val tsPoints = Seq(
+    (1L, ts("2024-01-01 10:00:05")), (2L, ts("2024-01-01 11:30:00")),
+    (3L, ts("2024-01-02 09:59:59")), (4L, ts("2024-03-01 00:00:00")))
+    .toDF("pid", "at")
+  private val tsStarts = Seq(
+    (10L, ts("2024-01-01 09:30:00")), (11L, ts("2024-01-01 11:00:00")),
+    (12L, ts("2024-01-02 09:00:00")), (13L, ts("2024-06-01 00:00:00")))
+    .toDF("iid", "start")
+
+  test("timestamp sliding window (ts < start + INTERVAL) rewrites with " +
+      "the interval's micros as the bin width — no conf, no epoch " +
+      "conversion by the user") {
+    val cond = expr("at >= start AND at < start + INTERVAL '1' HOUR")
+    val joined = tsPoints.join(tsStarts, cond)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"timestamp rewrite did not fire:\n$plan")
+    assert(plan.contains("_graft_bin"), s"no bin key in:\n$plan")
+    // 3.6e9 micros = the 1-hour literal
+    assert(plan.contains("3.6E9"), s"micros width missing in:\n$plan")
+    val manual = tsPoints.crossJoin(tsStarts).filter(cond)
+    assert(pairs(joined) == pairs(manual))
+    assert(pairs(joined) == Set((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("timestamp range join in raw SQL, and as LEFT OUTER") {
+    tsPoints.createOrReplaceTempView("ts_points")
+    tsStarts.createOrReplaceTempView("ts_starts")
+    val inner = spark.sql(
+      """SELECT pid, iid FROM ts_points p JOIN ts_starts i
+        |ON p.at >= i.start AND p.at < i.start + INTERVAL '1' HOUR"""
+        .stripMargin)
+    assert(!physical(inner).contains("BroadcastNestedLoopJoin") &&
+      physical(inner).contains("_graft_bin"))
+    assert(inner.as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 11L), (3L, 12L)))
+    val outer = spark.sql(
+      """SELECT pid, iid FROM ts_points p LEFT JOIN ts_starts i
+        |ON p.at >= i.start AND p.at < i.start + INTERVAL '1' HOUR"""
+        .stripMargin)
+    assert(!physical(outer).contains("BroadcastNestedLoopJoin") &&
+      physical(outer).contains("_graft_bin"))
+    assert(outer.as[(Long, Option[Long])].collect().toSet ==
+      Set((1L, Some(10L)), (2L, Some(11L)), (3L, Some(12L)), (4L, None)))
+  }
+
+  test("timestamp interval OVERLAP (both sides sliding) rewrites " +
+      "conf-free and matches the brute force") {
+    val a = tsPoints.select($"pid", $"at".as("a_s"))
+    val b = tsStarts.select($"iid", $"start".as("b_s"))
+    val cond = expr("a_s < b_s + INTERVAL '2' HOUR " +
+      "AND b_s < a_s + INTERVAL '1' HOUR")
+    val joined = a.join(b, cond)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("_graft_bin_l"),
+      s"timestamp overlap rewrite did not fire:\n$plan")
+    val manual = a.crossJoin(b).filter(cond)
+    assert(pairs(joined) == pairs(manual))
+    assert(pairs(joined).nonEmpty, "fixture produced no overlaps")
+  }
+
+  test("year-month intervals decline: no fixed micros length to bin on") {
+    val joined = tsPoints.join(tsStarts,
+      expr("at >= start AND at < start + INTERVAL '1' MONTH"))
+    val plan = physical(joined)
+    assert(!plan.contains("_graft_bin"),
+      s"variable-length interval must not bin:\n$plan")
+    val manual = tsPoints.crossJoin(tsStarts)
+      .filter(expr("at >= start AND at < start + INTERVAL '1' MONTH"))
+    assert(pairs(joined) == pairs(manual))
   }
 
   test("null bounds and null points drop out (SQL semantics)") {
