@@ -75,13 +75,31 @@ object Joins {
 
   /** One point-in-interval dimension of a [[rangeJoin]]: the left point
     * column, the right interval's bound columns, and the bin width in the
-    * units of those columns (cast everything numeric — for timestamps,
-    * epoch seconds). Choose the width near the typical interval length:
-    * wider bins → fewer explode rows but more false candidates; narrower →
-    * the reverse.
+    * units of those columns — for TIMESTAMP columns that unit is epoch
+    * MICROS (the operators bin them via `unix_micros` internally; pass
+    * e.g. `3600L * 1000000` for an hour). Choose the width near the
+    * typical interval length: wider bins → fewer explode rows but more
+    * false candidates; narrower → the reverse.
     */
   final case class RangeDim(leftAt: String, rightStart: String,
       rightEnd: String, binWidth: Long)
+
+  /** The numeric image a bound column bins on: timestamps map to epoch
+    * micros (so `binWidth` is in micros for them), numerics to their own
+    * value. The mapping is monotone and identical on both join sides,
+    * which is all binning needs — the exact predicate still compares the
+    * ORIGINAL columns.
+    */
+  private def binSrc(df: DataFrame, name: String): Column =
+    binSrcOf(df.schema(name).dataType, col(name))
+
+  private def binSrcOf(dt: org.apache.spark.sql.types.DataType,
+      c: Column): Column = dt match {
+    case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    case _ => c
+  }
 
   /** Range join: pair each left row with the right rows whose
     * [`rightStart`, `rightEnd`) interval contains the left row's `leftAt`
@@ -156,11 +174,13 @@ object Joins {
       right.filter(dims.map(d =>
         col(d.rightEnd) >= col(d.rightStart)).reduce(_ && _))) {
       case (df, (d, i)) => df.withColumn(binName(i),
-        explode(sequence(floor(col(d.rightStart) / d.binWidth).cast("long"),
-          floor(col(d.rightEnd) / d.binWidth).cast("long"))))
+        explode(sequence(
+          floor(binSrc(df, d.rightStart) / d.binWidth).cast("long"),
+          floor(binSrc(df, d.rightEnd) / d.binWidth).cast("long"))))
     }
     val lBinned = dims.zipWithIndex.foldLeft(left) { case (df, (d, i)) =>
-      df.withColumn(binName(i), floor(col(d.leftAt) / d.binWidth).cast("long"))
+      df.withColumn(binName(i),
+        floor(binSrc(df, d.leftAt) / d.binWidth).cast("long"))
     }
     val joinKeys = keyCols ++ dims.indices.map(binName)
     val guard = binGuard(joinKeys, maxBinSize) _
@@ -231,13 +251,15 @@ object Joins {
       renamed.filter(dims.map(d =>
         col(d.rightEnd) >= col(d.rightStart)).reduce(_ && _))) {
       case (df, (d, i)) => df.withColumn(rBinName(i),
-        explode(sequence(floor(col(d.rightStart) / d.binWidth).cast("long"),
-          floor(col(d.rightEnd) / d.binWidth).cast("long"))))
+        explode(sequence(
+          floor(binSrc(df, d.rightStart) / d.binWidth).cast("long"),
+          floor(binSrc(df, d.rightEnd) / d.binWidth).cast("long"))))
     }
     val rGuarded = binGuard(
       keyCols.map(rKey) ++ dims.indices.map(rBinName), maxBinSize)(rBinned)
     val lBinned = dims.zipWithIndex.foldLeft(left) { case (df, (d, i)) =>
-      df.withColumn(binName(i), floor(col(d.leftAt) / d.binWidth).cast("long"))
+      df.withColumn(binName(i),
+        floor(binSrc(df, d.leftAt) / d.binWidth).cast("long"))
     }
     // a null point or key bins/equi-joins to nothing and falls out as an
     // unmatched left row — exactly vanilla LEFT JOIN semantics
@@ -300,8 +322,9 @@ object Joins {
 
   /** One interval-vs-interval dimension of a multi-dimensional
     * [[intervalOverlapJoin]]: both sides' bound columns and the bin width
-    * in their units (size near the LONGER side's typical interval
-    * length).
+    * in their units — epoch MICROS for TIMESTAMP columns (binned via
+    * `unix_micros` internally). Size near the LONGER side's typical
+    * interval length.
     */
   final case class OverlapDim(leftStart: String, leftEnd: String,
       rightStart: String, rightEnd: String, binWidth: Long)
@@ -347,9 +370,14 @@ object Joins {
       dims.zipWithIndex.foldLeft(df) { case (acc, (d, i)) =>
         acc.withColumn(binName(i),
           explode(sequence(
-            binOf(d)(least(col(start(d)), col(end(d)))),
-            binOf(d)(greatest(col(start(d)), col(end(d)))))))
+            binOf(d)(least(binSrc(acc, start(d)), binSrc(acc, end(d)))),
+            binOf(d)(greatest(binSrc(acc, start(d)), binSrc(acc, end(d)))))))
       }
+    // the canonical bin mixes one bound from each side; their types agree
+    // (the overlap predicate compares them cross-side), so the left
+    // bound's type picks the numeric image
+    def canonSrc(d: OverlapDim)(c: Column): Column =
+      binSrcOf(left.schema(d.leftStart).dataType, c)
     val joinKeys = keyCols ++ dims.indices.map(binName)
     val guard = binGuard(joinKeys, maxBinSize) _
     guard(binned(left, _.leftStart, _.leftEnd))
@@ -357,8 +385,8 @@ object Joins {
       .filter(dims.zipWithIndex.map { case (d, i) =>
         col(d.leftStart) < col(d.rightEnd) &&
           col(d.rightStart) < col(d.leftEnd) &&
-          col(binName(i)) === binOf(d)(greatest(col(d.leftStart),
-            col(d.rightStart)))
+          col(binName(i)) === binOf(d)(canonSrc(d)(greatest(
+            col(d.leftStart), col(d.rightStart))))
       }.reduce(_ && _))
       .drop(dims.indices.map(binName): _*)
   }
@@ -398,7 +426,11 @@ object Joins {
       "boundary column names must differ between the two sides")
     require(maxBinSize <= 0 || maxBinSize > 1,
       "maxBinSize must be > 1 (or <= 0 to skip the skew guard)")
-    def binOf(c: Column): Column = floor(c / binWidth).cast("long")
+    // all four bound columns share a type family (the overlap predicate
+    // compares them cross-side), so one side's type picks the numeric
+    // image for every bin expression
+    val src = binSrcOf(left.schema(leftStart).dataType, _: Column)
+    def binOf(c: Column): Column = floor(src(c) / binWidth).cast("long")
     def rKey(k: String): String = "_graft_rk_" + k
     val lBinned = left.withColumn("_graft_bin",
       explode_outer(sequence(binOf(least(col(leftStart), col(leftEnd))),

@@ -139,6 +139,48 @@ class JoinsSpec extends SparkTestBase {
       ("p3", "w2"), ("p5", "w3")))
   }
 
+  test("rangeJoin and intervalOverlapJoin accept TIMESTAMP columns " +
+      "directly (binWidth in micros)") {
+    val hourUs = 3600L * 1000000
+    val windows = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "w1"),
+      ("u1", ts("2024-01-01 10:30:00"), ts("2024-01-01 11:30:00"), "w2"),
+      ("u2", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "w3"))
+      .toDF("k", "w_lo", "w_hi", "win")
+    val events = Seq(
+      ("u1", ts("2024-01-01 10:15:00"), "p1"), // w1 only
+      ("u1", ts("2024-01-01 10:45:00"), "p2"), // w1 and w2
+      ("u1", ts("2024-01-01 11:00:00"), "p3"), // w2 only (hi exclusive)
+      ("u1", ts("2024-01-01 12:00:00"), "p4"), // nothing
+      ("u2", ts("2024-01-01 10:45:00"), "p5")) // w3
+      .toDF("k", "at", "pt")
+    val got = Joins.rangeJoin(events, windows, Seq("k"), "at", "w_lo",
+        "w_hi", binWidth = hourUs)
+      .select("pt", "win").as[(String, String)].collect().toSet
+    assert(got == Set(("p1", "w1"), ("p2", "w1"), ("p2", "w2"),
+      ("p3", "w2"), ("p5", "w3")))
+    // left-outer form: p4 must surface with a null window
+    val outer = Joins.rangeJoinLeftOuter(events, windows, Seq("k"), "at",
+        "w_lo", "w_hi", binWidth = hourUs)
+      .select("pt", "win").as[(String, Option[String])].collect().toSet
+    assert(outer == Set(("p1", Some("w1")), ("p2", Some("w1")),
+      ("p2", Some("w2")), ("p3", Some("w2")), ("p4", None),
+      ("p5", Some("w3"))))
+    // overlap form on 30-min sessions vs the windows, vs brute force
+    val sessions = events
+      .select($"k", $"at".as("s_lo"),
+        ($"at" + expr("INTERVAL '30' MINUTE")).as("s_hi"), $"pt")
+    val ov = Joins.intervalOverlapJoin(sessions, windows, Seq("k"),
+        "s_lo", "s_hi", "w_lo", "w_hi", binWidth = hourUs)
+      .select("pt", "win").as[(String, String)].collect().toSeq.sorted
+    val brute = sessions.join(windows.withColumnRenamed("k", "k2"),
+        $"k" === $"k2" && $"s_lo" < $"w_hi" && $"w_lo" < $"s_hi")
+      .select("pt", "win").as[(String, String)].collect().toSeq.sorted
+    assert(ov == brute, "timestamp overlap diverged from brute force")
+    assert(ov == ov.distinct, "timestamp overlap duplicated pairs")
+    assert(ov.nonEmpty)
+  }
+
   test("multi-dimension rangeJoin matches the brute force and carries " +
       "both bin keys") {
     // points must co-reside in time AND value bins to become candidates
