@@ -70,6 +70,42 @@ object Streams {
       asofValue: Option[Double])
   final case class AsofState(tsMs: Long, value: Double)
 
+  /** Streaming range join — the streaming form of
+    * [[graft.operators.Joins.rangeJoin]] for sliding windows: each left
+    * event pairs with the right events whose
+    * `[rightTs, rightTs + windowMs)` window contains the left event's
+    * timestamp, per key, via Spark's NATIVE stream-stream interval join.
+    *
+    * Unlike the batch side, no binning trick is needed here: the
+    * stream-stream join's state store is already hash-partitioned on the
+    * equi key, and the time-range conjuncts are consumed as a state
+    * RETENTION bound, not a nested-loop predicate — with watermarks on
+    * both inputs Spark derives exactly how long each side's rows must be
+    * kept (right rows age out `windowMs` past the left watermark), so
+    * state is bounded by rate × (watermark + window), not stream length.
+    * Late rows beyond the watermark are dropped, the standard streaming
+    * trade; the batch operator is the exact-over-late-data path.
+    *
+    * The right side's key column is renamed internally, so the two inputs
+    * may share the key name; all other column names must be distinct.
+    * Both timestamp columns must be TimestampType.
+    */
+  def rangeJoinStream(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowMs: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(windowMs > 0, "windowMs must be > 0")
+    val rk = "_graft_rk"
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(key, rk)
+      .withWatermark(rightTs, watermark)
+    l.join(r,
+        col(key) === col(rk) &&
+          col(leftTs) >= col(rightTs) &&
+          col(leftTs) < col(rightTs) +
+            expr(s"INTERVAL $windowMs MILLISECONDS"))
+      .drop(rk)
+  }
+
   /** Streaming as-of enrichment — the streaming form of
     * [[graft.operators.Joins.asOf]]: each left event is annotated with the
     * latest right event at-or-before it for the same key. Input is the two

@@ -117,6 +117,58 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("rangeJoinStream parity: equals the batch Joins.rangeJoin on the " +
+      "same fixture, across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // left events and right window-starts (1-hour windows), two keys,
+    // one left event outside every window, one right window matching two
+    // left events
+    // roughly event-time ordered: the second micro-batch must not carry
+    // rows older than the first batch's watermark (max ts − 10 min), or
+    // the join drops them as late — correct streaming semantics, but not
+    // what this parity fixture is probing
+    val lfix = Seq(
+      ("u1", t("2024-01-01 10:15:00"), 1L),
+      ("u2", t("2024-01-01 10:30:00"), 4L),
+      ("u3", t("2024-01-01 10:30:00"), 5L), // key with no windows
+      ("u1", t("2024-01-01 10:45:00"), 2L),
+      ("u1", t("2024-01-01 13:00:00"), 3L)) // no window
+    val rfix = Seq(
+      ("u1", t("2024-01-01 10:00:00"), 10L),
+      ("u1", t("2024-01-01 10:30:00"), 11L),
+      ("u2", t("2024-01-01 10:00:00"), 12L),
+      ("u2", t("2024-01-01 11:00:00"), 13L)) // matches nothing
+    val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val q = Streams.rangeJoinStream(
+        lmem.toDF().toDF("k", "lts", "lid"),
+        rmem.toDF().toDF("k", "rts", "rid"),
+        key = "k", leftTs = "lts", rightTs = "rts",
+        windowMs = 3600 * 1000L)
+      .select("lid", "rid")
+      .writeStream.format("memory").queryName("range_stream")
+      .outputMode("append").start()
+    val streamed = try {
+      // right windows land first, left events split across two batches —
+      // the join must still pair across the batch boundary
+      rmem.addData(rfix: _*)
+      lmem.addData(lfix.take(4): _*)
+      q.processAllAvailable()
+      lmem.addData(lfix.drop(4): _*)
+      q.processAllAvailable()
+      spark.table("range_stream").as[(Long, Long)].collect().toSet
+    } finally q.stop()
+    val batch = graft.operators.Joins.rangeJoin(
+        lfix.toDF("k", "lts", "lid"),
+        rfix.toDF("k", "rts", "rid")
+          .withColumn("rend", $"rts" + expr("INTERVAL '1' HOUR")),
+        Seq("k"), "lts", "rts", "rend", binWidth = 3600L * 1000000)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 10L), (2L, 10L), (2L, 11L), (4L, 12L)))
+  }
+
   test("asOfStream parity: equals the batch Joins.asOf on the same fixture") {
     // the contract that keeps the streaming form honest: on in-order
     // delivery (the case the online path is FOR), its output must be
