@@ -419,43 +419,82 @@ object Joins {
   def intervalOverlapJoinLeftOuter(left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftStart: String, leftEnd: String,
       rightStart: String, rightEnd: String, binWidth: Long,
-      maxBinSize: Long = 10000): DataFrame = {
-    require(binWidth > 0, "binWidth must be > 0")
-    require(Set(leftStart, leftEnd).intersect(Set(rightStart, rightEnd))
-        .isEmpty,
+      maxBinSize: Long = 10000): DataFrame =
+    intervalOverlapJoinLeftOuter(left, right, keyCols,
+      Seq(OverlapDim(leftStart, leftEnd, rightStart, rightEnd, binWidth)),
+      maxBinSize)
+
+  /** Multi-dimensional [[intervalOverlapJoinLeftOuter]] — the left-outer
+    * form of the multi-dimension overlap join. Mechanics are the 1-D
+    * method's, applied per dimension: the left side explodes the cross
+    * product of its per-dimension bin ranges (`explode_outer` per
+    * dimension, so a null bound keeps its row with a null bin), matches
+    * carry every dimension's bin-equality + overlap + canonical-bin
+    * conjunct in the join condition, and a count window over the left's
+    * own columns decides unmatched rows, which emit exactly once from
+    * their all-dimensions HOME bin combination (each dimension's bin of
+    * `least(start, end)`, null-safe). The hot-bin guard caps the RIGHT
+    * side only, on the full (key, bins…) cohort.
+    */
+  def intervalOverlapJoinLeftOuter(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], dims: Seq[OverlapDim],
+      maxBinSize: Long): DataFrame = {
+    require(dims.nonEmpty,
+      "intervalOverlapJoinLeftOuter needs at least one dimension")
+    dims.foreach(d => require(d.binWidth > 0,
+      s"binWidth must be > 0 for $d"))
+    val lBounds = dims.flatMap(d => Seq(d.leftStart, d.leftEnd))
+    val rBounds = dims.flatMap(d => Seq(d.rightStart, d.rightEnd))
+    require(lBounds.toSet.intersect(rBounds.toSet).isEmpty,
       "boundary column names must differ between the two sides")
     require(maxBinSize <= 0 || maxBinSize > 1,
       "maxBinSize must be > 1 (or <= 0 to skip the skew guard)")
-    // all four bound columns share a type family (the overlap predicate
-    // compares them cross-side), so one side's type picks the numeric
-    // image for every bin expression
-    val src = binSrcOf(left.schema(leftStart).dataType, _: Column)
-    def binOf(c: Column): Column = floor(src(c) / binWidth).cast("long")
+    def suffix(i: Int): String = if (i == 0) "" else (i + 1).toString
+    def binName(i: Int): String = "_graft_bin" + suffix(i)
+    def rBinName(i: Int): String = binName(i) + "_r"
     def rKey(k: String): String = "_graft_rk_" + k
-    val lBinned = left.withColumn("_graft_bin",
-      explode_outer(sequence(binOf(least(col(leftStart), col(leftEnd))),
-        binOf(greatest(col(leftStart), col(leftEnd))))))
-    val rBinned = keyCols.foldLeft(right)(
-        (df, k) => df.withColumnRenamed(k, rKey(k)))
-      .withColumn("_graft_rbin",
-        explode(sequence(binOf(least(col(rightStart), col(rightEnd))),
-          binOf(greatest(col(rightStart), col(rightEnd))))))
+    // each dimension's four bound columns share a type family (the
+    // overlap predicate compares them cross-side), so the left start's
+    // type picks that dimension's numeric image
+    def src(d: OverlapDim)(c: Column): Column =
+      binSrcOf(left.schema(d.leftStart).dataType, c)
+    def binOf(d: OverlapDim)(c: Column): Column =
+      floor(src(d)(c) / d.binWidth).cast("long")
+    val lBinned = dims.zipWithIndex.foldLeft(left) { case (df, (d, i)) =>
+      df.withColumn(binName(i),
+        explode_outer(sequence(
+          binOf(d)(least(col(d.leftStart), col(d.leftEnd))),
+          binOf(d)(greatest(col(d.leftStart), col(d.leftEnd))))))
+    }
+    val rBinned = dims.zipWithIndex.foldLeft(
+        keyCols.foldLeft(right)((df, k) => df.withColumnRenamed(k, rKey(k)))) {
+        case (df, (d, i)) => df.withColumn(rBinName(i),
+          explode(sequence(
+            binOf(d)(least(col(d.rightStart), col(d.rightEnd))),
+            binOf(d)(greatest(col(d.rightStart), col(d.rightEnd))))))
+      }
       .withColumn("_graft_m", lit(1))
-    val rGuarded = binGuard(keyCols.map(rKey) :+ "_graft_rbin",
-      maxBinSize)(rBinned)
-    val cond = (keyCols.map(k => col(k) === col(rKey(k))) ++ Seq(
-      col("_graft_bin") === col("_graft_rbin"),
-      col(leftStart) < col(rightEnd),
-      col(rightStart) < col(leftEnd),
-      col("_graft_bin") === binOf(greatest(col(leftStart),
-        col(rightStart))))).reduce(_ && _)
-    val home = binOf(least(col(leftStart), col(leftEnd)))
+    val rGuarded = binGuard(
+      keyCols.map(rKey) ++ dims.indices.map(rBinName), maxBinSize)(rBinned)
+    val cond = (keyCols.map(k => col(k) === col(rKey(k))) ++
+      dims.zipWithIndex.flatMap { case (d, i) => Seq(
+        col(binName(i)) === col(rBinName(i)),
+        col(d.leftStart) < col(d.rightEnd),
+        col(d.rightStart) < col(d.leftEnd),
+        col(binName(i)) === binOf(d)(greatest(col(d.leftStart),
+          col(d.rightStart))))
+      }).reduce(_ && _)
+    val atHome = dims.zipWithIndex.map { case (d, i) =>
+      col(binName(i)) <=> binOf(d)(least(col(d.leftStart), col(d.leftEnd)))
+    }.reduce(_ && _)
     val w = Window.partitionBy(left.columns.map(col).toIndexedSeq: _*)
     lBinned.join(rGuarded, cond, "left_outer")
       .withColumn("_graft_mc", count(col("_graft_m")).over(w))
       .filter(col("_graft_m").isNotNull ||
-        (col("_graft_mc") === 0 && col("_graft_bin") <=> home))
-      .drop("_graft_bin", "_graft_rbin", "_graft_m", "_graft_mc")
+        (col("_graft_mc") === 0 && atHome))
+      .drop("_graft_m", "_graft_mc")
+      .drop(dims.indices.map(binName): _*)
+      .drop(dims.indices.map(rBinName): _*)
       .drop(keyCols.map(rKey): _*)
   }
 }

@@ -353,6 +353,38 @@ class JoinsSpec extends SparkTestBase {
       "every left row must appear at least once")
   }
 
+  test("multi-dimension intervalOverlapJoinLeftOuter matches the vanilla " +
+      "2-D LEFT JOIN on a generated fixture") {
+    val rnd = new scala.util.Random(31)
+    def gen(n: Int, idBase: Long) = (1 to n).map { i =>
+      val t = rnd.nextInt(300).toLong
+      val v = rnd.nextInt(200).toLong
+      (idBase + i, rnd.nextInt(3).toLong, t, t + rnd.nextInt(60).toLong,
+        v, v + rnd.nextInt(40).toLong)
+    }
+    val l = gen(100, 0).toDF("lid", "k", "lt_lo", "lt_hi", "lv_lo", "lv_hi")
+    val r = gen(100, 1000)
+      .toDF("rid", "k", "rt_lo", "rt_hi", "rv_lo", "rv_hi")
+    val got = Joins.intervalOverlapJoinLeftOuter(l, r, Seq("k"), Seq(
+      Joins.OverlapDim("lt_lo", "lt_hi", "rt_lo", "rt_hi", binWidth = 64),
+      Joins.OverlapDim("lv_lo", "lv_hi", "rv_lo", "rv_hi", binWidth = 32)),
+      maxBinSize = 10000)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lid"), coalesce(col("rid"), lit(-1L)).as("rid"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val expected = l.as("L").join(r.as("R"),
+        col("L.k") === col("R.k") &&
+          $"lt_lo" < $"rt_hi" && $"rt_lo" < $"lt_hi" &&
+          $"lv_lo" < $"rv_hi" && $"rv_lo" < $"lv_hi", "left_outer")
+      .select(col("lid"), col("rid"))
+    val gotRows = rows(got)
+    assert(gotRows == rows(expected))
+    assert(gotRows.exists(_._2 == -1L), "no unmatched left rows — weaken")
+    assert(gotRows.exists(_._2 != -1L), "no matched left rows — weaken")
+    assert(gotRows.map(_._1).distinct.size == 100,
+      "every left row must appear at least once")
+  }
+
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
