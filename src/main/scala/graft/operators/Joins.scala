@@ -98,6 +98,7 @@ object Joins {
     case org.apache.spark.sql.types.TimestampType => unix_micros(c)
     case org.apache.spark.sql.types.TimestampNTZType =>
       unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    case org.apache.spark.sql.types.DateType => unix_date(c)
     case _ => c
   }
 

@@ -77,10 +77,12 @@ import org.apache.spark.sql.types._
   * '1' HOUR` rewrites with no unit juggling: the bin image is epoch
   * micros (`UnixMicros`; NTZ via the session zone) and the width is the
   * interval literal's micros (year-month intervals decline — they have no
-  * fixed length). Timestamps rewrite ONLY on this inferred sliding-window
-  * path: the conf width's unit is defined for numeric columns, and
-  * guessing micros-vs-seconds on a timestamp would be exactly the blind
-  * bet the conf exists to avoid.
+  * fixed length). DATE bounds likewise — `d >= start AND d < start +
+  * INTERVAL '30' DAY` (which the analyzer resolves to `date_add`) bins on
+  * epoch days (`UnixDate`) with the day count as the width. Both rewrite
+  * ONLY on this inferred sliding-window path: the conf width's unit is
+  * defined for numeric columns, and guessing micros-vs-seconds on a
+  * timestamp would be exactly the blind bet the conf exists to avoid.
   *
   * Scope caveat: the conf width is session-global, and the overlap
   * detector matches ANY inner join carrying a pair of opposite-direction
@@ -208,11 +210,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // primary dimension: prefer a containment whose width is inferable
     // from its own literal (conf-free and always safe) over one that
     // needs the conf width. The conf width is defined in the units of
-    // NUMERIC bound columns; a timestamp containment without an interval
-    // literal has no user-expressible width (micros vs the conf's unknown
-    // unit), so it only ever rewrites on the inferred path.
+    // NUMERIC bound columns; a timestamp/date containment without an
+    // interval literal has no user-expressible width (micros/days vs the
+    // conf's unknown unit), so those only rewrite on the inferred path.
     val primary = candidates.find(_.inferredWidth.isDefined)
-      .orElse(candidates.find(c => !isTimestamp(c.point.dataType)))
+      .orElse(candidates.find(_.point.dataType.isInstanceOf[NumericType]))
       .getOrElse(return None)
     primary.inferredWidth.orElse(confWidth).map { primaryWidth =>
       // second dimension: another containment on the SAME point side, a
@@ -337,11 +339,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       confWidth: => Option[Long]): Option[LogicalPlan] = {
     val candidates = detectOverlap(conjuncts, j.left, j.right)
     if (candidates.isEmpty) return None
-    // timestamp overlaps rewrite only on the inferred (both-sides-sliding)
-    // path — the conf width's unit is for numeric columns (see
-    // rewriteContainment)
+    // timestamp/date overlaps rewrite only on the inferred
+    // (both-sides-sliding) path — the conf width's unit is for numeric
+    // columns (see rewriteContainment)
     val primary = candidates.find(_.inferredWidth.isDefined)
-      .orElse(candidates.find(o => !isTimestamp(o.lStart.dataType)))
+      .orElse(candidates.find(
+        _.lStart.dataType.isInstanceOf[NumericType]))
       .getOrElse(return None)
     primary.inferredWidth.orElse(confWidth).map { width =>
       buildOverlap(j, conjuncts, primary, width)
@@ -442,7 +445,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def usable(e: Expression): Boolean =
     e.deterministic &&
-      (e.dataType.isInstanceOf[NumericType] || isTimestamp(e.dataType))
+      (e.dataType.isInstanceOf[NumericType] || isTimestamp(e.dataType) ||
+        e.dataType == DateType)
 
   private def isTimestamp(dt: DataType): Boolean =
     dt == TimestampType || dt == TimestampNTZType
@@ -450,16 +454,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** The numeric image an expression bins on: timestamps map to epoch
     * micros (`UnixMicros`; NTZ goes through the session zone first — the
     * same monotone mapping on both join sides, which is all binning
-    * needs), numerics to their own value. Monotone + deterministic, so
-    * `bin(start) <= bin(point) <= bin(end)` survives the mapping and the
-    * exact predicate — re-applied on the ORIGINAL columns — still decides
-    * membership.
+    * needs), dates to epoch days (`UnixDate` — matching `date_add`'s
+    * day-count width), numerics to their own value. Monotone +
+    * deterministic, so `bin(start) <= bin(point) <= bin(end)` survives
+    * the mapping and the exact predicate — re-applied on the ORIGINAL
+    * columns — still decides membership.
     */
   private def binnable(e: Expression): Expression = e.dataType match {
     case TimestampType => Cast(UnixMicros(e), DoubleType)
     case TimestampNTZType =>
       Cast(UnixMicros(
         Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))), DoubleType)
+    case DateType => Cast(UnixDate(e), DoubleType)
     case _ => Cast(e, DoubleType)
   }
 
@@ -529,6 +535,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           CalendarIntervalType), _)
         if s2.semanticEquals(start) && iv.months == 0 =>
       Some(iv.days * 86400000000L + iv.microseconds).filter(_ > 0)
+    // `date + INTERVAL 'n' DAY` / date_add(date, n) — width in DAYS,
+    // matching the UnixDate bin image
+    case DateAdd(s2, Literal(v, _)) if s2.semanticEquals(start) =>
+      literalLong(v)
     case _ => None
   }
 

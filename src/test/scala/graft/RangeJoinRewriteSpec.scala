@@ -299,6 +299,25 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(pairs(joined).nonEmpty, "fixture produced no overlaps")
   }
 
+  test("DATE bounds with a day-interval literal rewrite on the epoch-days " +
+      "image (date + INTERVAL resolves to date_add, width = the day " +
+      "count)") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val pts = Seq((1L, d("2024-01-05")), (2L, d("2024-02-20")),
+      (3L, d("2024-06-01"))).toDF("pid", "at")
+    val ivs = Seq((10L, d("2024-01-01")), (11L, d("2024-02-15")),
+      (12L, d("2024-03-01"))).toDF("iid", "start")
+    val cond = expr("at >= start AND at < start + INTERVAL '30' DAY")
+    val joined = pts.join(ivs, cond)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("_graft_bin"),
+      s"date range join did not rewrite:\n$plan")
+    val manual = pts.crossJoin(ivs).filter(cond)
+    assert(pairs(joined) == pairs(manual))
+    assert(pairs(joined) == Set((1L, 10L), (2L, 11L)))
+  }
+
   test("year-month intervals decline: no fixed micros length to bin on") {
     val joined = tsPoints.join(tsStarts,
       expr("at >= start AND at < start + INTERVAL '1' MONTH"))
