@@ -61,10 +61,11 @@ import org.apache.spark.sql.types._
   * containment without an inferable width stays a residual predicate, as
   * does any third dimension.
   *
-  * Bin width — and when the rule fires at all: when the upper bound is
-  * `at < start + C` (a sliding window — the common form), C is used
-  * directly, giving at most two bins per interval, and the rewrite is
-  * always safe. For arbitrary `[start, end)` columns the interval length
+  * Bin width — and when the rule fires at all: when both bounds are
+  * literal offsets of one base expression — `[x, x + C)`, the backward
+  * `BETWEEN x - C AND x`, or the two-sided `BETWEEN x - C1 AND x + C2`
+  * (see `slideWidth`) — the offset difference is used directly, giving at
+  * most two bins per interval, and the rewrite is always safe. For arbitrary `[start, end)` columns the interval length
   * is data, not plan, so NO default width can be right — a blind guess in
   * the wrong unit would explode each interval into thousands of bin rows
   * (or overflow `sequence()`'s array cap) and break a query that vanilla
@@ -510,39 +511,54 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     candidates.toSeq
   }
 
-  /** `end = start + C` (either operand order) → the interval length C is
-    * the ideal bin width: each interval covers at most two bins. For
-    * timestamps the pattern is `start + INTERVAL ...` —
-    * `TimestampAddInterval` with a literal interval — and the width is
-    * the interval length in MICROS, matching [[binnable]]'s epoch-micros
-    * image. Year-month intervals have no fixed micros length and are
-    * declined; calendar intervals qualify only when month-free (days are
-    * taken at 24 h — at worst a DST shift makes the width a near-miss of
-    * the true added length, which costs one extra candidate bin, never
-    * correctness, since the exact predicate is re-applied).
+  /** Sliding-window width inference, generalized: decompose each bound
+    * into (base, literal offset) and, when both bounds share the SAME
+    * base, the interval length is the offset difference — the ideal bin
+    * width (each interval covers ≤2 bins). One rule covers every sliding
+    * shape users write:
+    *   - `[x, x + C)` — the forward window (width C),
+    *   - `[x − C, x]` — "within C BEFORE x", i.e. `BETWEEN x − C AND x`
+    *     (width C),
+    *   - `[x − C1, x + C2]` — the two-sided band (width C1 + C2).
+    * Offsets are read from `+`/`−` literals (numeric columns, native
+    * units), `TimestampAddInterval` literals (timestamps, MICROS — the
+    * [[binnable]] image; year-month intervals carry no fixed length and
+    * yield no offset, so such bounds never share a base and decline;
+    * month-free calendar intervals count days at 24 h — at worst a DST
+    * shift costs one extra candidate bin, never correctness), and
+    * `date_add` day counts (dates, DAYS).
     */
   private def slideWidth(start: Expression,
-      end: Expression): Option[Long] = end match {
-    case Add(s2, Literal(v, _), _) if s2.semanticEquals(start) =>
-      literalLong(v)
-    case Add(Literal(v, _), s2, _) if s2.semanticEquals(start) =>
-      literalLong(v)
-    case TimestampAddInterval(s2, Literal(v: Long, _: DayTimeIntervalType),
-        _) if s2.semanticEquals(start) =>
-      Some(v).filter(_ > 0)
-    case TimestampAddInterval(s2,
-        Literal(iv: org.apache.spark.unsafe.types.CalendarInterval,
-          CalendarIntervalType), _)
-        if s2.semanticEquals(start) && iv.months == 0 =>
-      Some(iv.days * 86400000000L + iv.microseconds).filter(_ > 0)
-    // `date + INTERVAL 'n' DAY` / date_add(date, n) — width in DAYS,
-    // matching the UnixDate bin image
-    case DateAdd(s2, Literal(v, _)) if s2.semanticEquals(start) =>
-      literalLong(v)
-    case _ => None
+      end: Expression): Option[Long] = {
+    val (bs, os) = baseOffset(start)
+    val (be, oe) = baseOffset(end)
+    if (bs.semanticEquals(be)) Some(oe - os).filter(_ > 0) else None
   }
 
-  private def literalLong(v: Any): Option[Long] = (v match {
+  /** `e` as (base, literal offset) in the base's bin-image units; an
+    * expression that is not a literal offset from anything returns
+    * itself with offset 0 (so only bounds sharing a literal-offset base
+    * ever infer a width).
+    */
+  private def baseOffset(e: Expression): (Expression, Long) = e match {
+    case Add(b, Literal(v, _), _) =>
+      literalLong(v).map((b, _)).getOrElse((e, 0L))
+    case Add(Literal(v, _), b, _) =>
+      literalLong(v).map((b, _)).getOrElse((e, 0L))
+    case Subtract(b, Literal(v, _), _) =>
+      literalLong(v).map(o => (b, -o)).getOrElse((e, 0L))
+    case TimestampAddInterval(b, Literal(v: Long, _: DayTimeIntervalType),
+        _) => (b, v)
+    case TimestampAddInterval(b,
+        Literal(iv: org.apache.spark.unsafe.types.CalendarInterval,
+          CalendarIntervalType), _) if iv.months == 0 =>
+      (b, iv.days * 86400000000L + iv.microseconds)
+    case DateAdd(b, Literal(v, _)) =>
+      literalLong(v).map((b, _)).getOrElse((e, 0L))
+    case _ => (e, 0L)
+  }
+
+  private def literalLong(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
@@ -551,5 +567,5 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case d: Double => Some(math.ceil(d).toLong)
     case d: Decimal => Some(math.ceil(d.toDouble).toLong)
     case _ => None
-  }).filter(_ > 0)
+  }
 }

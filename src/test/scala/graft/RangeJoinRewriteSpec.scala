@@ -318,6 +318,49 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(pairs(joined) == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("BETWEEN x - C AND x (the backward window) infers the width from " +
+      "the subtraction, numeric and timestamp") {
+    // numeric: w in [v - 50, v]
+    val l = Seq((1L, 100L), (2L, 300L)).toDF("lid", "v")
+    val r = Seq((10L, 60L), (11L, 290L), (12L, 500L)).toDF("rid", "w")
+    val nCond = $"w" >= $"v" - 50L && $"w" <= $"v"
+    val nJoined = l.join(r, nCond)
+    val nPlan = physical(nJoined)
+    assert(!nPlan.contains("BroadcastNestedLoopJoin") &&
+      nPlan.contains("_graft_bin"),
+      s"backward numeric window did not rewrite:\n$nPlan")
+    assert(pairs2b(nJoined) == pairs2b(l.crossJoin(r).filter(nCond)))
+    assert(pairs2b(nJoined) == Set((1L, 10L), (2L, 11L)))
+    // timestamp: start in [at - 1h, at]
+    val tl = tsPoints
+    val tr = tsStarts
+    val tCond = expr("start BETWEEN at - INTERVAL '1' HOUR AND at")
+    val tJoined = tl.join(tr, tCond)
+    val tPlan = physical(tJoined)
+    assert(!tPlan.contains("BroadcastNestedLoopJoin") &&
+      tPlan.contains("_graft_bin"),
+      s"backward timestamp window did not rewrite:\n$tPlan")
+    assert(pairs(tJoined) == pairs(tl.crossJoin(tr).filter(tCond)))
+  }
+
+  test("two-sided band BETWEEN x - C1 AND x + C2 infers width C1 + C2") {
+    val l = Seq((1L, 100L), (2L, 300L)).toDF("lid", "v")
+    val r = Seq((10L, 80L), (11L, 320L), (12L, 600L)).toDF("rid", "w")
+    val cond = $"w" >= $"v" - 30L && $"w" < $"v" + 40L
+    val joined = l.join(r, cond)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("_graft_bin"),
+      s"two-sided band did not rewrite:\n$plan")
+    // width 70 = 30 + 40
+    assert(plan.contains("/ 70.0"), s"expected inferred width 70 in:\n$plan")
+    assert(pairs2b(joined) == pairs2b(l.crossJoin(r).filter(cond)))
+    assert(pairs2b(joined) == Set((1L, 10L), (2L, 11L)))
+  }
+
+  private def pairs2b(df: DataFrame): Set[(Long, Long)] =
+    df.select("lid", "rid").as[(Long, Long)].collect().toSet
+
   test("year-month intervals decline: no fixed micros length to bin on") {
     val joined = tsPoints.join(tsStarts,
       expr("at >= start AND at < start + INTERVAL '1' MONTH"))
