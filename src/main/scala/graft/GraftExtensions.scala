@@ -23,8 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     // plan rewrite: plain-SQL point-in-interval theta-joins get the binned
-    // equi-join plan (no BroadcastNestedLoopJoin) without user involvement
-    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // equi-join plan (no BroadcastNestedLoopJoin) without user involvement.
+    // The builder runs once per session when its optimizer is assembled —
+    // the one extension hook that HAS the session — so it also performs
+    // the late-batch registration (see registerLateRule: the early batch
+    // runs before RewriteSubquery and never sees EXISTS/IN-born semi/anti
+    // joins). An extensions-conf-only deployment therefore gets both.
+    ext.injectOptimizerRule { session =>
+      GraftExtensions.registerLateRule(session)
+      graft.plans.RangeJoinRewrite
+    }
   }
 }
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructType, TimestampNTZType, TimestampType}
 
 /** Join operators Spark lacks natively, composed from built-ins so Catalyst
   * still optimizes around them.
@@ -93,13 +93,51 @@ object Joins {
   private def binSrc(df: DataFrame, name: String): Column =
     binSrcOf(df.schema(name).dataType, col(name))
 
-  private def binSrcOf(dt: org.apache.spark.sql.types.DataType,
-      c: Column): Column = dt match {
-    case org.apache.spark.sql.types.TimestampType => unix_micros(c)
-    case org.apache.spark.sql.types.TimestampNTZType =>
-      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-    case org.apache.spark.sql.types.DateType => unix_date(c)
+  private def binSrcOf(dt: DataType, c: Column): Column = dt match {
+    case TimestampType => unix_micros(c)
+    case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case DateType => unix_date(c)
     case _ => c
+  }
+
+  /** Shared naming for the binned-join family: `_graft_bin`, `_graft_bin2`,
+    * … per dimension (these names double as the RangeJoinRewrite re-entry
+    * guard — the optimizer rule must not re-bin an already-binned join),
+    * `_r`-suffixed right-side bins, and `_graft_rk_`-prefixed right-key
+    * renames where the right side leaves the left's namespace.
+    */
+  private def binName(i: Int): String =
+    "_graft_bin" + (if (i == 0) "" else (i + 1).toString)
+  private def rBinName(i: Int): String = binName(i) + "_r"
+  private def rKeyName(k: String): String = "_graft_rk_" + k
+
+  private def requireGuardCap(maxBinSize: Long): Unit =
+    require(maxBinSize <= 0 || maxBinSize > 1,
+      "maxBinSize must be > 1 (or <= 0 to skip the skew guard)")
+
+  /** The bin image is chosen per column TYPE (micros / days / native), so
+    * every bound column of one dimension must come from the same family —
+    * a DATE point binned in days can never equi-match a TIMESTAMP
+    * interval binned in micros, and the join would silently return
+    * nothing. Fail fast instead; callers mixing families must cast one
+    * side first (Spark would coerce the exact predicate, but coercion
+    * cannot reach the bin keys).
+    */
+  private def requireSameFamily(
+      cols: Seq[(DataFrame, String)], what: String): Unit = {
+    def family(dt: DataType): String = dt match {
+      case TimestampType | TimestampNTZType => "timestamp"
+      case DateType => "date"
+      case _: NumericType => "numeric"
+      case other => other.typeName
+    }
+    val families = cols.map { case (df, n) =>
+      n -> family(df.schema(n).dataType) }
+    require(families.map(_._2).distinct.size == 1 &&
+        Set("numeric", "timestamp", "date").contains(families.head._2),
+      s"$what bound columns must share one type family " +
+        s"(numeric, timestamp, or date), got: " +
+        families.map { case (n, f) => s"$n=$f" }.mkString(", "))
   }
 
   /** Range join: pair each left row with the right rows whose
@@ -161,12 +199,9 @@ object Joins {
     require(dims.nonEmpty, "rangeJoin needs at least one dimension")
     dims.foreach(d => require(d.binWidth > 0,
       s"binWidth must be > 0 for $d"))
-    require(maxBinSize <= 0 || maxBinSize > 1,
-      "maxBinSize must be > 1 (or <= 0 to skip the skew guard)")
-    // the _graft_bin names double as the RangeJoinRewrite re-entry guard:
-    // the optimizer rule must not re-bin this already-binned join
-    def binName(i: Int): String =
-      "_graft_bin" + (if (i == 0) "" else (i + 1).toString)
+    dims.foreach(d => requireSameFamily(Seq((left, d.leftAt),
+      (right, d.rightStart), (right, d.rightEnd)), s"rangeJoin $d"))
+    requireGuardCap(maxBinSize)
     // inverted intervals (end < start) can never contain a point, but
     // Spark's sequence() would step BACKWARDS through them, materializing
     // an arbitrarily large bin array per malformed row — drop them first
@@ -238,16 +273,14 @@ object Joins {
       maxBinSize: Long = 10000): DataFrame = {
     require(dims.nonEmpty, "rangeJoinLeftOuter needs at least one dimension")
     dims.foreach(d => require(d.binWidth > 0, s"binWidth must be > 0 for $d"))
-    require(maxBinSize <= 0 || maxBinSize > 1,
-      "maxBinSize must be > 1 (or <= 0 to skip the skew guard)")
-    def binName(i: Int): String =
-      "_graft_bin" + (if (i == 0) "" else (i + 1).toString)
-    def rBinName(i: Int): String = binName(i) + "_r"
-    def rKey(k: String): String = "_graft_rk_" + k
+    dims.foreach(d => requireSameFamily(Seq((left, d.leftAt),
+      (right, d.rightStart), (right, d.rightEnd)),
+      s"rangeJoinLeftOuter $d"))
+    requireGuardCap(maxBinSize)
     // right side: rename keys out of the left's namespace, drop inverted
     // intervals (containment-safe, see rangeJoin), explode covered bins
     val renamed = keyCols.foldLeft(right)(
-      (df, k) => df.withColumnRenamed(k, rKey(k)))
+      (df, k) => df.withColumnRenamed(k, rKeyName(k)))
     val rBinned = dims.zipWithIndex.foldLeft(
       renamed.filter(dims.map(d =>
         col(d.rightEnd) >= col(d.rightStart)).reduce(_ && _))) {
@@ -257,21 +290,21 @@ object Joins {
           floor(binSrc(df, d.rightEnd) / d.binWidth).cast("long"))))
     }
     val rGuarded = binGuard(
-      keyCols.map(rKey) ++ dims.indices.map(rBinName), maxBinSize)(rBinned)
+      keyCols.map(rKeyName) ++ dims.indices.map(rBinName), maxBinSize)(rBinned)
     val lBinned = dims.zipWithIndex.foldLeft(left) { case (df, (d, i)) =>
       df.withColumn(binName(i),
         floor(binSrc(df, d.leftAt) / d.binWidth).cast("long"))
     }
     // a null point or key bins/equi-joins to nothing and falls out as an
     // unmatched left row — exactly vanilla LEFT JOIN semantics
-    val cond = (keyCols.map(k => col(k) === col(rKey(k))) ++
+    val cond = (keyCols.map(k => col(k) === col(rKeyName(k))) ++
       dims.indices.map(i => col(binName(i)) === col(rBinName(i))) ++
       dims.map(d => col(d.leftAt) >= col(d.rightStart) &&
         col(d.leftAt) < col(d.rightEnd))).reduce(_ && _)
     lBinned.join(rGuarded, cond, "left_outer")
       .drop(dims.indices.map(binName): _*)
       .drop(dims.indices.map(rBinName): _*)
-      .drop(keyCols.map(rKey): _*)
+      .drop(keyCols.map(rKeyName): _*)
   }
 
   /** Interval-overlap join: pair each left [`leftStart`, `leftEnd`)
@@ -360,10 +393,10 @@ object Joins {
     val rBounds = dims.flatMap(d => Seq(d.rightStart, d.rightEnd))
     require(lBounds.toSet.intersect(rBounds.toSet).isEmpty,
       "boundary column names must differ between the two sides")
-    require(maxBinSize <= 0 || maxBinSize > 1,
-      "maxBinSize must be > 1 (or <= 0 to skip the skew guard)")
-    def binName(i: Int): String =
-      "_graft_bin" + (if (i == 0) "" else (i + 1).toString)
+    dims.foreach(d => requireSameFamily(Seq((left, d.leftStart),
+      (left, d.leftEnd), (right, d.rightStart), (right, d.rightEnd)),
+      s"intervalOverlapJoin $d"))
+    requireGuardCap(maxBinSize)
     def binOf(d: OverlapDim)(c: Column): Column =
       floor(c / d.binWidth).cast("long")
     def binned(df: DataFrame, start: OverlapDim => String,
@@ -401,17 +434,15 @@ object Joins {
     * a copy in bin b only sees right rows whose pair-canonical bin is b,
     * and a matched row's other copies would otherwise emit spurious null
     * rows. The full overlap + canonical-bin predicate moves into the
-    * left-outer join condition, then a count window partitioned by the
-    * left's own columns counts each row's matches across ALL its copies:
+    * left-outer join condition, then a count window partitioned by a
+    * synthetic per-row id (stamped BEFORE the explode, so all of a row's
+    * copies share it) counts each row's matches across ALL its copies:
     * matched rows keep their matches, rows with zero matches anywhere
     * emit exactly once from their HOME bin (the bin of
     * `least(start, end)`, null-safe so null-bound rows — kept by
-    * `explode_outer` with a null bin — emit too). Identical left rows
-    * share a window partition, which is semantically safe (identical
-    * rows have identical match sets) and keeps their null-row
-    * multiplicity right. Cost vs the inner form: one extra exchange
-    * (the window over left columns) — the price of outer semantics
-    * without a caller-supplied row id.
+    * `explode_outer` with a null bin — emit too). Cost vs the inner
+    * form: one extra exchange (the window over the 8-byte row id) — the
+    * price of outer semantics without a caller-supplied key.
     *
     * The hot-bin guard caps the RIGHT side only (a left-outer join must
     * preserve every left row); over-cap right cohorts lose their matches
@@ -448,12 +479,10 @@ object Joins {
     val rBounds = dims.flatMap(d => Seq(d.rightStart, d.rightEnd))
     require(lBounds.toSet.intersect(rBounds.toSet).isEmpty,
       "boundary column names must differ between the two sides")
-    require(maxBinSize <= 0 || maxBinSize > 1,
-      "maxBinSize must be > 1 (or <= 0 to skip the skew guard)")
-    def suffix(i: Int): String = if (i == 0) "" else (i + 1).toString
-    def binName(i: Int): String = "_graft_bin" + suffix(i)
-    def rBinName(i: Int): String = binName(i) + "_r"
-    def rKey(k: String): String = "_graft_rk_" + k
+    dims.foreach(d => requireSameFamily(Seq((left, d.leftStart),
+      (left, d.leftEnd), (right, d.rightStart), (right, d.rightEnd)),
+      s"intervalOverlapJoinLeftOuter $d"))
+    requireGuardCap(maxBinSize)
     // each dimension's four bound columns share a type family (the
     // overlap predicate compares them cross-side), so the left start's
     // type picks that dimension's numeric image
@@ -461,14 +490,22 @@ object Joins {
       binSrcOf(left.schema(d.leftStart).dataType, c)
     def binOf(d: OverlapDim)(c: Column): Column =
       floor(src(d)(c) / d.binWidth).cast("long")
-    val lBinned = dims.zipWithIndex.foldLeft(left) { case (df, (d, i)) =>
-      df.withColumn(binName(i),
-        explode_outer(sequence(
-          binOf(d)(least(col(d.leftStart), col(d.leftEnd))),
-          binOf(d)(greatest(col(d.leftStart), col(d.leftEnd))))))
+    // a synthetic per-row id, added BEFORE the explode so every bin copy
+    // of a row shares it, keys the match-count window: an 8-byte key
+    // instead of the whole left payload (wide text/embedding rows would
+    // otherwise be the exchange key), and always partitionable (a
+    // map-typed left column would reject a full-row window, where the
+    // vanilla LEFT JOIN this operator replaces accepts it)
+    val lBinned = dims.zipWithIndex.foldLeft(
+        left.withColumn("_graft_lid", monotonically_increasing_id())) {
+      case (df, (d, i)) =>
+        df.withColumn(binName(i),
+          explode_outer(sequence(
+            binOf(d)(least(col(d.leftStart), col(d.leftEnd))),
+            binOf(d)(greatest(col(d.leftStart), col(d.leftEnd))))))
     }
     val rBinned = dims.zipWithIndex.foldLeft(
-        keyCols.foldLeft(right)((df, k) => df.withColumnRenamed(k, rKey(k)))) {
+        keyCols.foldLeft(right)((df, k) => df.withColumnRenamed(k, rKeyName(k)))) {
         case (df, (d, i)) => df.withColumn(rBinName(i),
           explode(sequence(
             binOf(d)(least(col(d.rightStart), col(d.rightEnd))),
@@ -476,8 +513,8 @@ object Joins {
       }
       .withColumn("_graft_m", lit(1))
     val rGuarded = binGuard(
-      keyCols.map(rKey) ++ dims.indices.map(rBinName), maxBinSize)(rBinned)
-    val cond = (keyCols.map(k => col(k) === col(rKey(k))) ++
+      keyCols.map(rKeyName) ++ dims.indices.map(rBinName), maxBinSize)(rBinned)
+    val cond = (keyCols.map(k => col(k) === col(rKeyName(k))) ++
       dims.zipWithIndex.flatMap { case (d, i) => Seq(
         col(binName(i)) === col(rBinName(i)),
         col(d.leftStart) < col(d.rightEnd),
@@ -488,14 +525,14 @@ object Joins {
     val atHome = dims.zipWithIndex.map { case (d, i) =>
       col(binName(i)) <=> binOf(d)(least(col(d.leftStart), col(d.leftEnd)))
     }.reduce(_ && _)
-    val w = Window.partitionBy(left.columns.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(col("_graft_lid"))
     lBinned.join(rGuarded, cond, "left_outer")
       .withColumn("_graft_mc", count(col("_graft_m")).over(w))
       .filter(col("_graft_m").isNotNull ||
         (col("_graft_mc") === 0 && atHome))
-      .drop("_graft_m", "_graft_mc")
+      .drop("_graft_m", "_graft_mc", "_graft_lid")
       .drop(dims.indices.map(binName): _*)
       .drop(dims.indices.map(rBinName): _*)
-      .drop(keyCols.map(rKey): _*)
+      .drop(keyCols.map(rKeyName): _*)
   }
 }

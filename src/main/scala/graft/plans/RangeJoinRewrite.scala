@@ -142,8 +142,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(EnabledKey, "true").toLowerCase(java.util.Locale.ROOT) != "true") plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner | LeftOuter | RightOuter | LeftSemi |
-          LeftAnti, Some(_), _) if j.resolved =>
+      // streaming joins are excluded: Spark's stream-stream interval join
+      // already consumes the time-range conjuncts as a state-retention
+      // bound (that IS its pruning mechanism — see Streams.rangeJoinStream);
+      // binning there would explode the state store's rows per bin copy
+      // for zero pruning gain
+      case j @ Join(left, right, Inner | LeftOuter | RightOuter | LeftSemi |
+          LeftAnti, Some(_), _)
+          if j.resolved && !left.isStreaming && !right.isStreaming =>
         rewrite(j).getOrElse(j)
     }
 
@@ -555,6 +561,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       (b, iv.days * 86400000000L + iv.microseconds)
     case DateAdd(b, Literal(v, _)) =>
       literalLong(v).map((b, _)).getOrElse((e, 0L))
+    // date_sub(d, n); `d - INTERVAL 'n' DAY` needs no case of its own —
+    // it constant-folds to DateAdd(d, -n)
+    case DateSub(b, Literal(v, _)) =>
+      literalLong(v).map(o => (b, -o)).getOrElse((e, 0L))
     case _ => (e, 0L)
   }
 

@@ -438,6 +438,28 @@ class JoinsSpec extends SparkTestBase {
       "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 64).count() == 25L * 25 + 1)
   }
 
+  test("binned joins fail fast on mixed bound-type families instead of " +
+      "silently matching nothing") {
+    // a DATE point binned in days can never equi-match a TIMESTAMP
+    // interval binned in micros — the exact predicate would coerce, the
+    // bin keys would not, and every match would silently vanish
+    val pts = Seq(("a", java.sql.Date.valueOf("2024-01-05")))
+      .toDF("k", "at")
+    val ivs = Seq(("a", ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00")))
+      .toDF("k", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(pts, ivs, Seq("k"), "at", "lo", "hi",
+        binWidth = 86400000000L)
+    }
+    assert(e.getMessage.contains("type family"), e.getMessage)
+    // string bounds are not binnable at all
+    val sIvs = Seq(("a", "x", "y")).toDF("k", "lo", "hi")
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(pts, sIvs, Seq("k"), "at", "lo", "hi", binWidth = 1L)
+    }
+    assert(e2.getMessage.contains("type family"), e2.getMessage)
+  }
+
   test("intervalOverlapJoin rejects colliding boundary column names") {
     val df = Seq((1L, 0L, 1L)).toDF("id", "lo", "hi")
     intercept[IllegalArgumentException] {

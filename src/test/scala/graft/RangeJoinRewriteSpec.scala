@@ -316,6 +316,33 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     val manual = pts.crossJoin(ivs).filter(cond)
     assert(pairs(joined) == pairs(manual))
     assert(pairs(joined) == Set((1L, 10L), (2L, 11L)))
+    // backward forms: `- INTERVAL` folds to date_add(-n); date_sub has
+    // its own node — both must infer the width
+    for (c <- Seq("start BETWEEN at - INTERVAL '30' DAY AND at",
+        "start BETWEEN date_sub(at, 30) AND at")) {
+      val b = pts.join(ivs, expr(c))
+      assert(!physical(b).contains("BroadcastNestedLoopJoin") &&
+        physical(b).contains("_graft_bin"),
+        s"backward date window '$c' did not rewrite:\n${physical(b)}")
+      assert(pairs(b) == pairs(pts.crossJoin(ivs).filter(expr(c))))
+    }
+  }
+
+  test("streaming joins are left alone: the native interval join's " +
+      "time-range state pruning must not be replaced by bins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(String, java.sql.Timestamp)]
+    val rmem = MemoryStream[(String, java.sql.Timestamp)]
+    val joined = graft.streaming.Streams.rangeJoinStream(
+      lmem.toDF().toDF("k", "lts"), rmem.toDF().toDF("k", "rts"),
+      key = "k", leftTs = "lts", rightTs = "rts", windowMs = 3600000L)
+    // logical-plan check (no need to run the stream): the rewrite must
+    // decline, leaving the raw time-range condition for the state manager
+    val analyzed = joined.queryExecution.analyzed
+    val optimized = spark.sessionState.optimizer.execute(analyzed)
+    assert(!optimized.toString.contains("_graft_bin"),
+      s"streaming join was binned:\n$optimized")
   }
 
   test("BETWEEN x - C AND x (the backward window) infers the width from " +
@@ -645,6 +672,30 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(exists.as[Long].collect().toSet == contained)
     assert(notExists.as[Long].collect().toSet ==
       points.select("pid").as[Long].collect().toSet -- contained)
+  }
+
+  test("a fresh extensions-only session gets the late-batch registration " +
+      "(EXISTS range subqueries bin without GraftSession's explicit hook)") {
+    // newSession() starts with EMPTY ExperimentalMethods and a fresh
+    // sessionState built from the spark.sql.extensions conf alone — the
+    // deployment shape of a cluster user who only sets the conf. The
+    // injected optimizer-rule builder must perform the late registration
+    // itself when the optimizer is assembled.
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    val np = Seq((1L, 5L), (3L, 29L)).toDF("pid", "at")
+    val ns = Seq((10L, 0L)).toDF("iid", "start")
+    np.createOrReplaceTempView("fr_points")
+    ns.createOrReplaceTempView("fr_starts")
+    val exists = fresh.sql(
+      """SELECT pid FROM fr_points p WHERE EXISTS (
+        |  SELECT 1 FROM fr_starts i
+        |  WHERE p.at >= i.start AND p.at < i.start + 20)""".stripMargin)
+    val plan = exists.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("_graft_bin"),
+      s"extensions-only session missed the late registration:\n$plan")
+    assert(exists.as[Long].collect().toSet == Set(1L))
   }
 
   test("outer OVERLAP joins are left alone: both sides would explode") {
