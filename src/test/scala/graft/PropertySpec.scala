@@ -73,6 +73,50 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("binned joins equal the brute force for arbitrary data — negative " +
+      "bounds, random widths, inverted and zero-length intervals") {
+    // the fixtures elsewhere use non-negative values; this pins the floor
+    // division's behavior across zero (floor(-5/16) = -1, not 0) and the
+    // width-independence of the result
+    val rowGen = for {
+      k <- Gen.choose(0, 2)
+      lo <- Gen.choose(-300L, 300L)
+      len <- Gen.oneOf(Gen.const(0L), Gen.choose(-60L, -1L),
+        Gen.choose(1L, 90L))
+    } yield (k.toLong, lo, lo + len)
+    val setGen = Gen.listOfN(60, rowGen)
+    def gen(seed: Long) =
+      setGen.apply(Gen.Parameters.default, Seed(seed)).get
+    for (seed <- 1 to 4; width <- Seq(7L, 64L)) {
+      val ls = gen(seed.toLong)
+      val rs = gen(seed + 100L)
+      val l = ls.zipWithIndex.map { case ((k, a, b), i) =>
+        (i.toLong, k, a, b) }.toDF("lid", "k", "l_lo", "l_hi")
+      val r = rs.zipWithIndex.map { case ((k, a, b), i) =>
+        (1000L + i, k, a, b) }.toDF("rid", "k", "r_lo", "r_hi")
+      // point-in-interval (points = left los)
+      val pts = l.select($"lid", $"k", $"l_lo".as("at"))
+      val gotRange = Joins.rangeJoin(pts, r, Seq("k"), "at", "r_lo", "r_hi",
+          binWidth = width, maxBinSize = 0)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val expRange = pts.join(r.withColumnRenamed("k", "k2"),
+          $"k" === $"k2" && $"at" >= $"r_lo" && $"at" < $"r_hi")
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(gotRange == expRange, s"rangeJoin seed=$seed width=$width")
+      // interval overlap, duplicate-free
+      val gotOv = Joins.intervalOverlapJoin(l, r, Seq("k"),
+          "l_lo", "l_hi", "r_lo", "r_hi", binWidth = width,
+          maxBinSize = 0)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+      val expOv = l.join(r.withColumnRenamed("k", "k2"),
+          $"k" === $"k2" && $"l_lo" < $"r_hi" && $"r_lo" < $"l_hi")
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+      assert(gotOv == gotOv.distinct,
+        s"overlap duplicated pairs seed=$seed width=$width")
+      assert(gotOv == expOv, s"overlap seed=$seed width=$width")
+    }
+  }
+
   test("transform composition: rename chains compose left-to-right") {
     val labelsGen = Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d"))
     samples(labelsGen, 8).foreach { labels =>
