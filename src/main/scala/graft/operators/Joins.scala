@@ -39,8 +39,34 @@ object Joins {
     */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    asOf(left, right, keyCols, leftTs, rightTs, rightVals, prefix,
+      direction = "backward")
+
+  /** [[asOf]] with a `direction`, mirroring pandas `merge_asof`:
+    *  - `"backward"` (the default form above): latest right row with
+    *    `rightTs <= leftTs`;
+    *  - `"forward"`: EARLIEST right row with `rightTs >= leftTs` — "the
+    *    next state change after this event";
+    *  - `"nearest"`: whichever of the two is closer in time (ties go
+    *    backward, pandas' convention).
+    *
+    * Cost envelope is unchanged — one hash exchange over |L|+|R| rows;
+    * `forward` runs the same single sort with a mirrored frame
+    * (`first(_, ignoreNulls)` over `[current, unbounded)`), and
+    * `nearest` evaluates both frames over one partitioning (Spark plans
+    * one exchange; the two sort orders differ only in the side tag's
+    * tie-break, costing a second sort, not a second shuffle). Equal
+    * timestamps match in BOTH directions (both bounds are inclusive);
+    * duplicate right timestamps resolve to the largest value tuple
+    * backward and the smallest forward — each deterministic.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      prefix: String, direction: String): DataFrame = {
     require(keyCols.nonEmpty, "asOf needs at least one equality key")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward, forward, or nearest, got '$direction'")
     val lRowType = StructType(left.schema.fields)
     val rValType = StructType(
       rightVals.map(v => right.schema(v)).toArray)
@@ -57,17 +83,45 @@ object Joins {
         lit(1).as("_side"),
         lit(null).cast(lRowType).as("_lrow"),
         struct(rightVals.map(col): _*).as("_rv")): _*)
-    // sort right rows BEFORE left rows at equal _ts (desc on the side tag)
-    // so the inclusive <= bound holds; last(ignoreNulls) then carries the
-    // newest preceding right payload to each left row. _rv is the final
-    // tiebreak (struct ordering) so duplicate right timestamps resolve
-    // deterministically to the largest value tuple.
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    // BACKWARD: sort right rows BEFORE left rows at equal _ts (desc on
+    // the side tag) so the inclusive <= bound holds; last(ignoreNulls)
+    // carries the newest preceding right payload (and its _ts, for
+    // `nearest`) to each left row. _rv is the final tiebreak (struct
+    // ordering) so duplicate right timestamps resolve deterministically.
+    // FORWARD mirrors it: left rows sort BEFORE right rows at equal _ts
+    // (asc side tag) so the inclusive >= bound holds, and
+    // first(ignoreNulls) over [current, unbounded) grabs the earliest
+    // following right payload.
+    val rPayload = struct(col("_ts").as("_rts"), col("_rv").as("_v"))
+    val bw = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ts").asc, col("_side").desc, col("_rv").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = l2.unionByName(r2)
-      .withColumn("_r", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 0)
+    val fw = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_rv").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = l2.unionByName(r2)
+      .withColumn("_rpay", when(col("_side") === 1, rPayload))
+    val withPick = direction match {
+      case "backward" =>
+        tagged.withColumn("_r",
+          last(col("_rpay"), ignoreNulls = true).over(bw).getField("_v"))
+      case "forward" =>
+        tagged.withColumn("_r",
+          first(col("_rpay"), ignoreNulls = true).over(fw).getField("_v"))
+      case "nearest" =>
+        // closer wins; a tie, or a missing forward match, goes backward
+        tagged
+          .withColumn("_b", last(col("_rpay"), ignoreNulls = true).over(bw))
+          .withColumn("_f", first(col("_rpay"), ignoreNulls = true).over(fw))
+          .withColumn("_r",
+            when(col("_b").isNull, col("_f").getField("_v"))
+              .when(col("_f").isNull, col("_b").getField("_v"))
+              .when(col("_ts") - col("_b").getField("_rts") <=
+                  col("_f").getField("_rts") - col("_ts"),
+                col("_b").getField("_v"))
+              .otherwise(col("_f").getField("_v")))
+    }
+    val joined = withPick.filter(col("_side") === 0)
     val leftCols = left.columns.map(c => col(s"_lrow.$c").as(c)).toSeq
     val rightCols = rightVals.map(v => col(s"_r.$v").as(prefix + v))
     joined.select(leftCols ++ rightCols: _*)

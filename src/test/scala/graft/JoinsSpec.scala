@@ -85,6 +85,45 @@ class JoinsSpec extends SparkTestBase {
     }
   }
 
+  test("asOf forward and nearest match the brute force; backward " +
+      "direction equals the default form") {
+    val left = spark.range(0, 300).select(
+      (col("id") % 7).as("k"), col("id").as("lts"), col("id").as("lid"))
+    val right = spark.range(0, 300, 3).select(
+      (col("id") % 5).as("k"), col("id").as("rts"), (col("id") * 10).as("rv"))
+    def run(direction: String) =
+      Joins.asOf(left, right, Seq("k"), "lts", "rts", Seq("rv"),
+          prefix = "asof_", direction = direction)
+        .select("lid", "asof_rv")
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getAs[java.lang.Long]("asof_rv")).map(_.longValue)).toMap
+    val rRows = right.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lRows = left.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fwd = run("forward")
+    val near = run("nearest")
+    lRows.foreach { case (k, lts, lid) =>
+      val before = rRows.filter(t => t._1 == k && t._2 <= lts)
+        .sortBy(_._2).lastOption
+      val after = rRows.filter(t => t._1 == k && t._2 >= lts)
+        .sortBy(_._2).headOption
+      assert(fwd(lid) == after.map(_._3), s"forward lid=$lid")
+      val expNear = (before, after) match {
+        case (Some(b), Some(a)) =>
+          // tie goes backward (pandas convention)
+          Some(if (lts - b._2 <= a._2 - lts) b._3 else a._3)
+        case (b, a) => b.orElse(a).map(_._3)
+      }
+      assert(near(lid) == expNear, s"nearest lid=$lid lts=$lts")
+    }
+    assert(run("backward") ==
+      Joins.asOf(left, right, Seq("k"), "lts", "rts", Seq("rv"))
+        .select("lid", "asof_rv")
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getAs[java.lang.Long]("asof_rv")).map(_.longValue)).toMap)
+  }
+
   test("asOf: duplicate right timestamps resolve deterministically; " +
       "null-key rights never match") {
     val dupQuotes = Seq(
