@@ -122,6 +122,24 @@ class JoinsSpec extends SparkTestBase {
         .select("lid", "asof_rv")
         .collect().map(r => r.getLong(0) ->
           Option(r.getAs[java.lang.Long]("asof_rv")).map(_.longValue)).toMap)
+    // TIMESTAMP columns: `nearest` compares ts differences as day-time
+    // intervals — a different comparison path than the numeric run above
+    def runTs(direction: String) =
+      Joins.asOf(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"),
+          prefix = "asof_", direction = direction)
+        .collect().map(r => r.getAs[Long]("trade_id") ->
+          Option(r.getAs[java.lang.Double]("asof_px")).map(_.doubleValue))
+        .toMap
+    val tsFwd = runTs("forward")
+    val tsNear = runTs("nearest")
+    // trade 1 at 09:59: next quote 10:00 (100.0); nearest also 10:00
+    assert(tsFwd(1L).contains(100.0) && tsNear(1L).contains(100.0))
+    // trade 4 at 11:00: nothing after → forward None, nearest falls back
+    // to the last preceding quote (102.0)
+    assert(tsFwd(4L).isEmpty && tsNear(4L).contains(102.0))
+    // trade 3 at 10:07:30 sits exactly between 10:05 and 10:10 — the tie
+    // goes backward (101.0)
+    assert(tsNear(3L).contains(101.0))
   }
 
   test("asOf: duplicate right timestamps resolve deterministically; " +
