@@ -89,11 +89,22 @@ object Streams {
     * The right side's key column is renamed internally, so the two inputs
     * may share the key name; all other column names must be distinct.
     * Both timestamp columns must be TimestampType.
+    *
+    * `joinType = "left_outer"` keeps every left event — the streaming
+    * form of [[graft.operators.Joins.rangeJoinLeftOuter]]. Outer rows are
+    * emitted only once the watermark proves no matching right event can
+    * still arrive (both watermarks past the event's match window), so
+    * unmatched events surface with watermark latency — the standard
+    * streaming outer-join trade, handled entirely by Spark's state
+    * manager.
     */
   def rangeJoinStream(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowMs: Long,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     require(windowMs > 0, "windowMs must be > 0")
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got '$joinType'")
     val rk = "_graft_rk"
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withColumnRenamed(key, rk)
@@ -102,7 +113,8 @@ object Streams {
         col(key) === col(rk) &&
           col(leftTs) >= col(rightTs) &&
           col(leftTs) < col(rightTs) +
-            expr(s"INTERVAL $windowMs MILLISECONDS"))
+            expr(s"INTERVAL $windowMs MILLISECONDS"),
+        joinType)
       .drop(rk)
   }
 

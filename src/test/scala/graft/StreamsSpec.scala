@@ -169,6 +169,40 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed == Set((1L, 10L), (2L, 10L), (2L, 11L), (4L, 12L)))
   }
 
+  test("rangeJoinStream left_outer emits unmatched events once the " +
+      "watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val q = Streams.rangeJoinStream(
+        lmem.toDF().toDF("k", "lts", "lid"),
+        rmem.toDF().toDF("k", "rts", "rid"),
+        key = "k", leftTs = "lts", rightTs = "rts",
+        windowMs = 3600 * 1000L, watermark = "10 minutes",
+        joinType = "left_outer")
+      .select("lid", "rid")
+      .writeStream.format("memory").queryName("range_stream_outer")
+      .outputMode("append").start()
+    try {
+      rmem.addData(("u1", t("2024-01-01 10:00:00"), 10L))
+      lmem.addData(
+        ("u1", t("2024-01-01 10:15:00"), 1L),  // matches 10
+        ("u2", t("2024-01-01 10:20:00"), 2L))  // no window for u2
+      q.processAllAvailable()
+      // far-future rows on BOTH streams push the watermarks past lid 2's
+      // match window, forcing its null row out of the state store
+      rmem.addData(("u9", t("2024-01-02 12:00:00"), 99L))
+      lmem.addData(("u9", t("2024-01-02 12:00:30"), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("range_stream_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((1L, Some(10L))), s"matched row missing: $rows")
+      assert(rows.contains((2L, None)),
+        s"unmatched left row never emitted: $rows")
+    } finally q.stop()
+  }
+
   test("asOfStream parity: equals the batch Joins.asOf on the same fixture") {
     // the contract that keeps the streaming form honest: on in-order
     // delivery (the case the online path is FOR), its output must be
