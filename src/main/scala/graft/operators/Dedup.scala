@@ -295,13 +295,9 @@ object Dedup {
     val banded0 = withSh
       .select(col(key), posexplode(bucketsUdf(col("_sh"))))
       .select(col(key), col("pos").as("_band"), col("col").as("_bucket"))
-    val banded =
-      if (maxBucketSize <= 0) banded0 // sentinel: guard off, no window
-      else banded0
-        .withColumn("_bn", count(lit(1)).over(
-          Window.partitionBy("_band", "_bucket")))
-        .filter(col("_bn") <= maxBucketSize)
-        .drop("_bn")
+    // drops are counted in GuardMetrics' accumulators (+ one warn line)
+    val banded = GuardMetrics.capCohorts(banded0,
+      Seq(col("_band"), col("_bucket")), maxBucketSize)
     val candidates = banded.as("l")
       .join(banded.as("r"), Seq("_band", "_bucket"))
       .select(col(s"l.$key").as("key_a"), col(s"r.$key").as("key_b"))
@@ -355,13 +351,9 @@ object Dedup {
     // Count window, not aggregate+anti-join: the window's exchange is
     // reused by the chunk self-join on the same keys (see the
     // minhashNearDuplicates guard note). maxBucketSize <= 0 → guard off.
-    val banded =
-      if (maxBucketSize <= 0) banded0
-      else banded0
-        .withColumn("_bn", count(lit(1)).over(
-          Window.partitionBy("_band", "_chunk")))
-        .filter(col("_bn") <= maxBucketSize)
-        .drop("_bn")
+    // drops are counted in GuardMetrics' accumulators (+ one warn line)
+    val banded = GuardMetrics.capCohorts(banded0,
+      Seq(col("_band"), col("_chunk")), maxBucketSize)
     val l = banded.select(col(key).as("key_a"), col("_h").as("_h_a"),
       col("_band"), col("_chunk"))
     val r = banded.select(col(key).as("key_b"), col("_h").as("_h_b"),

@@ -1,0 +1,91 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Observability for the skew guards: the hot-bin cap of the binned join
+  * family ([[Joins.rangeJoin]] etc.) and the hot-bucket caps of
+  * [[Dedup.minhashNearDuplicates]] / [[Dedup.simhashNearDuplicates]] DROP
+  * over-cap cohorts by design — a documented survival trade. An operator
+  * that discards rows must say how many: every drop increments two named
+  * `LongAccumulator`s (visible in the Spark UI per stage, and readable
+  * here), and the first drop in each executor JVM emits one warn line, so
+  * a user debugging "missing matches" has something to find.
+  *
+  * Accumulator caveat (standard Spark semantics): updates happen inside a
+  * transformation, so task retries/speculation can overcount. The counters
+  * are diagnostics — "did the guard fire, roughly how hard" — not exact
+  * row accounting; the RESULT is unaffected (the keep/drop decision is a
+  * pure function of the cohort count).
+  */
+object GuardMetrics {
+
+  /** Accumulator names as they appear in the Spark UI. */
+  val DroppedRowsName = "graft.skewGuard.droppedRows"
+  val DroppedCohortsName = "graft.skewGuard.droppedCohorts"
+
+  final case class Counters(droppedRows: LongAccumulator,
+      droppedCohorts: LongAccumulator) {
+    /** Driver-side zeroing between runs (tests, notebook re-runs). */
+    def reset(): Unit = { droppedRows.reset(); droppedCohorts.reset() }
+  }
+
+  // one pair of session-wide counters per SparkContext, registered lazily
+  // on first guarded operator; TrieMap for lock-free concurrent builders
+  private val registry = TrieMap.empty[SparkContext, Counters]
+
+  def of(sc: SparkContext): Counters =
+    registry.getOrElseUpdate(sc, Counters(
+      sc.longAccumulator(DroppedRowsName),
+      sc.longAccumulator(DroppedCohortsName)))
+
+  // once per JVM, not per row: executors log the first drop they see and
+  // point at the accumulators; anything louder floods the executor log on
+  // exactly the pathological inputs the guard exists for
+  private val warned = new AtomicBoolean(false)
+  private def warnOnce(cap: Long): Unit =
+    if (warned.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graft: a skew guard dropped an over-cap cohort (cap={}); see " +
+          "accumulators '{}' / '{}' for totals. Raise the cap or pass the " +
+          "<=0 sentinel to keep such cohorts (at quadratic cost).",
+        cap.toString, DroppedRowsName, DroppedCohortsName)
+
+  /** Shared guard body: drop every row of a `keys` cohort larger than
+    * `cap`, counting dropped rows and cohorts. The count/row_number window
+    * partitions AND sorts on `keys` — for the binned joins that is the
+    * join's own shuffle+sort, so the guard adds no exchange. The keep
+    * decision itself is pure (`cohort size <= cap`); the UDF exists only
+    * to carry the accumulator side effect, and sits above a window (never
+    * inside a codegen'd scan stage).
+    */
+  def capCohorts(df: DataFrame, keys: Seq[Column], cap: Long): DataFrame = {
+    if (cap <= 0) df
+    else {
+      val ctr = of(df.sparkSession.sparkContext)
+      val rows = ctr.droppedRows
+      val cohorts = ctr.droppedCohorts
+      val w = Window.partitionBy(keys: _*).orderBy(keys: _*)
+      val keep = udf { (n: Long, rn: Long) =>
+        if (n > cap) {
+          rows.add(1L)
+          if (rn == 1L) cohorts.add(1L) // one arbitrary row speaks per cohort
+          warnOnce(cap)
+          false
+        } else true
+      }
+      df.withColumn("_graft_bn", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("_graft_brn", row_number().over(w))
+        .filter(keep(col("_graft_bn"), col("_graft_brn")))
+        .drop("_graft_bn", "_graft_brn")
+    }
+  }
+}

@@ -283,16 +283,13 @@ object Joins {
   /** The hot-bin cap shared by the binned join family: drop every row of
     * a (key, bin) cohort larger than `maxBinSize` (see [[rangeJoin]]'s
     * guard doc for the trade). The count window partitions on the join's
-    * own keys, so its exchange is reused by the join itself.
+    * own keys, so its exchange is reused by the join itself. Drops are
+    * counted in the session's [[GuardMetrics]] accumulators and warned
+    * once per executor — a guard that discards rows must say how many.
     */
   private def binGuard(joinKeys: Seq[String], maxBinSize: Long)(
       df: DataFrame): DataFrame =
-    if (maxBinSize <= 0) df
-    else df
-      .withColumn("_graft_bn", count(lit(1)).over(
-        Window.partitionBy(joinKeys.map(col): _*)))
-      .filter(col("_graft_bn") <= maxBinSize)
-      .drop("_graft_bn")
+    GuardMetrics.capCohorts(df, joinKeys.map(col), maxBinSize)
 
   /** Left-outer [[rangeJoin]] (single dimension): every left row
     * survives; points inside no right interval carry nulls for the right

@@ -234,6 +234,27 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("bucket-guard drops are observable in the GuardMetrics " +
+      "accumulators, and clean corpora leave them at zero") {
+    import graft.operators.GuardMetrics
+    val ctr = GuardMetrics.of(spark.sparkContext)
+    val boiler = (1L to 6L).map(i => (i, "same boilerplate text here"))
+      .toDF("doc_id", "text")
+    ctr.reset()
+    Dedup.minhashNearDuplicates(boiler, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 2, maxBucketSize = 3).count()
+    // 6 identical docs co-bucket in every one of the 4 bands
+    assert(ctr.droppedRows.value == 24L,
+      s"expected 6 rows x 4 bands, got ${ctr.droppedRows.value}")
+    assert(ctr.droppedCohorts.value == 4L,
+      s"expected one cohort per band, got ${ctr.droppedCohorts.value}")
+    ctr.reset()
+    Dedup.minhashNearDuplicates(boiler, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 2).count() // default cap
+    assert(ctr.droppedRows.value == 0L && ctr.droppedCohorts.value == 0L,
+      "an under-cap corpus must not touch the drop counters")
+  }
+
   test("maxBucketSize <= 0 sentinel skips the skew-guard window entirely") {
     // guard off: the boilerplate bucket pairs fully (guard would too at the
     // default cap — same result, cheaper plan), and the physical plan has

@@ -480,6 +480,30 @@ class JoinsSpec extends SparkTestBase {
     }
   }
 
+  test("hot-bin guard drops are observable: accumulators count dropped " +
+      "rows and cohorts, stay zero on clean data") {
+    import graft.operators.GuardMetrics
+    val ctr = GuardMetrics.of(spark.sparkContext)
+    val pts = ((1 to 30).map(i => ("hot", 32L, i.toLong)) :+
+      (("ok", 32L, 100L))).toDF("k", "at", "pid")
+    // hi=63 keeps the hot intervals inside bin 0 (one copy each), so the
+    // expected counts below are exact: 30 rows + 1 cohort per side
+    val ivs = ((1 to 30).map(i => ("hot", 0L, 63L, i.toLong)) :+
+      (("ok", 0L, 63L, 100L))).toDF("k", "lo", "hi", "iid")
+    ctr.reset()
+    Joins.rangeJoin(pts, ivs, Seq("k"), "at", "lo", "hi",
+      binWidth = 64, maxBinSize = 10).count()
+    assert(ctr.droppedRows.value == 60L,
+      s"expected 30 rows dropped per side, got ${ctr.droppedRows.value}")
+    assert(ctr.droppedCohorts.value == 2L,
+      s"expected one cohort per side, got ${ctr.droppedCohorts.value}")
+    ctr.reset()
+    Joins.rangeJoin(pts, ivs, Seq("k"), "at", "lo", "hi",
+      binWidth = 64).count() // default cap: nothing engages
+    assert(ctr.droppedRows.value == 0L && ctr.droppedCohorts.value == 0L,
+      "clean data must not touch the drop counters")
+  }
+
   test("intervalOverlapJoin hot-bin guard engages and the sentinel " +
       "restores exactness") {
     val l = ((1 to 25).map(i => ("hot", 0L, 60L, i.toLong)) :+
