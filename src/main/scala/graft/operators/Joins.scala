@@ -63,10 +63,38 @@ object Joins {
     */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      prefix: String, direction: String): DataFrame = {
+      prefix: String, direction: String): DataFrame =
+    asOf(left, right, keyCols, leftTs, rightTs, rightVals, prefix,
+      direction, tolerance = None)
+
+  /** [[asOf]] with a match `tolerance` (pandas `merge_asof(tolerance=…)`):
+    * a candidate right row farther than `tolerance` from the left
+    * timestamp is declined and the left row keeps nulls instead of stale
+    * enrichment — the everyday guard against "the most recent state" being
+    * months old. Units follow the timestamp family's bin image: native for
+    * numeric columns, epoch MICROS for timestamps, epoch DAYS for dates.
+    * The bound is inclusive (`|leftTs − rightTs| <= tolerance` matches);
+    * under `nearest` each side's candidate is vetted BEFORE the
+    * closer-wins comparison, so a too-far backward match correctly yields
+    * to an in-range forward one. Implemented as one `when` over the
+    * already-carried payload timestamp — the one-exchange envelope is
+    * unchanged.
+    *
+    * Null timestamps follow SQL comparison semantics (NULL satisfies no
+    * inequality): right rows with a null `rightTs` are dropped up front —
+    * without this they sort to the partition edge where a window frame
+    * hands them spurious matches — and left rows with a null `leftTs`
+    * keep nulls but stay in the output (left-outer semantics).
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      prefix: String, direction: String,
+      tolerance: Option[Long]): DataFrame = {
     require(keyCols.nonEmpty, "asOf needs at least one equality key")
     require(Set("backward", "forward", "nearest").contains(direction),
       s"direction must be backward, forward, or nearest, got '$direction'")
+    tolerance.foreach(t => require(t >= 0,
+      s"tolerance must be >= 0, got $t"))
     val lRowType = StructType(left.schema.fields)
     val rValType = StructType(
       rightVals.map(v => right.schema(v)).toArray)
@@ -77,12 +105,23 @@ object Joins {
       struct(left.columns.map(col).toIndexedSeq: _*).as("_lrow"),
       lit(null).cast(rValType).as("_rv")): _*)
     val r2 = right
-      .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .filter((keyCols.map(c => col(c).isNotNull) :+
+        col(rightTs).isNotNull).reduce(_ && _))
       .select(keyed ++ Seq(
         col(rightTs).as("_ts"),
         lit(1).as("_side"),
         lit(null).cast(lRowType).as("_lrow"),
         struct(rightVals.map(col): _*).as("_rv")): _*)
+    // the numeric image each side's timestamp compares on for `tolerance`
+    // (micros/days/native — the binned-join families); monotone, so the
+    // inclusive horizon survives the mapping
+    def vetted(pay: Column): Column = tolerance match {
+      case None => pay
+      case Some(t) => when(
+        abs(binSrcOf(left.schema(leftTs).dataType, col("_ts")) -
+          binSrcOf(right.schema(rightTs).dataType,
+            pay.getField("_rts"))) <= t, pay)
+    }
     // BACKWARD: sort right rows BEFORE left rows at equal _ts (desc on
     // the side tag) so the inclusive <= bound holds; last(ignoreNulls)
     // carries the newest preceding right payload (and its _ts, for
@@ -101,18 +140,22 @@ object Joins {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val tagged = l2.unionByName(r2)
       .withColumn("_rpay", when(col("_side") === 1, rPayload))
-    val withPick = direction match {
+    val picked = direction match {
       case "backward" =>
-        tagged.withColumn("_r",
-          last(col("_rpay"), ignoreNulls = true).over(bw).getField("_v"))
+        tagged
+          .withColumn("_p", last(col("_rpay"), ignoreNulls = true).over(bw))
+          .withColumn("_r", vetted(col("_p")).getField("_v"))
       case "forward" =>
-        tagged.withColumn("_r",
-          first(col("_rpay"), ignoreNulls = true).over(fw).getField("_v"))
+        tagged
+          .withColumn("_p", first(col("_rpay"), ignoreNulls = true).over(fw))
+          .withColumn("_r", vetted(col("_p")).getField("_v"))
       case "nearest" =>
         // closer wins; a tie, or a missing forward match, goes backward
         tagged
           .withColumn("_b", last(col("_rpay"), ignoreNulls = true).over(bw))
           .withColumn("_f", first(col("_rpay"), ignoreNulls = true).over(fw))
+          .withColumn("_b", vetted(col("_b")))
+          .withColumn("_f", vetted(col("_f")))
           .withColumn("_r",
             when(col("_b").isNull, col("_f").getField("_v"))
               .when(col("_f").isNull, col("_b").getField("_v"))
@@ -121,6 +164,12 @@ object Joins {
                 col("_b").getField("_v"))
               .otherwise(col("_f").getField("_v")))
     }
+    // a null left timestamp matches nothing (SQL comparison semantics):
+    // such rows sort to the partition start, where the forward frame
+    // would otherwise hand them the partition's earliest right row
+    val withPick = picked.withColumn("_r",
+      when(col("_ts").isNull, lit(null).cast(rValType))
+        .otherwise(col("_r")))
     val joined = withPick.filter(col("_side") === 0)
     val leftCols = left.columns.map(c => col(s"_lrow.$c").as(c)).toSeq
     val rightCols = rightVals.map(v => col(s"_r.$v").as(prefix + v))
@@ -358,6 +407,133 @@ object Joins {
       .drop(keyCols.map(rKeyName): _*)
   }
 
+  /** Full-outer [[rangeJoin]] (single dimension): every left point AND
+    * every right interval survives; see the `dims` overload.
+    */
+  def rangeJoinFullOuter(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftAt: String, rightStart: String,
+      rightEnd: String, binWidth: Long): DataFrame =
+    rangeJoinFullOuter(left, right, keyCols,
+      Seq(RangeDim(leftAt, rightStart, rightEnd, binWidth)))
+
+  /** Single-dimension [[rangeJoinFullOuter]] with an explicit guard cap
+    * (defaults live on the `dims` overload).
+    */
+  def rangeJoinFullOuter(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftAt: String, rightStart: String,
+      rightEnd: String, binWidth: Long, maxBinSize: Long): DataFrame =
+    rangeJoinFullOuter(left, right, keyCols,
+      Seq(RangeDim(leftAt, rightStart, rightEnd, binWidth)), maxBinSize)
+
+  /** Full-outer [[rangeJoin]]: matched (point, interval) pairs plus every
+    * unmatched left point AND every unmatched right interval, null-extended
+    * — vanilla `FULL JOIN ... ON key AND containment` semantics, which
+    * Spark would plan as a nested loop.
+    *
+    * Key columns come back USING-style: since the join condition requires
+    * key equality, the output carries ONE column per key name, coalesced
+    * across the two sides (an unmatched right row's key survives there).
+    * The right side's bound/value columns must not collide with left
+    * column names.
+    *
+    * Mechanics beyond [[rangeJoinLeftOuter]] (whose condition-resident
+    * containment already preserves the never-exploded point side): the
+    * interval side IS exploded, so its unmatched rows must emit exactly
+    * once, not once per bin copy. Each right row is stamped with a
+    * synthetic 8-byte id BEFORE the explode; after the full-outer join a
+    * count window over that id says whether ANY copy matched, and
+    * fully-unmatched rows emit from their HOME bin only (the bin of
+    * `least(start, end)`, null-safe — inverted intervals are NOT dropped
+    * here, and null-bound rows keep a null-bin copy via `explode_outer`,
+    * because both must surface as unmatched rows). Unmatched LEFT rows
+    * need no such pass (one copy each); they key the same window by a
+    * disjoint negative image of their own pre-stamped id, so the
+    * window never concentrates them into one null partition. The ids are
+    * consumed within this single linear plan — they must not cross
+    * plan-reuse boundaries (monotonically_increasing_id is
+    * recomputation-sensitive).
+    *
+    * The hot-bin guard changes shape here: dropping a cohort's ROWS would
+    * lose unmatched emissions, so the cap rides the JOIN CONDITION
+    * instead — over-cap (key, bins…) cohorts on either side match
+    * nothing and their rows surface as unmatched. No rows are ever lost;
+    * only over-cap matches are, same sizing rationale as [[rangeJoin]].
+    * Cost: one extra exchange for the id window — the price of outer
+    * semantics on the exploding side.
+    */
+  def rangeJoinFullOuter(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], dims: Seq[RangeDim],
+      maxBinSize: Long = 10000): DataFrame = {
+    require(dims.nonEmpty, "rangeJoinFullOuter needs at least one dimension")
+    dims.foreach(d => require(d.binWidth > 0, s"binWidth must be > 0 for $d"))
+    dims.foreach(d => requireSameFamily(Seq((left, d.leftAt),
+      (right, d.rightStart), (right, d.rightEnd)),
+      s"rangeJoinFullOuter $d"))
+    requireGuardCap(maxBinSize)
+    def rSrc(d: RangeDim)(c: Column): Column =
+      binSrcOf(right.schema(d.rightStart).dataType, c)
+    def rBinOf(d: RangeDim)(c: Column): Column =
+      floor(rSrc(d)(c) / d.binWidth).cast("long")
+    val renamed = keyCols.foldLeft(right)(
+      (df, k) => df.withColumnRenamed(k, rKeyName(k)))
+    val rBinned = dims.zipWithIndex.foldLeft(
+        renamed.withColumn("_graft_rid", monotonically_increasing_id())
+          .withColumn("_graft_m", lit(1))) {
+      case (df, (d, i)) => df.withColumn(rBinName(i),
+        explode_outer(sequence(
+          rBinOf(d)(least(col(d.rightStart), col(d.rightEnd))),
+          rBinOf(d)(greatest(col(d.rightStart), col(d.rightEnd))))))
+    }
+    val lBinned = dims.zipWithIndex.foldLeft(
+        left.withColumn("_graft_lid", monotonically_increasing_id())
+          .withColumn("_graft_lm", lit(1))) { case (df, (d, i)) =>
+      df.withColumn(binName(i),
+        floor(binSrc(df, d.leftAt) / d.binWidth).cast("long"))
+    }
+    // condition-resident guard: the count windows partition on the join's
+    // own (key, bins…) keys, so their exchanges are the join's own
+    val guarded = maxBinSize > 0
+    val lG =
+      if (!guarded) lBinned
+      else lBinned.withColumn("_graft_bnl", count(lit(1)).over(
+        Window.partitionBy(
+          (keyCols ++ dims.indices.map(binName)).map(col): _*)))
+    val rG =
+      if (!guarded) rBinned
+      else rBinned.withColumn("_graft_bnr", count(lit(1)).over(
+        Window.partitionBy((keyCols.map(rKeyName) ++
+          dims.indices.map(rBinName)).map(col): _*)))
+    val cond = (keyCols.map(k => col(k) === col(rKeyName(k))) ++
+      dims.indices.map(i => col(binName(i)) === col(rBinName(i))) ++
+      dims.map(d => col(d.leftAt) >= col(d.rightStart) &&
+        col(d.leftAt) < col(d.rightEnd)) ++
+      (if (!guarded) Nil
+       else Seq(col("_graft_bnl") <= maxBinSize,
+         col("_graft_bnr") <= maxBinSize))).reduce(_ && _)
+    val atHomeR = dims.zipWithIndex.map { case (d, i) =>
+      col(rBinName(i)) <=>
+        rBinOf(d)(least(col(d.rightStart), col(d.rightEnd)))
+    }.reduce(_ && _)
+    // matched + unmatched-left rows carry _graft_lm and pass directly;
+    // right-only copies survive only when NO copy of their row matched
+    // (the count window spans all copies via the pre-explode id) and only
+    // from their home bin. Left-present rows key the window by a disjoint
+    // negative id image, so they never pile into one window partition.
+    val w = Window.partitionBy(
+      coalesce(col("_graft_rid"), -col("_graft_lid") - 1))
+    val out = lG.join(rG, cond, "full_outer")
+      .withColumn("_graft_mc", count(col("_graft_lm")).over(w))
+      .filter(col("_graft_lm").isNotNull ||
+        (col("_graft_mc") === 0 && atHomeR))
+    keyCols.foldLeft(out)((df, k) =>
+        df.withColumn(k, coalesce(col(k), col(rKeyName(k)))))
+      .drop("_graft_lid", "_graft_rid", "_graft_lm", "_graft_m",
+        "_graft_mc", "_graft_bnl", "_graft_bnr")
+      .drop(dims.indices.map(binName): _*)
+      .drop(dims.indices.map(rBinName): _*)
+      .drop(keyCols.map(rKeyName): _*)
+  }
+
   /** Interval-overlap join: pair each left [`leftStart`, `leftEnd`)
     * interval with the right [`rightStart`, `rightEnd`) intervals it
     * overlaps (`leftStart < rightEnd AND rightStart < leftEnd` — the
@@ -582,6 +758,129 @@ object Joins {
       .filter(col("_graft_m").isNotNull ||
         (col("_graft_mc") === 0 && atHome))
       .drop("_graft_m", "_graft_mc", "_graft_lid")
+      .drop(dims.indices.map(binName): _*)
+      .drop(dims.indices.map(rBinName): _*)
+      .drop(keyCols.map(rKeyName): _*)
+  }
+
+  /** Full-outer [[intervalOverlapJoin]] (single dimension): every left
+    * AND every right interval survives; see the `dims` overload.
+    */
+  def intervalOverlapJoinFullOuter(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String, binWidth: Long,
+      maxBinSize: Long = 10000): DataFrame =
+    intervalOverlapJoinFullOuter(left, right, keyCols,
+      Seq(OverlapDim(leftStart, leftEnd, rightStart, rightEnd, binWidth)),
+      maxBinSize)
+
+  /** Full-outer [[intervalOverlapJoin]]: overlapping pairs plus every
+    * unmatched interval from BOTH sides, null-extended — vanilla
+    * `FULL JOIN ... ON key AND overlap` semantics. Key columns come back
+    * USING-style (one coalesced column per key name, as in
+    * [[rangeJoinFullOuter]]).
+    *
+    * Both sides explode to bin copies here, so BOTH need the
+    * once-per-row unmatched emission of [[intervalOverlapJoinLeftOuter]]:
+    * each side stamps a synthetic 8-byte id before its explode
+    * (`explode_outer` — null-bound rows keep a null-bin copy and must
+    * surface as unmatched), matched pairs emit once from their canonical
+    * bin combination, and each side's fully-unmatched rows emit once from
+    * their HOME bins, decided by a count window over that side's id. The
+    * two windows key on `coalesce(own id, negative image of the other
+    * side's id)`, disjoint namespaces, so neither window concentrates the
+    * other side's rows into one partition. Ids are consumed within this
+    * single linear plan (monotonically_increasing_id is
+    * recomputation-sensitive — do not feed this operator into plan
+    * reuse).
+    *
+    * The hot-bin guard rides the JOIN CONDITION (as in
+    * [[rangeJoinFullOuter]]): over-cap (key, bins…) cohorts match nothing
+    * and surface as unmatched — no rows are ever lost. Cost vs the inner
+    * form: two extra exchanges (one id window per side) — the price of
+    * full-outer semantics with both sides exploding.
+    */
+  def intervalOverlapJoinFullOuter(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], dims: Seq[OverlapDim],
+      maxBinSize: Long): DataFrame = {
+    require(dims.nonEmpty,
+      "intervalOverlapJoinFullOuter needs at least one dimension")
+    dims.foreach(d => require(d.binWidth > 0,
+      s"binWidth must be > 0 for $d"))
+    val lBounds = dims.flatMap(d => Seq(d.leftStart, d.leftEnd))
+    val rBounds = dims.flatMap(d => Seq(d.rightStart, d.rightEnd))
+    require(lBounds.toSet.intersect(rBounds.toSet).isEmpty,
+      "boundary column names must differ between the two sides")
+    dims.foreach(d => requireSameFamily(Seq((left, d.leftStart),
+      (left, d.leftEnd), (right, d.rightStart), (right, d.rightEnd)),
+      s"intervalOverlapJoinFullOuter $d"))
+    requireGuardCap(maxBinSize)
+    def src(d: OverlapDim)(c: Column): Column =
+      binSrcOf(left.schema(d.leftStart).dataType, c)
+    def binOf(d: OverlapDim)(c: Column): Column =
+      floor(src(d)(c) / d.binWidth).cast("long")
+    val lBinned = dims.zipWithIndex.foldLeft(
+        left.withColumn("_graft_lid", monotonically_increasing_id())
+          .withColumn("_graft_lm", lit(1))) { case (df, (d, i)) =>
+      df.withColumn(binName(i),
+        explode_outer(sequence(
+          binOf(d)(least(col(d.leftStart), col(d.leftEnd))),
+          binOf(d)(greatest(col(d.leftStart), col(d.leftEnd))))))
+    }
+    val rBinned = dims.zipWithIndex.foldLeft(
+        keyCols.foldLeft(right)(
+            (df, k) => df.withColumnRenamed(k, rKeyName(k)))
+          .withColumn("_graft_rid", monotonically_increasing_id())
+          .withColumn("_graft_m", lit(1))) { case (df, (d, i)) =>
+      df.withColumn(rBinName(i),
+        explode_outer(sequence(
+          binOf(d)(least(col(d.rightStart), col(d.rightEnd))),
+          binOf(d)(greatest(col(d.rightStart), col(d.rightEnd))))))
+    }
+    val guarded = maxBinSize > 0
+    val lG =
+      if (!guarded) lBinned
+      else lBinned.withColumn("_graft_bnl", count(lit(1)).over(
+        Window.partitionBy(
+          (keyCols ++ dims.indices.map(binName)).map(col): _*)))
+    val rG =
+      if (!guarded) rBinned
+      else rBinned.withColumn("_graft_bnr", count(lit(1)).over(
+        Window.partitionBy((keyCols.map(rKeyName) ++
+          dims.indices.map(rBinName)).map(col): _*)))
+    val cond = (keyCols.map(k => col(k) === col(rKeyName(k))) ++
+      dims.zipWithIndex.flatMap { case (d, i) => Seq(
+        col(binName(i)) === col(rBinName(i)),
+        col(d.leftStart) < col(d.rightEnd),
+        col(d.rightStart) < col(d.leftEnd),
+        col(binName(i)) === binOf(d)(greatest(col(d.leftStart),
+          col(d.rightStart))))
+      } ++
+      (if (!guarded) Nil
+       else Seq(col("_graft_bnl") <= maxBinSize,
+         col("_graft_bnr") <= maxBinSize))).reduce(_ && _)
+    val atHomeL = dims.zipWithIndex.map { case (d, i) =>
+      col(binName(i)) <=> binOf(d)(least(col(d.leftStart), col(d.leftEnd)))
+    }.reduce(_ && _)
+    val atHomeR = dims.zipWithIndex.map { case (d, i) =>
+      col(rBinName(i)) <=>
+        binOf(d)(least(col(d.rightStart), col(d.rightEnd)))
+    }.reduce(_ && _)
+    val wL = Window.partitionBy(
+      coalesce(col("_graft_lid"), -col("_graft_rid") - 1))
+    val wR = Window.partitionBy(
+      coalesce(col("_graft_rid"), -col("_graft_lid") - 1))
+    val out = lG.join(rG, cond, "full_outer")
+      .withColumn("_graft_mcl", count(col("_graft_m")).over(wL))
+      .withColumn("_graft_mcr", count(col("_graft_lm")).over(wR))
+      .filter(
+        (col("_graft_lm").isNotNull && col("_graft_m").isNotNull) ||
+        (col("_graft_m").isNull && col("_graft_mcl") === 0 && atHomeL) ||
+        (col("_graft_lm").isNull && col("_graft_mcr") === 0 && atHomeR))
+    keyCols.foldLeft(out)((df, k) =>
+        df.withColumn(k, coalesce(col(k), col(rKeyName(k)))))
+      .drop("_graft_lid", "_graft_rid", "_graft_lm", "_graft_m",
+        "_graft_mcl", "_graft_mcr", "_graft_bnl", "_graft_bnr")
       .drop(dims.indices.map(binName): _*)
       .drop(dims.indices.map(rBinName): _*)
       .drop(keyCols.map(rKeyName): _*)

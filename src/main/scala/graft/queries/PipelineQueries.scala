@@ -600,6 +600,37 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // --- q55 with a match-tolerance horizon (pandas merge_asof
+    //     tolerance= parity): purchases more than 6 hours older than the
+    //     view decline — stale enrichment nulls out instead of riding
+    //     along. The oracle replays it as DuckDB's ASOF LEFT JOIN with
+    //     the horizon applied post-pick — equivalent for the backward
+    //     direction, because the asof pick IS the max r.ts <= l.ts and
+    //     backward distance only grows for earlier candidates, so
+    //     "pick then vet" = "vet then pick".
+    Query(
+      "q76_asof_tolerance",
+      """SELECT l.event_id,
+        |  CAST(l.user_id AS BIGINT) AS user_id,
+        |  CASE WHEN r.ts IS NOT NULL
+        |         AND epoch_us(l.ts) - epoch_us(r.ts) <= 21600000000
+        |    THEN round(r.value, 4) END AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      Joins.asOf(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightVals = Seq("value"), prefix = "asof_",
+          direction = "backward", tolerance = Some(21600000000L))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_value"), 4).as("asof_value"))
+        .orderBy("event_id")
+    },
+
     // --- Symmetric int8 scalar quantization of embeddings (the standard
     //     vector-index compression). Verified via exact integer checksums
     //     (the checker can't sort list columns, and integers dodge float
@@ -724,6 +755,73 @@ object PipelineQueries {
         .select(col("click_id"),
           coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
         .orderBy("click_id", "purchase_id")
+    },
+
+    // --- FULL-outer range join: q72 plus the other side — every click
+    //     AND every purchase window survives; unmatched rows of either
+    //     side null-extend. The interval side is exploded per bin, so
+    //     unmatched purchases emit exactly once via a pre-explode row-id
+    //     count window (see Joins.rangeJoinFullOuter). USING-style key:
+    //     ONE user_id column, coalesced across sides.
+    Query(
+      "q77_range_join_full",
+      """SELECT CAST(COALESCE(c.user_id, p.user_id) AS BIGINT) AS user_id,
+        |  COALESCE(c.event_id, -1) AS click_id,
+        |  COALESCE(p.event_id, -1) AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_ms(c.ts) >= epoch_ms(p.ts)
+        |  AND epoch_ms(c.ts) < epoch_ms(p.ts) + 3600000
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("at_ms"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("start_ms"),
+          (unix_millis(col("ts")) + 3600000L).as("end_ms"),
+          col("event_id").as("purchase_id"))
+      Joins.rangeJoinFullOuter(clicks, purchases, Seq("user_id"),
+          "at_ms", "start_ms", "end_ms", binWidth = 3600000L)
+        .select(col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+
+    // --- FULL-outer interval-overlap join: q69 with both unmatched sides
+    //     preserved. BOTH sides explode to bin copies, so each side's
+    //     unmatched rows emit exactly once via its own pre-explode row-id
+    //     count window (see Joins.intervalOverlapJoinFullOuter).
+    Query(
+      "q78_overlap_full",
+      """SELECT CAST(COALESCE(c.user_id, p.user_id) AS BIGINT) AS user_id,
+        |  COALESCE(c.event_id, -1) AS click_id,
+        |  COALESCE(p.event_id, -1) AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_ms(c.ts) < epoch_ms(p.ts) + 3600000
+        |  AND epoch_ms(p.ts) < epoch_ms(c.ts) + 1800000
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("c_start"),
+          (unix_millis(col("ts")) + 1800000L).as("c_end"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("p_start"),
+          (unix_millis(col("ts")) + 3600000L).as("p_end"),
+          col("event_id").as("purchase_id"))
+      Joins.intervalOverlapJoinFullOuter(clicks, purchases, Seq("user_id"),
+          leftStart = "c_start", leftEnd = "c_end",
+          rightStart = "p_start", rightEnd = "p_end",
+          binWidth = 3600000L)
+        .select(col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
     },
 
     // --- The range join written on the TIMESTAMP column directly —

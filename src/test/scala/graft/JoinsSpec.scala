@@ -165,6 +165,78 @@ class JoinsSpec extends SparkTestBase {
     assert(a(2L).isEmpty) // null key: left kept, right never matches
   }
 
+  test("asOf tolerance declines matches beyond the horizon (inclusive at " +
+      "the boundary) in all three directions — brute-force parity") {
+    val left = spark.range(0, 300).select(
+      (col("id") % 7).as("k"), (col("id") * 2).as("lts"), col("id").as("lid"))
+    val right = spark.range(0, 300, 3).select(
+      (col("id") % 5).as("k"), (col("id") * 2).as("rts"),
+      (col("id") * 10).as("rv"))
+    val tol = 6L // even spacing → exact ties AT the horizon occur
+    def run(direction: String) =
+      Joins.asOf(left, right, Seq("k"), "lts", "rts", Seq("rv"),
+          prefix = "asof_", direction = direction, tolerance = Some(tol))
+        .select("lid", "asof_rv")
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getAs[java.lang.Long]("asof_rv")).map(_.longValue)).toMap
+    val rRows = right.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lRows = left.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bwd = run("backward"); val fwd = run("forward")
+    val near = run("nearest")
+    var horizonTies = 0
+    lRows.foreach { case (k, lts, lid) =>
+      val before = rRows
+        .filter(t => t._1 == k && t._2 <= lts && lts - t._2 <= tol)
+        .sortBy(_._2).lastOption
+      val after = rRows
+        .filter(t => t._1 == k && t._2 >= lts && t._2 - lts <= tol)
+        .sortBy(_._2).headOption
+      if (before.exists(b => lts - b._2 == tol) ||
+        after.exists(a => a._2 - lts == tol)) horizonTies += 1
+      assert(bwd(lid) == before.map(_._3), s"backward lid=$lid")
+      assert(fwd(lid) == after.map(_._3), s"forward lid=$lid")
+      val expNear = (before, after) match {
+        case (Some(b), Some(a)) =>
+          Some(if (lts - b._2 <= a._2 - lts) b._3 else a._3)
+        case (b, a) => b.orElse(a).map(_._3)
+      }
+      assert(near(lid) == expNear, s"nearest lid=$lid lts=$lts")
+    }
+    assert(horizonTies > 0, "fixture has no exact-horizon match — weaken")
+    // a too-far backward candidate must YIELD to an in-range forward one
+    // (per-side vetting before the closer-wins comparison)
+    val l1 = Seq(("a", 100L, 1L)).toDF("k", "lts", "lid")
+    val r1 = Seq(("a", 50L, 10L), ("a", 104L, 20L)).toDF("k", "rts", "rv")
+    val n1 = Joins.asOf(l1, r1, Seq("k"), "lts", "rts", Seq("rv"),
+        prefix = "asof_", direction = "nearest", tolerance = Some(5L))
+      .select("asof_rv").collect().head
+    assert(n1.getLong(0) == 20L,
+      "vetting must run per side before closer-wins")
+  }
+
+  test("asOf null timestamps follow SQL comparison semantics: null-ts " +
+      "left rows keep nulls in every direction, null-ts right rows " +
+      "never match") {
+    val l = Seq((Some("a"), Some(100L), 1L), (Some("a"), None, 2L))
+      .toDF("k", "lts", "lid")
+    val r = Seq((Some("a"), Some(90L), 10L), (Some("a"), None, 99L))
+      .toDF("k", "rts", "rv")
+    for (d <- Seq("backward", "forward", "nearest")) {
+      val out = Joins.asOf(l, r, Seq("k"), "lts", "rts", Seq("rv"),
+          prefix = "asof_", direction = d)
+        .collect().map(row => row.getAs[Long]("lid") ->
+          Option(row.getAs[java.lang.Long]("asof_rv")).map(_.longValue))
+        .toMap
+      assert(out.size == 2, s"$d: every left row must survive")
+      assert(out(2L).isEmpty, s"$d: null-ts left row must keep nulls")
+      assert(out(1L) != Some(99L), s"$d: null-ts right row must not match")
+      if (d != "forward") assert(out(1L).contains(10L),
+        s"$d: the real preceding right row must still match")
+    }
+  }
+
   test("rangeJoin drops inverted intervals instead of exploding them") {
     val intervals = Seq(("u1", 0L, 100L, "ok"), ("u1", 500L, -500L, "bad"))
       .toDF("k", "lo", "hi", "win")
@@ -440,6 +512,148 @@ class JoinsSpec extends SparkTestBase {
     assert(gotRows.exists(_._2 != -1L), "no matched left rows — weaken")
     assert(gotRows.map(_._1).distinct.size == 100,
       "every left row must appear at least once")
+  }
+
+  test("rangeJoinFullOuter matches the vanilla FULL JOIN with USING-style " +
+      "keys (unmatched both sides, null keys/points, inverted intervals)") {
+    val rnd = new scala.util.Random(41)
+    val points = (1 to 120).map { i =>
+      (if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(4).toLong),
+        if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(600).toLong),
+        i.toLong)
+    }.toDF("k", "at", "pid")
+    val intervals = (1 to 120).map { i =>
+      val s = rnd.nextInt(600).toLong
+      val len = rnd.nextInt(4) match {
+        case 0 => -(1 + rnd.nextInt(40)).toLong // inverted: matches nothing
+        case _ => rnd.nextInt(90).toLong
+      }
+      (if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(4).toLong),
+        if (rnd.nextInt(20) == 0) None else Some(s),
+        if (rnd.nextInt(20) == 0) None else Some(s + len), 1000L + i)
+    }.toDF("k", "lo", "hi", "iid")
+    val got = Joins.rangeJoinFullOuter(points, intervals, Seq("k"),
+      "at", "lo", "hi", binWidth = 64)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"full-outer range join must stay an equi-join:\n$plan")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(coalesce(col("k"), lit(-9L)).as("k"),
+        coalesce(col("pid"), lit(-1L)).as("pid"),
+        coalesce(col("iid"), lit(-1L)).as("iid"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val expected = points.as("P")
+      .join(intervals.withColumnRenamed("k", "k2").as("I"),
+        col("k") === col("k2") && $"at" >= $"lo" && $"at" < $"hi",
+        "full_outer")
+      .select(coalesce(col("k"), col("k2")).as("k"), col("pid"), col("iid"))
+    val gotRows = rows(got)
+    assert(gotRows == rows(expected))
+    // fixture must exercise all three row classes
+    assert(gotRows.exists(r => r._2 != -1L && r._3 != -1L), "no matches")
+    assert(gotRows.exists(r => r._3 == -1L), "no unmatched left rows")
+    assert(gotRows.exists(r => r._2 == -1L), "no unmatched right rows")
+    assert(gotRows.map(_._2).filter(_ != -1L).distinct.size == 120,
+      "every left row must appear")
+    assert(gotRows.map(_._3).filter(_ != -1L).distinct.size == 120,
+      "every right row must appear")
+  }
+
+  test("rangeJoinFullOuter guard demotes over-cap cohorts to unmatched " +
+      "rows instead of dropping them") {
+    val pts = ((1 to 30).map(i => ("hot", 32L, i.toLong)) :+
+      (("ok", 32L, 100L))).toDF("k", "at", "pid")
+    val ivs = ((1 to 30).map(i => ("hot", 0L, 63L, 1000L + i)) :+
+      (("ok", 0L, 63L, 1100L))).toDF("k", "lo", "hi", "iid")
+    val got = Joins.rangeJoinFullOuter(pts, ivs, Seq("k"),
+        "at", "lo", "hi", binWidth = 64, maxBinSize = 10)
+      .select(coalesce(col("pid"), lit(-1L)).as("pid"),
+        coalesce(col("iid"), lit(-1L)).as("iid"))
+      .as[(Long, Long)].collect().toSeq
+    // the healthy cohort still matches; the hot cohort's rows all surface
+    // unmatched — full outer loses matches to the cap, never rows
+    assert(got.contains((100L, 1100L)))
+    assert(got.count(_._2 == -1L) == 30 && got.count(_._1 == -1L) == 30)
+    assert(got.length == 61)
+    // sentinel: exact full cross of the hot cohort
+    assert(Joins.rangeJoinFullOuter(pts, ivs, Seq("k"),
+      "at", "lo", "hi", binWidth = 64, maxBinSize = -1).count() ==
+      30L * 30 + 1)
+  }
+
+  test("intervalOverlapJoinFullOuter matches the vanilla FULL JOIN on a " +
+      "generated fixture (multi-bin, inverted, null bounds/keys)") {
+    val rnd = new scala.util.Random(43)
+    def gen(n: Int, idBase: Long) = (1 to n).map { i =>
+      val s = rnd.nextInt(400).toLong
+      val len = rnd.nextInt(5) match {
+        case 0 => 0L
+        case 1 => -(1 + rnd.nextInt(40)).toLong
+        case _ => rnd.nextInt(100).toLong
+      }
+      (idBase + i,
+        if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(4).toLong),
+        if (rnd.nextInt(20) == 0) None else Some(s),
+        if (rnd.nextInt(20) == 0) None else Some(s + len))
+    }
+    val l = gen(120, 0).toDF("lid", "k", "l_lo", "l_hi")
+    val r = gen(120, 1000).toDF("rid", "k", "r_lo", "r_hi")
+    val got = Joins.intervalOverlapJoinFullOuter(l, r, Seq("k"),
+      "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 16)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"full-outer overlap join must stay an equi-join:\n$plan")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(coalesce(col("k"), lit(-9L)).as("k"),
+        coalesce(col("lid"), lit(-1L)).as("lid"),
+        coalesce(col("rid"), lit(-1L)).as("rid"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val expected = l.as("L")
+      .join(r.withColumnRenamed("k", "k2").as("R"),
+        col("k") === col("k2") &&
+          $"l_lo" < $"r_hi" && $"r_lo" < $"l_hi", "full_outer")
+      .select(coalesce(col("k"), col("k2")).as("k"),
+        col("lid"), col("rid"))
+    val gotRows = rows(got)
+    assert(gotRows == rows(expected))
+    assert(gotRows.exists(r0 => r0._2 != -1L && r0._3 != -1L), "no matches")
+    assert(gotRows.exists(_._3 == -1L), "no unmatched left rows")
+    assert(gotRows.exists(_._2 == -1L), "no unmatched right rows")
+    assert(gotRows.map(_._2).filter(_ != -1L).distinct.size == 120)
+    assert(gotRows.map(_._3).filter(_ != -1L).distinct.size == 120)
+  }
+
+  test("multi-dimension intervalOverlapJoinFullOuter matches the vanilla " +
+      "2-D FULL JOIN") {
+    val rnd = new scala.util.Random(47)
+    def gen(n: Int, idBase: Long) = (1 to n).map { i =>
+      val t = rnd.nextInt(300).toLong
+      val v = rnd.nextInt(200).toLong
+      (idBase + i, rnd.nextInt(3).toLong, t, t + rnd.nextInt(60).toLong,
+        v, v + rnd.nextInt(40).toLong)
+    }
+    val l = gen(90, 0).toDF("lid", "k", "lt_lo", "lt_hi", "lv_lo", "lv_hi")
+    val r = gen(90, 1000)
+      .toDF("rid", "k", "rt_lo", "rt_hi", "rv_lo", "rv_hi")
+    val got = Joins.intervalOverlapJoinFullOuter(l, r, Seq("k"), Seq(
+      Joins.OverlapDim("lt_lo", "lt_hi", "rt_lo", "rt_hi", binWidth = 64),
+      Joins.OverlapDim("lv_lo", "lv_hi", "rv_lo", "rv_hi", binWidth = 32)),
+      maxBinSize = 10000)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(coalesce(col("lid"), lit(-1L)).as("lid"),
+        coalesce(col("rid"), lit(-1L)).as("rid"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val expected = l.as("L")
+      .join(r.withColumnRenamed("k", "k2").as("R"),
+        col("k") === col("k2") &&
+          $"lt_lo" < $"rt_hi" && $"rt_lo" < $"lt_hi" &&
+          $"lv_lo" < $"rv_hi" && $"rv_lo" < $"lv_hi", "full_outer")
+      .select(col("lid"), col("rid"))
+    val gotRows = rows(got)
+    assert(gotRows == rows(expected))
+    assert(gotRows.exists(r0 => r0._1 != -1L && r0._2 != -1L), "no matches")
+    assert(gotRows.exists(_._2 == -1L), "no unmatched left rows")
+    assert(gotRows.exists(_._1 == -1L), "no unmatched right rows")
   }
 
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
