@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.registerLateRule(session)
       graft.plans.RangeJoinRewrite
     }
+    // statement-scoped bin width: resolve the RANGE_BIN hint into the
+    // marker node RangeJoinRewrite consumes. Runs in the analyzer's
+    // Resolution batch — BEFORE the "Remove Unresolved Hints" batch that
+    // would otherwise drop the unknown hint name with only a warning.
+    // (No post-hoc analog exists for foreign sessions: registerAll can't
+    // add analyzer rules, so there the hint is dropped by Spark and the
+    // conf remains the only width source.)
+    ext.injectResolutionRule(_ => graft.plans.ResolveRangeBinHint)
   }
 }
 

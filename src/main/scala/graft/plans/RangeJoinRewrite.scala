@@ -85,17 +85,24 @@ import org.apache.spark.sql.types._
   * defined for numeric columns, and guessing micros-vs-seconds on a
   * timestamp would be exactly the blind bet the conf exists to avoid.
   *
-  * Scope caveat: the conf width is session-global, and the overlap
-  * detector matches ANY inner join carrying a pair of opposite-direction
-  * cross-side inequalities — not just ones the user thinks of as interval
-  * overlaps. While the width is set, every such join in the session is
-  * rewritten with that width; a width in the wrong unit for one of them
-  * trades the nested-loop for a large bin explode (results stay correct —
-  * the exact predicate is re-applied above the join — but the plan can be
-  * worse). Set the conf around the statement that needs it and unset it
-  * after, or prefer the explicit `Joins.rangeJoin` /
-  * `Joins.intervalOverlapJoin` operators, whose width is a per-call
-  * argument.
+  * Width scope: prefer the statement-scoped `RANGE_BIN` hint —
+  * `df.hint("range_bin", w)` / `SELECT /&#42;+ RANGE_BIN(w) &#42;/ …`, resolved
+  * to a [[RangeBinHint]] marker this rule consumes — whose width applies
+  * only to the joins beneath it (innermost hint wins) and beats both the
+  * inferred literal and the conf. Because a hint names one statement,
+  * timestamp/date bounds with no interval literal are hintable (width in
+  * epoch micros/days) where the conf must decline. The conf remains for
+  * session-wide defaults, with its caveat: it is session-global, and the
+  * overlap detector matches ANY inner join carrying a pair of
+  * opposite-direction cross-side inequalities — not just ones the user
+  * thinks of as interval overlaps. While the conf width is set, every
+  * such join in the session is rewritten with that width; a width in the
+  * wrong unit for one of them trades the nested-loop for a large bin
+  * explode (results stay correct — the exact predicate is re-applied
+  * above the join — but the plan can be worse). Set the conf around the
+  * statement that needs it and unset it after, or use the hint / the
+  * explicit `Joins.rangeJoin` / `Joins.intervalOverlapJoin` operators,
+  * whose width is per-call.
   *
   * Join types: the containment form also rewrites LEFT OUTER, LEFT SEMI,
   * LEFT ANTI (point on the left) and RIGHT OUTER (point on the right) —
@@ -139,26 +146,62 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val EnabledKey = "spark.graft.rangeJoin.enabled"
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf.getConfString(EnabledKey, "true").toLowerCase(java.util.Locale.ROOT) != "true") plan
-    else plan.transformUp {
-      // streaming joins are excluded: Spark's stream-stream interval join
-      // already consumes the time-range conjuncts as a state-retention
-      // bound (that IS its pruning mechanism — see Streams.rangeJoinStream);
-      // binning there would explode the state store's rows per bin copy
-      // for zero pruning gain
-      case j @ Join(left, right, Inner | LeftOuter | RightOuter | LeftSemi |
-          LeftAnti, Some(_), _)
-          if j.resolved && !left.isStreaming && !right.isStreaming =>
-        rewrite(j).getOrElse(j)
-    }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled = conf.getConfString(EnabledKey, "true")
+      .toLowerCase(java.util.Locale.ROOT) == "true"
+    walk(plan, None, enabled)._1
+  }
+
+  /** Bottom-up rewrite pass, hand-rolled instead of `transformUp` so a
+    * [[RangeBinHint]]'s width can reach its joins in BOTH placements:
+    * a hint above a join (`SELECT /&#42;+ RANGE_BIN(w) &#42;/ … JOIN …`,
+    * `joined.hint(…)`) flows DOWN as the inherited width, and a hint on a
+    * join INPUT (`df.hint(…).join(other, cond)` — the broadcast-hint
+    * idiom) BUBBLES UP to the first join that consumes the marked subtree
+    * (even if an optimizer-inserted Project sits between), where it is
+    * consumed. The left input's bubble wins if both inputs carry one.
+    * Markers are stripped unconditionally — even when the rule is
+    * disabled — so they never reach physical planning.
+    *
+    * Returns (rewritten plan, width bubbling up to the nearest join
+    * above, if any).
+    */
+  private def walk(plan: LogicalPlan, inherited: Option[Long],
+      enabled: Boolean): (LogicalPlan, Option[Long]) = plan match {
+    case RangeBinHint(w, child) =>
+      // the marked subtree's joins see w as their inherited width; the
+      // marker itself bubbles w up to the join consuming this subtree
+      (walk(child, Some(w), enabled)._1, Some(w))
+    // streaming joins are excluded: Spark's stream-stream interval join
+    // already consumes the time-range conjuncts as a state-retention
+    // bound (that IS its pruning mechanism — see Streams.rangeJoinStream);
+    // binning there would explode the state store's rows per bin copy
+    // for zero pruning gain
+    case j @ Join(left, right, Inner | LeftOuter | RightOuter | LeftSemi |
+        LeftAnti, Some(_), _)
+        if enabled && j.resolved && !left.isStreaming && !right.isStreaming =>
+      val (l, lw) = walk(j.left, inherited, enabled)
+      val (r, rw) = walk(j.right, inherited, enabled)
+      val rebuilt = j.withNewChildren(Seq(l, r)).asInstanceOf[Join]
+      val width = lw.orElse(rw).orElse(inherited)
+      (rewrite(rebuilt, width).getOrElse(rebuilt), None)
+    case other =>
+      var bubble: Option[Long] = None
+      val newPlan = other.mapChildren { c =>
+        val (p, b) = walk(c, inherited, enabled)
+        if (bubble.isEmpty) bubble = b
+        p
+      }
+      (newPlan, bubble)
+  }
 
   /** A detected `point in [start, end)` bound pair inside a join cond. */
   private final case class Containment(point: Expression, start: Expression,
       end: Expression, lower: Expression, upper: Expression,
       pointOnLeft: Boolean, inferredWidth: Option[Long])
 
-  private def rewrite(j: Join): Option[LogicalPlan] = {
+  private def rewrite(j: Join,
+      hintWidth: Option[Long]): Option[LogicalPlan] = {
     val cond = j.condition.get
     val conjuncts = splitConjunctivePredicates(cond)
     // Re-entry guard: this rule shares the operator-optimization fixpoint
@@ -193,12 +236,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // canonical-bin filter is needed; the symmetric overlap form is the
     // fallback for genuinely two-interval conditions (and, exploding BOTH
     // sides, is inner-only — see the class doc on join types)
-    rewriteContainment(j, conjuncts, confWidth)
+    rewriteContainment(j, conjuncts, hintWidth, confWidth)
       .orElse(if (j.joinType == Inner)
-        rewriteOverlap(j, conjuncts, confWidth) else None)
+        rewriteOverlap(j, conjuncts, hintWidth, confWidth) else None)
   }
 
   private def rewriteContainment(j: Join, conjuncts: Seq[Expression],
+      hintWidth: Option[Long],
       confWidth: => Option[Long]): Option[LogicalPlan] = {
     // non-inner types rewrite only when the point sits on the side the
     // join preserves (left for LEFT OUTER/SEMI/ANTI, right for RIGHT
@@ -214,16 +258,24 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val candidates = detect(conjuncts, j.left, j.right)
       .filter(c => requiredPointSide.forall(_ == c.pointOnLeft))
     if (candidates.isEmpty) return None
+    // width for a candidate: an explicit RANGE_BIN hint wins (the user
+    // named this statement, and the hint's documented unit is the bin
+    // image — so timestamp/date containments with raw bound columns ARE
+    // hintable), then the candidate's own inferred sliding-window
+    // literal, then the conf — whose unit is defined only for NUMERIC
+    // bound columns; a timestamp/date containment without an interval
+    // literal has no conf-expressible width (micros/days vs the conf's
+    // unknown unit), so those only rewrite hinted or inferred.
+    def widthOf(c: Containment): Option[Long] =
+      hintWidth.orElse(c.inferredWidth).orElse(
+        if (c.point.dataType.isInstanceOf[NumericType]) confWidth else None)
     // primary dimension: prefer a containment whose width is inferable
-    // from its own literal (conf-free and always safe) over one that
-    // needs the conf width. The conf width is defined in the units of
-    // NUMERIC bound columns; a timestamp/date containment without an
-    // interval literal has no user-expressible width (micros/days vs the
-    // conf's unknown unit), so those only rewrite on the inferred path.
+    // from its own literal (stable across hint/conf settings), else the
+    // first candidate a width source covers
     val primary = candidates.find(_.inferredWidth.isDefined)
-      .orElse(candidates.find(_.point.dataType.isInstanceOf[NumericType]))
+      .orElse(candidates.find(c => widthOf(c).isDefined))
       .getOrElse(return None)
-    primary.inferredWidth.orElse(confWidth).map { primaryWidth =>
+    widthOf(primary).map { primaryWidth =>
       // second dimension: another containment on the SAME point side, a
       // DIFFERENT point expression, sharing no conjunct with the primary
       // (one conjunct can read as a lower bound of one point and an upper
@@ -343,17 +395,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * (`lEnd < lStart < rEnd < rStart < lEnd` is a cycle).
     */
   private def rewriteOverlap(j: Join, conjuncts: Seq[Expression],
+      hintWidth: Option[Long],
       confWidth: => Option[Long]): Option[LogicalPlan] = {
     val candidates = detectOverlap(conjuncts, j.left, j.right)
     if (candidates.isEmpty) return None
-    // timestamp/date overlaps rewrite only on the inferred
-    // (both-sides-sliding) path — the conf width's unit is for numeric
-    // columns (see rewriteContainment)
+    // width preference mirrors rewriteContainment: hint > inferred >
+    // conf; timestamp/date overlaps rewrite only hinted or inferred
+    // (both-sides-sliding) — the conf width's unit is for numeric columns
+    def widthOf(o: Overlap): Option[Long] =
+      hintWidth.orElse(o.inferredWidth).orElse(
+        if (o.lStart.dataType.isInstanceOf[NumericType]) confWidth
+        else None)
     val primary = candidates.find(_.inferredWidth.isDefined)
-      .orElse(candidates.find(
-        _.lStart.dataType.isInstanceOf[NumericType]))
+      .orElse(candidates.find(o => widthOf(o).isDefined))
       .getOrElse(return None)
-    primary.inferredWidth.orElse(confWidth).map { width =>
+    widthOf(primary).map { width =>
       buildOverlap(j, conjuncts, primary, width)
     }
   }

@@ -712,6 +712,100 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  // --- RANGE_BIN hint: statement-scoped bin width (the per-join
+  //     alternative to the session-global conf) ---
+
+  test("RANGE_BIN hint rewrites with NO conf set, in both placements: " +
+      "above the join and on a join input") {
+    val above = points.join(intervals, $"at" >= $"start" && $"at" < $"end")
+      .hint("range_bin", 16)
+    val abovePlan = physical(above)
+    assert(!abovePlan.contains("BroadcastNestedLoopJoin") &&
+      abovePlan.contains("_graft_bin"),
+      s"hint above the join did not fire:\n$abovePlan")
+    assert(abovePlan.contains("/ 16.0"), s"hint width lost in:\n$abovePlan")
+    assert(pairs(above) == expected)
+    // broadcast-hint idiom: the width must bubble up to the consuming join
+    val input = points.hint("range_bin", 16)
+      .join(intervals, $"at" >= $"start" && $"at" < $"end")
+    val inputPlan = physical(input)
+    assert(!inputPlan.contains("BroadcastNestedLoopJoin") &&
+      inputPlan.contains("/ 16.0"),
+      s"hint on a join input did not fire:\n$inputPlan")
+    assert(pairs(input) == expected)
+  }
+
+  test("two hinted joins in one session carry two different widths; an " +
+      "unhinted twin still plans vanilla — the width does not leak") {
+    val cond = $"at" >= $"start" && $"at" < $"end"
+    val a = points.join(intervals, cond).hint("range_bin", 16)
+    val b = points.join(intervals, cond).hint("range_bin", 32)
+    assert(physical(a).contains("/ 16.0"), physical(a))
+    assert(physical(b).contains("/ 32.0"), physical(b))
+    assert(pairs(a) == expected && pairs(b) == expected)
+    val unhinted = points.join(intervals, cond)
+    assert(physical(unhinted).contains("BroadcastNestedLoopJoin"),
+      "a hint must scope to its own statement, not the session")
+  }
+
+  test("RANGE_BIN hint beats the session conf width") {
+    withBinWidth(999983) { // deliberately wrong unit for this join
+      val joined = points.join(intervals,
+        $"at" >= $"start" && $"at" < $"end").hint("range_bin", 16)
+      assert(physical(joined).contains("/ 16.0"),
+        s"conf width must lose to the hint:\n${physical(joined)}")
+      assert(pairs(joined) == expected)
+    }
+  }
+
+  test("SQL /*+ RANGE_BIN(w) */ reaches the rewrite through the " +
+      "extension point") {
+    points.createOrReplaceTempView("rb_points")
+    intervals.createOrReplaceTempView("rb_intervals")
+    val joined = spark.sql(
+      """SELECT /*+ RANGE_BIN(16) */ pid, iid FROM rb_points p
+        |JOIN rb_intervals i ON p.at >= i.start AND p.at < i.end"""
+        .stripMargin)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("/ 16.0"), s"SQL hint did not fire:\n$plan")
+    assert(joined.as[(Long, Long)].collect().toSet == expected)
+  }
+
+  test("RANGE_BIN makes raw timestamp bounds binnable (width in epoch " +
+      "micros) where the conf path must decline") {
+    val pts = Seq((1L, ts("2024-01-01 10:00:05")),
+      (2L, ts("2024-01-01 12:00:00"))).toDF("pid", "at")
+    val ivs = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("iid", "start", "end")
+    val cond = $"at" >= $"start" && $"at" < $"end"
+    // conf path: declined (arbitrary [start, end) timestamps, unit unknown)
+    withBinWidth(16) {
+      assert(!physical(pts.join(ivs, cond)).contains("_graft_bin"))
+    }
+    // hint path: the user names the join, the doc names the unit
+    val joined = pts.join(ivs, cond).hint("range_bin", 3600L * 1000000)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("_graft_bin"),
+      s"hinted timestamp containment did not fire:\n$plan")
+    assert(pairs(joined) == Set((1L, 10L)))
+  }
+
+  test("malformed RANGE_BIN hints fail loudly at analysis") {
+    for (bad <- Seq(Seq(0), Seq(-5), Seq("1h"), Seq(1, 2), Seq.empty[Any])) {
+      val e = intercept[Throwable] {
+        points.hint("range_bin", bad: _*)
+          .join(intervals, $"at" >= $"start" && $"at" < $"end")
+          .queryExecution.executedPlan
+      }
+      val messages = Iterator.iterate(e)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(messages.contains("RANGE_BIN"), s"for $bad: $messages")
+    }
+  }
+
   test("containment keeps priority over the overlap reading of the same " +
       "condition") {
     // a containment condition also parses as a degenerate overlap; the
