@@ -178,11 +178,14 @@ object Joins {
 
   /** One point-in-interval dimension of a [[rangeJoin]]: the left point
     * column, the right interval's bound columns, and the bin width in the
-    * units of those columns — for TIMESTAMP columns that unit is epoch
-    * MICROS (the operators bin them via `unix_micros` internally; pass
-    * e.g. `3600L * 1000000` for an hour). Choose the width near the
-    * typical interval length: wider bins → fewer explode rows but more
-    * false candidates; narrower → the reverse.
+    * units of those columns' BIN IMAGE — native for numerics, epoch
+    * MICROS for TIMESTAMP columns (binned via `unix_micros` internally;
+    * pass e.g. `3600L * 1000000` for an hour), epoch DAYS for DATE
+    * columns (binned via `unix_date`; pass e.g. `30` for a month-ish
+    * window — a micros-scale width on DATE bounds would silently put
+    * every row in bin 0 and restore the per-key cross join). Choose the
+    * width near the typical interval length: wider bins → fewer explode
+    * rows but more false candidates; narrower → the reverse.
     */
   final case class RangeDim(leftAt: String, rightStart: String,
       rightEnd: String, binWidth: Long)
@@ -583,9 +586,11 @@ object Joins {
 
   /** One interval-vs-interval dimension of a multi-dimensional
     * [[intervalOverlapJoin]]: both sides' bound columns and the bin width
-    * in their units — epoch MICROS for TIMESTAMP columns (binned via
-    * `unix_micros` internally). Size near the LONGER side's typical
-    * interval length.
+    * in their BIN-IMAGE units — native for numerics, epoch MICROS for
+    * TIMESTAMP columns (binned via `unix_micros` internally), epoch DAYS
+    * for DATE columns (binned via `unix_date`; a micros-scale width on
+    * DATE bounds would silently put every row in bin 0). Size near the
+    * LONGER side's typical interval length.
     */
   final case class OverlapDim(leftStart: String, leftEnd: String,
       rightStart: String, rightEnd: String, binWidth: Long)
@@ -722,7 +727,12 @@ object Joins {
     // instead of the whole left payload (wide text/embedding rows would
     // otherwise be the exchange key), and always partitionable (a
     // map-typed left column would reject a full-row window, where the
-    // vanilla LEFT JOIN this operator replaces accepts it)
+    // vanilla LEFT JOIN this operator replaces accepts it).
+    // monotonically_increasing_id is stable only within ONE evaluation:
+    // the id is stamped and consumed inside this single linear plan, and
+    // must never cross a plan-reuse boundary (a self-join re-evaluating
+    // lBinned could re-stamp different ids — localCheckpoint the input
+    // first if this operator ever feeds plan reuse)
     val lBinned = dims.zipWithIndex.foldLeft(
         left.withColumn("_graft_lid", monotonically_increasing_id())) {
       case (df, (d, i)) =>

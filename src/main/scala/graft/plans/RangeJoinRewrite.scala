@@ -594,44 +594,55 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       end: Expression): Option[Long] = {
     val (bs, os) = baseOffset(start)
     val (be, oe) = baseOffset(end)
-    if (bs.semanticEquals(be)) Some(oe - os).filter(_ > 0) else None
+    // ceil the EXACT offset difference once — ceiling each fractional
+    // offset independently (e.g. BETWEEN x - 1.5 AND x - 0.2) could
+    // understate the true interval length (ceil(-1.5)..ceil(-0.2) → 1 <
+    // 1.3) and break the documented ≤2-bins-per-interval envelope;
+    // ceil(1.3) = 2 restores it (results were never affected — bins come
+    // from the actual bound expressions)
+    if (bs.semanticEquals(be)) {
+      val w = math.ceil(oe - os).toLong
+      if (w > 0) Some(w) else None
+    } else None
   }
 
-  /** `e` as (base, literal offset) in the base's bin-image units; an
-    * expression that is not a literal offset from anything returns
-    * itself with offset 0 (so only bounds sharing a literal-offset base
-    * ever infer a width).
+  /** `e` as (base, exact literal offset) in the base's bin-image units —
+    * exact as a Double so fractional offsets survive to [[slideWidth]]'s
+    * single ceil (micros offsets lose sub-micro precision past ~285
+    * years, far beyond any sane window). An expression that is not a
+    * literal offset from anything returns itself with offset 0 (so only
+    * bounds sharing a literal-offset base ever infer a width).
     */
-  private def baseOffset(e: Expression): (Expression, Long) = e match {
+  private def baseOffset(e: Expression): (Expression, Double) = e match {
     case Add(b, Literal(v, _), _) =>
-      literalLong(v).map((b, _)).getOrElse((e, 0L))
+      literalNum(v).map((b, _)).getOrElse((e, 0d))
     case Add(Literal(v, _), b, _) =>
-      literalLong(v).map((b, _)).getOrElse((e, 0L))
+      literalNum(v).map((b, _)).getOrElse((e, 0d))
     case Subtract(b, Literal(v, _), _) =>
-      literalLong(v).map(o => (b, -o)).getOrElse((e, 0L))
+      literalNum(v).map(o => (b, -o)).getOrElse((e, 0d))
     case TimestampAddInterval(b, Literal(v: Long, _: DayTimeIntervalType),
-        _) => (b, v)
+        _) => (b, v.toDouble)
     case TimestampAddInterval(b,
         Literal(iv: org.apache.spark.unsafe.types.CalendarInterval,
           CalendarIntervalType), _) if iv.months == 0 =>
-      (b, iv.days * 86400000000L + iv.microseconds)
+      (b, iv.days * 86400000000d + iv.microseconds)
     case DateAdd(b, Literal(v, _)) =>
-      literalLong(v).map((b, _)).getOrElse((e, 0L))
+      literalNum(v).map((b, _)).getOrElse((e, 0d))
     // date_sub(d, n); `d - INTERVAL 'n' DAY` needs no case of its own —
     // it constant-folds to DateAdd(d, -n)
     case DateSub(b, Literal(v, _)) =>
-      literalLong(v).map(o => (b, -o)).getOrElse((e, 0L))
-    case _ => (e, 0L)
+      literalNum(v).map(o => (b, -o)).getOrElse((e, 0d))
+    case _ => (e, 0d)
   }
 
-  private def literalLong(v: Any): Option[Long] = v match {
-    case i: Int => Some(i.toLong)
-    case l: Long => Some(l)
-    case s: Short => Some(s.toLong)
-    case b: Byte => Some(b.toLong)
-    case f: Float => Some(math.ceil(f).toLong)
-    case d: Double => Some(math.ceil(d).toLong)
-    case d: Decimal => Some(math.ceil(d.toDouble).toLong)
+  private def literalNum(v: Any): Option[Double] = v match {
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case s: Short => Some(s.toDouble)
+    case b: Byte => Some(b.toDouble)
+    case f: Float => Some(f.toDouble)
+    case d: Double => Some(d)
+    case d: Decimal => Some(d.toDouble)
     case _ => None
   }
 }

@@ -388,6 +388,25 @@ class RangeJoinRewriteSpec extends SparkTestBase {
   private def pairs2b(df: DataFrame): Set[(Long, Long)] =
     df.select("lid", "rid").as[(Long, Long)].collect().toSet
 
+  test("fractional two-sided band: the width is the exact offset " +
+      "difference ceiled ONCE (per-offset ceiling understated it)") {
+    // w in [v - 1.5, v - 0.2]: true length 1.3 → width 2; ceiling each
+    // offset separately gives ceil(-0.2) - ceil(-1.5) = 0 - (-1) = 1,
+    // which can spread an interval over 3 bins and break the documented
+    // ≤2-bins-per-interval envelope
+    val l = Seq((1L, 100.0), (2L, 300.0)).toDF("lid", "v")
+    val r = Seq((10L, 98.9), (11L, 299.0), (12L, 600.0)).toDF("rid", "w")
+    val cond = $"w" >= $"v" - 1.5 && $"w" <= $"v" - 0.2
+    val joined = l.join(r, cond)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("_graft_bin"),
+      s"fractional band did not rewrite:\n$plan")
+    assert(plan.contains("/ 2.0"), s"expected width ceil(1.3)=2 in:\n$plan")
+    assert(pairs2b(joined) == pairs2b(l.crossJoin(r).filter(cond)))
+    assert(pairs2b(joined) == Set((1L, 10L), (2L, 11L)))
+  }
+
   test("year-month intervals decline: no fixed micros length to bin on") {
     val joined = tsPoints.join(tsStarts,
       expr("at >= start AND at < start + INTERVAL '1' MONTH"))
