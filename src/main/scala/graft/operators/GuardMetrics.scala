@@ -61,10 +61,15 @@ object GuardMetrics {
   /** Shared guard body: drop every row of a `keys` cohort larger than
     * `cap`, counting dropped rows and cohorts. The count/row_number window
     * partitions AND sorts on `keys` — for the binned joins that is the
-    * join's own shuffle+sort, so the guard adds no exchange. The keep
-    * decision itself is pure (`cohort size <= cap`); the UDF exists only
-    * to carry the accumulator side effect, and sits above a window (never
-    * inside a codegen'd scan stage).
+    * join's own shuffle+sort, so the guard adds no exchange.
+    *
+    * The keep decision is the same pure `cohort size <= cap` comparison
+    * as before, evaluated codegen'd as the LEFT side of a short-circuit
+    * OR — on clean (under-cap) data the recording UDF on the right is
+    * NEVER invoked, so observability costs nothing on the hot path. Only
+    * over-cap rows fall through to the UDF, whose sole job is the
+    * accumulator side effect (one `add` of the whole cohort size from
+    * the cohort's first row, per the row_number) before returning false.
     */
   def capCohorts(df: DataFrame, keys: Seq[Column], cap: Long): DataFrame = {
     if (cap <= 0) df
@@ -73,18 +78,19 @@ object GuardMetrics {
       val rows = ctr.droppedRows
       val cohorts = ctr.droppedCohorts
       val w = Window.partitionBy(keys: _*).orderBy(keys: _*)
-      val keep = udf { (n: Long, rn: Long) =>
-        if (n > cap) {
-          rows.add(1L)
-          if (rn == 1L) cohorts.add(1L) // one arbitrary row speaks per cohort
+      val recordDrop = udf { (n: Long, rn: Long) =>
+        if (rn == 1L) { // one arbitrary row speaks for the whole cohort
+          rows.add(n)
+          cohorts.add(1L)
           warnOnce(cap)
-          false
-        } else true
+        }
+        false
       }
       df.withColumn("_graft_bn", count(lit(1)).over(
           w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .withColumn("_graft_brn", row_number().over(w))
-        .filter(keep(col("_graft_bn"), col("_graft_brn")))
+        .filter(col("_graft_bn") <= cap ||
+          recordDrop(col("_graft_bn"), col("_graft_brn")))
         .drop("_graft_bn", "_graft_brn")
     }
   }
