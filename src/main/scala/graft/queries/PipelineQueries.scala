@@ -824,6 +824,43 @@ object PipelineQueries {
         .orderBy("user_id", "click_id", "purchase_id")
     },
 
+    // --- Range join over VARIABLE-length windows (each purchase's
+    //     attribution window scales with its value), binned via the
+    //     statement-scoped RANGE_BIN hint: the window length is data, not
+    //     plan, so width inference is impossible and the session conf
+    //     would leak to every other theta-join — the hint names exactly
+    //     this join. Vanilla Spark would plan the raw predicate as a
+    //     BroadcastNestedLoopJoin; the oracle replays the plain
+    //     inequality join.
+    Query(
+      "q79_range_bin_hint",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_ms(c.ts) >= epoch_ms(p.ts)
+        |  AND epoch_ms(c.ts) < epoch_ms(p.ts)
+        |        + CAST(floor(p.value * 10000) AS BIGINT)
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("at_ms"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          unix_millis(col("ts")).as("start_ms"),
+          (unix_millis(col("ts")) +
+            floor(col("value") * 10000).cast("long")).as("end_ms"),
+          col("event_id").as("purchase_id"))
+      clicks.hint("range_bin", 3600000L)
+        .join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("at_ms") >= col("start_ms") &&
+            col("at_ms") < col("end_ms"))
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+
     // --- The range join written on the TIMESTAMP column directly —
     //     `c.ts < p.ts + INTERVAL '1' HOUR` — the shape users actually
     //     write, with no epoch_ms conversion anywhere. RangeJoinRewrite
