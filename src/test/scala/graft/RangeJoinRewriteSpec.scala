@@ -812,6 +812,19 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(pairs(joined) == Set((1L, 10L)))
   }
 
+  test("a RANGE_BIN hint with the rule DISABLED is stripped cleanly: " +
+      "vanilla plan, correct rows, no marker reaching the planner") {
+    spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
+    try {
+      val joined = points.hint("range_bin", 16)
+        .join(intervals, $"at" >= $"start" && $"at" < $"end")
+      val plan = physical(joined) // would throw if the marker survived
+      assert(!plan.contains("_graft_bin"),
+        s"disabled rule must not bin:\n$plan")
+      assert(pairs(joined) == expected)
+    } finally spark.conf.unset(RangeJoinRewrite.EnabledKey)
+  }
+
   test("malformed RANGE_BIN hints fail loudly at analysis") {
     for (bad <- Seq(Seq(0), Seq(-5), Seq("1h"), Seq(1, 2), Seq.empty[Any])) {
       val e = intercept[Throwable] {
