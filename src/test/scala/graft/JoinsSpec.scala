@@ -581,6 +581,24 @@ class JoinsSpec extends SparkTestBase {
       30L * 30 + 1)
   }
 
+  test("keyless full-outer forms match the vanilla keyless FULL JOIN") {
+    val pts = Seq((1L, 5L), (2L, 500L)).toDF("pid", "at")
+    val ivs = Seq((10L, 0L, 100L), (11L, 900L, 950L)).toDF("iid", "lo", "hi")
+    val gotR = Joins.rangeJoinFullOuter(pts, ivs, Nil, "at", "lo", "hi",
+        binWidth = 64)
+      .select(coalesce(col("pid"), lit(-1L)), coalesce(col("iid"), lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+    assert(gotR == Set((1L, 10L), (2L, -1L), (-1L, 11L)))
+    val l = Seq((1L, 0L, 30L), (2L, 500L, 530L)).toDF("lid", "l_lo", "l_hi")
+    val r = Seq((10L, 20L, 80L), (11L, 900L, 950L))
+      .toDF("rid", "r_lo", "r_hi")
+    val gotO = Joins.intervalOverlapJoinFullOuter(l, r, Nil,
+        "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 64)
+      .select(coalesce(col("lid"), lit(-1L)), coalesce(col("rid"), lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+    assert(gotO == Set((1L, 10L), (2L, -1L), (-1L, 11L)))
+  }
+
   test("intervalOverlapJoinFullOuter matches the vanilla FULL JOIN on a " +
       "generated fixture (multi-bin, inverted, null bounds/keys)") {
     val rnd = new scala.util.Random(43)
