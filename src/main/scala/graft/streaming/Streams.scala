@@ -131,8 +131,17 @@ object Streams {
     * re-enrich it, and a left event older than the retained right gets
     * None rather than a wrong newer value. Exact-as-of over late data is
     * the batch operator's job; this is the online path.
+    *
+    * `toleranceMs` mirrors the batch operator's `tolerance` (pandas
+    * merge_asof): a retained right state older than the horizon
+    * (exclusive of `tsMs - toleranceMs`; the bound itself matches) yields
+    * None instead of stale enrichment — the online guard against a key
+    * whose reference stream went quiet hours ago.
     */
-  def asOfStream(tagged: Dataset[Tagged]): Dataset[Enriched] = {
+  def asOfStream(tagged: Dataset[Tagged],
+      toleranceMs: Option[Long] = None): Dataset[Enriched] = {
+    toleranceMs.foreach(t =>
+      require(t >= 0, s"toleranceMs must be >= 0, got $t"))
     import tagged.sparkSession.implicits._
     tagged
       .groupByKey(_.key)
@@ -149,7 +158,8 @@ object Streams {
                   cur = Some(AsofState(e.tsMs, e.value))
               } else {
                 val asof = cur.collect {
-                  case s if s.tsMs <= e.tsMs => s.value
+                  case s if s.tsMs <= e.tsMs &&
+                    toleranceMs.forall(e.tsMs - s.tsMs <= _) => s.value
                 }
                 out += Enriched(key, e.tsMs, e.value, asof)
               }

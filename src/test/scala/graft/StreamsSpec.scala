@@ -117,6 +117,29 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asOfStream tolerance: stale retained state yields None, " +
+      "inclusive at the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.Tagged
+    val mem = MemoryStream[Tagged]
+    val q = Streams.asOfStream(mem.toDS(), toleranceMs = Some(100L))
+      .writeStream.format("memory").queryName("asof_tol_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Tagged(1L, 100L, isRight = true, 7.0),
+        Tagged(1L, 150L, isRight = false, 1.0), // 50 <= 100 → enriched
+        Tagged(1L, 200L, isRight = false, 2.0), // exactly 100 → enriched
+        Tagged(1L, 201L, isRight = false, 3.0)) // 101 > 100 → None
+      q.processAllAvailable()
+      val rows = spark.table("asof_tol_stream").as[Streams.Enriched]
+        .collect().map(e => e.tsMs -> e.asofValue).toMap
+      assert(rows(150L).contains(7.0))
+      assert(rows(200L).contains(7.0), "horizon must be inclusive")
+      assert(rows(201L).isEmpty, "stale state must not enrich")
+    } finally q.stop()
+  }
+
   test("rangeJoinStream parity: equals the batch Joins.rangeJoin on the " +
       "same fixture, across micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
