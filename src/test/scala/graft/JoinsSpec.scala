@@ -581,6 +581,42 @@ class JoinsSpec extends SparkTestBase {
       30L * 30 + 1)
   }
 
+  test("asOf tolerance on DATE columns counts in epoch DAYS") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val l = Seq(("a", d("2024-01-10"), 1L)).toDF("k", "lts", "lid")
+    val r = Seq(("a", d("2024-01-05"), 10L), ("a", d("2023-12-01"), 20L))
+      .toDF("k", "rts", "rv")
+    def run(tol: Long) = Joins.asOf(l, r, Seq("k"), "lts", "rts",
+        Seq("rv"), prefix = "asof_", direction = "backward",
+        tolerance = Some(tol))
+      .select("asof_rv").collect()
+      .map(row => Option(row.getAs[java.lang.Long](0)).map(_.longValue))
+      .head
+    assert(run(5L).contains(10L), "5-day horizon reaches Jan 5 (inclusive)")
+    assert(run(4L).isEmpty, "4-day horizon must decline the 5-day-old row")
+  }
+
+  test("full-outer forms pay exactly one id-window exchange beyond the " +
+      "guard/join exchanges (plan pin)") {
+    // rangeJoinFullOuter: left guard window + right guard window (both
+    // reused by the sort-merge join) + the right-row-id count window = 3
+    // hash exchanges; the overlap form adds the second side's id window
+    val pts = Seq(("a", 5L, 1L)).toDF("k", "at", "pid")
+    val ivs = Seq(("a", 0L, 10L, 10L)).toDF("k", "lo", "hi", "iid")
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges(Joins.rangeJoinFullOuter(pts, ivs, Seq("k"),
+        "at", "lo", "hi", binWidth = 64)) == 3)
+      val l = Seq(("a", 0L, 30L, 1L)).toDF("k", "l_lo", "l_hi", "lid")
+      val r = Seq(("a", 20L, 80L, 10L)).toDF("k", "r_lo", "r_hi", "rid")
+      assert(exchanges(Joins.intervalOverlapJoinFullOuter(l, r, Seq("k"),
+        "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 64)) == 4)
+    }
+  }
+
   test("keyless full-outer forms match the vanilla keyless FULL JOIN") {
     val pts = Seq((1L, 5L), (2L, 500L)).toDF("pid", "at")
     val ivs = Seq((10L, 0L, 100L), (11L, 900L, 950L)).toDF("iid", "lo", "hi")
