@@ -23,7 +23,12 @@ import org.apache.spark.sql.types.Decimal
   * columns, epoch MICROS for timestamps, epoch DAYS for dates — and
   * because the hint names one specific join, timestamp/date containments
   * with raw `[start, end)` columns (which the conf path declines — its
-  * unit would be a blind guess) ARE hintable.
+  * unit would be a blind guess) ARE hintable. The hint carries exactly
+  * ONE width, applied to the join's primary range dimension; a second
+  * dimension still bins only from its own inferable sliding-window
+  * literal (a width list would need a width-to-conjunct mapping the
+  * user can't see — for full multi-dimension control call
+  * `Joins.rangeJoin(left, right, keys, dims)` directly).
   *
   * Resolution: Spark's analyzer knows only its built-in hint names and
   * would drop `RANGE_BIN` with an "Unrecognized hint" warning, so
