@@ -617,6 +617,25 @@ class JoinsSpec extends SparkTestBase {
     }
   }
 
+  test("rangeJoinFullOuter on TIMESTAMP columns matches the vanilla " +
+      "FULL JOIN (micros bin image)") {
+    val hourUs = 3600L * 1000000
+    val windows = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 10L),
+      ("u2", ts("2024-03-01 00:00:00"), ts("2024-03-01 01:00:00"), 11L))
+      .toDF("k", "w_lo", "w_hi", "iid")
+    val events = Seq(
+      ("u1", ts("2024-01-01 10:15:00"), 1L), // inside 10
+      ("u1", ts("2024-01-01 12:00:00"), 2L), // unmatched left
+      ("u3", ts("2024-01-01 10:15:00"), 3L)) // key with no window
+      .toDF("k", "at", "pid")
+    val got = Joins.rangeJoinFullOuter(events, windows, Seq("k"),
+        "at", "w_lo", "w_hi", binWidth = hourUs)
+      .select(coalesce(col("pid"), lit(-1L)), coalesce(col("iid"), lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, -1L), (3L, -1L), (-1L, 11L)))
+  }
+
   test("keyless full-outer forms match the vanilla keyless FULL JOIN") {
     val pts = Seq((1L, 5L), (2L, 500L)).toDF("pid", "at")
     val ivs = Seq((10L, 0L, 100L), (11L, 900L, 950L)).toDF("iid", "lo", "hi")
