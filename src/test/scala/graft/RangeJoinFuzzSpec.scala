@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.RangeJoinRewrite
+
+/** Differential fuzz for [[RangeJoinRewrite]]: the rule rewrites queries
+  * the user wrote as plain SQL, so its one correctness contract is
+  * "row-for-row identical to vanilla Spark" — across bound strictness,
+  * point orientation, join types, extra equi keys, nulls, and inverted
+  * intervals, with every width source. Deterministic seeded scenarios;
+  * each compares the rewritten result against the same query with the
+  * rule disabled (multisets, not sets — outer multiplicity matters).
+  *
+  * This complements the per-branch pins in RangeJoinRewriteSpec with
+  * breadth: an optimizer rule's failure mode is the shape nobody wrote a
+  * deliberate test for.
+  */
+class RangeJoinFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vanillaRows(build: => DataFrame): Seq[Seq[Any]] = {
+    spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
+    try build.collect().map(_.toSeq).toSeq
+    finally spark.conf.unset(RangeJoinRewrite.EnabledKey)
+  }
+
+  private def sortedRows(rows: Seq[Seq[Any]]): Seq[String] =
+    rows.map(_.map(String.valueOf).mkString("|")).sorted
+
+  private def withBinWidth[A](w: Long)(body: => A): A = {
+    spark.conf.set(RangeJoinRewrite.BinWidthKey, w.toString)
+    try body finally spark.conf.unset(RangeJoinRewrite.BinWidthKey)
+  }
+
+  test("containment: 40 random (strictness × orientation × join type × " +
+      "keys × nulls) scenarios match vanilla row-for-row") {
+    val rnd = new scala.util.Random(2024)
+    (1 to 40).foreach { i =>
+      val n = 40 + rnd.nextInt(60)
+      val pts = (1 to n).map { j =>
+        (j.toLong, rnd.nextInt(3).toLong,
+          if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(400).toLong))
+      }.toDF("pid", "k", "at")
+      val ivs = (1 to n).map { j =>
+        val s = rnd.nextInt(400).toLong
+        (1000L + j, rnd.nextInt(3).toLong,
+          if (rnd.nextInt(12) == 0) None else Some(s),
+          if (rnd.nextInt(12) == 0) None
+          else Some(s + rnd.nextInt(120) - 20L)) // some inverted
+      }.toDF("iid", "k2", "lo", "hi")
+      val lower =
+        if (rnd.nextBoolean()) $"at" >= $"lo" else $"at" > $"lo"
+      val upper =
+        if (rnd.nextBoolean()) $"at" < $"hi" else $"at" <= $"hi"
+      val withKey = rnd.nextBoolean()
+      val base = lower && upper
+      val cond = if (withKey) $"k" === $"k2" && base else base
+      // join types whose preserved side is the point side (or inner);
+      // the rule must rewrite OR decline — either way rows must match
+      val (l, r, joinType) = rnd.nextInt(5) match {
+        case 0 => (pts, ivs, "inner")
+        case 1 => (pts, ivs, "left_outer")
+        case 2 => (ivs, pts, "right_outer")
+        case 3 => (pts, ivs, "left_semi")
+        case _ => (pts, ivs, "left_anti")
+      }
+      val width = 1L + rnd.nextInt(200)
+      withBinWidth(width) {
+        def build = l.join(r, cond, joinType)
+        val got = sortedRows(build.collect().map(_.toSeq).toSeq)
+        val expected = sortedRows(vanillaRows(build))
+        assert(got == expected,
+          s"scenario $i diverged (type=$joinType key=$withKey " +
+            s"width=$width lower=$lower upper=$upper)")
+      }
+    }
+  }
+
+  test("overlap: 25 random scenarios (strictness × widths × keys × " +
+      "inverted × nulls) match vanilla row-for-row") {
+    val rnd = new scala.util.Random(4048)
+    (1 to 25).foreach { i =>
+      val n = 40 + rnd.nextInt(40)
+      def side(idBase: Long, kc: String, lo: String, hi: String) =
+        (1 to n).map { j =>
+          val s = rnd.nextInt(300).toLong
+          (idBase + j, rnd.nextInt(3).toLong,
+            if (rnd.nextInt(12) == 0) None else Some(s),
+            if (rnd.nextInt(12) == 0) None
+            else Some(s + rnd.nextInt(100) - 25L))
+        }.toDF("id" + idBase, kc, lo, hi)
+      val a = side(0, "ka", "a_lo", "a_hi")
+      val b = side(1000, "kb", "b_lo", "b_hi")
+      val c1 = if (rnd.nextBoolean()) $"a_lo" < $"b_hi" else $"a_lo" <= $"b_hi"
+      val c2 = if (rnd.nextBoolean()) $"b_lo" < $"a_hi" else $"b_lo" <= $"a_hi"
+      val cond =
+        if (rnd.nextBoolean()) $"ka" === $"kb" && c1 && c2 else c1 && c2
+      val width = 1L + rnd.nextInt(150)
+      withBinWidth(width) {
+        def build = a.join(b, cond)
+        val got = sortedRows(build.collect().map(_.toSeq).toSeq)
+        val expected = sortedRows(vanillaRows(build))
+        assert(got == expected, s"overlap scenario $i diverged " +
+          s"(width=$width c1=$c1 c2=$c2)")
+      }
+    }
+  }
+
+  test("width independence: any positive width (conf or hint) yields " +
+      "identical results — bins are a superset at every width") {
+    val rnd = new scala.util.Random(77)
+    val pts = (1 to 80).map(j => (j.toLong, rnd.nextInt(500).toLong))
+      .toDF("pid", "at")
+    val ivs = (1 to 80).map { j =>
+      val s = rnd.nextInt(500).toLong
+      (1000L + j, s, s + rnd.nextInt(90).toLong)
+    }.toDF("iid", "lo", "hi")
+    def build = pts.join(ivs, $"at" >= $"lo" && $"at" < $"hi")
+    val expected = sortedRows(vanillaRows(build))
+    for (w <- Seq(1L, 3L, 17L, 64L, 1000L, 1000000L)) {
+      withBinWidth(w) {
+        assert(sortedRows(build.collect().map(_.toSeq).toSeq) == expected,
+          s"conf width $w diverged")
+      }
+      val hinted = pts.hint("range_bin", w)
+        .join(ivs, $"at" >= $"lo" && $"at" < $"hi")
+      assert(sortedRows(hinted.collect().map(_.toSeq).toSeq) == expected,
+        s"hint width $w diverged")
+    }
+  }
+}
