@@ -93,8 +93,14 @@ object Joins {
     require(keyCols.nonEmpty, "asOf needs at least one equality key")
     require(Set("backward", "forward", "nearest").contains(direction),
       s"direction must be backward, forward, or nearest, got '$direction'")
-    tolerance.foreach(t => require(t >= 0,
-      s"tolerance must be >= 0, got $t"))
+    tolerance.foreach { t =>
+      require(t >= 0, s"tolerance must be >= 0, got $t")
+      // the horizon has ONE unit (the family's bin image); a DATE left
+      // against a TIMESTAMP right would mix days with micros — fail fast
+      // with the family error instead of a downstream analysis error
+      requireSameFamily(Seq((left, leftTs), (right, rightTs)),
+        "asOf tolerance timestamp")
+    }
     val lRowType = StructType(left.schema.fields)
     val rValType = StructType(
       rightVals.map(v => right.schema(v)).toArray)

@@ -581,6 +581,18 @@ class JoinsSpec extends SparkTestBase {
       30L * 30 + 1)
   }
 
+  test("asOf tolerance rejects mixed timestamp families (days vs micros " +
+      "would silently disagree)") {
+    val l = Seq(("a", java.sql.Date.valueOf("2024-01-10"), 1L))
+      .toDF("k", "lts", "lid")
+    val r = Seq(("a", ts("2024-01-05 00:00:00"), 10L)).toDF("k", "rts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOf(l, r, Seq("k"), "lts", "rts", Seq("rv"),
+        prefix = "asof_", direction = "backward", tolerance = Some(5L))
+    }
+    assert(e.getMessage.contains("type family"), e.getMessage)
+  }
+
   test("asOf tolerance on DATE columns counts in epoch DAYS") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val l = Seq(("a", d("2024-01-10"), 1L)).toDF("k", "lts", "lid")
