@@ -812,6 +812,25 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(pairs(joined) == Set((1L, 10L)))
   }
 
+  test("a fresh extensions-only session resolves the RANGE_BIN hint " +
+      "(conf-only deployments get the analyzer rule too)") {
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    val np = Seq((1L, 5L), (2L, 250L)).toDF("pid", "at")
+    val ni = Seq((10L, 0L, 10L)).toDF("iid", "start", "end")
+    np.createOrReplaceTempView("fh_points")
+    ni.createOrReplaceTempView("fh_intervals")
+    val joined = fresh.sql(
+      """SELECT /*+ RANGE_BIN(16) */ pid, iid FROM fh_points p
+        |JOIN fh_intervals i ON p.at >= i.start AND p.at < i.end"""
+        .stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("/ 16.0"),
+      s"fresh session dropped the hint:\n$plan")
+    assert(joined.as[(Long, Long)].collect().toSet == Set((1L, 10L)))
+  }
+
   test("a RANGE_BIN hint with the rule DISABLED is stripped cleanly: " +
       "vanilla plan, correct rows, no marker reaching the planner") {
     spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
