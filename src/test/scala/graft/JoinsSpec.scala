@@ -216,6 +216,60 @@ class JoinsSpec extends SparkTestBase {
       "vetting must run per side before closer-wins")
   }
 
+  test("asOf differential fuzz: 24 scenarios (direction × tolerance × " +
+      "duplicate timestamps × nulls) match the brute force") {
+    val rnd = new scala.util.Random(9090)
+    (1 to 24).foreach { i =>
+      val n = 60 + rnd.nextInt(60)
+      val lRows = (1 to n).map { j =>
+        (rnd.nextInt(4).toLong,
+          if (rnd.nextInt(15) == 0) None
+          // coarse grid → plenty of exact ties and duplicate timestamps
+          else Some(rnd.nextInt(40).toLong * 5),
+          j.toLong)
+      }
+      val rRows = (1 to n).map { j =>
+        (rnd.nextInt(4).toLong,
+          if (rnd.nextInt(15) == 0) None
+          else Some(rnd.nextInt(40).toLong * 5),
+          j.toLong * 10)
+      }
+      val l = lRows.toDF("k", "lts", "lid")
+      val r = rRows.toDF("k", "rts", "rv")
+      val direction = Seq("backward", "forward", "nearest")(rnd.nextInt(3))
+      val tol = if (rnd.nextBoolean()) Some(rnd.nextInt(30).toLong) else None
+      val got = Joins.asOf(l, r, Seq("k"), "lts", "rts", Seq("rv"),
+          prefix = "asof_", direction = direction, tolerance = tol)
+        .select("lid", "asof_rv").collect()
+        .map(row => row.getLong(0) ->
+          Option(row.getAs[java.lang.Long](1)).map(_.longValue)).toMap
+      assert(got.size == n, s"scenario $i lost left rows")
+      lRows.foreach { case (k, ltsOpt, lid) =>
+        val expect = ltsOpt.flatMap { lts =>
+          val cand = rRows.filter(t => t._1 == k && t._2.isDefined)
+            .map(t => (t._2.get, t._3))
+          def ok(d: Long) = tol.forall(d <= _)
+          val before = cand.filter(c => c._1 <= lts && ok(lts - c._1))
+            // operator tie-break: largest (ts, value) wins backward
+            .sortBy(c => (c._1, c._2)).lastOption
+          val after = cand.filter(c => c._1 >= lts && ok(c._1 - lts))
+            .sortBy(c => (c._1, c._2)).headOption
+          direction match {
+            case "backward" => before.map(_._2)
+            case "forward" => after.map(_._2)
+            case "nearest" => (before, after) match {
+              case (Some(b), Some(a)) =>
+                Some(if (lts - b._1 <= a._1 - lts) b._2 else a._2)
+              case (b, a) => b.orElse(a).map(_._2)
+            }
+          }
+        }
+        assert(got(lid) == expect,
+          s"scenario $i: lid=$lid k=$k lts=$ltsOpt dir=$direction tol=$tol")
+      }
+    }
+  }
+
   test("asOf null timestamps follow SQL comparison semantics: null-ts " +
       "left rows keep nulls in every direction, null-ts right rows " +
       "never match") {
