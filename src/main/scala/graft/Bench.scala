@@ -21,6 +21,49 @@ import graft.core.GraftSession
   * per-query spread map.
   */
 object Bench {
+
+  /** Calibration anchor: a pinned two-part workload (parquet scan+agg and a
+    * forced shuffle join) timed in this JVM before the timed passes, so a
+    * cross-round reader can separate container drift from code deltas. The
+    * workload deliberately touches NO graft code — raw `spark.read.parquet`
+    * plus built-in aggregates only — so its cost moves only with the
+    * container (CPU/IO/scheduler) and the data directory, never with the
+    * engine under test. Min-of-`runs` after one discarded warm-up, same
+    * methodology as the query timings. The merge hint on the join pins a
+    * sort-merge plan (exchange + sort on both sides) so AQE cannot quietly
+    * swap in a broadcast join and collapse the thing being measured.
+    *
+    * Reading rule (also in BASELINE.md): before judging per-query deltas
+    * between rounds, compute `ratio = calibration_total(now) /
+    * calibration_total(then)`; per-query deltas within `ratio` ± the
+    * query's `spread` are ambient drift, not code.
+    */
+  private def calibrate(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String, runs: Int): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    def scanAgg(): Unit =
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), sum("l_extendedprice"),
+          avg("l_discount"), count(lit(1)))
+        .count()
+    def shuffleJoin(): Unit = {
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+      l.join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("l_quantity")).count()
+    }
+    def minOf(f: () => Unit): Double = {
+      f() // discarded warm-up: JIT + parquet footer cache, like the suite
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    (minOf(() => scanAgg()), minOf(() => shuffleJoin()))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = math.max(1,
@@ -35,6 +78,13 @@ object Bench {
     names.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // calibration anchor BEFORE the timed passes (so a mid-suite GC storm
+    // can't contaminate it) but AFTER the warm-up (so it measures the same
+    // steady-state JVM the queries run in); best-effort — a missing table
+    // must not fail the bench, it just reports -1
+    val (calScan, calJoin) =
+      try calibrate(spark, sfDir, runs)
+      catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0) }
     // all successful run times per query; a query that never succeeds
     // reports -1 rather than masquerading as a fast time-to-failure
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -99,7 +149,10 @@ object Bench {
     // failure counts incomparable; failures are reported as their own count
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2.minOption).sum
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"sf":"$sfDir","spread_med":${pct(0.5)},"spread_p90":${pct(0.9)}"""
+    val calTotal = if (calScan < 0 || calJoin < 0) -1.0 else calScan + calJoin
+    val calibration =
+      s"""{"scan":${fmt(calScan)},"join":${fmt(calJoin)},"total":${fmt(calTotal)}}"""
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"sf":"$sfDir","calibration":$calibration,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)}"""
     println(s"""{$head,"queries":$qsShort}""")
     // the full record (long names + per-query spread) lives on disk where
     // truncation can't reach it; best-effort — a read-only cwd must not
