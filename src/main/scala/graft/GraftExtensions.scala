@@ -106,18 +106,23 @@ object GraftExtensions {
     * operator-optimization batch, which runs BEFORE `RewriteSubquery`
     * turns `EXISTS`/`IN` predicates into semi/anti joins — so a range
     * predicate inside a subquery is invisible to the early rule and would
-    * keep its BroadcastNestedLoopJoin. The late batch sees those joins.
-    * Both registrations are safe together: the rule never matches its own
-    * output (`_graft_bin` re-entry guard), so the late pass only touches
-    * joins born after the early one ran. Idempotent.
+    * keep its BroadcastNestedLoopJoin. The late batch sees those joins —
+    * and receives any `RANGE_BIN` hint width for them, because the early
+    * pass keeps the hint marker alive across `RewriteSubquery` whenever a
+    * predicate subquery sits beneath it (see `RangeJoinRewriteFinal`,
+    * the final-pass variant registered here, which consumes the width
+    * and strips the marker unconditionally). Both registrations are safe
+    * together: the rule never matches its own output (`_graft_bin`
+    * re-entry guard), so the late pass only touches joins born after the
+    * early one ran. Idempotent.
     */
   def registerLateRule(spark: SparkSession): Unit = {
     spark match {
       case c: org.apache.spark.sql.classic.SparkSession =>
         if (!c.experimental.extraOptimizations
-            .contains(graft.plans.RangeJoinRewrite))
+            .contains(graft.plans.RangeJoinRewriteFinal))
           c.experimental.extraOptimizations ++=
-            Seq(graft.plans.RangeJoinRewrite)
+            Seq(graft.plans.RangeJoinRewriteFinal)
       case other =>
         // don't silently degrade: without this registration theta-range
         // joins inside EXISTS/IN subqueries keep their vanilla

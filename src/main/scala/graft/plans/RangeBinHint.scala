@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Exists, ListQuery, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, UnresolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.Decimal
@@ -37,10 +37,14 @@ import org.apache.spark.sql.types.Decimal
   * analyzer's hint-removal batch) converts the [[UnresolvedHint]] into
   * the [[RangeBinHint]] marker node. The marker is transparent (output =
   * child output) and is consumed — width read, node stripped — by
-  * [[RangeJoinRewrite]] on its first optimizer pass, so it never reaches
-  * physical planning. Limitation: joins that are BORN after that pass
-  * (e.g. semi-joins from `EXISTS` subquery rewriting) no longer see the
-  * hint; use the conf for those.
+  * [[RangeJoinRewrite]]; joins BORN in `RewriteSubquery` (semi/anti
+  * joins from `EXISTS`/`IN` predicates) see it too, in either placement:
+  * a hint written inside the subquery is hoisted to the outer operator
+  * at analysis (see [[ResolveRangeBinHint]]), the early optimizer pass
+  * keeps the marker alive while a predicate subquery sits beneath it,
+  * and the final pass ([[RangeJoinRewriteFinal]], which runs after
+  * `RewriteSubquery`) consumes the width and strips the marker
+  * unconditionally, so it never reaches physical planning.
   */
 final case class RangeBinHint(width: Long, child: LogicalPlan)
     extends UnaryNode {
@@ -54,6 +58,24 @@ final case class RangeBinHint(width: Long, child: LogicalPlan)
   * [[RangeBinHint]]. A malformed width fails loudly — the user opted in
   * by writing the hint, and silently dropping it would be undiagnosable
   * (the same contract as the conf's validation in [[RangeJoinRewrite]]).
+  *
+  * A hint written INSIDE a subquery —
+  * `WHERE EXISTS (SELECT /&#42;+ RANGE_BIN(w) &#42;/ …)` — is HOISTED: the
+  * marker is stripped from the subquery plan and re-wrapped around the
+  * outer operator holding the subquery expression. Two reasons: (1) the
+  * join the hint targets is born at exactly that outer node (when
+  * `RewriteSubquery` turns the predicate into a semi/anti join), so the
+  * outer placement is where [[RangeJoinRewrite]] can consume the width;
+  * (2) a correlated subquery may hold outer references ONLY beneath
+  * operators Spark's `ValidateSubqueryExpression` whitelists — a marker
+  * left above the correlated filter fails analysis. Hoisting covers
+  * EXISTS / IN always, and other subquery kinds when correlated (an
+  * uncorrelated scalar subquery keeps its marker: its joins live inside
+  * the subquery plan, which `OptimizeSubqueries` optimizes — and strips —
+  * standalone). Trade-off, documented: a hint deep inside a predicate
+  * subquery that targeted a join WITHIN the subquery body is applied to
+  * the subquery-born join instead — hint the inner join from the outer
+  * statement, or use `Joins.rangeJoin`, for that shape.
   */
 object ResolveRangeBinHint extends Rule[LogicalPlan] {
 
@@ -64,7 +86,46 @@ object ResolveRangeBinHint extends Rule[LogicalPlan] {
       case UnresolvedHint(name, params, child)
           if name.equalsIgnoreCase(HintName) =>
         RangeBinHint(parseWidth(params), child)
+      case node if node.expressions.exists(_.exists {
+          case s: SubqueryExpression => hoistable(s) && hasMarker(s.plan)
+          case _ => false
+        }) =>
+        var width: Option[Long] = None
+        val cleaned = node.transformExpressions {
+          case s: SubqueryExpression if hoistable(s) && hasMarker(s.plan) =>
+            val (stripped, w) = stripMarkers(s.plan)
+            if (width.isEmpty) width = w
+            s.withNewPlan(stripped)
+        }
+        width.map(RangeBinHint(_, cleaned)).getOrElse(cleaned)
     }
+
+  /** EXISTS/IN plans are inlined as join inputs by `RewriteSubquery`, so
+    * their hints always hoist; any other subquery kind hoists only when
+    * correlated (where the marker node would fail
+    * `ValidateSubqueryExpression`'s outer-reference whitelist).
+    */
+  private def hoistable(s: SubqueryExpression): Boolean = s match {
+    case _: Exists | _: ListQuery => true
+    case other => other.isCorrelated
+  }
+
+  private def hasMarker(plan: LogicalPlan): Boolean =
+    plan.exists(_.isInstanceOf[RangeBinHint])
+
+  /** Remove every marker from a subquery plan; the outermost width wins
+    * (matching "innermost hint wins" from the hoist target's viewpoint —
+    * the hoisted marker lands closest to the born join).
+    */
+  private def stripMarkers(plan: LogicalPlan): (LogicalPlan, Option[Long]) = {
+    var w: Option[Long] = None
+    val stripped = plan.resolveOperatorsUp {
+      case RangeBinHint(width, child) =>
+        w = Some(width) // resolveOperatorsUp: last assignment = outermost
+        child
+    }
+    (stripped, w)
+  }
 
   private def parseWidth(params: Seq[Any]): Long = {
     def fail(detail: String): Nothing =

@@ -146,11 +146,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val EnabledKey = "spark.graft.rangeJoin.enabled"
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    run(plan, finalPass = false)
+
+  /** Shared body for the early (operator-optimization) and final
+    * (extraOptimizations, after `RewriteSubquery`) registrations — see
+    * [[RangeJoinRewriteFinal]] for why there are two.
+    */
+  private[plans] def run(plan: LogicalPlan, finalPass: Boolean): LogicalPlan = {
     val enabled = conf.getConfString(EnabledKey, "true")
       .toLowerCase(java.util.Locale.ROOT) == "true"
-    walk(plan, None, enabled)._1
+    walk(plan, None, enabled, finalPass = finalPass)._1
   }
+
+  /** True when some expression beneath still holds an EXISTS / IN
+    * subquery — i.e. a join this pass cannot see yet may be born from it
+    * in `RewriteSubquery`.
+    */
+  private def hasPredicateSubquery(plan: LogicalPlan): Boolean =
+    plan.exists(_.expressions.exists(_.exists {
+      case _: Exists | _: ListQuery => true
+      case _ => false
+    }))
 
   /** Bottom-up rewrite pass, hand-rolled instead of `transformUp` so a
     * [[RangeBinHint]]'s width can reach its joins in BOTH placements:
@@ -160,18 +177,29 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * idiom) BUBBLES UP to the first join that consumes the marked subtree
     * (even if an optimizer-inserted Project sits between), where it is
     * consumed. The left input's bubble wins if both inputs carry one.
-    * Markers are stripped unconditionally — even when the rule is
-    * disabled — so they never reach physical planning.
+    *
+    * Marker lifetime: a marker is stripped on sight — even when the rule
+    * is disabled — UNLESS a join that does not exist yet may still need
+    * its width: in the early pass, an EXISTS/IN predicate beneath the
+    * marker becomes a semi/anti join only later, in `RewriteSubquery`,
+    * so the marker is kept alive across it. (Markers never sit INSIDE a
+    * subquery plan by this point — [[ResolveRangeBinHint]] hoists those
+    * into the outer plan at analysis.) The final pass (`finalPass`,
+    * registered after `RewriteSubquery` — see [[RangeJoinRewriteFinal]])
+    * strips unconditionally, so markers never reach physical planning.
     *
     * Returns (rewritten plan, width bubbling up to the nearest join
     * above, if any).
     */
   private def walk(plan: LogicalPlan, inherited: Option[Long],
-      enabled: Boolean): (LogicalPlan, Option[Long]) = plan match {
+      enabled: Boolean, finalPass: Boolean): (LogicalPlan, Option[Long]) =
+    plan match {
     case RangeBinHint(w, child) =>
       // the marked subtree's joins see w as their inherited width; the
       // marker itself bubbles w up to the join consuming this subtree
-      (walk(child, Some(w), enabled)._1, Some(w))
+      val stripped = walk(child, Some(w), enabled, finalPass)._1
+      val keep = !finalPass && hasPredicateSubquery(stripped)
+      (if (keep) RangeBinHint(w, stripped) else stripped, Some(w))
     // streaming joins are excluded: Spark's stream-stream interval join
     // already consumes the time-range conjuncts as a state-retention
     // bound (that IS its pruning mechanism — see Streams.rangeJoinStream);
@@ -180,15 +208,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(left, right, Inner | LeftOuter | RightOuter | LeftSemi |
         LeftAnti, Some(_), _)
         if enabled && j.resolved && !left.isStreaming && !right.isStreaming =>
-      val (l, lw) = walk(j.left, inherited, enabled)
-      val (r, rw) = walk(j.right, inherited, enabled)
+      val (l, lw) = walk(j.left, inherited, enabled, finalPass)
+      val (r, rw) = walk(j.right, inherited, enabled, finalPass)
       val rebuilt = j.withNewChildren(Seq(l, r)).asInstanceOf[Join]
       val width = lw.orElse(rw).orElse(inherited)
       (rewrite(rebuilt, width).getOrElse(rebuilt), None)
     case other =>
       var bubble: Option[Long] = None
       val newPlan = other.mapChildren { c =>
-        val (p, b) = walk(c, inherited, enabled)
+        val (p, b) = walk(c, inherited, enabled, finalPass)
         if (bubble.isEmpty) bubble = b
         p
       }
@@ -645,4 +673,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case d: Decimal => Some(d.toDouble)
     case _ => None
   }
+}
+
+/** The late-batch ("User Provided Optimizers", via
+  * `ExperimentalMethods.extraOptimizations` — see
+  * `GraftExtensions.registerLateRule`) registration of
+  * [[RangeJoinRewrite]]. It runs AFTER `RewriteSubquery`, so it is the
+  * pass that sees EXISTS/IN-born semi/anti joins — including ones whose
+  * width arrives from a `RANGE_BIN` hint: the early pass KEEPS the
+  * [[RangeBinHint]] marker alive when a predicate subquery sits beneath
+  * it (and inside `OptimizeSubqueries` always), precisely so the width
+  * survives to this pass; this pass then consumes the width and strips
+  * the marker unconditionally, so it never reaches physical planning.
+  * A separate object (not a second registration of the same one) because
+  * the two passes differ in exactly that marker lifetime.
+  */
+object RangeJoinRewriteFinal extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    RangeJoinRewrite.run(plan, finalPass = true)
 }

@@ -831,6 +831,67 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(joined.as[(Long, Long)].collect().toSet == Set((1L, 10L)))
   }
 
+  test("RANGE_BIN hint reaches EXISTS/IN-born semi/anti joins with NO " +
+      "conf set, in both placements: inside the subquery and on the " +
+      "outer query") {
+    // RewriteSubquery creates these joins AFTER the early optimizer pass
+    // consumed DataFrame-side markers; the width must survive to the
+    // late (extraOptimizations) pass. Raw [start, end) columns carry no
+    // inferable width, so with no conf the ONLY way these can bin is the
+    // hint actually arriving.
+    points.createOrReplaceTempView("hx_points")
+    intervals.createOrReplaceTempView("hx_intervals")
+    val inner = spark.sql(
+      """SELECT pid FROM hx_points p WHERE EXISTS (
+        |  SELECT /*+ RANGE_BIN(16) */ 1 FROM hx_intervals i
+        |  WHERE p.at >= i.start AND p.at < i.end)""".stripMargin)
+    val outer = spark.sql(
+      """SELECT /*+ RANGE_BIN(16) */ pid FROM hx_points p WHERE EXISTS (
+        |  SELECT 1 FROM hx_intervals i
+        |  WHERE p.at >= i.start AND p.at < i.end)""".stripMargin)
+    val outerAnti = spark.sql(
+      """SELECT /*+ RANGE_BIN(16) */ pid FROM hx_points p WHERE NOT EXISTS (
+        |  SELECT 1 FROM hx_intervals i
+        |  WHERE p.at >= i.start AND p.at < i.end)""".stripMargin)
+    val containedIds = Set(1L, 2L, 4L) // pids inside some [start, end)
+    for ((df, kind) <- Seq((inner, "subquery-hint EXISTS"),
+        (outer, "outer-hint EXISTS"))) {
+      val plan = physical(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        plan.contains("/ 16.0"),
+        s"$kind lost the hint width:\n$plan")
+      assert(df.as[Long].collect().toSet == containedIds, kind)
+    }
+    val antiPlan = physical(outerAnti)
+    assert(!antiPlan.contains("BroadcastNestedLoopJoin") &&
+      antiPlan.contains("/ 16.0"),
+      s"outer-hint NOT EXISTS lost the hint width:\n$antiPlan")
+    assert(outerAnti.as[Long].collect().toSet == Set(3L))
+    // statement scoping must survive the longer marker lifetime: an
+    // unhinted twin right after still plans vanilla
+    val unhinted = spark.sql(
+      """SELECT pid FROM hx_points p WHERE EXISTS (
+        |  SELECT 1 FROM hx_intervals i
+        |  WHERE p.at >= i.start AND p.at < i.end)""".stripMargin)
+    assert(physical(unhinted).contains("BroadcastNestedLoopJoin"),
+      "hint width leaked past its own statement")
+  }
+
+  test("RANGE_BIN hint reaches an IN range subquery") {
+    points.createOrReplaceTempView("hi_points")
+    intervals.createOrReplaceTempView("hi_intervals")
+    val in = spark.sql(
+      """SELECT /*+ RANGE_BIN(16) */ pid FROM hx_points p WHERE pid IN (
+        |  SELECT iid - 9 FROM hx_intervals i
+        |  WHERE p.at >= i.start AND p.at < i.end)""".stripMargin)
+    val plan = physical(in)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("/ 16.0"),
+      s"IN range subquery lost the hint width:\n$plan")
+    // pid IN {iid - 9 of containing intervals}: 1∈{1}, 2∈{2}, 4∉{3}
+    assert(in.as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("a RANGE_BIN hint with the rule DISABLED is stripped cleanly: " +
       "vanilla plan, correct rows, no marker reaching the planner") {
     spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
