@@ -108,6 +108,73 @@ class RangeJoinFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("2-D containment: 22 random (two windows / window + band / " +
+      "shared-conjunct) scenarios match vanilla row-for-row, and the " +
+      "two-key plan actually fires") {
+    // breadth for the secondary-dimension selection logic: same point
+    // side, distinct point expression, no shared conjunct, own inferable
+    // width. Scenarios deliberately include shapes where the second
+    // dimension must DECLINE (raw band with no literal, shared bound
+    // column) — parity must hold whether the 2-D plan fires or not.
+    val rnd = new scala.util.Random(9311)
+    var twoKeyPlans = 0
+    (1 to 22).foreach { i =>
+      val n = 40 + rnd.nextInt(50)
+      def opt(v: Long): Option[Long] =
+        if (rnd.nextInt(12) == 0) None else Some(v)
+      val pts = (1 to n).map { j =>
+        (j.toLong, rnd.nextInt(3).toLong, opt(rnd.nextInt(400).toLong),
+          opt(rnd.nextInt(200).toLong))
+      }.toDF("pid", "k", "at", "v")
+      val ivs = (1 to n).map { j =>
+        val lo = rnd.nextInt(400).toLong
+        (1000L + j, rnd.nextInt(3).toLong, opt(lo),
+          opt(lo + rnd.nextInt(120) - 20L), // raw hi, some inverted
+          opt(rnd.nextInt(200).toLong))
+      }.toDF("iid", "k2", "lo", "hi", "vlo")
+      val c1 = 1L + rnd.nextInt(60)
+      val c2 = 1L + rnd.nextInt(40)
+      // dimension 1: always a sliding window on `at` (inferable)
+      val lower1 = if (rnd.nextBoolean()) $"at" >= $"lo" else $"at" > $"lo"
+      val upper1 =
+        if (rnd.nextBoolean()) $"at" < $"lo" + c1 else $"at" <= $"lo" + c1
+      // dimension 2 on `v`: sliding window, backward BETWEEN, a raw band
+      // (must stay residual — no literal), or a shared-column bound that
+      // reuses dim 1's `lo` (the shared-conjunct exclusion's territory)
+      val dim2 = rnd.nextInt(4) match {
+        case 0 =>
+          val lo2 = if (rnd.nextBoolean()) $"v" >= $"vlo" else $"v" > $"vlo"
+          val up2 = if (rnd.nextBoolean()) $"v" < $"vlo" + c2
+            else $"v" <= $"vlo" + c2
+          lo2 && up2
+        case 1 => $"v".between($"vlo" - c2, $"vlo")
+        case 2 => $"v" >= $"vlo" && $"v" < $"hi" // raw: no inferable width
+        case _ => $"v" >= $"lo" && $"v" < $"vlo" + c2 // shares dim-1's lo
+      }
+      val base = lower1 && upper1 && dim2
+      val withKey = rnd.nextBoolean()
+      val cond = if (withKey) $"k" === $"k2" && base else base
+      val (l, r, joinType) = rnd.nextInt(5) match {
+        case 0 => (pts, ivs, "inner")
+        case 1 => (pts, ivs, "left_outer")
+        case 2 => (ivs, pts, "right_outer")
+        case 3 => (pts, ivs, "left_semi")
+        case _ => (pts, ivs, "left_anti")
+      }
+      def build = l.join(r, cond, joinType)
+      if (build.queryExecution.executedPlan.toString.contains("_graft_bin2"))
+        twoKeyPlans += 1
+      val got = sortedRows(build.collect().map(_.toSeq).toSeq)
+      val expected = sortedRows(vanillaRows(build))
+      assert(got == expected,
+        s"2-D scenario $i diverged (type=$joinType key=$withKey " +
+          s"c1=$c1 c2=$c2)")
+    }
+    // the fuzz is worthless if every scenario declined into 1-D
+    assert(twoKeyPlans >= 5,
+      s"only $twoKeyPlans of 22 scenarios produced a two-bin-key plan")
+  }
+
   test("width independence: any positive width (conf or hint) yields " +
       "identical results — bins are a superset at every width") {
     val rnd = new scala.util.Random(77)
