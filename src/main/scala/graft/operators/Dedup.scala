@@ -297,7 +297,7 @@ object Dedup {
       .select(col(key), col("pos").as("_band"), col("col").as("_bucket"))
     // drops are counted in GuardMetrics' accumulators (+ one warn line)
     val banded = GuardMetrics.capCohorts(banded0,
-      Seq(col("_band"), col("_bucket")), maxBucketSize)
+      Seq(col("_band"), col("_bucket")), maxBucketSize, "minhash")
     val candidates = banded.as("l")
       .join(banded.as("r"), Seq("_band", "_bucket"))
       .select(col(s"l.$key").as("key_a"), col(s"r.$key").as("key_b"))
@@ -353,7 +353,7 @@ object Dedup {
     // minhashNearDuplicates guard note). maxBucketSize <= 0 → guard off.
     // drops are counted in GuardMetrics' accumulators (+ one warn line)
     val banded = GuardMetrics.capCohorts(banded0,
-      Seq(col("_band"), col("_chunk")), maxBucketSize)
+      Seq(col("_band"), col("_chunk")), maxBucketSize, "simhash")
     val l = banded.select(col(key).as("key_a"), col("_h").as("_h_a"),
       col("_band"), col("_chunk"))
     val r = banded.select(col(key).as("key_b"), col("_h").as("_h_b"),

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.atomic.AtomicBoolean
-
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.SparkContext
@@ -19,6 +17,14 @@ import org.apache.spark.util.LongAccumulator
   * here), and the first drop in each executor JVM emits one warn line, so
   * a user debugging "missing matches" has something to find.
   *
+  * Attribution: each guarded operator passes a `tag` ("rangeJoin",
+  * "minhash", …), which registers a SECOND accumulator pair suffixed with
+  * the tag (`graft.skewGuard.droppedRows.minhash`). The untagged pair
+  * stays the session-wide total, so a dashboard watching one number keeps
+  * working — but when two guarded operators run in ONE query, their
+  * tagged pairs count independently and the drop source is attributable
+  * (read them via `of(sc, tag)`). The warn line names the tag.
+  *
   * Accumulator caveat (standard Spark semantics): updates happen inside a
   * transformation, so task retries/speculation can overcount. The counters
   * are diagnostics — "did the guard fire, roughly how hard" — not exact
@@ -27,9 +33,14 @@ import org.apache.spark.util.LongAccumulator
   */
 object GuardMetrics {
 
-  /** Accumulator names as they appear in the Spark UI. */
+  /** Accumulator names as they appear in the Spark UI; a tagged pair
+    * appends `.tag`.
+    */
   val DroppedRowsName = "graft.skewGuard.droppedRows"
   val DroppedCohortsName = "graft.skewGuard.droppedCohorts"
+
+  private def taggedName(base: String, tag: String): String =
+    if (tag.isEmpty) base else s"$base.$tag"
 
   final case class Counters(droppedRows: LongAccumulator,
       droppedCohorts: LongAccumulator) {
@@ -37,31 +48,42 @@ object GuardMetrics {
     def reset(): Unit = { droppedRows.reset(); droppedCohorts.reset() }
   }
 
-  // one pair of session-wide counters per SparkContext, registered lazily
-  // on first guarded operator; TrieMap for lock-free concurrent builders
-  private val registry = TrieMap.empty[SparkContext, Counters]
+  // one pair of counters per (SparkContext, tag), registered lazily on
+  // first guarded operator; TrieMap for lock-free concurrent builders
+  private val registry = TrieMap.empty[(SparkContext, String), Counters]
 
-  def of(sc: SparkContext): Counters =
-    registry.getOrElseUpdate(sc, Counters(
-      sc.longAccumulator(DroppedRowsName),
-      sc.longAccumulator(DroppedCohortsName)))
+  /** The session-wide totals (every guard adds here, tagged or not). */
+  def of(sc: SparkContext): Counters = of(sc, "")
 
-  // once per JVM, not per row: executors log the first drop they see and
-  // point at the accumulators; anything louder floods the executor log on
-  // exactly the pathological inputs the guard exists for
-  private val warned = new AtomicBoolean(false)
-  private def warnOnce(cap: Long): Unit =
-    if (warned.compareAndSet(false, true))
+  /** One operator's own counters — independent of every other tag. */
+  def of(sc: SparkContext, tag: String): Counters =
+    registry.getOrElseUpdate((sc, tag), Counters(
+      sc.longAccumulator(taggedName(DroppedRowsName, tag)),
+      sc.longAccumulator(taggedName(DroppedCohortsName, tag))))
+
+  /** Zero every pair registered on this context (tagged and untagged). */
+  def resetAll(sc: SparkContext): Unit =
+    registry.foreach { case ((c, _), ctr) => if (c eq sc) ctr.reset() }
+
+  // once per JVM per tag, not per row: executors log the first drop each
+  // guard sees and point at the accumulators; anything louder floods the
+  // executor log on exactly the pathological inputs the guard exists for
+  private val warned = TrieMap.empty[String, Unit]
+  private def warnOnce(cap: Long, tag: String): Unit =
+    if (warned.putIfAbsent(tag, ()).isEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "graft: a skew guard dropped an over-cap cohort (cap={}); see " +
+        "graft: skew guard '{}' dropped an over-cap cohort (cap={}); see " +
           "accumulators '{}' / '{}' for totals. Raise the cap or pass the " +
           "<=0 sentinel to keep such cohorts (at quadratic cost).",
-        cap.toString, DroppedRowsName, DroppedCohortsName)
+        if (tag.isEmpty) "(untagged)" else tag, cap.toString,
+        taggedName(DroppedRowsName, tag),
+        taggedName(DroppedCohortsName, tag))
 
   /** Shared guard body: drop every row of a `keys` cohort larger than
-    * `cap`, counting dropped rows and cohorts. The count/row_number window
-    * partitions AND sorts on `keys` — for the binned joins that is the
-    * join's own shuffle+sort, so the guard adds no exchange.
+    * `cap`, counting dropped rows and cohorts under `tag` (and in the
+    * session-wide untagged pair). The count/row_number window partitions
+    * AND sorts on `keys` — for the binned joins that is the join's own
+    * shuffle+sort, so the guard adds no exchange.
     *
     * The keep decision is the same pure `cohort size <= cap` comparison
     * as before, evaluated codegen'd as the LEFT side of a short-circuit
@@ -71,18 +93,23 @@ object GuardMetrics {
     * accumulator side effect (one `add` of the whole cohort size from
     * the cohort's first row, per the row_number) before returning false.
     */
-  def capCohorts(df: DataFrame, keys: Seq[Column], cap: Long): DataFrame = {
+  def capCohorts(df: DataFrame, keys: Seq[Column], cap: Long,
+      tag: String = ""): DataFrame = {
     if (cap <= 0) df
     else {
-      val ctr = of(df.sparkSession.sparkContext)
-      val rows = ctr.droppedRows
-      val cohorts = ctr.droppedCohorts
+      val sc = df.sparkSession.sparkContext
+      val total = of(sc)
+      val own = if (tag.isEmpty) None else Some(of(sc, tag))
       val w = Window.partitionBy(keys: _*).orderBy(keys: _*)
       val recordDrop = udf { (n: Long, rn: Long) =>
         if (rn == 1L) { // one arbitrary row speaks for the whole cohort
-          rows.add(n)
-          cohorts.add(1L)
-          warnOnce(cap)
+          total.droppedRows.add(n)
+          total.droppedCohorts.add(1L)
+          own.foreach { c =>
+            c.droppedRows.add(n)
+            c.droppedCohorts.add(1L)
+          }
+          warnOnce(cap, tag)
         }
         false
       }

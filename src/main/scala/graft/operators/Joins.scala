@@ -331,7 +331,7 @@ object Joins {
         floor(binSrc(df, d.leftAt) / d.binWidth).cast("long"))
     }
     val joinKeys = keyCols ++ dims.indices.map(binName)
-    val guard = binGuard(joinKeys, maxBinSize) _
+    val guard = binGuard(joinKeys, maxBinSize, "rangeJoin") _
     guard(lBinned).join(guard(rBinned), joinKeys)
       .filter(dims.map(d => col(d.leftAt) >= col(d.rightStart) &&
         col(d.leftAt) < col(d.rightEnd)).reduce(_ && _))
@@ -342,12 +342,13 @@ object Joins {
     * a (key, bin) cohort larger than `maxBinSize` (see [[rangeJoin]]'s
     * guard doc for the trade). The count window partitions on the join's
     * own keys, so its exchange is reused by the join itself. Drops are
-    * counted in the session's [[GuardMetrics]] accumulators and warned
-    * once per executor — a guard that discards rows must say how many.
+    * counted in the session's [[GuardMetrics]] accumulators — the
+    * session-wide pair plus a per-`tag` pair, so two guarded operators
+    * in one query stay attributable — and warned once per executor.
     */
-  private def binGuard(joinKeys: Seq[String], maxBinSize: Long)(
-      df: DataFrame): DataFrame =
-    GuardMetrics.capCohorts(df, joinKeys.map(col), maxBinSize)
+  private def binGuard(joinKeys: Seq[String], maxBinSize: Long,
+      tag: String)(df: DataFrame): DataFrame =
+    GuardMetrics.capCohorts(df, joinKeys.map(col), maxBinSize, tag)
 
   /** Left-outer [[rangeJoin]] (single dimension): every left row
     * survives; points inside no right interval carry nulls for the right
@@ -399,7 +400,8 @@ object Joins {
           floor(binSrc(df, d.rightEnd) / d.binWidth).cast("long"))))
     }
     val rGuarded = binGuard(
-      keyCols.map(rKeyName) ++ dims.indices.map(rBinName), maxBinSize)(rBinned)
+      keyCols.map(rKeyName) ++ dims.indices.map(rBinName), maxBinSize,
+      "rangeJoinOuter")(rBinned)
     val lBinned = dims.zipWithIndex.foldLeft(left) { case (df, (d, i)) =>
       df.withColumn(binName(i),
         floor(binSrc(df, d.leftAt) / d.binWidth).cast("long"))
@@ -651,7 +653,7 @@ object Joins {
     def canonSrc(d: OverlapDim)(c: Column): Column =
       binSrcOf(left.schema(d.leftStart).dataType, c)
     val joinKeys = keyCols ++ dims.indices.map(binName)
-    val guard = binGuard(joinKeys, maxBinSize) _
+    val guard = binGuard(joinKeys, maxBinSize, "overlapJoin") _
     guard(binned(left, _.leftStart, _.leftEnd))
       .join(guard(binned(right, _.rightStart, _.rightEnd)), joinKeys)
       .filter(dims.zipWithIndex.map { case (d, i) =>
@@ -756,7 +758,8 @@ object Joins {
       }
       .withColumn("_graft_m", lit(1))
     val rGuarded = binGuard(
-      keyCols.map(rKeyName) ++ dims.indices.map(rBinName), maxBinSize)(rBinned)
+      keyCols.map(rKeyName) ++ dims.indices.map(rBinName), maxBinSize,
+      "overlapJoinOuter")(rBinned)
     val cond = (keyCols.map(k => col(k) === col(rKeyName(k))) ++
       dims.zipWithIndex.flatMap { case (d, i) => Seq(
         col(binName(i)) === col(rBinName(i)),

@@ -255,6 +255,33 @@ class DedupSpec extends SparkTestBase {
       "an under-cap corpus must not touch the drop counters")
   }
 
+  test("minhash and simhash guards in ONE query count independently " +
+      "under their own tags") {
+    import graft.operators.GuardMetrics
+    val sc = spark.sparkContext
+    val boiler = (1L to 6L).map(i => (i, "same boilerplate text here"))
+      .toDF("doc_id", "text")
+    GuardMetrics.resetAll(sc)
+    val mh = Dedup.minhashNearDuplicates(boiler, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 2, maxBucketSize = 3)
+    val sh = Dedup.simhashNearDuplicates(boiler, "text", "doc_id",
+      maxBucketSize = 3)
+    // ONE query over both guarded operators: 6 identical docs co-bucket
+    // in every one of the 4 bands/chunks on each side
+    mh.select("key_a").union(sh.select("key_a")).count()
+    val mhc = GuardMetrics.of(sc, "minhash")
+    val shc = GuardMetrics.of(sc, "simhash")
+    val total = GuardMetrics.of(sc)
+    assert(mhc.droppedRows.value == 24L && mhc.droppedCohorts.value == 4L,
+      s"minhash tag: ${mhc.droppedRows.value}/${mhc.droppedCohorts.value}")
+    assert(shc.droppedRows.value == 24L && shc.droppedCohorts.value == 4L,
+      s"simhash tag: ${shc.droppedRows.value}/${shc.droppedCohorts.value}")
+    assert(total.droppedRows.value == 48L &&
+      total.droppedCohorts.value == 8L,
+      s"untagged total: ${total.droppedRows.value}/" +
+        s"${total.droppedCohorts.value}")
+  }
+
   test("maxBucketSize <= 0 sentinel skips the skew-guard window entirely") {
     // guard off: the boilerplate bucket pairs fully (guard would too at the
     // default cap — same result, cheaper plan), and the physical plan has

@@ -857,6 +857,46 @@ class JoinsSpec extends SparkTestBase {
       "clean data must not touch the drop counters")
   }
 
+  test("two guarded operators in ONE query count independently under " +
+      "their own tags; the untagged pair stays the session total") {
+    import graft.operators.GuardMetrics
+    val sc = spark.sparkContext
+    // rangeJoin side: 30x30 hot cohort in bin 0 → 30 rows + 1 cohort per
+    // side under tag "rangeJoin" (same fixture as the observability test)
+    val pts = ((1 to 30).map(i => ("hot", 32L, i.toLong)) :+
+      (("ok", 32L, 100L))).toDF("k", "at", "pid")
+    val ivs = ((1 to 30).map(i => ("hot", 0L, 63L, i.toLong)) :+
+      (("ok", 0L, 63L, 100L))).toDF("k", "lo", "hi", "iid")
+    // overlap side: 25x25 hot cohort → 25 rows + 1 cohort per side under
+    // tag "overlapJoin"
+    val l = ((1 to 25).map(i => ("hot2", 0L, 60L, i.toLong)) :+
+      (("ok2", 0L, 60L, 100L))).toDF("k", "l_lo", "l_hi", "lid")
+    val r = ((1 to 25).map(i => ("hot2", 10L, 50L, i.toLong)) :+
+      (("ok2", 10L, 50L, 100L))).toDF("k", "r_lo", "r_hi", "rid")
+    GuardMetrics.resetAll(sc)
+    val rj = Joins.rangeJoin(pts, ivs, Seq("k"), "at", "lo", "hi",
+      binWidth = 64, maxBinSize = 10)
+    val ov = Joins.intervalOverlapJoin(l, r, Seq("k"),
+      "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 64, maxBinSize = 10)
+    // ONE query running both guarded operators
+    rj.select(lit(1).as("one")).union(ov.select(lit(1).as("one"))).count()
+    val range = GuardMetrics.of(sc, "rangeJoin")
+    val over = GuardMetrics.of(sc, "overlapJoin")
+    val total = GuardMetrics.of(sc)
+    assert(range.droppedRows.value == 60L &&
+      range.droppedCohorts.value == 2L,
+      s"rangeJoin tag: ${range.droppedRows.value}/" +
+        s"${range.droppedCohorts.value}")
+    assert(over.droppedRows.value == 50L &&
+      over.droppedCohorts.value == 2L,
+      s"overlapJoin tag: ${over.droppedRows.value}/" +
+        s"${over.droppedCohorts.value}")
+    assert(total.droppedRows.value == 110L &&
+      total.droppedCohorts.value == 4L,
+      s"untagged total: ${total.droppedRows.value}/" +
+        s"${total.droppedCohorts.value}")
+  }
+
   test("intervalOverlapJoin hot-bin guard engages and the sentinel " +
       "restores exactness") {
     val l = ((1 to 25).map(i => ("hot", 0L, 60L, i.toLong)) :+
