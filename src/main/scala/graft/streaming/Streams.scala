@@ -97,25 +97,41 @@ object Streams {
     * unmatched events surface with watermark latency — the standard
     * streaming outer-join trade, handled entirely by Spark's state
     * manager.
+    *
+    * `joinType = "full_outer"` additionally keeps every unmatched RIGHT
+    * event (the streaming form of
+    * [[graft.operators.Joins.rangeJoinFullOuter]] — Spark supports
+    * full-outer stream-stream interval joins natively since 3.1, so no
+    * binning/dedup machinery from the batch operator is needed here).
+    * Matching the batch operator's USING-style contract, the output
+    * carries ONE `key` column coalesced across the sides, so a
+    * right-only row's key survives. Unmatched rows on either side wait
+    * for both watermarks, like `left_outer`.
     */
   def rangeJoinStream(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowMs: Long,
       watermark: String = "10 minutes",
       joinType: String = "inner"): DataFrame = {
     require(windowMs > 0, "windowMs must be > 0")
-    require(Set("inner", "left_outer").contains(joinType),
-      s"joinType must be inner or left_outer, got '$joinType'")
+    require(Set("inner", "left_outer", "full_outer").contains(joinType),
+      s"joinType must be inner, left_outer, or full_outer, got '$joinType'")
     val rk = "_graft_rk"
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withColumnRenamed(key, rk)
       .withWatermark(rightTs, watermark)
-    l.join(r,
-        col(key) === col(rk) &&
-          col(leftTs) >= col(rightTs) &&
-          col(leftTs) < col(rightTs) +
-            expr(s"INTERVAL $windowMs MILLISECONDS"),
-        joinType)
-      .drop(rk)
+    val joined = l.join(r,
+      col(key) === col(rk) &&
+        col(leftTs) >= col(rightTs) &&
+        col(leftTs) < col(rightTs) +
+          expr(s"INTERVAL $windowMs MILLISECONDS"),
+      joinType)
+    // full-outer: a right-only row has a null left `key` but a live `rk`;
+    // coalesce before dropping so its key is not lost (batch contract)
+    val keyed =
+      if (joinType == "full_outer")
+        joined.withColumn(key, coalesce(col(key), col(rk)))
+      else joined
+    keyed.drop(rk)
   }
 
   /** Streaming as-of enrichment — the streaming form of

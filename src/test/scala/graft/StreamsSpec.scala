@@ -226,6 +226,60 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("rangeJoinStream full_outer: unmatched BOTH-side emission once " +
+      "the watermark closes, and parity with the batch " +
+      "Joins.rangeJoinFullOuter") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: matched pair; u3: left event with no window (unmatched left);
+    // u2: window no event falls into (unmatched RIGHT — the side
+    // left_outer drops); u9: far-future matched pair that pushes both
+    // watermarks past the Jan-1 windows so the unmatched rows must leave
+    // the state store
+    val lfix = Seq(
+      ("u1", t("2024-01-01 10:15:00"), 1L),
+      ("u3", t("2024-01-01 10:30:00"), 3L),
+      ("u9", t("2024-01-02 12:00:30"), 9L))
+    val rfix = Seq(
+      ("u1", t("2024-01-01 10:00:00"), 10L),
+      ("u2", t("2024-01-01 10:00:00"), 12L),
+      ("u9", t("2024-01-02 12:00:00"), 99L))
+    val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val q = Streams.rangeJoinStream(
+        lmem.toDF().toDF("k", "lts", "lid"),
+        rmem.toDF().toDF("k", "rts", "rid"),
+        key = "k", leftTs = "lts", rightTs = "rts",
+        windowMs = 3600 * 1000L, watermark = "10 minutes",
+        joinType = "full_outer")
+      .select("k", "lid", "rid")
+      .writeStream.format("memory").queryName("range_stream_full")
+      .outputMode("append").start()
+    val streamed = try {
+      rmem.addData(rfix.take(2): _*)
+      lmem.addData(lfix.take(2): _*)
+      q.processAllAvailable()
+      rmem.addData(rfix.drop(2): _*)
+      lmem.addData(lfix.drop(2): _*)
+      q.processAllAvailable()
+      spark.table("range_stream_full")
+        .as[(String, Option[Long], Option[Long])].collect().toSet
+    } finally q.stop()
+    assert(streamed.contains(("u2", None, Some(12L))),
+      s"unmatched RIGHT row never emitted: $streamed")
+    assert(streamed.contains(("u3", Some(3L), None)),
+      s"unmatched LEFT row never emitted: $streamed")
+    val batch = graft.operators.Joins.rangeJoinFullOuter(
+        lfix.toDF("k", "lts", "lid"),
+        rfix.toDF("k", "rts", "rid")
+          .withColumn("rend", $"rts" + expr("INTERVAL '1' HOUR")),
+        Seq("k"), "lts", "rts", "rend", binWidth = 3600L * 1000000)
+      .select("k", "lid", "rid")
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch divergence:\n stream $streamed\n batch  $batch")
+  }
+
   test("asOfStream parity: equals the batch Joins.asOf on the same fixture") {
     // the contract that keeps the streaming form honest: on in-order
     // delivery (the case the online path is FOR), its output must be
