@@ -154,6 +154,115 @@ object Streams {
     * None instead of stale enrichment — the online guard against a key
     * whose reference stream went quiet hours ago.
     */
+  /** DataFrame-generic [[asOfStream]] — the streaming sibling of
+    * [[graft.operators.Joins.asOf]] with the same column-level surface as
+    * its batch twin: `left` keeps ALL its columns and gains
+    * `prefix + v` for each of the right stream's `valCols`, holding the
+    * value of the latest right row at-or-before the left row's `tsCol`
+    * for the same `keyCols` (both streams name the key and timestamp
+    * columns identically; `tsCol` must be a TIMESTAMP so the caller's
+    * watermark semantics apply). State per key is ONE (ts, values) pair,
+    * so state size is bounded by key cardinality, not stream length —
+    * same envelope as the typed variant above, which remains as the
+    * fixed-shape fast path.
+    *
+    * Same best-effort-on-disorder contract and `toleranceMs` horizon as
+    * the typed variant (see its doc); right rows with a null key or
+    * null timestamp are dropped up front (a NULL key never equi-matches;
+    * a null ts orders nowhere), left rows with a null key or ts stay and
+    * carry nulls — the batch operator's exact null semantics.
+    *
+    * Implementation: both streams are tagged and unioned into one
+    * generic (key struct, ts, side, left-row struct, right-values
+    * struct) shape — one shuffle on the key, like the batch operator's
+    * single exchange — then `flatMapGroupsWithState` applies rows in
+    * (ts, right-first) order. Row-level generics use the Row encoder
+    * (key + output) and kryo (state), the standard pairing for
+    * schema-dynamic typed streaming.
+    */
+  def asOfStream(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valCols: Seq[String], toleranceMs: Option[Long],
+      prefix: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    require(keyCols.nonEmpty, "asOfStream needs at least one key column")
+    require(valCols.nonEmpty, "asOfStream needs at least one value column")
+    toleranceMs.foreach(t =>
+      require(t >= 0, s"toleranceMs must be >= 0, got $t"))
+    for (df <- Seq(left, right))
+      require(df.schema(tsCol).dataType == TimestampType,
+        s"asOfStream tsCol '$tsCol' must be TIMESTAMP, got " +
+          s"${df.schema(tsCol).dataType.simpleString}")
+    val lRowType = StructType(left.schema.fields)
+    val rValType = StructType(valCols.map(v => right.schema(v)).toArray)
+    val l2 = left.select(
+      struct(keyCols.map(col): _*).as("_k"),
+      col(tsCol).as("_ts"),
+      lit(0).as("_side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("_lrow"),
+      lit(null).cast(rValType).as("_rv"))
+    val r2 = right
+      .filter((keyCols.map(c => col(c).isNotNull) :+
+        col(tsCol).isNotNull).reduce(_ && _))
+      .select(
+        struct(keyCols.map(col): _*).as("_k"),
+        col(tsCol).as("_ts"),
+        lit(1).as("_side"),
+        lit(null).cast(lRowType).as("_lrow"),
+        struct(valCols.map(col): _*).as("_rv"))
+    val u = l2.unionByName(r2)
+    val outSchema = StructType(left.schema.fields ++ valCols.map { v =>
+      StructField(prefix + v, right.schema(v).dataType, nullable = true)
+    })
+    val nVals = valCols.size
+    // two Encoder[Row]s in implicit scope would be ambiguous — pass them
+    // explicitly at each call site instead
+    val keyEnc = Encoders.row(
+      StructType(keyCols.map(k => left.schema(k)).toArray))
+    val outEnc = Encoders.row(outSchema)
+    val stateEnc = Encoders.kryo[(Long, Seq[Any])]
+    u.groupByKey((r: Row) => r.getStruct(0))(keyEnc)
+      .flatMapGroupsWithState[(Long, Seq[Any]), Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, batch, state: GroupState[(Long, Seq[Any])]) =>
+          val out = Seq.newBuilder[Row]
+          var cur = state.getOption
+          batch.toSeq
+            .sortBy { r =>
+              val ts = if (r.isNullAt(1)) Long.MinValue
+                else r.getTimestamp(1).getTime
+              (ts, r.getInt(2) == 0) // right (side=1) first at equal ts
+            }
+            .foreach { r =>
+              val nullTs = r.isNullAt(1)
+              val ts = if (nullTs) Long.MinValue
+                else r.getTimestamp(1).getTime
+              if (r.getInt(2) == 1) {
+                if (cur.forall(_._1 <= ts))
+                  cur = Some((ts, r.getStruct(4).toSeq))
+              } else {
+                val asof: Seq[Any] = cur match {
+                  case Some((rts, vals)) if !nullTs && rts <= ts &&
+                      toleranceMs.forall(ts - rts <= _) => vals
+                  case _ => Seq.fill(nVals)(null)
+                }
+                out += Row.fromSeq(r.getStruct(3).toSeq ++ asof)
+              }
+            }
+          cur.foreach(state.update)
+          out.result().iterator
+      }(stateEnc, outEnc)
+      .toDF()
+  }
+
+  /** [[asOfStream]] (DataFrame form) with the default `asof_` prefix and
+    * no tolerance.
+    */
+  def asOfStream(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valCols: Seq[String]): DataFrame =
+    asOfStream(left, right, keyCols, tsCol, valCols, toleranceMs = None,
+      prefix = "asof_")
+
   def asOfStream(tagged: Dataset[Tagged],
       toleranceMs: Option[Long] = None): Dataset[Enriched] = {
     toleranceMs.foreach(t =>

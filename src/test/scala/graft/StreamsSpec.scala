@@ -280,6 +280,73 @@ class StreamsSpec extends SparkTestBase {
       s"stream/batch divergence:\n stream $streamed\n batch  $batch")
   }
 
+  test("DataFrame-generic asOfStream parity: equals the batch Joins.asOf " +
+      "on the same fixture, with and without tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // trades enriched with the latest quote at-or-before, per symbol:
+    // sym B has no quotes at all; trade 5 rides a quote AT its own ts
+    // (inclusive bound); trade 4's only preceding quote is hours stale —
+    // the tolerance run must null it while the plain run keeps it
+    val quotes = Seq(
+      ("A", t("2024-01-01 09:00:00"), 1.0),
+      ("A", t("2024-01-01 10:00:00"), 2.0),
+      ("C", t("2024-01-01 06:00:00"), 9.0))
+    val trades = Seq(
+      ("A", t("2024-01-01 09:30:00"), 101L),
+      ("B", t("2024-01-01 09:45:00"), 102L), // no quotes for B
+      ("A", t("2024-01-01 10:00:00"), 103L), // quote AT ts matches
+      ("C", t("2024-01-01 11:00:00"), 104L)) // only a 5-hour-old quote
+    def streamed(tol: Option[Long]): Set[(String, Long, Option[Double])] = {
+      val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+      val rmem = MemoryStream[(String, java.sql.Timestamp, Double)]
+      val name = s"asof_generic_${tol.isDefined}"
+      val q = Streams.asOfStream(
+          lmem.toDF().toDF("sym", "ts", "tid"),
+          rmem.toDF().toDF("sym", "ts", "price"),
+          keyCols = Seq("sym"), tsCol = "ts", valCols = Seq("price"),
+          toleranceMs = tol, prefix = "asof_")
+        .select("sym", "tid", "asof_price")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // in-order delivery (the case the online path is FOR): each
+        // micro-batch carries only events newer than the last — within a
+        // batch the operator sorts, across batches state carries. The
+        // 10:00 quote must arrive WITH trade 103 (not before 101): the
+        // one-pair state retains only the newest right, so out-of-order
+        // feeding would legitimately diverge from exact batch asOf.
+        rmem.addData(quotes(2), quotes(0)) // C 06:00, A 09:00
+        lmem.addData(trades.take(2): _*)   // 09:30, 09:45
+        q.processAllAvailable()
+        rmem.addData(quotes(1))            // A 10:00
+        lmem.addData(trades.drop(2): _*)   // 10:00, 11:00
+        q.processAllAvailable()
+        spark.table(name).as[(String, Long, Option[Double])].collect().toSet
+      } finally q.stop()
+    }
+    def batch(tolMicros: Option[Long]): Set[(String, Long, Option[Double])] =
+      graft.operators.Joins.asOf(
+          trades.toDF("sym", "ts", "tid"),
+          quotes.toDF("sym", "ts", "price"),
+          Seq("sym"), "ts", "ts", Seq("price"), "asof_", "backward",
+          tolMicros)
+        .select("sym", "tid", "asof_price")
+        .as[(String, Long, Option[Double])].collect().toSet
+    val plain = streamed(None)
+    assert(plain == batch(None),
+      s"plain divergence:\n stream $plain\n batch  ${batch(None)}")
+    assert(plain == Set(("A", 101L, Some(1.0)), ("B", 102L, None),
+      ("A", 103L, Some(2.0)), ("C", 104L, Some(9.0))))
+    // 30-minute horizon: ms for the stream, micros for the batch twin
+    // (its unit is the timestamp family's bin image)
+    val tight = streamed(Some(30L * 60 * 1000))
+    assert(tight == batch(Some(30L * 60 * 1000 * 1000)),
+      s"tolerance divergence: $tight")
+    assert(tight.contains(("C", 104L, None)),
+      s"stale enrichment survived the tolerance horizon: $tight")
+  }
+
   test("asOfStream parity: equals the batch Joins.asOf on the same fixture") {
     // the contract that keeps the streaming form honest: on in-order
     // delivery (the case the online path is FOR), its output must be
