@@ -892,6 +892,27 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(in.as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("a RANGE_BIN hint inside a CORRELATED scalar subquery analyzes " +
+      "cleanly (hoisted out of the outer-reference whitelist's way) and " +
+      "keeps correct rows") {
+    // before hoisting, the marker above the correlated filter tripped
+    // ValidateSubqueryExpression's ACCESSING_OUTER_QUERY_COLUMN error —
+    // an analysis crash on a valid query. The hint itself is best-effort
+    // here (correlated scalar joins are born in RewriteSubquery's scalar
+    // branch, outside this rule's scope); the pin is: no crash, right
+    // answers.
+    points.createOrReplaceTempView("sc_points")
+    intervals.createOrReplaceTempView("sc_intervals")
+    val df = spark.sql(
+      """SELECT pid, (
+        |  SELECT /*+ RANGE_BIN(16) */ max(iid) FROM sc_intervals i
+        |  WHERE p.at >= i.start AND p.at < i.end) AS best
+        |FROM sc_points p""".stripMargin)
+    val got = df.as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, Some(10L)), (2L, Some(11L)), (3L, None),
+      (4L, Some(12L))), s"wrong rows: $got")
+  }
+
   test("a RANGE_BIN hint with the rule DISABLED is stripped cleanly: " +
       "vanilla plan, correct rows, no marker reaching the planner") {
     spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
