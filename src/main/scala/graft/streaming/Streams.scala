@@ -154,6 +154,80 @@ object Streams {
     * None instead of stale enrichment — the online guard against a key
     * whose reference stream went quiet hours ago.
     */
+  /** Streaming interval-overlap join — the streaming form of
+    * [[graft.operators.Joins.intervalOverlapJoin]]: each left interval
+    * `[leftStart, leftEnd)` pairs with the right intervals
+    * `[rightStart, rightEnd)` it overlaps (`leftStart < rightEnd AND
+    * rightStart < leftEnd`, the batch operator's strict form), per key,
+    * via Spark's native stream-stream join.
+    *
+    * Spark bounds stream-stream join state ONLY through event-time range
+    * conditions between the two WATERMARKED columns (the interval
+    * STARTs) — but the overlap predicate relates each start to the OTHER
+    * side's end, which Spark cannot turn into a retention bound. The
+    * caller therefore declares each side's maximum interval length, and
+    * the operator derives the start-to-start band that overlap implies:
+    *
+    * {{{
+    *   rightStart ∈ (leftStart − maxRightLenMs, leftStart + maxLeftLenMs)
+    * }}}
+    *
+    * (from `leftStart < rightEnd <= rightStart + maxRightLen` and
+    * `rightStart < leftEnd <= leftStart + maxLeftLen`). The band is
+    * IMPLIED by overlap whenever the length declarations hold, so it
+    * prunes state without dropping any valid pair; the exact overlap
+    * predicate rides along and filters within the band. Rows whose
+    * interval exceeds the declared maximum are excluded up front — a
+    * longer interval would silently miss matches past the band, and an
+    * operator must not emit a silently-wrong subset (the batch operator
+    * is the path for unbounded interval lengths).
+    *
+    * `joinType`: `inner`, `left_outer` (every surviving left interval
+    * emits, null-extended once both watermarks close its band — the
+    * streaming form of `intervalOverlapJoinLeftOuter`), or `full_outer`
+    * (both sides' unmatched intervals emit; the output key column is
+    * coalesced across sides, the batch USING-style contract). The right
+    * side's key column is renamed internally, so the two inputs may
+    * share the key name; all other column names must be distinct. All
+    * four bound columns must be TIMESTAMPs (the watermark's currency).
+    */
+  def overlapJoinStream(left: DataFrame, right: DataFrame, key: String,
+      leftStart: String, leftEnd: String, rightStart: String,
+      rightEnd: String, maxLeftLenMs: Long, maxRightLenMs: Long,
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(maxLeftLenMs > 0 && maxRightLenMs > 0,
+      "max interval lengths must be > 0")
+    require(Set("inner", "left_outer", "full_outer").contains(joinType),
+      s"joinType must be inner, left_outer, or full_outer, got '$joinType'")
+    val rk = "_graft_rk"
+    def capped(df: DataFrame, start: String, end: String,
+        maxLen: Long): DataFrame =
+      df.filter(col(end) <=
+        col(start) + expr(s"INTERVAL $maxLen MILLISECONDS"))
+    val l = capped(left, leftStart, leftEnd, maxLeftLenMs)
+      .withWatermark(leftStart, watermark)
+    val r = capped(right, rightStart, rightEnd, maxRightLenMs)
+      .withColumnRenamed(key, rk)
+      .withWatermark(rightStart, watermark)
+    val joined = l.join(r,
+      col(key) === col(rk) &&
+        // state-retention band on the watermarked starts (derived above)
+        col(rightStart) > col(leftStart) -
+          expr(s"INTERVAL $maxRightLenMs MILLISECONDS") &&
+        col(rightStart) < col(leftStart) +
+          expr(s"INTERVAL $maxLeftLenMs MILLISECONDS") &&
+        // exact overlap (the batch operator's strict predicate)
+        col(leftStart) < col(rightEnd) &&
+        col(rightStart) < col(leftEnd),
+      joinType)
+    val keyed =
+      if (joinType == "full_outer")
+        joined.withColumn(key, coalesce(col(key), col(rk)))
+      else joined
+    keyed.drop(rk)
+  }
+
   /** DataFrame-generic [[asOfStream]] — the streaming sibling of
     * [[graft.operators.Joins.asOf]] with the same column-level surface as
     * its batch twin: `left` keeps ALL its columns and gains

@@ -280,6 +280,84 @@ class StreamsSpec extends SparkTestBase {
       s"stream/batch divergence:\n stream $streamed\n batch  $batch")
   }
 
+  test("overlapJoinStream parity across inner/left_outer/full_outer: " +
+      "equals the batch interval-overlap twins on a closed watermark, " +
+      "and over-length intervals are excluded, not silently mismatched") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val twoH = 2 * 3600 * 1000L
+    // u1: overlapping pair; lid 2 and rid 11 overlap nothing; u2/u4:
+    // one-sided keys; lid 99: a 5-hour interval beyond the declared 2-hour
+    // cap — the stream must EXCLUDE it (the band would silently miss its
+    // matches), so the batch twins never see it either; u9: far-future
+    // matched pair pushing both watermarks past the Jan-1 bands
+    val lfix = Seq(
+      ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"), 1L),
+      ("u1", t("2024-01-01 12:00:00"), t("2024-01-01 12:30:00"), 2L),
+      ("u2", t("2024-01-01 10:00:00"), t("2024-01-01 10:30:00"), 3L),
+      ("u1", t("2024-01-01 09:00:00"), t("2024-01-01 14:00:00"), 99L),
+      ("u9", t("2024-01-02 12:00:00"), t("2024-01-02 12:30:00"), 9L))
+    val rfix = Seq(
+      ("u1", t("2024-01-01 10:30:00"), t("2024-01-01 11:30:00"), 10L),
+      ("u1", t("2024-01-01 13:00:00"), t("2024-01-01 13:15:00"), 11L),
+      ("u4", t("2024-01-01 10:00:00"), t("2024-01-01 10:45:00"), 12L),
+      ("u9", t("2024-01-02 12:15:00"), t("2024-01-02 12:45:00"), 90L))
+    def streamed(joinType: String): Set[(String, Option[Long], Option[Long])] = {
+      val lmem = MemoryStream[(String, java.sql.Timestamp,
+        java.sql.Timestamp, Long)]
+      val rmem = MemoryStream[(String, java.sql.Timestamp,
+        java.sql.Timestamp, Long)]
+      val name = s"overlap_stream_$joinType"
+      val q = Streams.overlapJoinStream(
+          lmem.toDF().toDF("k", "l_lo", "l_hi", "lid"),
+          rmem.toDF().toDF("k", "r_lo", "r_hi", "rid"),
+          key = "k", leftStart = "l_lo", leftEnd = "l_hi",
+          rightStart = "r_lo", rightEnd = "r_hi",
+          maxLeftLenMs = twoH, maxRightLenMs = twoH,
+          watermark = "10 minutes", joinType = joinType)
+        .select("k", "lid", "rid")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rmem.addData(rfix.take(3): _*)
+        lmem.addData(lfix.take(4): _*)
+        q.processAllAvailable()
+        rmem.addData(rfix.drop(3): _*)
+        lmem.addData(lfix.drop(4): _*)
+        q.processAllAvailable()
+        spark.table(name)
+          .as[(String, Option[Long], Option[Long])].collect().toSet
+      } finally q.stop()
+    }
+    // the batch twins get the capped input (lid 99 excluded by contract)
+    val lbatch = lfix.filterNot(_._4 == 99L).toDF("k", "l_lo", "l_hi", "lid")
+    val rbatch = rfix.toDF("k", "r_lo", "r_hi", "rid")
+    val micros1h = 3600L * 1000000
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "lid", "rid")
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    val inner = streamed("inner")
+    assert(inner == asSet(graft.operators.Joins.intervalOverlapJoin(
+      lbatch, rbatch, Seq("k"), "l_lo", "l_hi", "r_lo", "r_hi", micros1h)),
+      s"inner diverged: $inner")
+    assert(!inner.exists(_._2.contains(99L)),
+      "an over-length interval leaked into the stream output")
+    val lo = streamed("left_outer")
+    assert(lo == asSet(graft.operators.Joins.intervalOverlapJoinLeftOuter(
+      lbatch, rbatch, Seq("k"), "l_lo", "l_hi", "r_lo", "r_hi", micros1h)),
+      s"left_outer diverged: $lo")
+    assert(lo.contains(("u1", Some(2L), None)) &&
+      lo.contains(("u2", Some(3L), None)),
+      s"unmatched left rows missing: $lo")
+    val fo = streamed("full_outer")
+    assert(fo == asSet(graft.operators.Joins.intervalOverlapJoinFullOuter(
+      lbatch, rbatch, Seq("k"), "l_lo", "l_hi", "r_lo", "r_hi", micros1h)),
+      s"full_outer diverged: $fo")
+    assert(fo.contains(("u1", None, Some(11L))) &&
+      fo.contains(("u4", None, Some(12L))),
+      s"unmatched right rows missing: $fo")
+  }
+
   test("DataFrame-generic asOfStream parity: equals the batch Joins.asOf " +
       "on the same fixture, with and without tolerance") {
     implicit val sqlCtx = spark.sqlContext
