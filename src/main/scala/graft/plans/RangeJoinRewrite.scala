@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -105,7 +105,10 @@ import org.apache.spark.sql.types._
   * whose width is per-call.
   *
   * Join types: the containment form also rewrites LEFT OUTER, LEFT SEMI,
-  * LEFT ANTI (point on the left) and RIGHT OUTER (point on the right) —
+  * LEFT ANTI, EXISTENCE (the join type `RewriteSubquery` bears for an
+  * EXISTS/IN living inside a disjunction — left rows emit exactly once
+  * with a boolean, so bin copies on the right are multiplicity-free)
+  * (point on the left) and RIGHT OUTER (point on the right) —
   * exactly the types whose PRESERVED/probe side is the point side, which
   * is never exploded, so unmatched preserved rows surface exactly once
   * with no dedup pass. Two shape differences from the inner form: the
@@ -206,7 +209,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // binning there would explode the state store's rows per bin copy
     // for zero pruning gain
     case j @ Join(left, right, Inner | LeftOuter | RightOuter | LeftSemi |
-        LeftAnti, Some(_), _)
+        LeftAnti | ExistenceJoin(_), Some(_), _)
         if enabled && j.resolved && !left.isStreaming && !right.isStreaming =>
       val (l, lw) = walk(j.left, inherited, enabled, finalPass)
       val (r, rw) = walk(j.right, inherited, enabled, finalPass)
@@ -280,6 +283,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val requiredPointSide: Option[Boolean] = j.joinType match {
       case Inner => None
       case LeftOuter | LeftSemi | LeftAnti => Some(true)
+      // ExistenceJoin (EXISTS/IN inside a disjunction, born in
+      // RewriteSubquery): left rows are preserved and emitted exactly
+      // once with a boolean, regardless of how many exploded bin copies
+      // match — so binning the right side is multiplicity-safe as long
+      // as the point stays on the preserved left
+      case ExistenceJoin(_) => Some(true)
       case RightOuter => Some(false)
       case _ => return None
     }

@@ -175,6 +175,49 @@ class RangeJoinFuzzSpec extends SparkTestBase {
       s"only $twoKeyPlans of 22 scenarios produced a two-bin-key plan")
   }
 
+  test("disjunctive EXISTS (ExistenceJoin): 10 random scenarios match " +
+      "vanilla row-for-row — existence multiplicity survives binning") {
+    // `other OR EXISTS(range)` bears an ExistenceJoin; the rewrite bins
+    // its right side, and the one failure mode a pin can miss is
+    // multiplicity (a left row duplicated per matching bin copy) — the
+    // differential compare is a multiset, so any duplication diverges
+    val rnd = new scala.util.Random(5150)
+    (1 to 10).foreach { i =>
+      val n = 30 + rnd.nextInt(40)
+      val pts = (1 to n).map { j =>
+        (j.toLong, rnd.nextInt(3).toLong,
+          if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(300).toLong))
+      }.toDF("pid", "k", "at")
+      val ivs = (1 to n).map { j =>
+        val s = rnd.nextInt(300).toLong
+        (1000L + j, rnd.nextInt(3).toLong,
+          if (rnd.nextInt(12) == 0) None else Some(s),
+          if (rnd.nextInt(12) == 0) None
+          else Some(s + rnd.nextInt(90) - 15L)) // some inverted
+      }.toDF("iid", "k2", "lo", "hi")
+      pts.createOrReplaceTempView(s"fz_ex_p")
+      ivs.createOrReplaceTempView(s"fz_ex_i")
+      val lower = if (rnd.nextBoolean()) ">=" else ">"
+      val upper = if (rnd.nextBoolean()) "<" else "<="
+      val keyEq = if (rnd.nextBoolean()) "AND p.k = i.k2" else ""
+      val m = 2 + rnd.nextInt(5)
+      val width = 1L + rnd.nextInt(120)
+      withBinWidth(width) {
+        def build = spark.sql(
+          s"""SELECT pid FROM fz_ex_p p
+             |WHERE p.pid % $m = 0 OR EXISTS (
+             |  SELECT 1 FROM fz_ex_i i
+             |  WHERE p.at $lower i.lo AND p.at $upper i.hi $keyEq)"""
+            .stripMargin)
+        val got = sortedRows(build.collect().map(_.toSeq).toSeq)
+        val expected = sortedRows(vanillaRows(build))
+        assert(got == expected,
+          s"existence scenario $i diverged (m=$m width=$width " +
+            s"$lower/$upper key='$keyEq')")
+      }
+    }
+  }
+
   test("width independence: any positive width (conf or hint) yields " +
       "identical results — bins are a superset at every width") {
     val rnd = new scala.util.Random(77)

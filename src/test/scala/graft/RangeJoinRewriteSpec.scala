@@ -892,6 +892,63 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(in.as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("disjunctive EXISTS (OR with another predicate) bears an " +
+      "ExistenceJoin — the containment rewrite bins it too") {
+    // `flag OR EXISTS(...)` cannot become a semi join (rows failing the
+    // subquery must survive when the other disjunct holds), so
+    // RewriteSubquery emits an ExistenceJoin; left rows are preserved
+    // exactly once with a boolean, making the binned right side safe
+    points.createOrReplaceTempView("dx_points")
+    intervals.select($"iid", $"start").createOrReplaceTempView("dx_starts")
+    intervals.createOrReplaceTempView("dx_intervals")
+    val inferred = spark.sql(
+      """SELECT pid FROM dx_points p
+        |WHERE p.pid = 3 OR EXISTS (
+        |  SELECT 1 FROM dx_starts i
+        |  WHERE p.at >= i.start AND p.at < i.start + 20)""".stripMargin)
+    val plan = physical(inferred)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("_graft_bin"),
+      s"disjunctive EXISTS kept a nested-loop plan:\n$plan")
+    // brute force: pids in some [start, start+20) window, plus pid 3
+    val contained = points.crossJoin(intervals.select($"start"))
+      .filter($"at" >= $"start" && $"at" < $"start" + 20L)
+      .select("pid").as[Long].collect().toSet
+    assert(inferred.as[Long].collect().toSet == (contained + 3L))
+    // raw [start, end) bounds: width only from the statement's hint
+    val hinted = spark.sql(
+      """SELECT /*+ RANGE_BIN(16) */ pid FROM dx_points p
+        |WHERE p.pid = 3 OR EXISTS (
+        |  SELECT 1 FROM dx_intervals i
+        |  WHERE p.at >= i.start AND p.at < i.end)""".stripMargin)
+    val hintedPlan = physical(hinted)
+    assert(!hintedPlan.contains("BroadcastNestedLoopJoin") &&
+      hintedPlan.contains("/ 16.0"),
+      s"hinted disjunctive EXISTS lost the width:\n$hintedPlan")
+    assert(hinted.as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("an UNCORRELATED scalar subquery keeps its internal RANGE_BIN " +
+      "hint: the join inside the subquery body bins during its own " +
+      "optimization") {
+    // hoisting applies to EXISTS/IN (joins born OUTSIDE the subplan) and
+    // correlated subqueries (analysis legality); an uncorrelated scalar
+    // subquery's joins live INSIDE the subplan, where OptimizeSubqueries
+    // runs this rule standalone — the marker must stay there and work
+    points.createOrReplaceTempView("us_points")
+    intervals.createOrReplaceTempView("us_intervals")
+    val df = spark.sql(
+      """SELECT (
+        |  SELECT /*+ RANGE_BIN(16) */ count(*) FROM us_points p
+        |  JOIN us_intervals i ON p.at >= i.start AND p.at < i.end
+        |) AS n""".stripMargin)
+    val plan = physical(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("/ 16.0"),
+      s"scalar-subquery-internal hint lost:\n$plan")
+    assert(df.as[Long].collect().toSeq == Seq(3L)) // the 3 contained pairs
+  }
+
   test("a RANGE_BIN hint inside a CORRELATED scalar subquery analyzes " +
       "cleanly (hoisted out of the outer-reference whitelist's way) and " +
       "keeps correct rows") {
