@@ -892,6 +892,23 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(in.as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("a RANGE_BIN hint inside a single-reference CTE body reaches the " +
+      "join that consumes the CTE") {
+    // CTE inlining (analysis) plants the marker on the join input, where
+    // the bubble-up path consumes it — the common "hint the dimension
+    // table's CTE" idiom
+    points.createOrReplaceTempView("cte_points")
+    intervals.createOrReplaceTempView("cte_intervals")
+    val joined = spark.sql(
+      """WITH iv AS (SELECT /*+ RANGE_BIN(16) */ * FROM cte_intervals)
+        |SELECT pid, iid FROM cte_points p
+        |JOIN iv i ON p.at >= i.start AND p.at < i.end""".stripMargin)
+    val plan = physical(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("/ 16.0"), s"CTE-body hint did not fire:\n$plan")
+    assert(joined.as[(Long, Long)].collect().toSet == expected)
+  }
+
   test("disjunctive EXISTS (OR with another predicate) bears an " +
       "ExistenceJoin — the containment rewrite bins it too") {
     // `flag OR EXISTS(...)` cannot become a semi join (rows failing the
