@@ -154,6 +154,58 @@ object Streams {
     * None instead of stale enrichment — the online guard against a key
     * whose reference stream went quiet hours ago.
     */
+  /** [[rangeJoinStream]] for VARIABLE-length right windows — the
+    * streaming form of [[graft.operators.Joins.rangeJoin]] with raw
+    * `[rightStart, rightEnd)` columns instead of the fixed-`windowMs`
+    * sliding window: each left event pairs with the right rows whose
+    * interval contains its timestamp (`leftTs >= rightStart AND
+    * leftTs < rightEnd`), per key.
+    *
+    * Spark derives stream-stream state retention only from event-time
+    * range conditions between the WATERMARKED columns (`leftTs`,
+    * `rightStart`); containment's upper bound runs against `rightEnd`,
+    * which carries no watermark. The caller therefore declares the
+    * maximum window length, and the operator adds the implied band
+    * `leftTs < rightStart + maxWindowMs` (from `leftTs < rightEnd <=
+    * rightStart + maxWindowMs`) as the retention bound — it never drops
+    * a valid pair while the length declaration holds. Right rows whose
+    * window exceeds the declared maximum are excluded up front rather
+    * than silently losing their far matches (the batch operator is the
+    * path for unbounded window lengths).
+    *
+    * Same `joinType` surface and USING-style key contract as the
+    * fixed-window form.
+    */
+  def rangeJoinStream(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightStart: String, rightEnd: String,
+      maxWindowMs: Long, watermark: String,
+      joinType: String): DataFrame = {
+    require(maxWindowMs > 0, "maxWindowMs must be > 0")
+    require(Set("inner", "left_outer", "full_outer").contains(joinType),
+      s"joinType must be inner, left_outer, or full_outer, got '$joinType'")
+    val rk = "_graft_rk"
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right
+      .filter(col(rightEnd) <=
+        col(rightStart) + expr(s"INTERVAL $maxWindowMs MILLISECONDS"))
+      .withColumnRenamed(key, rk)
+      .withWatermark(rightStart, watermark)
+    val joined = l.join(r,
+      col(key) === col(rk) &&
+        // retention band on the watermarked columns (derived above)
+        col(leftTs) < col(rightStart) +
+          expr(s"INTERVAL $maxWindowMs MILLISECONDS") &&
+        // exact containment
+        col(leftTs) >= col(rightStart) &&
+        col(leftTs) < col(rightEnd),
+      joinType)
+    val keyed =
+      if (joinType == "full_outer")
+        joined.withColumn(key, coalesce(col(key), col(rk)))
+      else joined
+    keyed.drop(rk)
+  }
+
   /** Streaming interval-overlap join — the streaming form of
     * [[graft.operators.Joins.intervalOverlapJoin]]: each left interval
     * `[leftStart, leftEnd)` pairs with the right intervals

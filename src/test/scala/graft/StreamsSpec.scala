@@ -280,6 +280,77 @@ class StreamsSpec extends SparkTestBase {
       s"stream/batch divergence:\n stream $streamed\n batch  $batch")
   }
 
+  test("variable-window rangeJoinStream parity across " +
+      "inner/left_outer/full_outer: equals the batch rangeJoin twins, " +
+      "over-length windows excluded") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val twoH = 2 * 3600 * 1000L
+    // windows of DIFFERENT lengths (15 min and 90 min) — the shape the
+    // fixed-windowMs form cannot express; rid 99 is a 5-hour window
+    // beyond the declared cap (excluded by contract); u2 left and u4
+    // right are unmatched; u9 pushes both watermarks
+    val lfix = Seq(
+      ("u1", t("2024-01-01 10:05:00"), 1L),  // in rid 10's 15-min window
+      ("u1", t("2024-01-01 11:00:00"), 2L),  // in rid 11's 90-min window
+      ("u2", t("2024-01-01 10:00:00"), 3L),  // no windows for u2
+      ("u9", t("2024-01-02 12:00:30"), 9L))
+    val rfix = Seq(
+      ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 10:15:00"), 10L),
+      ("u1", t("2024-01-01 10:30:00"), t("2024-01-01 12:00:00"), 11L),
+      ("u4", t("2024-01-01 10:00:00"), t("2024-01-01 10:45:00"), 12L),
+      ("u1", t("2024-01-01 05:00:00"), t("2024-01-01 10:00:00"), 99L),
+      ("u9", t("2024-01-02 12:00:00"), t("2024-01-02 12:30:00"), 90L))
+    def streamed(joinType: String): Set[(String, Option[Long], Option[Long])] = {
+      val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+      val rmem = MemoryStream[(String, java.sql.Timestamp,
+        java.sql.Timestamp, Long)]
+      val name = s"varwin_stream_$joinType"
+      val q = Streams.rangeJoinStream(
+          lmem.toDF().toDF("k", "lts", "lid"),
+          rmem.toDF().toDF("k", "r_lo", "r_hi", "rid"),
+          key = "k", leftTs = "lts", rightStart = "r_lo", rightEnd = "r_hi",
+          maxWindowMs = twoH, watermark = "10 minutes", joinType = joinType)
+        .select("k", "lid", "rid")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rmem.addData(rfix.take(4): _*)
+        lmem.addData(lfix.take(3): _*)
+        q.processAllAvailable()
+        rmem.addData(rfix.drop(4): _*)
+        lmem.addData(lfix.drop(3): _*)
+        q.processAllAvailable()
+        spark.table(name)
+          .as[(String, Option[Long], Option[Long])].collect().toSet
+      } finally q.stop()
+    }
+    val lbatch = lfix.toDF("k", "lts", "lid")
+    val rbatch = rfix.filterNot(_._4 == 99L).toDF("k", "r_lo", "r_hi", "rid")
+    val micros1h = 3600L * 1000000
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "lid", "rid")
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    val inner = streamed("inner")
+    assert(inner == asSet(graft.operators.Joins.rangeJoin(
+      lbatch, rbatch, Seq("k"), "lts", "r_lo", "r_hi", micros1h)),
+      s"inner diverged: $inner")
+    assert(!inner.exists(_._3.contains(99L)),
+      "an over-length window leaked into the stream output")
+    val lo = streamed("left_outer")
+    assert(lo == asSet(graft.operators.Joins.rangeJoinLeftOuter(
+      lbatch, rbatch, Seq("k"), "lts", "r_lo", "r_hi", micros1h)),
+      s"left_outer diverged: $lo")
+    assert(lo.contains(("u2", Some(3L), None)),
+      s"unmatched left row missing: $lo")
+    val fo = streamed("full_outer")
+    assert(fo == asSet(graft.operators.Joins.rangeJoinFullOuter(
+      lbatch, rbatch, Seq("k"), "lts", "r_lo", "r_hi", micros1h)),
+      s"full_outer diverged: $fo")
+    assert(fo.contains(("u4", None, Some(12L))),
+      s"unmatched right row missing: $fo")
+  }
+
   test("overlapJoinStream parity across inner/left_outer/full_outer: " +
       "equals the batch interval-overlap twins on a closed watermark, " +
       "and over-length intervals are excluded, not silently mismatched") {
