@@ -310,44 +310,12 @@ object Streams {
       tsCol: String, valCols: Seq[String], toleranceMs: Option[Long],
       prefix: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
-    require(keyCols.nonEmpty, "asOfStream needs at least one key column")
-    require(valCols.nonEmpty, "asOfStream needs at least one value column")
     toleranceMs.foreach(t =>
       require(t >= 0, s"toleranceMs must be >= 0, got $t"))
-    for (df <- Seq(left, right))
-      require(df.schema(tsCol).dataType == TimestampType,
-        s"asOfStream tsCol '$tsCol' must be TIMESTAMP, got " +
-          s"${df.schema(tsCol).dataType.simpleString}")
-    val lRowType = StructType(left.schema.fields)
-    val rValType = StructType(valCols.map(v => right.schema(v)).toArray)
-    val l2 = left.select(
-      struct(keyCols.map(col): _*).as("_k"),
-      col(tsCol).as("_ts"),
-      lit(0).as("_side"),
-      struct(left.columns.map(col).toIndexedSeq: _*).as("_lrow"),
-      lit(null).cast(rValType).as("_rv"))
-    val r2 = right
-      .filter((keyCols.map(c => col(c).isNotNull) :+
-        col(tsCol).isNotNull).reduce(_ && _))
-      .select(
-        struct(keyCols.map(col): _*).as("_k"),
-        col(tsCol).as("_ts"),
-        lit(1).as("_side"),
-        lit(null).cast(lRowType).as("_lrow"),
-        struct(valCols.map(col): _*).as("_rv"))
-    val u = l2.unionByName(r2)
-    val outSchema = StructType(left.schema.fields ++ valCols.map { v =>
-      StructField(prefix + v, right.schema(v).dataType, nullable = true)
-    })
+    val p = asOfParts(left, right, keyCols, tsCol, valCols, prefix)
     val nVals = valCols.size
-    // two Encoder[Row]s in implicit scope would be ambiguous — pass them
-    // explicitly at each call site instead
-    val keyEnc = Encoders.row(
-      StructType(keyCols.map(k => left.schema(k)).toArray))
-    val outEnc = Encoders.row(outSchema)
     val stateEnc = Encoders.kryo[(Long, Seq[Any])]
-    u.groupByKey((r: Row) => r.getStruct(0))(keyEnc)
+    p.u.groupByKey((r: Row) => r.getStruct(0))(p.keyEnc)
       .flatMapGroupsWithState[(Long, Seq[Any]), Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, batch, state: GroupState[(Long, Seq[Any])]) =>
@@ -377,7 +345,7 @@ object Streams {
             }
           cur.foreach(state.update)
           out.result().iterator
-      }(stateEnc, outEnc)
+      }(stateEnc, p.outEnc)
       .toDF()
   }
 
@@ -388,6 +356,207 @@ object Streams {
       tsCol: String, valCols: Seq[String]): DataFrame =
     asOfStream(left, right, keyCols, tsCol, valCols, toleranceMs = None,
       prefix = "asof_")
+
+  /** Shared plumbing for the DataFrame-generic as-of forms: tag and union
+    * the two streams into one (key struct, ts, side, left-row struct,
+    * right-values struct) shape — one shuffle on the key — plus the
+    * output schema/encoders. Row positions: _k=0, _ts=1, _side=2,
+    * _lrow=3, _rv=4.
+    */
+  private final case class AsofParts(u: DataFrame,
+      outSchema: org.apache.spark.sql.types.StructType,
+      keyEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row],
+      outEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row])
+
+  private def asOfParts(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String, valCols: Seq[String],
+      prefix: String): AsofParts = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    require(keyCols.nonEmpty, "asOfStream needs at least one key column")
+    require(valCols.nonEmpty, "asOfStream needs at least one value column")
+    for (df <- Seq(left, right))
+      require(df.schema(tsCol).dataType == TimestampType,
+        s"asOfStream tsCol '$tsCol' must be TIMESTAMP, got " +
+          s"${df.schema(tsCol).dataType.simpleString}")
+    val lRowType = StructType(left.schema.fields)
+    val rValType = StructType(valCols.map(v => right.schema(v)).toArray)
+    val l2 = left.select(
+      struct(keyCols.map(col): _*).as("_k"),
+      col(tsCol).as("_ts"),
+      lit(0).as("_side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("_lrow"),
+      lit(null).cast(rValType).as("_rv"))
+    val r2 = right
+      .filter((keyCols.map(c => col(c).isNotNull) :+
+        col(tsCol).isNotNull).reduce(_ && _))
+      .select(
+        struct(keyCols.map(col): _*).as("_k"),
+        col(tsCol).as("_ts"),
+        lit(1).as("_side"),
+        lit(null).cast(lRowType).as("_lrow"),
+        struct(valCols.map(col): _*).as("_rv"))
+    val outSchema = StructType(left.schema.fields ++ valCols.map { v =>
+      StructField(prefix + v, right.schema(v).dataType, nullable = true)
+    })
+    // two Encoder[Row]s in implicit scope would be ambiguous — carried as
+    // values and passed explicitly at each call site
+    AsofParts(l2.unionByName(r2), outSchema,
+      Encoders.row(StructType(keyCols.map(k => left.schema(k)).toArray)),
+      Encoders.row(outSchema))
+  }
+
+  /** [[asOfStream]] (DataFrame form) with a `direction`, mirroring the
+    * batch [[graft.operators.Joins.asOf]]:
+    *
+    *  - `"backward"`: the form above (latest right at-or-before); the
+    *    `watermark` argument is unused — state is one pair per key with
+    *    no timeout.
+    *  - `"forward"`: EARLIEST right at-or-after the left event. Online,
+    *    a left event cannot resolve until that right ARRIVES — so left
+    *    events wait in state, and `toleranceMs` is REQUIRED: it is the
+    *    horizon that both resolves waits (a right farther than the
+    *    horizon yields None) and bounds state (pending lefts expire via
+    *    event-time timeout once the watermark passes `ts + toleranceMs`,
+    *    emitting None). State per key = one backward pair + the pending
+    *    lefts inside the horizon — bounded by rate × tolerance, not
+    *    stream length.
+    *  - `"nearest"`: whichever of the two directions is closer (ties go
+    *    backward, the batch/pandas convention). A left event waits like
+    *    `forward` — the nearest choice needs the first at-or-after right
+    *    (or proof none can arrive in-horizon, via the same timeout) —
+    *    with the retained newest right serving as its backward witness;
+    *    `toleranceMs` REQUIRED, vetting each side before the
+    *    closer-wins comparison.
+    *
+    * Unmatched/expired left events surface with watermark latency, the
+    * standard streaming outer trade. Within a micro-batch rows apply in
+    * (ts, left-before-right) order for the waiting directions, so an
+    * equal-timestamp right resolves the left (both bounds inclusive,
+    * matching batch). Two best-effort divergences from exact batch
+    * parity, both documented: (1) duplicate right timestamps resolve to
+    * an arbitrary one of the duplicates (the batch value-tuple tiebreak
+    * needs a total order on the payload, which schema-dynamic rows don't
+    * carry); (2) when the two sources' micro-batches skew — a left
+    * arrives AFTER a newer right was already retained — the left
+    * resolves immediately against that retained right, the best witness
+    * still available online (rights between them were already
+    * discarded; the batch operator is the exact-over-history path).
+    */
+  def asOfStream(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valCols: Seq[String], toleranceMs: Option[Long],
+      prefix: String, direction: String,
+      watermark: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward, forward, or nearest, got '$direction'")
+    if (direction == "backward")
+      return asOfStream(left, right, keyCols, tsCol, valCols, toleranceMs,
+        prefix)
+    val tol = toleranceMs.getOrElse(throw new IllegalArgumentException(
+      s"$direction streaming as-of requires toleranceMs — the horizon " +
+        "that resolves waiting left events and bounds pending state"))
+    require(tol >= 0, s"toleranceMs must be >= 0, got $tol")
+    val p = asOfParts(left, right, keyCols, tsCol, valCols, prefix)
+    val nVals = valCols.size
+    val nearest = direction == "nearest"
+    // state: (newest right seen, pending lefts as (ts, row values)).
+    // Invariant: every pending left is NEWER than the retained right —
+    // a left at-or-before it resolves on arrival, and a right at-or-after
+    // a pending left resolves that left; so at resolution/expiry the
+    // retained right IS each pending left's best backward witness
+    type Pair = (Long, Seq[Any])
+    type State = (Option[Pair], List[(Long, Seq[Any])])
+    val stateEnc = Encoders.kryo[State]
+    p.u.withWatermark("_ts", watermark)
+      .groupByKey((r: Row) => r.getStruct(0))(p.keyEnc)
+      .flatMapGroupsWithState[State, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, batch, state: GroupState[State]) =>
+          val out = Seq.newBuilder[Row]
+          var (bw, pending) = state.getOption.getOrElse(
+            (None: Option[Pair], Nil: List[(Long, Seq[Any])]))
+          def nulls: Seq[Any] = Seq.fill(nVals)(null)
+          // the in-horizon winner for one left event given the candidate
+          // pairs (each may serve either direction — pick's filters vet
+          // side and horizon); fw = None means "proved absent"
+          def pick(lts: Long, bwc: Option[Pair],
+              fw: Option[Pair]): Seq[Any] = {
+            val b = bwc.filter { case (ts, _) => ts <= lts && lts - ts <= tol }
+            val f = fw.filter { case (ts, _) => ts >= lts && ts - lts <= tol }
+            val chosen =
+              if (!nearest) f
+              else (b, f) match {
+                case (Some((bts, _)), Some((fts, _))) =>
+                  if (lts - bts <= fts - lts) b else f // tie → backward
+                case _ => b.orElse(f)
+              }
+            chosen.map(_._2).getOrElse(nulls)
+          }
+          if (state.hasTimedOut) {
+            // no right at-or-after can still arrive in-horizon for lefts
+            // whose window the watermark closed — resolve them without one
+            val wm = state.getCurrentWatermarkMs()
+            val (expired, waiting) = pending.partition(_._1 + tol < wm)
+            expired.foreach { case (lts, lrow) =>
+              out += Row.fromSeq(lrow ++ pick(lts, bw, None))
+            }
+            pending = waiting
+          } else {
+            batch.toSeq
+              .sortBy { r =>
+                val ts = if (r.isNullAt(1)) Long.MinValue
+                  else r.getTimestamp(1).getTime
+                (ts, r.getInt(2) == 1) // LEFT first at equal ts: the
+                // equal-ts right then resolves it (inclusive >= bound)
+              }
+              .foreach { r =>
+                if (r.getInt(2) == 1) {
+                  val rts = r.getTimestamp(1).getTime
+                  val rv = r.getStruct(4).toSeq
+                  val (resolved, waiting) = pending.partition(_._1 <= rts)
+                  // resolve BEFORE advancing bw: the retained right is
+                  // each left's backward witness, this row its forward one
+                  resolved.foreach { case (lts, lrow) =>
+                    out += Row.fromSeq(lrow ++ pick(lts, bw, Some((rts, rv))))
+                  }
+                  pending = waiting
+                  if (bw.forall(_._1 <= rts)) bw = Some((rts, rv))
+                } else if (r.isNullAt(1)) {
+                  // a null-ts left orders nowhere: nulls now (batch
+                  // semantics), no wait
+                  out += Row.fromSeq(r.getStruct(3).toSeq ++ nulls)
+                } else {
+                  val lts = r.getTimestamp(1).getTime
+                  if (bw.exists(_._1 >= lts)) {
+                    // the newest right already sits at-or-after this left
+                    // (cross-micro-batch skew between the two sources):
+                    // resolve NOW against it — earlier rights are already
+                    // discarded and waiting can only time out
+                    out += Row.fromSeq(r.getStruct(3).toSeq ++
+                      pick(lts, bw, bw))
+                  } else {
+                    pending = pending :+ ((lts, r.getStruct(3).toSeq))
+                  }
+                }
+              }
+          }
+          if (bw.isEmpty && pending.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update((bw, pending))
+            // clamped: Spark rejects a timeout at-or-before the current
+            // watermark, and a pending left right at the horizon's edge
+            // can race a mid-batch watermark advance
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                pending.map(_._1).min + tol + 1,
+                state.getCurrentWatermarkMs() + 1))
+          }
+          out.result().iterator
+      }(stateEnc, p.outEnc)
+      .toDF()
+  }
 
   def asOfStream(tagged: Dataset[Tagged],
       toleranceMs: Option[Long] = None): Dataset[Enriched] = {

@@ -496,6 +496,79 @@ class StreamsSpec extends SparkTestBase {
       s"stale enrichment survived the tolerance horizon: $tight")
   }
 
+  test("forward and nearest asOfStream parity: equals the batch Joins.asOf " +
+      "directions, with pending lefts resolved by arrival or by the " +
+      "watermark-driven horizon timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      ("C", t("2024-01-01 06:00:00"), 9.0),
+      ("A", t("2024-01-01 10:00:00"), 2.0),
+      ("u9", t("2024-01-02 12:01:00"), 50.0),
+      ("u9", t("2024-01-02 12:10:00"), 60.0)) // watermark pusher, resolves nothing
+    val trades = Seq(
+      ("A", t("2024-01-01 09:30:00"), 101L), // forward → A quote 30 min later
+      ("B", t("2024-01-01 09:45:00"), 102L), // no quotes ever → horizon None
+      ("A", t("2024-01-01 10:00:00"), 103L), // quote AT ts (inclusive >=)
+      ("C", t("2024-01-01 11:00:00"), 104L), // only a 5-hour-OLD quote
+      ("u9", t("2024-01-02 12:00:30"), 9L))  // resolves in-batch by 12:01
+    def streamed(direction: String,
+        tolMs: Long): Set[(String, Long, Option[Double])] = {
+      val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+      val rmem = MemoryStream[(String, java.sql.Timestamp, Double)]
+      val name = s"asof_dir_$direction"
+      val q = Streams.asOfStream(
+          lmem.toDF().toDF("sym", "ts", "tid"),
+          rmem.toDF().toDF("sym", "ts", "price"),
+          keyCols = Seq("sym"), tsCol = "ts", valCols = Seq("price"),
+          toleranceMs = Some(tolMs), prefix = "asof_",
+          direction = direction, watermark = "10 minutes")
+        .select("sym", "tid", "asof_price")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // in-order delivery; the horizon timeout needs (a) the watermark
+        // past ts + tolerance — pushed by the far-future u9 batch — and
+        // (b) one further micro-batch for the timeout to fire, provided
+        // by the final right-only event (rights emit nothing themselves)
+        rmem.addData(quotes.take(2): _*)
+        lmem.addData(trades.take(4): _*)
+        q.processAllAvailable()
+        rmem.addData(quotes(2))
+        lmem.addData(trades(4))
+        q.processAllAvailable()
+        rmem.addData(quotes(3))
+        q.processAllAvailable()
+        spark.table(name).as[(String, Long, Option[Double])].collect().toSet
+      } finally q.stop()
+    }
+    def batch(direction: String,
+        tolMicros: Long): Set[(String, Long, Option[Double])] =
+      graft.operators.Joins.asOf(
+          trades.toDF("sym", "ts", "tid"),
+          quotes.toDF("sym", "ts", "price"),
+          Seq("sym"), "ts", "ts", Seq("price"), "asof_", direction,
+          Some(tolMicros))
+        .select("sym", "tid", "asof_price")
+        .as[(String, Long, Option[Double])].collect().toSet
+    val fortyFiveMin = 45L * 60 * 1000
+    val fwd = streamed("forward", fortyFiveMin)
+    assert(fwd == batch("forward", fortyFiveMin * 1000),
+      s"forward divergence:\n stream $fwd\n batch  " +
+        s"${batch("forward", fortyFiveMin * 1000)}")
+    assert(fwd.contains(("A", 101L, Some(2.0))) && // resolved by arrival
+      fwd.contains(("B", 102L, None)) &&           // resolved by timeout
+      fwd.contains(("C", 104L, None)),             // stale-only → None
+      s"forward shape wrong: $fwd")
+    val sixH = 6L * 3600 * 1000
+    val near = streamed("nearest", sixH)
+    assert(near == batch("nearest", sixH * 1000),
+      s"nearest divergence:\n stream $near\n batch  " +
+        s"${batch("nearest", sixH * 1000)}")
+    assert(near.contains(("C", 104L, Some(9.0))), // backward fallback at
+      s"nearest backward fallback missing: $near") // horizon timeout
+  }
+
   test("asOfStream parity: equals the batch Joins.asOf on the same fixture") {
     // the contract that keeps the streaming form honest: on in-order
     // delivery (the case the online path is FOR), its output must be
