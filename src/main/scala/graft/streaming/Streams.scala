@@ -111,49 +111,28 @@ object Streams {
   def rangeJoinStream(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowMs: Long,
       watermark: String = "10 minutes",
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner"): DataFrame =
+    rangeJoinStream(left, right, Seq(key), leftTs, rightTs, windowMs,
+      watermark, joinType)
+
+  /** [[rangeJoinStream]] with COMPOSITE equality keys — the batch
+    * operators all take `Seq[String]`; this aligns the streaming
+    * surface. Key columns must be named identically on both inputs
+    * (they are renamed internally on the right and, for `full_outer`,
+    * coalesced back USING-style).
+    */
+  def rangeJoinStream(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String, windowMs: Long,
+      watermark: String, joinType: String): DataFrame = {
     require(windowMs > 0, "windowMs must be > 0")
-    require(Set("inner", "left_outer", "full_outer").contains(joinType),
-      s"joinType must be inner, left_outer, or full_outer, got '$joinType'")
-    val rk = "_graft_rk"
-    val l = left.withWatermark(leftTs, watermark)
-    val r = right.withColumnRenamed(key, rk)
-      .withWatermark(rightTs, watermark)
-    val joined = l.join(r,
-      col(key) === col(rk) &&
+    streamJoin(left.withWatermark(leftTs, watermark), right, keys,
+      watermark = watermark, rightWmCol = rightTs, joinType = joinType,
+      timeCond =
         col(leftTs) >= col(rightTs) &&
-        col(leftTs) < col(rightTs) +
-          expr(s"INTERVAL $windowMs MILLISECONDS"),
-      joinType)
-    // full-outer: a right-only row has a null left `key` but a live `rk`;
-    // coalesce before dropping so its key is not lost (batch contract)
-    val keyed =
-      if (joinType == "full_outer")
-        joined.withColumn(key, coalesce(col(key), col(rk)))
-      else joined
-    keyed.drop(rk)
+          col(leftTs) < col(rightTs) +
+            expr(s"INTERVAL $windowMs MILLISECONDS"))
   }
 
-  /** Streaming as-of enrichment — the streaming form of
-    * [[graft.operators.Joins.asOf]]: each left event is annotated with the
-    * latest right event at-or-before it for the same key. Input is the two
-    * streams tagged and unioned into one [[Tagged]] stream (`isRight`);
-    * state per key is ONE (ts, value) pair — the newest right seen — so
-    * state size is bounded by key cardinality, not stream length.
-    *
-    * Best-effort on disorder, by construction: within a micro-batch rows
-    * are applied in (ts, right-first) order, but a right event arriving
-    * AFTER a later-ts left event was already emitted cannot retroactively
-    * re-enrich it, and a left event older than the retained right gets
-    * None rather than a wrong newer value. Exact-as-of over late data is
-    * the batch operator's job; this is the online path.
-    *
-    * `toleranceMs` mirrors the batch operator's `tolerance` (pandas
-    * merge_asof): a retained right state older than the horizon
-    * (exclusive of `tsMs - toleranceMs`; the bound itself matches) yields
-    * None instead of stale enrichment — the online guard against a key
-    * whose reference stream went quiet hours ago.
-    */
   /** [[rangeJoinStream]] for VARIABLE-length right windows — the
     * streaming form of [[graft.operators.Joins.rangeJoin]] with raw
     * `[rightStart, rightEnd)` columns instead of the fixed-`windowMs`
@@ -179,31 +158,28 @@ object Streams {
   def rangeJoinStream(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightStart: String, rightEnd: String,
       maxWindowMs: Long, watermark: String,
+      joinType: String): DataFrame =
+    rangeJoinStream(left, right, Seq(key), leftTs, rightStart, rightEnd,
+      maxWindowMs, watermark, joinType)
+
+  /** Composite-key form of the variable-window [[rangeJoinStream]]. */
+  def rangeJoinStream(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightStart: String,
+      rightEnd: String, maxWindowMs: Long, watermark: String,
       joinType: String): DataFrame = {
     require(maxWindowMs > 0, "maxWindowMs must be > 0")
-    require(Set("inner", "left_outer", "full_outer").contains(joinType),
-      s"joinType must be inner, left_outer, or full_outer, got '$joinType'")
-    val rk = "_graft_rk"
-    val l = left.withWatermark(leftTs, watermark)
-    val r = right
-      .filter(col(rightEnd) <=
-        col(rightStart) + expr(s"INTERVAL $maxWindowMs MILLISECONDS"))
-      .withColumnRenamed(key, rk)
-      .withWatermark(rightStart, watermark)
-    val joined = l.join(r,
-      col(key) === col(rk) &&
+    streamJoin(left.withWatermark(leftTs, watermark),
+      right.filter(col(rightEnd) <=
+        col(rightStart) + expr(s"INTERVAL $maxWindowMs MILLISECONDS")),
+      keys, watermark = watermark, rightWmCol = rightStart,
+      joinType = joinType,
+      timeCond =
         // retention band on the watermarked columns (derived above)
         col(leftTs) < col(rightStart) +
           expr(s"INTERVAL $maxWindowMs MILLISECONDS") &&
-        // exact containment
-        col(leftTs) >= col(rightStart) &&
-        col(leftTs) < col(rightEnd),
-      joinType)
-    val keyed =
-      if (joinType == "full_outer")
-        joined.withColumn(key, coalesce(col(key), col(rk)))
-      else joined
-    keyed.drop(rk)
+          // exact containment
+          col(leftTs) >= col(rightStart) &&
+          col(leftTs) < col(rightEnd))
   }
 
   /** Streaming interval-overlap join — the streaming form of
@@ -247,37 +223,63 @@ object Streams {
       leftStart: String, leftEnd: String, rightStart: String,
       rightEnd: String, maxLeftLenMs: Long, maxRightLenMs: Long,
       watermark: String = "10 minutes",
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner"): DataFrame =
+    overlapJoinStream(left, right, Seq(key), leftStart, leftEnd,
+      rightStart, rightEnd, maxLeftLenMs, maxRightLenMs, watermark,
+      joinType)
+
+  /** Composite-key form of [[overlapJoinStream]]. */
+  def overlapJoinStream(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String, maxLeftLenMs: Long,
+      maxRightLenMs: Long, watermark: String,
+      joinType: String): DataFrame = {
     require(maxLeftLenMs > 0 && maxRightLenMs > 0,
       "max interval lengths must be > 0")
-    require(Set("inner", "left_outer", "full_outer").contains(joinType),
-      s"joinType must be inner, left_outer, or full_outer, got '$joinType'")
-    val rk = "_graft_rk"
     def capped(df: DataFrame, start: String, end: String,
         maxLen: Long): DataFrame =
       df.filter(col(end) <=
         col(start) + expr(s"INTERVAL $maxLen MILLISECONDS"))
-    val l = capped(left, leftStart, leftEnd, maxLeftLenMs)
-      .withWatermark(leftStart, watermark)
-    val r = capped(right, rightStart, rightEnd, maxRightLenMs)
-      .withColumnRenamed(key, rk)
-      .withWatermark(rightStart, watermark)
-    val joined = l.join(r,
-      col(key) === col(rk) &&
+    streamJoin(
+      capped(left, leftStart, leftEnd, maxLeftLenMs)
+        .withWatermark(leftStart, watermark),
+      capped(right, rightStart, rightEnd, maxRightLenMs),
+      keys, watermark = watermark, rightWmCol = rightStart,
+      joinType = joinType,
+      timeCond =
         // state-retention band on the watermarked starts (derived above)
         col(rightStart) > col(leftStart) -
           expr(s"INTERVAL $maxRightLenMs MILLISECONDS") &&
-        col(rightStart) < col(leftStart) +
-          expr(s"INTERVAL $maxLeftLenMs MILLISECONDS") &&
-        // exact overlap (the batch operator's strict predicate)
-        col(leftStart) < col(rightEnd) &&
-        col(rightStart) < col(leftEnd),
-      joinType)
+          col(rightStart) < col(leftStart) +
+            expr(s"INTERVAL $maxLeftLenMs MILLISECONDS") &&
+          // exact overlap (the batch operator's strict predicate)
+          col(leftStart) < col(rightEnd) &&
+          col(rightStart) < col(leftEnd))
+  }
+
+  /** Shared body of the stream-stream joins: rename the right side's key
+    * columns, join on key equality plus the caller's time condition, and
+    * restore USING-style keys (coalesced for `full_outer`, where a
+    * right-only row's key lives in the renamed column).
+    */
+  private def streamJoin(leftWm: DataFrame, right: DataFrame,
+      keys: Seq[String], watermark: String, rightWmCol: String,
+      joinType: String,
+      timeCond: org.apache.spark.sql.Column): DataFrame = {
+    require(keys.nonEmpty, "streaming joins need at least one key column")
+    require(Set("inner", "left_outer", "full_outer").contains(joinType),
+      s"joinType must be inner, left_outer, or full_outer, got '$joinType'")
+    def rk(k: String) = s"_graft_rk_$k"
+    val r = keys.foldLeft(right)((df, k) => df.withColumnRenamed(k, rk(k)))
+      .withWatermark(rightWmCol, watermark)
+    val keyEq = keys.map(k => col(k) === col(rk(k))).reduce(_ && _)
+    val joined = leftWm.join(r, keyEq && timeCond, joinType)
     val keyed =
       if (joinType == "full_outer")
-        joined.withColumn(key, coalesce(col(key), col(rk)))
+        keys.foldLeft(joined)((df, k) =>
+          df.withColumn(k, coalesce(col(k), col(rk(k)))))
       else joined
-    keyed.drop(rk)
+    keyed.drop(keys.map(rk): _*)
   }
 
   /** DataFrame-generic [[asOfStream]] — the streaming sibling of
@@ -558,6 +560,26 @@ object Streams {
       .toDF()
   }
 
+  /** Streaming as-of enrichment — the streaming form of
+    * [[graft.operators.Joins.asOf]]: each left event is annotated with the
+    * latest right event at-or-before it for the same key. Input is the two
+    * streams tagged and unioned into one [[Tagged]] stream (`isRight`);
+    * state per key is ONE (ts, value) pair — the newest right seen — so
+    * state size is bounded by key cardinality, not stream length.
+    *
+    * Best-effort on disorder, by construction: within a micro-batch rows
+    * are applied in (ts, right-first) order, but a right event arriving
+    * AFTER a later-ts left event was already emitted cannot retroactively
+    * re-enrich it, and a left event older than the retained right gets
+    * None rather than a wrong newer value. Exact-as-of over late data is
+    * the batch operator's job; this is the online path.
+    *
+    * `toleranceMs` mirrors the batch operator's `tolerance` (pandas
+    * merge_asof): a retained right state older than the horizon
+    * (exclusive of `tsMs - toleranceMs`; the bound itself matches) yields
+    * None instead of stale enrichment — the online guard against a key
+    * whose reference stream went quiet hours ago.
+    */
   def asOfStream(tagged: Dataset[Tagged],
       toleranceMs: Option[Long] = None): Dataset[Enriched] = {
     toleranceMs.foreach(t =>

@@ -351,6 +351,61 @@ class StreamsSpec extends SparkTestBase {
       s"unmatched right row missing: $fo")
   }
 
+  test("composite-key streaming joins: two equality keys match the batch " +
+      "twins, including full_outer key coalescing on both key columns") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // (region, user) composite key: same user in two regions must NOT
+    // cross-match; an unmatched right carries BOTH its key parts through
+    // the full_outer coalesce
+    val lfix = Seq(
+      ("eu", "u1", t("2024-01-01 10:15:00"), 1L),
+      ("us", "u1", t("2024-01-01 10:15:00"), 2L), // u1 but wrong region for rid 11
+      ("eu", "u2", t("2024-01-01 10:20:00"), 3L), // no window at all
+      ("eu", "u9", t("2024-01-02 12:00:30"), 9L))
+    val rfix = Seq(
+      ("eu", "u1", t("2024-01-01 10:00:00"), 10L),
+      ("ap", "u1", t("2024-01-01 10:00:00"), 11L), // unmatched right
+      ("eu", "u9", t("2024-01-02 12:00:00"), 90L))
+    val lmem = MemoryStream[(String, String, java.sql.Timestamp, Long)]
+    val rmem = MemoryStream[(String, String, java.sql.Timestamp, Long)]
+    val q = Streams.rangeJoinStream(
+        lmem.toDF().toDF("region", "user", "lts", "lid"),
+        rmem.toDF().toDF("region", "user", "rts", "rid"),
+        keys = Seq("region", "user"), leftTs = "lts", rightTs = "rts",
+        windowMs = 3600 * 1000L, watermark = "10 minutes",
+        joinType = "full_outer")
+      .select("region", "user", "lid", "rid")
+      .writeStream.format("memory").queryName("composite_stream")
+      .outputMode("append").start()
+    val streamed = try {
+      rmem.addData(rfix.take(2): _*)
+      lmem.addData(lfix.take(3): _*)
+      q.processAllAvailable()
+      rmem.addData(rfix.drop(2): _*)
+      lmem.addData(lfix.drop(3): _*)
+      q.processAllAvailable()
+      spark.table("composite_stream")
+        .as[(Option[String], Option[String], Option[Long], Option[Long])]
+        .collect().toSet
+    } finally q.stop()
+    assert(streamed.contains((Some("ap"), Some("u1"), None, Some(11L))),
+      s"unmatched right lost its composite key: $streamed")
+    assert(!streamed.exists(r => r._3.contains(2L) && r._4.contains(10L)),
+      s"composite key leaked across regions: $streamed")
+    val batch = graft.operators.Joins.rangeJoinFullOuter(
+        lfix.toDF("region", "user", "lts", "lid"),
+        rfix.toDF("region", "user", "rts", "rid")
+          .withColumn("rend", $"rts" + expr("INTERVAL '1' HOUR")),
+        Seq("region", "user"), "lts", "rts", "rend",
+        binWidth = 3600L * 1000000)
+      .select("region", "user", "lid", "rid")
+      .as[(Option[String], Option[String], Option[Long], Option[Long])]
+      .collect().toSet
+    assert(streamed == batch,
+      s"composite-key divergence:\n stream $streamed\n batch  $batch")
+  }
+
   test("overlapJoinStream parity across inner/left_outer/full_outer: " +
       "equals the batch interval-overlap twins on a closed watermark, " +
       "and over-length intervals are excluded, not silently mismatched") {
