@@ -58,7 +58,7 @@ object GraftExtensions {
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
-      "")
+      "", "", "", "", "", "", "built-in")
 
   /** (name, info, builder) for every SQL-exposed engine function. */
   val functions: Seq[(String, ExpressionInfo,

@@ -47,7 +47,7 @@ object Splits {
     val sortedRdd = DatasetShim.toInternalRdd(sorted).map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withIdx: org.apache.spark.rdd.RDD[InternalRow] =
-      sortedRdd.zipWithIndex.map { case (row, i) =>
+      sortedRdd.zipWithIndex().map { case (row, i) =>
         new JoinedRow(row, InternalRow(i))
       }
     DatasetShim.internalCreateDataFrame(sorted.sparkSession, withIdx,

@@ -75,8 +75,10 @@ object TagOps {
     val payload = unioned.columns.filter(c => c != key && c != "_set_pri")
     unioned
       .groupBy(col(key))
-      .agg(min_by(struct(payload.map(col): _*), col("_set_pri")).as("_row"))
-      .select(col(key) +: payload.map(c => col(s"_row.$c").as(c)): _*)
+      .agg(min_by(struct(payload.toIndexedSeq.map(col): _*), col("_set_pri"))
+        .as("_row"))
+      .select(col(key) +: payload.toIndexedSeq.map(c =>
+        col(s"_row.$c").as(c)): _*)
   }
 
   /** P1: exactly-n sample without replacement, deterministic under a seed.
