@@ -168,8 +168,11 @@ object Streams {
       rightEnd: String, maxWindowMs: Long, watermark: String,
       joinType: String): DataFrame = {
     require(maxWindowMs > 0, "maxWindowMs must be > 0")
+    // null-end windows pass the cap: they can match nothing (the
+    // containment bound is null) but must still surface as unmatched
+    // rows under full_outer — the batch operator's contract
     streamJoin(left.withWatermark(leftTs, watermark),
-      right.filter(col(rightEnd) <=
+      right.filter(col(rightEnd).isNull || col(rightEnd) <=
         col(rightStart) + expr(s"INTERVAL $maxWindowMs MILLISECONDS")),
       keys, watermark = watermark, rightWmCol = rightStart,
       joinType = joinType,
@@ -236,9 +239,13 @@ object Streams {
       joinType: String): DataFrame = {
     require(maxLeftLenMs > 0 && maxRightLenMs > 0,
       "max interval lengths must be > 0")
+    // null-end intervals pass the cap: the overlap predicate nulls out
+    // (no matches) but outer types must still emit them unmatched — the
+    // batch operators' contract. The band conditions read only the
+    // START columns, so retention is unaffected.
     def capped(df: DataFrame, start: String, end: String,
         maxLen: Long): DataFrame =
-      df.filter(col(end) <=
+      df.filter(col(end).isNull || col(end) <=
         col(start) + expr(s"INTERVAL $maxLen MILLISECONDS"))
     streamJoin(
       capped(left, leftStart, leftEnd, maxLeftLenMs)

@@ -295,11 +295,14 @@ class StreamsSpec extends SparkTestBase {
       ("u1", t("2024-01-01 11:00:00"), 2L),  // in rid 11's 90-min window
       ("u2", t("2024-01-01 10:00:00"), 3L),  // no windows for u2
       ("u9", t("2024-01-02 12:00:30"), 9L))
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
     val rfix = Seq(
       ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 10:15:00"), 10L),
       ("u1", t("2024-01-01 10:30:00"), t("2024-01-01 12:00:00"), 11L),
       ("u4", t("2024-01-01 10:00:00"), t("2024-01-01 10:45:00"), 12L),
       ("u1", t("2024-01-01 05:00:00"), t("2024-01-01 10:00:00"), 99L),
+      ("u6", t("2024-01-01 10:00:00"), nullTs, 13L), // null end: matches
+      // nothing, must surface unmatched under full_outer (batch contract)
       ("u9", t("2024-01-02 12:00:00"), t("2024-01-02 12:30:00"), 90L))
     def streamed(joinType: String): Set[(String, Option[Long], Option[Long])] = {
       val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
@@ -315,10 +318,10 @@ class StreamsSpec extends SparkTestBase {
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
-        rmem.addData(rfix.take(4): _*)
+        rmem.addData(rfix.take(5): _*)
         lmem.addData(lfix.take(3): _*)
         q.processAllAvailable()
-        rmem.addData(rfix.drop(4): _*)
+        rmem.addData(rfix.drop(5): _*)
         lmem.addData(lfix.drop(3): _*)
         q.processAllAvailable()
         spark.table(name)
@@ -417,16 +420,24 @@ class StreamsSpec extends SparkTestBase {
     // cap — the stream must EXCLUDE it (the band would silently miss its
     // matches), so the batch twins never see it either; u9: far-future
     // matched pair pushing both watermarks past the Jan-1 bands
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
     val lfix = Seq(
       ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"), 1L),
       ("u1", t("2024-01-01 12:00:00"), t("2024-01-01 12:30:00"), 2L),
       ("u2", t("2024-01-01 10:00:00"), t("2024-01-01 10:30:00"), 3L),
       ("u1", t("2024-01-01 09:00:00"), t("2024-01-01 14:00:00"), 99L),
+      // INVERTED left interval (start > end): still overlaps rid 13 per
+      // the raw predicate (lStart < rEnd AND rStart < lEnd) — vanilla
+      // semantics the batch twin preserves via least/greatest binning
+      ("u5", t("2024-01-01 13:05:00"), t("2024-01-01 13:02:00"), 7L),
       ("u9", t("2024-01-02 12:00:00"), t("2024-01-02 12:30:00"), 9L))
     val rfix = Seq(
       ("u1", t("2024-01-01 10:30:00"), t("2024-01-01 11:30:00"), 10L),
       ("u1", t("2024-01-01 13:00:00"), t("2024-01-01 13:15:00"), 11L),
       ("u4", t("2024-01-01 10:00:00"), t("2024-01-01 10:45:00"), 12L),
+      ("u5", t("2024-01-01 13:00:00"), t("2024-01-01 13:15:00"), 13L),
+      ("u6", t("2024-01-01 10:00:00"), nullTs, 14L), // null end → no
+      // matches, surfaces unmatched only under full_outer
       ("u9", t("2024-01-02 12:15:00"), t("2024-01-02 12:45:00"), 90L))
     def streamed(joinType: String): Set[(String, Option[Long], Option[Long])] = {
       val lmem = MemoryStream[(String, java.sql.Timestamp,
@@ -445,11 +456,11 @@ class StreamsSpec extends SparkTestBase {
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
-        rmem.addData(rfix.take(3): _*)
-        lmem.addData(lfix.take(4): _*)
+        rmem.addData(rfix.take(5): _*)
+        lmem.addData(lfix.take(5): _*)
         q.processAllAvailable()
-        rmem.addData(rfix.drop(3): _*)
-        lmem.addData(lfix.drop(4): _*)
+        rmem.addData(rfix.drop(5): _*)
+        lmem.addData(lfix.drop(5): _*)
         q.processAllAvailable()
         spark.table(name)
           .as[(String, Option[Long], Option[Long])].collect().toSet
@@ -468,6 +479,8 @@ class StreamsSpec extends SparkTestBase {
       s"inner diverged: $inner")
     assert(!inner.exists(_._2.contains(99L)),
       "an over-length interval leaked into the stream output")
+    assert(inner.contains(("u5", Some(7L), Some(13L))),
+      s"inverted-interval overlap lost: $inner")
     val lo = streamed("left_outer")
     assert(lo == asSet(graft.operators.Joins.intervalOverlapJoinLeftOuter(
       lbatch, rbatch, Seq("k"), "l_lo", "l_hi", "r_lo", "r_hi", micros1h)),
