@@ -56,28 +56,38 @@ object GuardMetrics {
   def of(sc: SparkContext): Counters = of(sc, "")
 
   /** One operator's own counters — independent of every other tag. */
-  def of(sc: SparkContext, tag: String): Counters =
+  def of(sc: SparkContext, tag: String): Counters = {
+    // a stopped context never reads its counters again — evict its
+    // entries so a long-lived JVM cycling SparkContexts doesn't
+    // accumulate dead Counters (the registry is tiny, one entry per
+    // tag, so the sweep costs nothing)
+    registry.keysIterator.foreach { case k @ (c, _) =>
+      if ((c ne sc) && c.isStopped) registry.remove(k)
+    }
     registry.getOrElseUpdate((sc, tag), Counters(
       sc.longAccumulator(taggedName(DroppedRowsName, tag)),
       sc.longAccumulator(taggedName(DroppedCohortsName, tag))))
+  }
 
   /** Zero every pair registered on this context (tagged and untagged). */
   def resetAll(sc: SparkContext): Unit =
     registry.foreach { case ((c, _), ctr) => if (c eq sc) ctr.reset() }
 
-  // once per JVM per tag, not per row: executors log the first drop each
-  // guard sees and point at the accumulators; anything louder floods the
-  // executor log on exactly the pathological inputs the guard exists for
-  private val warned = TrieMap.empty[String, Unit]
-  private def warnOnce(cap: Long, tag: String): Unit =
-    if (warned.putIfAbsent(tag, ()).isEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "graft: skew guard '{}' dropped an over-cap cohort (cap={}); see " +
-          "accumulators '{}' / '{}' for totals. Raise the cap or pass the " +
-          "<=0 sentinel to keep such cohorts (at quadratic cost).",
-        if (tag.isEmpty) "(untagged)" else tag, cap.toString,
-        taggedName(DroppedRowsName, tag),
-        taggedName(DroppedCohortsName, tag))
+  // once per JVM per (application, tag), not per row: executors log the
+  // first drop each guard sees and point at the accumulators; anything
+  // louder floods the executor log on exactly the pathological inputs
+  // the guard exists for. Keyed by applicationId (a plain String, safe
+  // to ship in a task closure where the SparkContext itself is not) so
+  // a fresh context in the same JVM warns again rather than staying
+  // silent behind a stale entry.
+  private val warned = TrieMap.empty[(String, String), Unit]
+  private def warnOnce(appId: String, tag: String,
+      message: => String): Unit =
+    if (warned.putIfAbsent((appId, tag), ()).isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(message)
+
+  private def tagLabel(tag: String): String =
+    if (tag.isEmpty) "(untagged)" else tag
 
   /** Shared guard body: drop every row of a `keys` cohort larger than
     * `cap`, counting dropped rows and cohorts under `tag` (and in the
@@ -100,6 +110,7 @@ object GuardMetrics {
       val sc = df.sparkSession.sparkContext
       val total = of(sc)
       val own = if (tag.isEmpty) None else Some(of(sc, tag))
+      val appId = sc.applicationId
       val w = Window.partitionBy(keys: _*).orderBy(keys: _*)
       val recordDrop = udf { (n: Long, rn: Long) =>
         if (rn == 1L) { // one arbitrary row speaks for the whole cohort
@@ -109,7 +120,13 @@ object GuardMetrics {
             c.droppedRows.add(n)
             c.droppedCohorts.add(1L)
           }
-          warnOnce(cap, tag)
+          warnOnce(appId, tag,
+            s"graft: skew guard '${tagLabel(tag)}' dropped an over-cap " +
+              s"cohort (cap=$cap); see accumulators " +
+              s"'${taggedName(DroppedRowsName, tag)}' / " +
+              s"'${taggedName(DroppedCohortsName, tag)}' for totals. " +
+              "Raise the cap or pass the <=0 sentinel to keep such " +
+              "cohorts (at quadratic cost).")
         }
         false
       }
@@ -120,5 +137,54 @@ object GuardMetrics {
           recordDrop(col("_graft_bn"), col("_graft_brn")))
         .drop("_graft_bn", "_graft_brn")
     }
+  }
+
+  /** Length-cap guard for the streaming banded joins
+    * ([[graft.streaming.Streams.rangeJoinStream]] /
+    * [[graft.streaming.Streams.overlapJoinStream]]): drop every row whose
+    * `[start, end)` interval is LONGER than the caller-declared
+    * `maxLenMs` — the fail-safe those operators require (a longer
+    * interval would silently miss matches past the derived state band) —
+    * counting each excluded row under `tag` and in the session-wide
+    * untagged pair, with the same first-drop warn contract as
+    * [[capCohorts]]. Here one row IS the excluded unit, so both
+    * accumulators of a pair advance by one per row.
+    *
+    * NULL `end` bounds PASS the cap — they can match nothing (the join
+    * predicate nulls out) but must still surface as unmatched rows under
+    * the outer join types, the batch operators' contract.
+    *
+    * Map-only (no shuffle, no state), so it is safe on an unbounded
+    * streaming input; the accumulators advance per micro-batch task. On
+    * clean (in-cap) data the recording UDF on the right of the
+    * short-circuit OR is never invoked, the same zero-cost-hot-path
+    * shape as [[capCohorts]].
+    */
+  def capIntervalLength(df: DataFrame, start: String, end: String,
+      maxLenMs: Long, tag: String): DataFrame = {
+    require(maxLenMs > 0, s"maxLenMs must be > 0, got $maxLenMs")
+    val sc = df.sparkSession.sparkContext
+    val total = of(sc)
+    val own = if (tag.isEmpty) None else Some(of(sc, tag))
+    val appId = sc.applicationId
+    val recordDrop = udf { () =>
+      total.droppedRows.add(1L)
+      total.droppedCohorts.add(1L)
+      own.foreach { c =>
+        c.droppedRows.add(1L)
+        c.droppedCohorts.add(1L)
+      }
+      warnOnce(appId, tag,
+        s"graft: streaming guard '${tagLabel(tag)}' excluded a row whose " +
+          s"interval exceeds the declared max length (maxLenMs=$maxLenMs); " +
+          s"see accumulators '${taggedName(DroppedRowsName, tag)}' / " +
+          s"'${taggedName(DroppedCohortsName, tag)}' for totals. Raise " +
+          "the declared max (at proportionally larger state) or use the " +
+          "batch operator for unbounded interval lengths.")
+      false
+    }
+    df.filter(col(end).isNull ||
+      col(end) <= col(start) + expr(s"INTERVAL $maxLenMs MILLISECONDS") ||
+      recordDrop())
   }
 }

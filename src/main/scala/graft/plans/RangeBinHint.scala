@@ -94,7 +94,19 @@ object ResolveRangeBinHint extends Rule[LogicalPlan] {
         val cleaned = node.transformExpressions {
           case s: SubqueryExpression if hoistable(s) && hasMarker(s.plan) =>
             val (stripped, w) = stripMarkers(s.plan)
-            if (width.isEmpty) width = w
+            (width, w) match {
+              case (None, _) => width = w
+              case (Some(first), Some(other)) if other != first =>
+                // fail-loud policy, soft form: the hoist target can carry
+                // ONE width, so a second differing hint must not vanish
+                // without a diagnostic (parseWidth's contract)
+                logWarning(s"$HintName: operator holds multiple hoisted " +
+                  s"subquery hints with different widths — keeping the " +
+                  s"first ($first), ignoring $other. Hint the outer " +
+                  "statement once, or call Joins.rangeJoin directly for " +
+                  "per-join width control.")
+              case _ => ()
+            }
             s.withNewPlan(stripped)
         }
         width.map(RangeBinHint(_, cleaned)).getOrElse(cleaned)

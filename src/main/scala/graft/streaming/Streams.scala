@@ -150,7 +150,11 @@ object Streams {
     * a valid pair while the length declaration holds. Right rows whose
     * window exceeds the declared maximum are excluded up front rather
     * than silently losing their far matches (the batch operator is the
-    * path for unbounded window lengths).
+    * path for unbounded window lengths), and every exclusion is COUNTED
+    * under the `streamRangeCap` [[graft.operators.GuardMetrics]] tag
+    * (plus the session-wide pair) with a first-drop warn line — an
+    * under-declared `maxWindowMs` shows up as a non-zero counter, not as
+    * silently missing rows.
     *
     * Same `joinType` surface and USING-style key contract as the
     * fixed-window form.
@@ -168,12 +172,12 @@ object Streams {
       rightEnd: String, maxWindowMs: Long, watermark: String,
       joinType: String): DataFrame = {
     require(maxWindowMs > 0, "maxWindowMs must be > 0")
-    // null-end windows pass the cap: they can match nothing (the
-    // containment bound is null) but must still surface as unmatched
-    // rows under full_outer — the batch operator's contract
+    // the cap guard passes null-end windows (they can match nothing but
+    // must surface unmatched under full_outer — the batch operator's
+    // contract) and counts every over-length exclusion under its tag
     streamJoin(left.withWatermark(leftTs, watermark),
-      right.filter(col(rightEnd).isNull || col(rightEnd) <=
-        col(rightStart) + expr(s"INTERVAL $maxWindowMs MILLISECONDS")),
+      graft.operators.GuardMetrics.capIntervalLength(
+        right, rightStart, rightEnd, maxWindowMs, tag = "streamRangeCap"),
       keys, watermark = watermark, rightWmCol = rightStart,
       joinType = joinType,
       timeCond =
@@ -211,7 +215,11 @@ object Streams {
     * interval exceeds the declared maximum are excluded up front — a
     * longer interval would silently miss matches past the band, and an
     * operator must not emit a silently-wrong subset (the batch operator
-    * is the path for unbounded interval lengths).
+    * is the path for unbounded interval lengths). Every exclusion, on
+    * either side, is COUNTED under the `streamOverlapCap`
+    * [[graft.operators.GuardMetrics]] tag (plus the session-wide pair)
+    * with a first-drop warn line, so an under-declared max is one
+    * readable number, not silent row loss.
     *
     * `joinType`: `inner`, `left_outer` (every surviving left interval
     * emits, null-extended once both watermarks close its band — the
@@ -239,14 +247,15 @@ object Streams {
       joinType: String): DataFrame = {
     require(maxLeftLenMs > 0 && maxRightLenMs > 0,
       "max interval lengths must be > 0")
-    // null-end intervals pass the cap: the overlap predicate nulls out
-    // (no matches) but outer types must still emit them unmatched — the
-    // batch operators' contract. The band conditions read only the
-    // START columns, so retention is unaffected.
+    // the cap guard passes null-end intervals (the overlap predicate
+    // nulls out — no matches — but outer types must still emit them
+    // unmatched, the batch operators' contract) and counts every
+    // over-length exclusion; both sides share one tag, the session-wide
+    // pair keeps the grand total
     def capped(df: DataFrame, start: String, end: String,
         maxLen: Long): DataFrame =
-      df.filter(col(end).isNull || col(end) <=
-        col(start) + expr(s"INTERVAL $maxLen MILLISECONDS"))
+      graft.operators.GuardMetrics.capIntervalLength(
+        df, start, end, maxLen, tag = "streamOverlapCap")
     streamJoin(
       capped(left, leftStart, leftEnd, maxLeftLenMs)
         .withWatermark(leftStart, watermark),
@@ -268,6 +277,10 @@ object Streams {
     * columns, join on key equality plus the caller's time condition, and
     * restore USING-style keys (coalesced for `full_outer`, where a
     * right-only row's key lives in the renamed column).
+    *
+    * The "only key columns may be shared" contract is enforced here, not
+    * left to Spark's ambiguous-reference error at resolution: a loud
+    * require naming the collisions, the same style as `asOfParts`.
     */
   private def streamJoin(leftWm: DataFrame, right: DataFrame,
       keys: Seq[String], watermark: String, rightWmCol: String,
@@ -276,6 +289,17 @@ object Streams {
     require(keys.nonEmpty, "streaming joins need at least one key column")
     require(Set("inner", "left_outer", "full_outer").contains(joinType),
       s"joinType must be inner, left_outer, or full_outer, got '$joinType'")
+    require(!keys.contains(rightWmCol),
+      s"the right time column '$rightWmCol' cannot also be a join key — " +
+        "key columns are renamed internally on the right, which would " +
+        "orphan its watermark; give the time column its own name")
+    val shared = (leftWm.columns.toSet -- keys)
+      .intersect(right.columns.toSet -- keys)
+    require(shared.isEmpty,
+      "streaming join inputs share non-key column name(s) " +
+        s"${shared.toSeq.sorted.mkString("'", "', '", "'")} — only key " +
+        "columns may be shared (they are renamed internally and restored " +
+        "USING-style); rename the colliding columns on one side first")
     def rk(k: String) = s"_graft_rk_$k"
     val r = keys.foldLeft(right)((df, k) => df.withColumnRenamed(k, rk(k)))
       .withWatermark(rightWmCol, watermark)
@@ -545,7 +569,9 @@ object Streams {
                     out += Row.fromSeq(r.getStruct(3).toSeq ++
                       pick(lts, bw, bw))
                   } else {
-                    pending = pending :+ ((lts, r.getStruct(3).toSeq))
+                    // prepend, O(1): pending order is never read —
+                    // resolution and expiry both partition on timestamp
+                    pending = ((lts, r.getStruct(3).toSeq)) :: pending
                   }
                 }
               }

@@ -715,6 +715,222 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming length-cap exclusions are counted under streamRangeCap / " +
+      "streamOverlapCap, not silent — the engine's no-silent-drops contract") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.GuardMetrics
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+    val rangeCtr = GuardMetrics.of(spark.sparkContext, "streamRangeCap")
+    val overlapCtr = GuardMetrics.of(spark.sparkContext, "streamOverlapCap")
+    rangeCtr.reset()
+    overlapCtr.reset()
+    // variable-window range join: one in-cap window, one 5-hour window
+    // past the 1-hour cap (counted), one null-end window (passes by
+    // contract — matches nothing but is not an exclusion)
+    val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rmem = MemoryStream[(String, java.sql.Timestamp,
+      java.sql.Timestamp, Long)]
+    val q = Streams.rangeJoinStream(
+        lmem.toDF().toDF("k", "lts", "lid"),
+        rmem.toDF().toDF("k", "r_lo", "r_hi", "rid"),
+        key = "k", leftTs = "lts", rightStart = "r_lo", rightEnd = "r_hi",
+        maxWindowMs = 3600 * 1000L, watermark = "10 minutes",
+        joinType = "inner")
+      .writeStream.format("memory").queryName("cap_count_range")
+      .outputMode("append").start()
+    try {
+      rmem.addData(
+        ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 10:30:00"), 1L),
+        ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 15:00:00"), 2L),
+        ("u1", t("2024-01-01 10:00:00"), nullTs, 3L))
+      lmem.addData(("u1", t("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rangeCtr.droppedRows.value == 1L,
+      s"expected exactly the one over-length window counted, got " +
+        s"${rangeCtr.droppedRows.value}")
+    assert(overlapCtr.droppedRows.value == 0L)
+    // overlap join: one over-length interval on EACH side → 2 counted
+    // under the shared tag; the full_outer row-loss divergence from the
+    // batch twin is now one readable number
+    val lmem2 = MemoryStream[(String, java.sql.Timestamp,
+      java.sql.Timestamp, Long)]
+    val rmem2 = MemoryStream[(String, java.sql.Timestamp,
+      java.sql.Timestamp, Long)]
+    val q2 = Streams.overlapJoinStream(
+        lmem2.toDF().toDF("k", "l_lo", "l_hi", "lid"),
+        rmem2.toDF().toDF("k", "r_lo", "r_hi", "rid"),
+        key = "k", leftStart = "l_lo", leftEnd = "l_hi",
+        rightStart = "r_lo", rightEnd = "r_hi",
+        maxLeftLenMs = 3600 * 1000L, maxRightLenMs = 3600 * 1000L,
+        watermark = "10 minutes", joinType = "full_outer")
+      .writeStream.format("memory").queryName("cap_count_overlap")
+      .outputMode("append").start()
+    try {
+      lmem2.addData(
+        ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 10:30:00"), 1L),
+        ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 16:00:00"), 2L))
+      rmem2.addData(
+        ("u1", t("2024-01-01 10:15:00"), t("2024-01-01 10:45:00"), 10L),
+        ("u1", t("2024-01-01 10:15:00"), t("2024-01-01 17:00:00"), 11L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(overlapCtr.droppedRows.value == 2L,
+      s"expected one exclusion per side counted, got " +
+        s"${overlapCtr.droppedRows.value}")
+    assert(rangeCtr.droppedRows.value == 1L,
+      "tags must count independently")
+  }
+
+  test("streamJoin fails fast on colliding non-key column names and on a " +
+      "key doubling as the right time column") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    // both sides carry a non-key "v" — the loud contract names it instead
+    // of surfacing Spark's opaque ambiguous-reference error downstream
+    val e1 = intercept[IllegalArgumentException] {
+      Streams.rangeJoinStream(
+        lmem.toDF().toDF("k", "lts", "v"),
+        rmem.toDF().toDF("k", "rts", "v"),
+        key = "k", leftTs = "lts", rightTs = "rts", windowMs = 1000L)
+    }
+    assert(e1.getMessage.contains("share non-key column") &&
+      e1.getMessage.contains("'v'"), e1.getMessage)
+    // the right time column as a join key would be renamed out from under
+    // its own watermark call
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.rangeJoinStream(
+        lmem.toDF().toDF("rts", "lts", "lid"),
+        rmem.toDF().toDF("rts", "other", "rid"),
+        key = "rts", leftTs = "lts", rightTs = "rts", windowMs = 1000L)
+    }
+    assert(e2.getMessage.contains("cannot also be a join key"),
+      e2.getMessage)
+  }
+
+  test("stream-stream join state stays bounded: rows age out at the " +
+      "derived retention band instead of accumulating with stream length") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(day: Int, hm: String) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hm:00")
+    // 8 rounds, one matched pair per round, rounds a DAY apart — far past
+    // watermark (10 min) + window (1 h), so each round's rows must leave
+    // the state store before the next settles. 16 rows fed; a leak shows
+    // as numRowsTotal tracking stream length.
+    def drive(mkQuery: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+        name: String, rightHasEnd: Boolean): Seq[Long] = {
+      val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+      val rmem = MemoryStream[(String, java.sql.Timestamp,
+        java.sql.Timestamp, Long)]
+      val rdf = if (rightHasEnd) rmem.toDF().toDF("k", "rts", "rend", "rid")
+        else rmem.toDF().toDF("k", "rts", "rend", "rid").drop("rend")
+      val q = mkQuery(lmem.toDF().toDF("k", "lts", "lid"), rdf)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        (1 to 8).map { day =>
+          rmem.addData(("u1", t(day, "10:00"), t(day, "10:45"), day.toLong))
+          lmem.addData(("u1", t(day, "10:30"), day.toLong))
+          q.processAllAvailable()
+          q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        }
+      } finally q.stop()
+    }
+    val fixed = drive((l, r) => Streams.rangeJoinStream(l, r, key = "k",
+      leftTs = "lts", rightTs = "rts", windowMs = 3600 * 1000L,
+      watermark = "10 minutes"), "state_bound_fixed", rightHasEnd = false)
+    // at most the current round + the not-yet-evicted previous round may
+    // sit in state (the watermark that evicts round i arrives with round
+    // i+1); 2 rows/round → bound 4, while 2×round rows were fed
+    assert(fixed.last <= 4, s"fixed-window state grew with length: $fixed")
+    assert(fixed.max <= 6, s"fixed-window state exceeded the band: $fixed")
+    val variable = drive((l, r) => Streams.rangeJoinStream(l, r, key = "k",
+      leftTs = "lts", rightStart = "rts", rightEnd = "rend",
+      maxWindowMs = 2 * 3600 * 1000L, watermark = "10 minutes",
+      joinType = "inner"), "state_bound_var", rightHasEnd = true)
+    assert(variable.last <= 4,
+      s"variable-window state grew with length: $variable")
+    assert(variable.max <= 6,
+      s"variable-window state exceeded the band: $variable")
+  }
+
+  test("pinned divergence: forward asOfStream resolves duplicate right " +
+      "timestamps to an arbitrary one of the duplicates (documented; the " +
+      "batch value-tuple tiebreak needs an order rows don't carry)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rmem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = Streams.asOfStream(
+        lmem.toDF().toDF("sym", "ts", "tid"),
+        rmem.toDF().toDF("sym", "ts", "price"),
+        keyCols = Seq("sym"), tsCol = "ts", valCols = Seq("price"),
+        toleranceMs = Some(3600 * 1000L), prefix = "asof_",
+        direction = "forward", watermark = "1 hour")
+      .select("tid", "asof_price")
+      .writeStream.format("memory").queryName("pin_dup_right")
+      .outputMode("append").start()
+    val rows = try {
+      lmem.addData(("A", t("2024-01-01 10:00:00"), 1L)) // pends
+      q.processAllAvailable()
+      // two rights at the SAME timestamp resolve it; which one wins is
+      // explicitly arbitrary — this test fails if the state machine ever
+      // starts dropping the match or inventing a third value
+      rmem.addData(("A", t("2024-01-01 10:30:00"), 1.0),
+        ("A", t("2024-01-01 10:30:00"), 2.0))
+      q.processAllAvailable()
+      spark.table("pin_dup_right").as[(Long, Option[Double])]
+        .collect().toMap
+    } finally q.stop()
+    assert(rows(1L).exists(v => v == 1.0 || v == 2.0),
+      s"duplicate-ts right must resolve to ONE of the duplicates: $rows")
+  }
+
+  test("pinned divergence: cross-micro-batch skew resolves a left against " +
+      "the retained newest right (documented; batch nearest would pick " +
+      "the already-discarded closer right)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(("A", t("2024-01-01 10:00:00"), 1.0),
+      ("A", t("2024-01-01 10:05:00"), 3.0))
+    val trades = Seq(("A", t("2024-01-01 10:02:00"), 1L))
+    val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rmem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = Streams.asOfStream(
+        lmem.toDF().toDF("sym", "ts", "tid"),
+        rmem.toDF().toDF("sym", "ts", "price"),
+        keyCols = Seq("sym"), tsCol = "ts", valCols = Seq("price"),
+        toleranceMs = Some(3600 * 1000L), prefix = "asof_",
+        direction = "nearest", watermark = "1 hour")
+      .select("tid", "asof_price")
+      .writeStream.format("memory").queryName("pin_skew")
+      .outputMode("append").start()
+    val streamed = try {
+      // BOTH rights land before the left (source skew): the 10:00 right
+      // is superseded by 10:05 and discarded before the 10:02 left shows
+      rmem.addData(quotes: _*)
+      q.processAllAvailable()
+      lmem.addData(trades: _*)
+      q.processAllAvailable()
+      spark.table("pin_skew").as[(Long, Option[Double])].collect().toMap
+    } finally q.stop()
+    // online: the retained 10:05 right is the best witness still alive
+    assert(streamed(1L).contains(3.0),
+      s"skewed left must resolve against the retained right: $streamed")
+    // the batch twin, with full history, picks the CLOSER 10:00 right —
+    // asserting it here keeps the divergence visible, not just asserted
+    val batch = graft.operators.Joins.asOf(
+        trades.toDF("sym", "ts", "tid"), quotes.toDF("sym", "ts", "price"),
+        Seq("sym"), "ts", "ts", Seq("price"), "asof_", "nearest",
+        Some(3600L * 1000 * 1000))
+      .select($"tid", $"asof_price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(batch(1L).contains(1.0), s"batch twin shape changed: $batch")
+  }
+
   test("sessionize closes a session on gap and keeps state within gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
