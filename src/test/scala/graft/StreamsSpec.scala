@@ -857,6 +857,36 @@ class StreamsSpec extends SparkTestBase {
       s"variable-window state exceeded the band: $variable")
   }
 
+  test("overlapJoinStream state stays bounded at the derived " +
+      "start-to-start band") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(day: Int, hm: String) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hm:00")
+    val lmem = MemoryStream[(String, java.sql.Timestamp,
+      java.sql.Timestamp, Long)]
+    val rmem = MemoryStream[(String, java.sql.Timestamp,
+      java.sql.Timestamp, Long)]
+    val q = Streams.overlapJoinStream(
+        lmem.toDF().toDF("k", "l_lo", "l_hi", "lid"),
+        rmem.toDF().toDF("k", "r_lo", "r_hi", "rid"),
+        key = "k", leftStart = "l_lo", leftEnd = "l_hi",
+        rightStart = "r_lo", rightEnd = "r_hi",
+        maxLeftLenMs = 3600 * 1000L, maxRightLenMs = 3600 * 1000L,
+        watermark = "10 minutes", joinType = "inner")
+      .writeStream.format("memory").queryName("state_bound_overlap")
+      .outputMode("append").start()
+    val totals = try {
+      (1 to 8).map { day =>
+        lmem.addData(("u1", t(day, "10:00"), t(day, "10:30"), day.toLong))
+        rmem.addData(("u1", t(day, "10:15"), t(day, "10:45"), day.toLong))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+    } finally q.stop()
+    assert(totals.last <= 4, s"overlap state grew with length: $totals")
+    assert(totals.max <= 6, s"overlap state exceeded the band: $totals")
+  }
+
   test("pinned divergence: forward asOfStream resolves duplicate right " +
       "timestamps to an arbitrary one of the duplicates (documented; the " +
       "batch value-tuple tiebreak needs an order rows don't carry)") {
