@@ -877,6 +877,31 @@ class RangeJoinRewriteSpec extends SparkTestBase {
       "hint width leaked past its own statement")
   }
 
+  test("two hoistable subqueries with DIFFERENT RANGE_BIN widths: the " +
+      "first width wins for the whole operator (warned, not silently " +
+      "re-ordered), both born joins bin, nothing crashes") {
+    // the hoist target carries ONE marker; ResolveRangeBinHint keeps the
+    // first subquery's width and logs the discarded second — both
+    // EXISTS-born joins must still bin (with the surviving width), and
+    // the rows must match the vanilla semantics
+    points.createOrReplaceTempView("hw_points")
+    intervals.createOrReplaceTempView("hw_intervals")
+    val two = spark.sql(
+      """SELECT pid FROM hw_points p
+        |WHERE EXISTS (
+        |  SELECT /*+ RANGE_BIN(16) */ 1 FROM hw_intervals i
+        |  WHERE p.at >= i.start AND p.at < i.end)
+        |AND EXISTS (
+        |  SELECT /*+ RANGE_BIN(32) */ 1 FROM hw_intervals j
+        |  WHERE p.at >= j.start AND p.at < j.end)""".stripMargin)
+    val plan = physical(two)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"a hoisted width was lost, a join kept the nested-loop plan:\n$plan")
+    assert(plan.contains("/ 16.0") && !plan.contains("/ 32.0"),
+      s"expected the FIRST width (16) to bin every born join:\n$plan")
+    assert(two.as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
+
   test("RANGE_BIN hint reaches an IN range subquery") {
     points.createOrReplaceTempView("hi_points")
     intervals.createOrReplaceTempView("hi_intervals")
