@@ -783,6 +783,29 @@ class StreamsSpec extends SparkTestBase {
       "tags must count independently")
   }
 
+  test("capIntervalLength boundary: an interval exactly at the declared " +
+      "max passes (inclusive), one ms over drops and counts; null-end " +
+      "and inverted intervals pass") {
+    // map-only transform — exercised batch-side for exact boundary
+    // semantics the streaming tests don't pin
+    import graft.operators.GuardMetrics
+    val ctr = GuardMetrics.of(spark.sparkContext, "capBoundary")
+    ctr.reset()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("exact", t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00")),
+      ("over", t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00.001")),
+      ("nullEnd", t("2024-01-01 10:00:00"),
+        null.asInstanceOf[java.sql.Timestamp]),
+      ("inverted", t("2024-01-01 10:00:00"), t("2024-01-01 09:00:00")))
+      .toDF("name", "lo", "hi")
+    val kept = GuardMetrics.capIntervalLength(df, "lo", "hi",
+        3600 * 1000L, "capBoundary")
+      .select("name").as[String].collect().toSet
+    assert(kept == Set("exact", "nullEnd", "inverted"), s"got $kept")
+    assert(ctr.droppedRows.value == 1L && ctr.droppedCohorts.value == 1L)
+  }
+
   test("streamJoin fails fast on colliding non-key column names and on a " +
       "key doubling as the right time column") {
     implicit val sqlCtx = spark.sqlContext
