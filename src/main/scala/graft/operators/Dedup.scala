@@ -448,6 +448,16 @@ object Dedup {
     // the persisted handle backing `labels` (unpersist must see the exact
     // persisted plan, not a projection of it)
     var pinnedLabels = labels
+    // Strong refs to every round's plan until the loop ends: reassigning
+    // `labels` makes the prior round's DataFrame garbage mid-loop, and
+    // the ContextCleaner may then unregister its SQL-metric accumulators
+    // WHILE a later round's job still reports them (the checkpointed
+    // round RDDs ride along in task binaries) — harmless to results but
+    // it spams ERROR-level accessNonExistentAccumulator traces. Scoped
+    // to this call: the buffer dies on return, after the last round's
+    // job has finished, so cleanup happens with no job left to race.
+    val liveRounds = scala.collection.mutable.ListBuffer[DataFrame](
+      edges, labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -467,6 +477,7 @@ object Dedup {
       // count also materializes the lazy checkpoint / persist
       val changed = next.filter(col("component") =!= col("_old")).count()
       if (reliableLineage) pinnedLabels.unpersist(false)
+      liveRounds += next
       pinnedLabels = next
       labels = next.drop("_old")
       converged = changed == 0

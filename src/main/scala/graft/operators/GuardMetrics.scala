@@ -25,6 +25,16 @@ import org.apache.spark.util.LongAccumulator
   * tagged pairs count independently and the drop source is attributable
   * (read them via `of(sc, tag)`). The warn line names the tag.
   *
+  * Unit caveat for the UNTAGGED pair: the batch cohort guards
+  * ([[capCohorts]]) advance `droppedCohorts` once per dropped COHORT,
+  * while the streaming length-cap guards ([[capIntervalLength]]) advance
+  * it once per excluded ROW (there one row is the excluded unit). A
+  * session that runs both kinds of guard therefore reads
+  * cohorts-plus-rows from the session-wide `droppedCohorts` total;
+  * `droppedRows` is row-unit everywhere and stays comparable. Dashboards
+  * needing unit purity should read the per-tag pairs, whose unit is
+  * fixed by the guard kind behind the tag.
+  *
   * Accumulator caveat (standard Spark semantics): updates happen inside a
   * transformation, so task retries/speculation can overcount. The counters
   * are diagnostics — "did the guard fire, roughly how hard" — not exact
@@ -55,18 +65,30 @@ object GuardMetrics {
   /** The session-wide totals (every guard adds here, tagged or not). */
   def of(sc: SparkContext): Counters = of(sc, "")
 
-  /** One operator's own counters — independent of every other tag. */
+  /** One operator's own counters — independent of every other tag.
+    * The context must be live: registering an accumulator on a stopped
+    * SparkContext yields a counter that can never report, which is
+    * exactly the silent-observability failure this object exists to
+    * prevent, so it fails loud instead.
+    */
   def of(sc: SparkContext, tag: String): Counters = {
-    // a stopped context never reads its counters again — evict its
-    // entries so a long-lived JVM cycling SparkContexts doesn't
-    // accumulate dead Counters (the registry is tiny, one entry per
-    // tag, so the sweep costs nothing)
-    registry.keysIterator.foreach { case k @ (c, _) =>
-      if ((c ne sc) && c.isStopped) registry.remove(k)
-    }
-    registry.getOrElseUpdate((sc, tag), Counters(
-      sc.longAccumulator(taggedName(DroppedRowsName, tag)),
-      sc.longAccumulator(taggedName(DroppedCohortsName, tag))))
+    require(!sc.isStopped,
+      "GuardMetrics.of called with a stopped SparkContext — an " +
+        "accumulator registered on it would never report; pass the " +
+        "live session's context")
+    registry.getOrElse((sc, tag), {
+      // a stopped context never reads its counters again — evict dead
+      // entries so a long-lived JVM cycling SparkContexts doesn't
+      // accumulate dead Counters. Swept only on the registration slow
+      // path (a miss), not on every per-operator lookup: the hit path
+      // stays a single TrieMap read.
+      registry.keysIterator.foreach { case k @ (c, _) =>
+        if ((c ne sc) && c.isStopped) registry.remove(k)
+      }
+      registry.getOrElseUpdate((sc, tag), Counters(
+        sc.longAccumulator(taggedName(DroppedRowsName, tag)),
+        sc.longAccumulator(taggedName(DroppedCohortsName, tag))))
+    })
   }
 
   /** Zero every pair registered on this context (tagged and untagged). */
@@ -112,6 +134,11 @@ object GuardMetrics {
       val own = if (tag.isEmpty) None else Some(of(sc, tag))
       val appId = sc.applicationId
       val w = Window.partitionBy(keys: _*).orderBy(keys: _*)
+      // nondeterministic: the UDF's RESULT is constant (false) but its
+      // accumulator side effect is not — marking it pins evaluation
+      // order and stops the optimizer from duplicating or re-hoisting
+      // the disjunct (CNF conversion, filter merging), which would
+      // inflate/suppress counts beyond the documented retry caveat
       val recordDrop = udf { (n: Long, rn: Long) =>
         if (rn == 1L) { // one arbitrary row speaks for the whole cohort
           total.droppedRows.add(n)
@@ -129,7 +156,7 @@ object GuardMetrics {
               "cohorts (at quadratic cost).")
         }
         false
-      }
+      }.asNondeterministic()
       df.withColumn("_graft_bn", count(lit(1)).over(
           w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .withColumn("_graft_brn", row_number().over(w))
@@ -159,6 +186,18 @@ object GuardMetrics {
     * clean (in-cap) data the recording UDF on the right of the
     * short-circuit OR is never invoked, the same zero-cost-hot-path
     * shape as [[capCohorts]].
+    *
+    * PER-MICRO-BATCH visibility: accumulators are session totals — in a
+    * streaming query their per-batch deltas are not attributable from
+    * `StreamingQueryProgress`. So the guard also `observe`s an
+    * `excludedRows` count under the metric name
+    * `graft.lengthCap.<tag>.<start-column>` (the start column
+    * disambiguates the two capped sides of an overlap join, which share
+    * one tag): each progress event's `observedMetrics` then carries that
+    * batch's exclusion count, zero on clean batches — the number a
+    * streaming dashboard actually watches. The observation is a
+    * metrics-only plan node (`CollectMetrics`), no shuffle and no extra
+    * pass; the accumulators stay as the session-wide totals.
     */
   def capIntervalLength(df: DataFrame, start: String, end: String,
       maxLenMs: Long, tag: String): DataFrame = {
@@ -167,6 +206,9 @@ object GuardMetrics {
     val total = of(sc)
     val own = if (tag.isEmpty) None else Some(of(sc, tag))
     val appId = sc.applicationId
+    // nondeterministic for the same optimizer-pinning reason as the
+    // capCohorts recorder (the side effect must run exactly where the
+    // filter's short-circuit OR placed it)
     val recordDrop = udf { () =>
       total.droppedRows.add(1L)
       total.droppedCohorts.add(1L)
@@ -182,9 +224,19 @@ object GuardMetrics {
           "the declared max (at proportionally larger state) or use the " +
           "batch operator for unbounded interval lengths.")
       false
-    }
-    df.filter(col(end).isNull ||
-      col(end) <= col(start) + expr(s"INTERVAL $maxLenMs MILLISECONDS") ||
-      recordDrop())
+    }.asNondeterministic()
+    val within = col(end).isNull ||
+      col(end) <= col(start) + expr(s"INTERVAL $maxLenMs MILLISECONDS")
+    df.observe(observedMetricName(tag, start),
+        sum(when(within, 0L).otherwise(1L)).as("excludedRows"))
+      .filter(within || recordDrop())
   }
+
+  /** The observed-metric name [[capIntervalLength]] registers for a
+    * (tag, start-column) guard site — look this up in
+    * `StreamingQueryProgress.observedMetrics` for per-batch exclusion
+    * counts.
+    */
+  def observedMetricName(tag: String, startCol: String): String =
+    s"graft.lengthCap.${tagLabel(tag)}.$startCol"
 }

@@ -87,8 +87,14 @@ object Streams {
     * trade; the batch operator is the exact-over-late-data path.
     *
     * The right side's key column is renamed internally, so the two inputs
-    * may share the key name; all other column names must be distinct.
-    * Both timestamp columns must be TimestampType.
+    * may share the key name; all other column names must be distinct —
+    * inputs sharing a non-key column name are REJECTED up front with an
+    * `IllegalArgumentException` naming the collisions (contract, not a
+    * bug: earlier versions let such inputs through to degenerate
+    * duplicate-named output or Spark's opaque ambiguous-reference
+    * error; rename the colliding columns on one side first). Applies to
+    * every join in this family, including [[overlapJoinStream]]. Both
+    * timestamp columns must be TimestampType.
     *
     * `joinType = "left_outer"` keeps every left event — the streaming
     * form of [[graft.operators.Joins.rangeJoinLeftOuter]]. Outer rows are
@@ -154,10 +160,15 @@ object Streams {
     * under the `streamRangeCap` [[graft.operators.GuardMetrics]] tag
     * (plus the session-wide pair) with a first-drop warn line — an
     * under-declared `maxWindowMs` shows up as a non-zero counter, not as
-    * silently missing rows.
+    * silently missing rows. Exclusions are ALSO surfaced per micro-batch
+    * as the observed metric
+    * `GuardMetrics.observedMetricName("streamRangeCap", rightStart)` in
+    * every `StreamingQueryProgress.observedMetrics` — the accumulators
+    * are session totals, the observed metric is the per-batch number a
+    * monitoring pipeline alerts on.
     *
-    * Same `joinType` surface and USING-style key contract as the
-    * fixed-window form.
+    * Same `joinType` surface, USING-style key contract, and
+    * no-shared-non-key-columns rule as the fixed-window form.
     */
   def rangeJoinStream(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightStart: String, rightEnd: String,
@@ -219,7 +230,12 @@ object Streams {
     * either side, is COUNTED under the `streamOverlapCap`
     * [[graft.operators.GuardMetrics]] tag (plus the session-wide pair)
     * with a first-drop warn line, so an under-declared max is one
-    * readable number, not silent row loss.
+    * readable number, not silent row loss. Per micro-batch, each side's
+    * exclusions also appear as an observed metric in
+    * `StreamingQueryProgress.observedMetrics` —
+    * `GuardMetrics.observedMetricName("streamOverlapCap", leftStart)`
+    * and `(..., rightStart)` — attributing the drop to a side, which
+    * the shared accumulator tag cannot.
     *
     * `joinType`: `inner`, `left_outer` (every surviving left interval
     * emits, null-extended once both watermarks close its band — the
@@ -227,8 +243,10 @@ object Streams {
     * (both sides' unmatched intervals emit; the output key column is
     * coalesced across sides, the batch USING-style contract). The right
     * side's key column is renamed internally, so the two inputs may
-    * share the key name; all other column names must be distinct. All
-    * four bound columns must be TIMESTAMPs (the watermark's currency).
+    * share the key name; all other column names must be distinct (a
+    * shared non-key name is rejected up front, see [[rangeJoinStream]]).
+    * All four bound columns must be TIMESTAMPs (the watermark's
+    * currency).
     */
   def overlapJoinStream(left: DataFrame, right: DataFrame, key: String,
       leftStart: String, leftEnd: String, rightStart: String,
