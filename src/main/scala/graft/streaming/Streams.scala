@@ -364,39 +364,110 @@ object Streams {
     toleranceMs.foreach(t =>
       require(t >= 0, s"toleranceMs must be >= 0, got $t"))
     val p = asOfParts(left, right, keyCols, tsCol, valCols, prefix)
-    val nVals = valCols.size
     val stateEnc = Encoders.kryo[(Long, Seq[Any])]
     p.u.groupByKey((r: Row) => r.getStruct(0))(p.keyEnc)
       .flatMapGroupsWithState[(Long, Seq[Any]), Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_, batch, state: GroupState[(Long, Seq[Any])]) =>
-          val out = Seq.newBuilder[Row]
-          var cur = state.getOption
-          batch.toSeq
-            .sortBy { r =>
-              val ts = if (r.isNullAt(1)) Long.MinValue
-                else r.getTimestamp(1).getTime
-              (ts, r.getInt(2) == 0) // right (side=1) first at equal ts
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        backwardRunner(valCols.size, toleranceMs))(stateEnc, p.outEnc)
+      .toDF()
+  }
+
+  /** The per-group state function of the backward [[asOfStream]] forms —
+    * shared by the cold-start and batch-bootstrapped variants (the
+    * bootstrap differs ONLY in the initial state handed to Spark).
+    */
+  private def backwardRunner(nVals: Int, toleranceMs: Option[Long]):
+      (org.apache.spark.sql.Row, Iterator[org.apache.spark.sql.Row],
+        GroupState[(Long, Seq[Any])]) => Iterator[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    (_, batch, state: GroupState[(Long, Seq[Any])]) =>
+      val out = Seq.newBuilder[Row]
+      var cur = state.getOption
+      batch.toSeq
+        .sortBy { r =>
+          val ts = if (r.isNullAt(1)) Long.MinValue
+            else r.getTimestamp(1).getTime
+          (ts, r.getInt(2) == 0) // right (side=1) first at equal ts
+        }
+        .foreach { r =>
+          val nullTs = r.isNullAt(1)
+          val ts = if (nullTs) Long.MinValue
+            else r.getTimestamp(1).getTime
+          if (r.getInt(2) == 1) {
+            if (cur.forall(_._1 <= ts))
+              cur = Some((ts, r.getStruct(4).toSeq))
+          } else {
+            val asof: Seq[Any] = cur match {
+              case Some((rts, vals)) if !nullTs && rts <= ts &&
+                  toleranceMs.forall(ts - rts <= _) => vals
+              case _ => Seq.fill(nVals)(null)
             }
-            .foreach { r =>
-              val nullTs = r.isNullAt(1)
-              val ts = if (nullTs) Long.MinValue
-                else r.getTimestamp(1).getTime
-              if (r.getInt(2) == 1) {
-                if (cur.forall(_._1 <= ts))
-                  cur = Some((ts, r.getStruct(4).toSeq))
-              } else {
-                val asof: Seq[Any] = cur match {
-                  case Some((rts, vals)) if !nullTs && rts <= ts &&
-                      toleranceMs.forall(ts - rts <= _) => vals
-                  case _ => Seq.fill(nVals)(null)
-                }
-                out += Row.fromSeq(r.getStruct(3).toSeq ++ asof)
-              }
-            }
-          cur.foreach(state.update)
-          out.result().iterator
-      }(stateEnc, p.outEnc)
+            out += Row.fromSeq(r.getStruct(3).toSeq ++ asof)
+          }
+        }
+      cur.foreach(state.update)
+      out.result().iterator
+  }
+
+  /** Backward [[asOfStream]] BOOTSTRAPPED from a batch snapshot of the
+    * right side's history — the mid-history start a real deployment
+    * needs: without it, every key enriches as null until its first
+    * streamed right row arrives, even though the dimension's current
+    * state is sitting in a table. `initialSnapshot` is a batch DataFrame
+    * carrying `keyCols`, `tsCol`, and `valCols` (extra columns are
+    * ignored); it is reduced to the newest row per key — exactly the one
+    * (ts, values) pair per key the runner would hold had it streamed the
+    * snapshot — and handed to `flatMapGroupsWithState` as initial state.
+    * Keys absent from the snapshot start cold, as before.
+    *
+    * Duplicate snapshot timestamps per key resolve to the largest value
+    * tuple (struct-ordering max), matching the batch
+    * [[graft.operators.Joins.asOf]] backward tiebreak — so bootstrap +
+    * streamed tail is row-for-row the batch operator over the
+    * concatenated history, PROVIDED the streamed rights are at-or-after
+    * the snapshot's per-key newest (the normal "snapshot through T0,
+    * stream from T0" deployment). A streamed right OLDER than the
+    * snapshot state is ignored by the runner — the same documented
+    * best-effort-on-disorder contract as the cold-start form. Snapshot
+    * rows with a null key or null timestamp are dropped (they could
+    * never have entered state).
+    *
+    * `toleranceMs` applies at lookup time as usual: a bootstrapped pair
+    * older than a left event's horizon yields null, not stale
+    * enrichment.
+    */
+  def asOfStream(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valCols: Seq[String], toleranceMs: Option[Long],
+      prefix: String, initialSnapshot: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    toleranceMs.foreach(t =>
+      require(t >= 0, s"toleranceMs must be >= 0, got $t"))
+    require(!valCols.contains(tsCol),
+      s"tsCol '$tsCol' cannot also be a value column when bootstrapping " +
+        "(the snapshot reduction keys its struct fields by name)")
+    for (c <- keyCols :+ tsCol; if !initialSnapshot.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"initialSnapshot is missing column '$c'")
+    val p = asOfParts(left, right, keyCols, tsCol, valCols, prefix)
+    val stateEnc = Encoders.kryo[(Long, Seq[Any])]
+    // newest row per key: max over a ts-first struct — ties at the same
+    // ts fall through to the value tuple, the batch backward tiebreak
+    val snap = initialSnapshot
+      .filter((keyCols.map(c => col(c).isNotNull) :+
+        col(tsCol).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct((tsCol +: valCols).map(col): _*)).as("_m"))
+      .select(struct(keyCols.map(col): _*).as("_k"),
+        col("_m").getField(tsCol).as("_ts"),
+        struct(valCols.map(v => col("_m").getField(v).as(v)): _*).as("_rv"))
+    val initState = snap
+      .groupByKey((r: Row) => r.getStruct(0))(p.keyEnc)
+      .mapValues((r: Row) =>
+        (r.getTimestamp(1).getTime, r.getStruct(2).toSeq))(stateEnc)
+    p.u.groupByKey((r: Row) => r.getStruct(0))(p.keyEnc)
+      .flatMapGroupsWithState[(Long, Seq[Any]), Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), initState)(
+        backwardRunner(valCols.size, toleranceMs))(stateEnc, p.outEnc)
       .toDF()
   }
 

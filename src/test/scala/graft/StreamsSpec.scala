@@ -564,6 +564,88 @@ class StreamsSpec extends SparkTestBase {
       s"stale enrichment survived the tolerance horizon: $tight")
   }
 
+  test("bootstrapped asOfStream parity: batch snapshot + streamed tail " +
+      "equals the batch Joins.asOf over the concatenated history, with " +
+      "and without tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+    // dimension history through T0 = 09:30 — multiple rows per key (the
+    // newest must win), a duplicate-ts pair on D (the value-tuple
+    // tiebreak must match batch), an ignored extra column, and null
+    // key/ts rows (dropped: they could never have entered state)
+    val snapshot = Seq(
+      ("A", t("2024-01-01 08:00:00"), 1.0, "x"),
+      ("A", t("2024-01-01 09:00:00"), 2.0, "x"),
+      ("C", t("2024-01-01 06:00:00"), 9.0, "x"),
+      ("D", t("2024-01-01 05:00:00"), 7.0, "x"),
+      ("D", t("2024-01-01 05:00:00"), 8.0, "x"), // dup ts: 8.0 must win
+      (null.asInstanceOf[String], t("2024-01-01 07:00:00"), 6.0, "x"),
+      ("A", nullTs, 5.0, "x"))
+      .toDF("sym", "ts", "price", "junk")
+    // the streamed tail: rights strictly after T0, lefts throughout
+    val tailQuotes = Seq(
+      ("A", t("2024-01-01 10:00:00"), 3.0),
+      ("E", t("2024-01-01 10:30:00"), 5.0)) // key absent from snapshot
+    val trades = Seq(
+      ("D", t("2024-01-01 09:40:00"), 100L), // snapshot tiebreak value
+      ("A", t("2024-01-01 09:45:00"), 101L), // snapshot 09:00 state
+      ("B", t("2024-01-01 09:50:00"), 102L), // no history at all
+      ("C", t("2024-01-01 10:00:00"), 103L), // stale snapshot state
+      ("A", t("2024-01-01 10:15:00"), 104L), // streamed right wins
+      ("E", t("2024-01-01 10:45:00"), 105L)) // cold key, streamed right
+    def streamed(tol: Option[Long]): Set[(String, Long, Option[Double])] = {
+      val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+      val rmem = MemoryStream[(String, java.sql.Timestamp, Double)]
+      val name = s"asof_bootstrap_${tol.isDefined}"
+      val q = Streams.asOfStream(
+          lmem.toDF().toDF("sym", "ts", "tid"),
+          rmem.toDF().toDF("sym", "ts", "price"),
+          keyCols = Seq("sym"), tsCol = "ts", valCols = Seq("price"),
+          toleranceMs = tol, prefix = "asof_", initialSnapshot = snapshot)
+        .select("sym", "tid", "asof_price")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // in-order delivery: pre-T0 trades resolve against the BOOTSTRAP
+        // state alone, then the tail quotes arrive with the later trades
+        lmem.addData(trades.take(4): _*)
+        q.processAllAvailable()
+        rmem.addData(tailQuotes: _*)
+        lmem.addData(trades.drop(4): _*)
+        q.processAllAvailable()
+        spark.table(name).as[(String, Long, Option[Double])].collect().toSet
+      } finally q.stop()
+    }
+    def batch(tolMicros: Option[Long]): Set[(String, Long, Option[Double])] =
+      graft.operators.Joins.asOf(
+          trades.toDF("sym", "ts", "tid"),
+          snapshot.select("sym", "ts", "price")
+            .union(tailQuotes.toDF("sym", "ts", "price")),
+          Seq("sym"), "ts", "ts", Seq("price"), "asof_", "backward",
+          tolMicros)
+        .select("sym", "tid", "asof_price")
+        .as[(String, Long, Option[Double])].collect().toSet
+    val plain = streamed(None)
+    assert(plain == batch(None),
+      s"bootstrap divergence:\n stream $plain\n batch  ${batch(None)}")
+    // the bootstrap-specific facts, pinned: snapshot state enriches
+    // pre-first-right trades; the dup-ts tiebreak matches batch
+    assert(plain.contains(("A", 101L, Some(2.0))) &&
+      plain.contains(("D", 100L, Some(8.0))) &&
+      plain.contains(("B", 102L, None)) &&
+      plain.contains(("E", 105L, Some(5.0))), s"got $plain")
+    // 60-minute horizon (ms streamed, micros batch): bootstrapped pairs
+    // older than the horizon must yield null, not stale enrichment
+    val hourMs = 60L * 60 * 1000
+    val tight = streamed(Some(hourMs))
+    assert(tight == batch(Some(hourMs * 1000)),
+      s"tolerance divergence:\n stream $tight\n batch  ${batch(Some(hourMs * 1000))}")
+    assert(tight.contains(("C", 103L, None)) &&
+      tight.contains(("D", 100L, None)) &&
+      tight.contains(("A", 101L, Some(2.0))), s"got $tight")
+  }
+
   test("forward and nearest asOfStream parity: equals the batch Joins.asOf " +
       "directions, with pending lefts resolved by arrival or by the " +
       "watermark-driven horizon timeout") {
