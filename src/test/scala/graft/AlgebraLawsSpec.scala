@@ -1,0 +1,255 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators._
+
+/** ScalaCheck laws for the core algebra (SURVEY.md §5.2) — the closing
+  * piece of the survey's own test strategy. Each property checks the Spark
+  * operator against an independent plain-Scala MODEL of its contract over
+  * 100 generated inputs, so the laws hold for arbitrary corpora, not the
+  * fixtures: filters are set algebra, joinSets is union with keep-first,
+  * samplers draw exactly and deterministically, splits partition with the
+  * reference's exact size contracts, and the fused label-transform
+  * pipeline equals both sequential application and the one-label-at-a-time
+  * interpreter.
+  *
+  * [[PropertySpec]] predates this suite with a handful of hand-sampled
+  * generator cases; this one runs full ScalaCheck `forAll` at
+  * `minSuccessfulTests = 100` per law, the SURVEY §5.2 target.
+  */
+class AlgebraLawsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Cases = 100
+
+  private def check(name: String, prop: Prop,
+      cases: Int = Cases): Unit = {
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(result.passed, s"$name: ${result.status}")
+  }
+
+  // ---- generators ------------------------------------------------------
+
+  private val tagPool = Vector("t1", "t2", "t3", "tA", "tB", "tC")
+
+  /** (key -> tag set) corpora; keys unique by construction. */
+  private val corpusGen: Gen[List[(String, List[String])]] = for {
+    n <- Gen.choose(2, 24)
+    tagSets <- Gen.listOfN(n,
+      Gen.someOf(tagPool).map(_.toList).map(ts =>
+        if (ts.isEmpty) List(TagOps.UntaggedTag) else ts))
+  } yield tagSets.zipWithIndex.map { case (ts, i) => (f"img$i%03d", ts) }
+
+  private def toDF(corpus: List[(String, List[String])]): DataFrame =
+    corpus.toDF("image_id", "tags")
+
+  private val filterGen: Gen[List[String]] =
+    Gen.choose(1, 3).flatMap(k => Gen.pick(k, tagPool).map(_.toList))
+
+  // ---- filters ---------------------------------------------------------
+
+  test("law: andFilter = model intersection (⊆ every single-tag filter)") {
+    check("andFilter", Prop.forAll(corpusGen, filterGen) { (corpus, tags) =>
+      val got = TagOps.andFilter(toDF(corpus), tags)
+        .select("image_id").as[String].collect().toSet
+      val model = corpus.filter { case (_, ts) =>
+        tags.forall(ts.contains) }.map(_._1).toSet
+      val singles = tags.map(t =>
+        corpus.filter(_._2.contains(t)).map(_._1).toSet)
+      got == model && singles.forall(got.subsetOf(_))
+    })
+  }
+
+  test("law: orFilter = union of single-tag memberships") {
+    check("orFilter", Prop.forAll(corpusGen, filterGen) { (corpus, tags) =>
+      val got = TagOps.orFilter(toDF(corpus), tags)
+        .select("image_id").as[String].collect().toSet
+      got == corpus.filter { case (_, ts) =>
+        tags.exists(ts.contains) }.map(_._1).toSet
+    })
+  }
+
+  // ---- joinSets --------------------------------------------------------
+
+  /** Two overlapping sets with an origin-marking payload plus an in-set
+    * row permutation seed. */
+  private val joinGen = for {
+    corpus <- corpusGen
+    aFrac <- Gen.choose(1, corpus.size)
+    bFrac <- Gen.choose(1, corpus.size)
+    permSeed <- Gen.choose(0L, Long.MaxValue)
+  } yield (corpus.take(aFrac), corpus.takeRight(bFrac), permSeed)
+
+  test("law: joinSets = keyed union keeping the EARLIEST set's row; " +
+      "idempotent; invariant under in-set row order") {
+    check("joinSets", Prop.forAll(joinGen) { case (a, b, permSeed) =>
+      def mk(rows: List[(String, List[String])], origin: String) =
+        rows.map { case (k, ts) => (k, ts, origin) }
+          .toDF("image_id", "tags", "origin")
+      val joined = TagOps.joinSets(Seq(mk(a, "a"), mk(b, "b")))
+        .select("image_id", "origin").as[(String, String)].collect().toSet
+      // model: every key of either set, origin "a" wherever a has the key
+      val model = (a.map(_._1).map(k => (k, "a")) ++
+        b.map(_._1).filterNot(a.map(_._1).contains).map(k => (k, "b"))).toSet
+      val rnd = new scala.util.Random(permSeed)
+      val permuted = TagOps.joinSets(Seq(
+          mk(rnd.shuffle(a), "a"), mk(rnd.shuffle(b), "b")))
+        .select("image_id", "origin").as[(String, String)].collect().toSet
+      val self = TagOps.joinSets(Seq(mk(a, "a"), mk(a, "b")))
+        .select("image_id", "origin").as[(String, String)].collect().toSet
+      joined == model && permuted == model &&
+        self == a.map(_._1).map(k => (k, "a")).toSet
+    }, cases = 60) // 4 Spark runs per case
+  }
+
+  // ---- samplers --------------------------------------------------------
+
+  private val sampleGen = for {
+    corpus <- corpusGen
+    n <- Gen.choose(0, 30)
+    seed <- Gen.choose(0L, Long.MaxValue)
+    parts <- Gen.choose(1, 8)
+  } yield (corpus, n, seed, parts)
+
+  test("law: sampleExact draws exactly min(n, |df|) input rows, " +
+      "deterministically for a fixed seed and layout") {
+    check("sampleExact", Prop.forAll(sampleGen) {
+      case (corpus, n, seed, _) =>
+        val df = toDF(corpus)
+        val got = TagOps.sampleExact(df, n, seed)
+          .select("image_id").as[String].collect().toSet
+        val again = TagOps.sampleExact(df, n, seed)
+          .select("image_id").as[String].collect().toSet
+        got.size == math.min(n, corpus.size) &&
+          got.subsetOf(corpus.map(_._1).toSet) && got == again
+    })
+  }
+
+  test("law: deterministicSample = the n smallest md5(salt||key) digests " +
+      "(plain-Scala model), invariant under repartitioning") {
+    // the engine-portability contract: the draw is a pure function of
+    // content, so ANY layout of ANY engine reproduces it
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    check("deterministicSample", Prop.forAll(sampleGen) {
+      case (corpus, n, _, parts) =>
+        val model = corpus.map(_._1)
+          .sortBy(k => (md5hex("graft" + k), k)).take(n).toSet
+        val got = Splits.deterministicSample(
+            toDF(corpus).repartition(parts), n, "image_id")
+          .select("image_id").as[String].collect().toSet
+        got == model
+    })
+  }
+
+  // ---- splits ----------------------------------------------------------
+
+  private val splitGen = for {
+    corpus <- corpusGen
+    pct <- Gen.choose(0.05, 0.95)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield (corpus, pct, seed)
+
+  test("law: testDevSplit partitions the input with exactly " +
+      "max(1, floor(n*p)) test rows, deterministic per seed") {
+    check("testDevSplit", Prop.forAll(splitGen) { case (corpus, pct, seed) =>
+      val df = toDF(corpus)
+      def run() = Splits.testDevSplit(df, pct, seed)
+        .select("image_id", "split").as[(String, String)].collect()
+      val got = run()
+      val byKey = got.toMap
+      val nTest = got.count(_._2 == "test")
+      byKey.keySet == corpus.map(_._1).toSet && // partition: no loss/dup
+        got.length == corpus.size &&
+        nTest == math.max(1L, math.floor(corpus.size * pct).toLong) &&
+        got.forall(r => r._2 == "test" || r._2 == "dev") &&
+        run().toMap == byKey // seed-deterministic
+    }, cases = 60) // 2 runs, each 3 internal jobs
+  }
+
+  private val kfoldGen = for {
+    corpus <- corpusGen
+    k <- Gen.choose(2, 6)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield (corpus, k, seed)
+
+  test("law: kfold partitions the input into folds 1..k balanced within 1") {
+    check("kfold", Prop.forAll(kfoldGen) { case (corpus, k, seed) =>
+      val got = Splits.kfold(toDF(corpus), k, seed)
+        .select("image_id", "fold").as[(String, Int)].collect()
+      val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+      val n = corpus.size
+      got.map(_._1).toSet == corpus.map(_._1).toSet &&
+        got.length == n &&
+        sizes.keySet.subsetOf((1 to k).toSet) &&
+        // every fold that exists is within 1 of every other; absent
+        // folds only when n < k (their size would be the 0/1 floor)
+        (sizes.values.max - sizes.values.min) <= 1 &&
+        (n >= k) == (sizes.keySet == (1 to k).toSet) &&
+        sizes.values.sum == n
+    })
+  }
+
+  // ---- label transforms ------------------------------------------------
+
+  private val labelPool = Vector("car", "bus", "person", "tree", "sky")
+  private val transformGen: Gen[List[LabelTransform]] = {
+    val one: Gen[LabelTransform] = Gen.oneOf(
+      for {
+        o <- Gen.oneOf(labelPool)
+        t <- Gen.oneOf(labelPool :+ "merged")
+      } yield Rename(o, t),
+      for {
+        k <- Gen.choose(1, 3)
+        os <- Gen.pick(k, labelPool)
+        t <- Gen.oneOf(labelPool :+ "merged")
+      } yield Merge(os.toList, t))
+    Gen.choose(1, 4).flatMap(Gen.listOfN(_, one))
+  }
+
+  test("law: fused label-transform compile ≡ sequential application ≡ " +
+      "the per-label interpreter (rename∘rename composes)") {
+    // the interpreter: what transforms.py:48-51 does to ONE label
+    def model(label: String, ts: List[LabelTransform]): String =
+      ts.foldLeft(label) {
+        case (l, Rename(o, t)) => if (l == o) t else l
+        case (l, Merge(os, t)) => if (os.contains(l)) t else l
+      }
+    val caseGen = for {
+      ts <- transformGen
+      n <- Gen.choose(1, 15)
+      labels <- Gen.listOfN(n, Gen.oneOf(labelPool))
+    } yield (ts, labels)
+    check("labelTransforms", Prop.forAll(caseGen) { case (ts, labels) =>
+      val df = labels.zipWithIndex.map { case (l, i) => (i, l) }
+        .toDF("id", "label")
+      val fused = LabelTransforms.applyTo(df, "label", ts)
+        .as[(Int, String)].collect().sortBy(_._1).map(_._2).toList
+      val sequential = ts.foldLeft(df)((d, t) =>
+          LabelTransforms.applyTo(d, "label", Seq(t)))
+        .as[(Int, String)].collect().sortBy(_._1).map(_._2).toList
+      fused == labels.map(model(_, ts)) && fused == sequential
+    }, cases = 60) // the sequential run compiles up to 4 plans per case
+  }
+
+  test("law: hashSplit is a pure function of (salt, key) — total, " +
+      "layout-invariant, and stable across runs") {
+    val fractions = Seq("test" -> 0.2, "train" -> 1.0)
+    check("hashSplit", Prop.forAll(sampleGen) { case (corpus, _, _, parts) =>
+      val base = Splits.hashSplit(toDF(corpus), "image_id", fractions)
+        .select("image_id", "split").as[(String, String)].collect().toMap
+      val repart = Splits.hashSplit(
+          toDF(corpus).repartition(parts), "image_id", fractions)
+        .select("image_id", "split").as[(String, String)].collect().toMap
+      base.keySet == corpus.map(_._1).toSet &&
+        base.values.forall(v => v == "test" || v == "train") &&
+        repart == base
+    })
+  }
+}
