@@ -424,13 +424,16 @@ object Streams {
     * tuple (struct-ordering max), matching the batch
     * [[graft.operators.Joins.asOf]] backward tiebreak — so bootstrap +
     * streamed tail is row-for-row the batch operator over the
-    * concatenated history, PROVIDED the streamed rights are at-or-after
-    * the snapshot's per-key newest (the normal "snapshot through T0,
-    * stream from T0" deployment). A streamed right OLDER than the
-    * snapshot state is ignored by the runner — the same documented
-    * best-effort-on-disorder contract as the cold-start form. Snapshot
-    * rows with a null key or null timestamp are dropped (they could
-    * never have entered state).
+    * concatenated history, PROVIDED both streams start at T0 (the
+    * normal "snapshot through T0, stream from T0" deployment): a
+    * streamed right OLDER than the snapshot state is ignored by the
+    * runner, and a streamed LEFT older than its key's snapshot state
+    * sees only that one retained pair — nulls if it precedes it
+    * (history below the per-key newest is exactly what the reduction
+    * discards; replaying pre-T0 lefts is the batch operator's job) —
+    * both the same documented best-effort-on-disorder contract as the
+    * cold-start form. Snapshot rows with a null key or null timestamp
+    * are dropped (they could never have entered state).
     *
     * `toleranceMs` applies at lookup time as usual: a bootstrapped pair
     * older than a left event's horizon yields null, not stale

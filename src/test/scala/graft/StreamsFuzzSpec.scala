@@ -384,6 +384,43 @@ class StreamsFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: bootstrapped backward asOfStream (snapshot ≤ T0 + streamed " +
+      "tail) equals batch asOf over the CONCATENATED right history") {
+    // the mid-history start the bootstrap overload exists for: the right
+    // side's pre-T0 rows arrive as a batch snapshot, only the tail is
+    // streamed; parity must hold against batch asOf over ALL rights
+    val T0 = 12 * Hour // noon of the 24 h fixture day
+    for (seed <- Seq(61, 62, 63)) {
+      val rnd = new Random(seed)
+      val (lefts, rights) = asofFixture(rnd)
+      val (snapRights, tailRights) =
+        rights.partition(r => eventTs(r._2) <= Base + T0)
+      // null-ts/null-key rights land in the snapshot half (MinValue ≤
+      // T0) — the bootstrap reduction must DROP them, same contract as
+      // the streamed path
+      val snapshot = snapRights.toDF("sym", "ts", "price")
+      // the deployment contract (operator scaladoc): BOTH streams start
+      // at T0 — a pre-T0 left sees only its key's one retained snapshot
+      // pair, the documented best-effort divergence, not what parity
+      // probes. Null-key/null-ts lefts stay: they enrich as nulls on
+      // both engines regardless of era.
+      val tailLefts = lefts.filter(l => eventTs(l._2) > Base + T0 ||
+        l._1 == null || l._2 == null)
+      val tol = if (seed % 2 == 0) Some(90 * Minute) else None
+      val streamed = runAsof(rnd, tailLefts, tailRights,
+          s"fz_asof_boot_$seed", closers = false) { (l, r) =>
+        Streams.asOfStream(l, r, keyCols = Seq("sym"), tsCol = "ts",
+          valCols = Seq("price"), toleranceMs = tol, prefix = "asof_",
+          initialSnapshot = snapshot)
+      }
+      val batch = asofBatch(tailLefts, rights, "backward", tol)
+      assert(streamed == batch,
+        s"seed=$seed tol=$tol bootstrap divergence " +
+          s"(|snapshot|=${snapRights.size}, |tail|=${tailRights.size}):\n" +
+          s" stream-only ${streamed -- batch}\n batch-only  ${batch -- streamed}")
+    }
+  }
+
   test("fuzz: forward and nearest asOfStream equal batch asOf under " +
       "in-order randomized batch boundaries — pending lefts resolved by " +
       "arrival or by the horizon timeout") {
