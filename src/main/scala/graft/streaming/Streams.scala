@@ -372,6 +372,32 @@ object Streams {
       .toDF()
   }
 
+  /** Snapshot reduction shared by the bootstrap overloads: the newest
+    * row per key as a (key struct `_k`, `_ts`, values struct `_rv`)
+    * frame — max over a ts-first struct, so ties at the same timestamp
+    * fall through to the value tuple, the batch backward tiebreak. Null
+    * key/ts rows are dropped (they could never have entered state).
+    */
+  private def snapshotPairs(initialSnapshot: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valCols: Seq[String]): DataFrame = {
+    require(!valCols.contains(tsCol),
+      s"tsCol '$tsCol' cannot also be a value column when bootstrapping " +
+        "(the snapshot reduction keys its struct fields by name)")
+    for (c <- keyCols ++ (tsCol +: valCols);
+        if !initialSnapshot.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"initialSnapshot is missing column '$c'")
+    initialSnapshot
+      .filter((keyCols.map(c => col(c).isNotNull) :+
+        col(tsCol).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct((tsCol +: valCols).map(col): _*)).as("_m"))
+      .select(struct(keyCols.map(col): _*).as("_k"),
+        col("_m").getField(tsCol).as("_ts"),
+        struct(valCols.map(v => col("_m").getField(v).as(v)): _*).as("_rv"))
+  }
+
   /** The per-group state function of the backward [[asOfStream]] forms —
     * shared by the cold-start and batch-bootstrapped variants (the
     * bootstrap differs ONLY in the initial state handed to Spark).
@@ -445,25 +471,9 @@ object Streams {
     import org.apache.spark.sql.{Encoders, Row}
     toleranceMs.foreach(t =>
       require(t >= 0, s"toleranceMs must be >= 0, got $t"))
-    require(!valCols.contains(tsCol),
-      s"tsCol '$tsCol' cannot also be a value column when bootstrapping " +
-        "(the snapshot reduction keys its struct fields by name)")
-    for (c <- keyCols :+ tsCol; if !initialSnapshot.columns.contains(c))
-      throw new IllegalArgumentException(
-        s"initialSnapshot is missing column '$c'")
     val p = asOfParts(left, right, keyCols, tsCol, valCols, prefix)
     val stateEnc = Encoders.kryo[(Long, Seq[Any])]
-    // newest row per key: max over a ts-first struct — ties at the same
-    // ts fall through to the value tuple, the batch backward tiebreak
-    val snap = initialSnapshot
-      .filter((keyCols.map(c => col(c).isNotNull) :+
-        col(tsCol).isNotNull).reduce(_ && _))
-      .groupBy(keyCols.map(col): _*)
-      .agg(max(struct((tsCol +: valCols).map(col): _*)).as("_m"))
-      .select(struct(keyCols.map(col): _*).as("_k"),
-        col("_m").getField(tsCol).as("_ts"),
-        struct(valCols.map(v => col("_m").getField(v).as(v)): _*).as("_rv"))
-    val initState = snap
+    val initState = snapshotPairs(initialSnapshot, keyCols, tsCol, valCols)
       .groupByKey((r: Row) => r.getStruct(0))(p.keyEnc)
       .mapValues((r: Row) =>
         (r.getTimestamp(1).getTime, r.getStruct(2).toSeq))(stateEnc)
@@ -583,21 +593,34 @@ object Streams {
         "that resolves waiting left events and bounds pending state"))
     require(tol >= 0, s"toleranceMs must be >= 0, got $tol")
     val p = asOfParts(left, right, keyCols, tsCol, valCols, prefix)
-    val nVals = valCols.size
-    val nearest = direction == "nearest"
-    // state: (newest right seen, pending lefts as (ts, row values)).
-    // Invariant: every pending left is NEWER than the retained right —
-    // a left at-or-before it resolves on arrival, and a right at-or-after
-    // a pending left resolves that left; so at resolution/expiry the
-    // retained right IS each pending left's best backward witness
-    type Pair = (Long, Seq[Any])
-    type State = (Option[Pair], List[(Long, Seq[Any])])
-    val stateEnc = Encoders.kryo[State]
+    val stateEnc = Encoders.kryo[DirState]
     p.u.withWatermark("_ts", watermark)
       .groupByKey((r: Row) => r.getStruct(0))(p.keyEnc)
-      .flatMapGroupsWithState[State, Row](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_, batch, state: GroupState[State]) =>
+      .flatMapGroupsWithState[DirState, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        directionalRunner(valCols.size, tol,
+          nearest = direction == "nearest"))(stateEnc, p.outEnc)
+      .toDF()
+  }
+
+  // state of the forward/nearest runner: (newest right seen, pending
+  // lefts as (ts, row values)). Invariant: every pending left is NEWER
+  // than the retained right — a left at-or-before it resolves on
+  // arrival, and a right at-or-after a pending left resolves that left;
+  // so at resolution/expiry the retained right IS each pending left's
+  // best backward witness
+  private type AsofPair = (Long, Seq[Any])
+  private type DirState = (Option[AsofPair], List[(Long, Seq[Any])])
+
+  /** The per-group state function of the forward/nearest [[asOfStream]]
+    * forms — shared by the cold-start and batch-bootstrapped variants.
+    */
+  private def directionalRunner(nVals: Int, tol: Long, nearest: Boolean):
+      (org.apache.spark.sql.Row, Iterator[org.apache.spark.sql.Row],
+        GroupState[DirState]) => Iterator[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    type Pair = AsofPair
+    (_, batch, state: GroupState[DirState]) =>
           val out = Seq.newBuilder[Row]
           var (bw, pending) = state.getOption.getOrElse(
             (None: Option[Pair], Nil: List[(Long, Seq[Any])]))
@@ -681,7 +704,56 @@ object Streams {
                 state.getCurrentWatermarkMs() + 1))
           }
           out.result().iterator
-      }(stateEnc, p.outEnc)
+  }
+
+  /** [[asOfStream]] with a `direction` AND a batch bootstrap — the
+    * directional sibling of the snapshot overload above: the snapshot's
+    * newest row per key seeds the retained BACKWARD witness, so a
+    * `nearest` stream started mid-history can resolve its backward side
+    * from the dimension table instead of enriching null until the key's
+    * first streamed right. Directions:
+    *
+    *  - `"backward"`: delegates to the snapshot overload (same runner).
+    *  - `"nearest"`: the bootstrap case that matters — the seeded pair
+    *    competes as the backward candidate under the usual tolerance
+    *    vetting; forward candidates are streamed rights, as always.
+    *  - `"forward"`: accepted for surface symmetry; the seeded pair is
+    *    semantically inert (a forward match is at-or-after the left,
+    *    and every streamed left postdates the snapshot under the
+    *    stream-from-T0 contract).
+    *
+    * Same stream-from-T0 parity contract as the backward bootstrap:
+    * both streams start after the snapshot's per-key newest; pre-T0
+    * replay is the batch operator's job.
+    */
+  def asOfStream(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valCols: Seq[String], toleranceMs: Option[Long],
+      prefix: String, direction: String, watermark: String,
+      initialSnapshot: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward, forward, or nearest, got '$direction'")
+    if (direction == "backward")
+      return asOfStream(left, right, keyCols, tsCol, valCols, toleranceMs,
+        prefix, initialSnapshot)
+    val tol = toleranceMs.getOrElse(throw new IllegalArgumentException(
+      s"$direction streaming as-of requires toleranceMs — the horizon " +
+        "that resolves waiting left events and bounds pending state"))
+    require(tol >= 0, s"toleranceMs must be >= 0, got $tol")
+    val p = asOfParts(left, right, keyCols, tsCol, valCols, prefix)
+    val stateEnc = Encoders.kryo[DirState]
+    val initState = snapshotPairs(initialSnapshot, keyCols, tsCol, valCols)
+      .groupByKey((r: Row) => r.getStruct(0))(p.keyEnc)
+      .mapValues((r: Row) => (Some((r.getTimestamp(1).getTime,
+        r.getStruct(2).toSeq)): Option[AsofPair],
+        Nil: List[(Long, Seq[Any])]))(stateEnc)
+    p.u.withWatermark("_ts", watermark)
+      .groupByKey((r: Row) => r.getStruct(0))(p.keyEnc)
+      .flatMapGroupsWithState[DirState, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout(),
+        initState)(
+        directionalRunner(valCols.size, tol,
+          nearest = direction == "nearest"))(stateEnc, p.outEnc)
       .toDF()
   }
 

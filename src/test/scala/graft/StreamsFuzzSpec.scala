@@ -421,6 +421,37 @@ class StreamsFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: bootstrapped nearest/forward asOfStream (snapshot ≤ T0 + " +
+      "streamed tail) equal batch asOf over the concatenated history — " +
+      "the snapshot serves as the backward witness for nearest") {
+    val T0 = 12 * Hour
+    for (seed <- Seq(71, 72); direction <- Seq("nearest", "forward")) {
+      val rnd = new Random(seed)
+      val (lefts, rights) = asofFixture(rnd)
+      val (snapRights, tailRights) =
+        rights.partition(r => eventTs(r._2) <= Base + T0)
+      val snapshot = snapRights.toDF("sym", "ts", "price")
+      // stream-from-T0 contract, as in the backward bootstrap fuzz; the
+      // tolerance spans back across T0 so nearest can genuinely choose
+      // a SNAPSHOT pair over a streamed forward right
+      val tailLefts = lefts.filter(l => eventTs(l._2) > Base + T0 ||
+        l._1 == null || l._2 == null)
+      val tol = 4 * Hour
+      val streamed = runAsof(rnd, tailLefts, tailRights,
+          s"fz_asof_boot_${direction}_$seed", closers = true) { (l, r) =>
+        Streams.asOfStream(l, r, keyCols = Seq("sym"), tsCol = "ts",
+          valCols = Seq("price"), toleranceMs = Some(tol),
+          prefix = "asof_", direction = direction,
+          watermark = "10 minutes", initialSnapshot = snapshot)
+      }
+      val batch = asofBatch(tailLefts, rights, direction, Some(tol))
+      assert(streamed == batch,
+        s"seed=$seed direction=$direction bootstrap divergence " +
+          s"(|snapshot|=${snapRights.size}, |tail|=${tailRights.size}):\n" +
+          s" stream-only ${streamed -- batch}\n batch-only  ${batch -- streamed}")
+    }
+  }
+
   test("fuzz: forward and nearest asOfStream equal batch asOf under " +
       "in-order randomized batch boundaries — pending lefts resolved by " +
       "arrival or by the horizon timeout") {
