@@ -148,6 +148,59 @@ class AlgebraLawsSpec extends SparkTestBase {
     })
   }
 
+  test("law: stratifiedSample = per-stratum smallest digests, at most " +
+      "perStratum each, all strata represented") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val caseGen = for {
+      corpus <- corpusGen
+      per <- Gen.choose(1, 5)
+    } yield (corpus, per)
+    check("stratifiedSample", Prop.forAll(caseGen) { case (corpus, per) =>
+      // stratum = first tag (deterministic per row)
+      val df = corpus.map { case (k, ts) => (k, ts.head) }
+        .toDF("image_id", "stratum")
+      val got = Splits.stratifiedSample(df, "stratum", per, "image_id")
+        .select("image_id", "stratum").as[(String, String)].collect().toSet
+      val model = corpus.map { case (k, ts) => (k, ts.head) }
+        .groupBy(_._2).values.flatMap(rows =>
+          rows.sortBy { case (k, _) => (md5hex("graft" + k), k) }.take(per))
+        .toSet
+      got == model
+    })
+  }
+
+  test("law: weightedSample = top-n by u^(1/w) under the md5-derived " +
+      "draw (plain-Scala model); non-positive weights excluded") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the operator's exact arithmetic: 13 hex chars = 52 bits, and
+    // (bits + 1) / (2^52 + 1) ∈ (0,1] — bit-identical doubles, so the
+    // model comparison is exact, the engine-portability contract
+    def u(k: String): Double =
+      (java.lang.Long.parseLong(md5hex("graft" + k).substring(0, 13), 16)
+        + 1.0) / 4503599627370497.0
+    val caseGen = for {
+      corpus <- corpusGen
+      n <- Gen.choose(0, 30)
+      weights <- Gen.listOfN(corpus.size,
+        Gen.frequency(8 -> Gen.choose(0.1, 10.0), 1 -> Gen.const(0.0),
+          1 -> Gen.const(-1.0)))
+    } yield (corpus.map(_._1).zip(weights), n)
+    check("weightedSample", Prop.forAll(caseGen) { case (rows, n) =>
+      val df = rows.toDF("image_id", "w")
+      val got = Splits.weightedSample(df, n, "image_id", "w")
+        .select("image_id").as[String].collect().toSet
+      val eligible = rows.filter(_._2 > 0)
+      val model = eligible
+        .map { case (k, w) => (k, math.pow(u(k), 1.0 / w)) }
+        .sortBy { case (k, r) => (-r, k) }.take(n).map(_._1).toSet
+      got == model && got.size == math.min(n, eligible.size)
+    })
+  }
+
   // ---- splits ----------------------------------------------------------
 
   private val splitGen = for {
