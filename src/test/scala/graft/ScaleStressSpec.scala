@@ -198,6 +198,67 @@ class ScaleStressSpec extends SparkTestBase {
       f"shuffle ratio ${bigShuffle.toDouble / math.max(baseShuffle, 1)}%.1f×")
   }
 
+  test("simhash banding: the band-bucket exchange scales ~linearly at " +
+      "10× with zero guard drops on a fingerprint-concentrated corpus") {
+    assume(haveData, "sf0.1 testdata not present")
+    // The synthetic documents draw from a ~20-word vocabulary, so
+    // 32-bit simhash fingerprints concentrate hard (the base corpus
+    // holds a 248-doc identical-token-set cluster and ~266k hamming-0
+    // pairs, most by VOTE COINCIDENCE between distinct token sets).
+    // Two scaling facts are salt-invariant and under test here: the
+    // band-row exchange grows ~linearly with rows, and even this
+    // concentration stays under the default hot-bucket cap — the guard
+    // must not tax it. PAIR-level linearity is deliberately NOT
+    // asserted: coincidence-h0 pairs re-randomize with each copy's
+    // token draw (measured ~96k/copy vs 230k in base), which is the
+    // measured reason exact-verify minhash is the primary near-dup
+    // path and simhash the compact-fingerprint secondary.
+    val guard = GuardMetrics.of(spark.sparkContext, "simhash")
+    guard.reset()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val base = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L))
+
+    def pairsOf(df: DataFrame) = Dedup.simhashNearDuplicates(
+      df, "text", "doc_id", maxDistance = 3)
+
+    val (basePairs, baseSec, baseShuffle) = measured("simhash 1×") {
+      pairsOf(base).localCheckpoint(true)
+    }
+    val baseDrops = guard.droppedRows.value
+    val nBasePairs = basePairs.count()
+
+    val amplified = (0 until Copies).map { i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * CopyStride))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1x$i"))
+    }.reduce(_ unionByName _)
+
+    val (bigPairs, bigSec, bigShuffle) = measured("simhash 10×") {
+      pairsOf(amplified).localCheckpoint(true)
+    }
+    val bigDrops = guard.droppedRows.value - baseDrops
+    val nBigPairs = bigPairs.count()
+
+    // even this concentration sits under the default cap: the guard
+    // exists for degenerate boilerplate and must not tax honest data
+    assert(baseDrops == 0 && bigDrops == 0,
+      s"guard taxed the corpus: 1× drops=$baseDrops, 10× drops=$bigDrops")
+    // the exchange is the 100 TB-relevant exponent: band rows are
+    // linear in input, so shuffle write must stay far under quadratic
+    assert(bigShuffle <= 15L * math.max(baseShuffle, 1L),
+      s"band-row shuffle super-linear: 1×=$baseShuffle, 10×=$bigShuffle")
+    assert(nBigPairs > nBasePairs,
+      s"10× run lost pairs: 1×=$nBasePairs, 10×=$nBigPairs")
+    info(f"simhash: 1×=$nBasePairs pairs/$baseSec%.2f s " +
+      f"(${baseShuffle / 1e6}%.1f MB); 10×=$nBigPairs pairs/" +
+      f"$bigSec%.2f s (${bigShuffle / 1e6}%.1f MB); shuffle ratio " +
+      f"${bigShuffle.toDouble / math.max(baseShuffle, 1)}%.1f×, wall " +
+      f"ratio ${bigSec / baseSec}%.1f×")
+  }
+
+
   test("lshNeighborPairs scales ~linearly from 1× to 10× (candidates, " +
       "verified pairs, shuffle)") {
     assume(haveData, "sf0.1 testdata not present")
