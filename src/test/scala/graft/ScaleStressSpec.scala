@@ -363,4 +363,76 @@ class ScaleStressSpec extends SparkTestBase {
       f"cand ratio ${nBigCand.toDouble / math.max(nBaseCand, 1)}%.1f×, " +
       f"shuffle ratio ${bigShuffle.toDouble / math.max(baseShuffle, 1)}%.1f×")
   }
+
+  test("ivfTopK scales ~linearly from 1× to 10× and keeps exact-dup " +
+      "recall 1.0 (identical vectors co-assign deterministically)") {
+    assume(haveData, "sf0.1 testdata not present")
+    val dim = 64
+    val k = 15
+    val planted = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 100 === 7)
+      .select("vec_id").as[Long].collect().toSet
+    assert(planted.size >= 10, s"planted set too small: ${planted.size}")
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val queries = base.filter(col("vec_id").isInCollection(planted))
+      .localCheckpoint(true)
+
+    def topkOf(corpus: DataFrame) = Similarity.ivfTopK(
+      corpus, queries, "embedding", "vec_id", k = k, nlist = 64, nprobe = 8)
+
+    val (baseRes, baseSec, baseShuffle) = measured("ivf 1×") {
+      topkOf(base).localCheckpoint(true)
+    }
+    // 8 of 64 probed lists over 2k rows → ~250 candidates/query ≫ k:
+    // every query must fill its top-k
+    val baseCounts = baseRes.groupBy("query_id").count()
+    assert(baseCounts.count() == planted.size &&
+      baseCounts.filter(col("count") =!= k).isEmpty,
+      "1× run did not fill top-k for every query")
+
+    // same amplification as the LSH test: seeded coordinate permutations
+    // (orthogonal ⇒ within-copy cosines exact), planted rows unpermuted
+    // ⇒ each planted query has 9 cross-copy identical twins (cosine 1)
+    val perms = (0 until Copies).map(i =>
+      new scala.util.Random(9000 + i).shuffle((0 until dim).toVector))
+    val amplified = (0 until Copies).map { i =>
+      val perm = perms(i)
+      val permute = udf((v: Seq[Float]) =>
+        if (v == null) null else perm.map(v.apply))
+      base.withColumn("vec_id", col("vec_id") + lit(i * CopyStride))
+        .withColumn("embedding",
+          when((col("vec_id") % CopyStride).isInCollection(planted),
+            col("embedding"))
+            .otherwise(permute(col("embedding"))))
+    }.reduce(_ unionByName _)
+
+    val (bigRes, bigSec, bigShuffle) = measured("ivf 10×") {
+      topkOf(amplified).localCheckpoint(true)
+    }
+    val bigCounts = bigRes.groupBy("query_id").count()
+    assert(bigCounts.count() == planted.size &&
+      bigCounts.filter(col("count") =!= k).isEmpty,
+      "10× run did not fill top-k for every query")
+    // the IVF determinism claim, measured: an identical vector computes
+    // identical centroid dots, so all 10 copies assign to ONE list and
+    // the query's rank-1 probe is that list — recall of the 9 twins is
+    // 1.0 by construction, not luck. Raw vectors have max pairwise
+    // cosine ~0.60, so cosine ≥ 0.9999 isolates exactly the twins.
+    val twins = bigRes.filter(col("cosine") >= 0.9999)
+      .groupBy("query_id").count()
+    assert(twins.count() == planted.size &&
+      twins.filter(col("count") =!= Copies - 1).isEmpty,
+      "exact-dup recall < 1.0: some cross-copy twin missed the top-k")
+    // assignment shuffles one row per corpus key (map-side argmin) and
+    // the probe join one row per probed corpus row — both linear
+    if (baseShuffle >= 1000000L)
+      assert(bigShuffle <= 15L * baseShuffle,
+        s"shuffle super-linear: 1×=$baseShuffle B, 10×=$bigShuffle B")
+    info(f"ivf: ${planted.size} queries; 1×=2k corpus/$baseSec%.2f s " +
+      f"(${baseShuffle / 1e6}%.1f MB); 10×=20k corpus/$bigSec%.2f s " +
+      f"(${bigShuffle / 1e6}%.1f MB); shuffle ratio " +
+      f"${bigShuffle.toDouble / math.max(baseShuffle, 1)}%.1f×; " +
+      f"twin recall 9/9 for all queries")
+  }
 }
