@@ -66,22 +66,28 @@ object GuardMetrics {
   def of(sc: SparkContext): Counters = of(sc, "")
 
   /** One operator's own counters — independent of every other tag.
-    * The context must be live: registering an accumulator on a stopped
-    * SparkContext yields a counter that can never report, which is
-    * exactly the silent-observability failure this object exists to
-    * prevent, so it fails loud instead.
+    * REGISTERING a new pair requires a live context (an accumulator
+    * registered on a stopped SparkContext could never report — the
+    * silent-observability failure this object exists to prevent, so
+    * that path fails loud). READING an already-registered pair works
+    * even after the context stops: accumulator values remain readable
+    * driver-side, and teardown-time reporting (asserting or logging
+    * guard totals after `spark.stop()`) is a legitimate consumer.
     */
   def of(sc: SparkContext, tag: String): Counters = {
-    require(!sc.isStopped,
-      "GuardMetrics.of called with a stopped SparkContext — an " +
-        "accumulator registered on it would never report; pass the " +
-        "live session's context")
     registry.getOrElse((sc, tag), {
-      // a stopped context never reads its counters again — evict dead
-      // entries so a long-lived JVM cycling SparkContexts doesn't
-      // accumulate dead Counters. Swept only on the registration slow
-      // path (a miss), not on every per-operator lookup: the hit path
-      // stays a single TrieMap read.
+      require(!sc.isStopped,
+        "GuardMetrics.of would register new accumulators on a stopped " +
+          "SparkContext — they could never report; pass the live " +
+          "session's context (already-registered tags stay readable " +
+          "after stop)")
+      // evict other contexts' dead entries so a long-lived JVM cycling
+      // SparkContexts doesn't accumulate dead Counters. Swept only on
+      // the registration slow path (a miss), not on every per-operator
+      // lookup: the hit path stays a single TrieMap read — which is
+      // also what keeps stopped-context READS working (teardown
+      // reporting holds its Counters reference or re-reads before the
+      // next fresh-context registration sweeps the entry).
       registry.keysIterator.foreach { case k @ (c, _) =>
         if ((c ne sc) && c.isStopped) registry.remove(k)
       }
@@ -191,16 +197,27 @@ object GuardMetrics {
     * streaming query their per-batch deltas are not attributable from
     * `StreamingQueryProgress`. So the guard also `observe`s an
     * `excludedRows` count under the metric name
-    * `graft.lengthCap.<tag>.<start-column>` (the start column
+    * `graft.lengthCap.<tag>[.<site>].<start-column>` (the start column
     * disambiguates the two capped sides of an overlap join, which share
     * one tag): each progress event's `observedMetrics` then carries that
     * batch's exclusion count, zero on clean batches — the number a
     * streaming dashboard actually watches. The observation is a
     * metrics-only plan node (`CollectMetrics`), no shuffle and no extra
     * pass; the accumulators stay as the session-wide totals.
+    *
+    * ONE GUARD SITE PER (tag, site, start-column) PER QUERY: Spark
+    * rejects a query holding two `CollectMetrics` nodes with the same
+    * name over different children (duplicated observed-metrics name at
+    * analysis). Composing two capped joins whose capped sides share a
+    * tag and a start-column name — e.g. cascaded or unioned
+    * `rangeJoinStream`s both capping a right side named `start` — needs
+    * a distinct `site` per guard site (the join builders thread it
+    * through as `guardSite`); the default empty site keeps the stable
+    * dashboard-friendly name for the overwhelmingly common
+    * one-capped-join-per-query shape.
     */
   def capIntervalLength(df: DataFrame, start: String, end: String,
-      maxLenMs: Long, tag: String): DataFrame = {
+      maxLenMs: Long, tag: String, site: String = ""): DataFrame = {
     require(maxLenMs > 0, s"maxLenMs must be > 0, got $maxLenMs")
     val sc = df.sparkSession.sparkContext
     val total = of(sc)
@@ -227,16 +244,21 @@ object GuardMetrics {
     }.asNondeterministic()
     val within = col(end).isNull ||
       col(end) <= col(start) + expr(s"INTERVAL $maxLenMs MILLISECONDS")
-    df.observe(observedMetricName(tag, start),
+    df.observe(observedMetricName(tag, start, site),
         sum(when(within, 0L).otherwise(1L)).as("excludedRows"))
       .filter(within || recordDrop())
   }
 
   /** The observed-metric name [[capIntervalLength]] registers for a
-    * (tag, start-column) guard site — look this up in
+    * (tag, site, start-column) guard site — look this up in
     * `StreamingQueryProgress.observedMetrics` for per-batch exclusion
-    * counts.
+    * counts. The empty default `site` yields the stable
+    * `graft.lengthCap.<tag>.<startCol>` name; a non-empty site (needed
+    * only when one query composes multiple capped joins sharing a tag
+    * and start-column name) is spliced between tag and column.
     */
-  def observedMetricName(tag: String, startCol: String): String =
-    s"graft.lengthCap.${tagLabel(tag)}.$startCol"
+  def observedMetricName(tag: String, startCol: String,
+      site: String = ""): String =
+    if (site.isEmpty) s"graft.lengthCap.${tagLabel(tag)}.$startCol"
+    else s"graft.lengthCap.${tagLabel(tag)}.$site.$startCol"
 }

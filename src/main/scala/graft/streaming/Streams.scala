@@ -181,14 +181,31 @@ object Streams {
   def rangeJoinStream(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightStart: String,
       rightEnd: String, maxWindowMs: Long, watermark: String,
-      joinType: String): DataFrame = {
+      joinType: String): DataFrame =
+    rangeJoinStream(left, right, keys, leftTs, rightStart, rightEnd,
+      maxWindowMs, watermark, joinType, guardSite = "")
+
+  /** Variable-window [[rangeJoinStream]] with an explicit `guardSite`:
+    * the per-site id spliced into the length-cap guard's observed-metric
+    * name ([[graft.operators.GuardMetrics.observedMetricName]]). Needed
+    * ONLY when one query composes SEVERAL capped range joins whose
+    * capped right sides share a start-column name (cascades, unions) —
+    * Spark rejects duplicate observed-metric names in one query at
+    * analysis, so each such join must carry a distinct site. The empty
+    * default keeps the stable un-suffixed metric name.
+    */
+  def rangeJoinStream(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightStart: String,
+      rightEnd: String, maxWindowMs: Long, watermark: String,
+      joinType: String, guardSite: String): DataFrame = {
     require(maxWindowMs > 0, "maxWindowMs must be > 0")
     // the cap guard passes null-end windows (they can match nothing but
     // must surface unmatched under full_outer — the batch operator's
     // contract) and counts every over-length exclusion under its tag
     streamJoin(left.withWatermark(leftTs, watermark),
       graft.operators.GuardMetrics.capIntervalLength(
-        right, rightStart, rightEnd, maxWindowMs, tag = "streamRangeCap"),
+        right, rightStart, rightEnd, maxWindowMs, tag = "streamRangeCap",
+        site = guardSite),
       keys, watermark = watermark, rightWmCol = rightStart,
       joinType = joinType,
       timeCond =
@@ -262,7 +279,23 @@ object Streams {
       keys: Seq[String], leftStart: String, leftEnd: String,
       rightStart: String, rightEnd: String, maxLeftLenMs: Long,
       maxRightLenMs: Long, watermark: String,
-      joinType: String): DataFrame = {
+      joinType: String): DataFrame =
+    overlapJoinStream(left, right, keys, leftStart, leftEnd, rightStart,
+      rightEnd, maxLeftLenMs, maxRightLenMs, watermark, joinType,
+      guardSite = "")
+
+  /** [[overlapJoinStream]] with an explicit `guardSite` — the per-site
+    * id spliced into BOTH sides' length-cap observed-metric names (the
+    * sides stay distinguished by their start columns). Needed only when
+    * one query composes several capped overlap joins whose capped sides
+    * share start-column names; see the [[rangeJoinStream]] `guardSite`
+    * doc for the duplicate-observed-metric rule.
+    */
+  def overlapJoinStream(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String, maxLeftLenMs: Long,
+      maxRightLenMs: Long, watermark: String,
+      joinType: String, guardSite: String): DataFrame = {
     require(maxLeftLenMs > 0 && maxRightLenMs > 0,
       "max interval lengths must be > 0")
     // the cap guard passes null-end intervals (the overlap predicate
@@ -273,7 +306,8 @@ object Streams {
     def capped(df: DataFrame, start: String, end: String,
         maxLen: Long): DataFrame =
       graft.operators.GuardMetrics.capIntervalLength(
-        df, start, end, maxLen, tag = "streamOverlapCap")
+        df, start, end, maxLen, tag = "streamOverlapCap",
+        site = guardSite)
     streamJoin(
       capped(left, leftStart, leftEnd, maxLeftLenMs)
         .withWatermark(leftStart, watermark),
@@ -377,10 +411,18 @@ object Streams {
     * frame — max over a ts-first struct, so ties at the same timestamp
     * fall through to the value tuple, the batch backward tiebreak. Null
     * key/ts rows are dropped (they could never have entered state).
+    *
+    * Column TYPES are validated against the stream schemas up front —
+    * each failure mode would otherwise surface far from its cause: a
+    * non-timestamp `tsCol` as an executor-side ClassCastException in
+    * the state seeding, a key-type mismatch as a silently INERT
+    * bootstrap (encoded snapshot keys never equal streamed keys, every
+    * key starts cold), and a value-type mismatch only at output
+    * encoding.
     */
   private def snapshotPairs(initialSnapshot: DataFrame,
-      keyCols: Seq[String], tsCol: String,
-      valCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], tsCol: String, valCols: Seq[String],
+      left: DataFrame, right: DataFrame): DataFrame = {
     require(!valCols.contains(tsCol),
       s"tsCol '$tsCol' cannot also be a value column when bootstrapping " +
         "(the snapshot reduction keys its struct fields by name)")
@@ -388,6 +430,19 @@ object Streams {
         if !initialSnapshot.columns.contains(c))
       throw new IllegalArgumentException(
         s"initialSnapshot is missing column '$c'")
+    // same TimestampType style as asOfParts' stream-side require
+    require(initialSnapshot.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"initialSnapshot tsCol '$tsCol' must be TIMESTAMP, got " +
+        s"${initialSnapshot.schema(tsCol).dataType.simpleString}")
+    for ((c, expected) <- keyCols.map(k => (k, left.schema(k).dataType)) ++
+        valCols.map(v => (v, right.schema(v).dataType));
+        got = initialSnapshot.schema(c).dataType; if got != expected)
+      throw new IllegalArgumentException(
+        s"initialSnapshot column '$c' has type ${got.simpleString} but " +
+          s"the stream declares ${expected.simpleString} — the bootstrap " +
+          "would mismatch at state seeding; cast the snapshot column " +
+          "first")
     initialSnapshot
       .filter((keyCols.map(c => col(c).isNotNull) :+
         col(tsCol).isNotNull).reduce(_ && _))
@@ -473,7 +528,7 @@ object Streams {
       require(t >= 0, s"toleranceMs must be >= 0, got $t"))
     val p = asOfParts(left, right, keyCols, tsCol, valCols, prefix)
     val stateEnc = Encoders.kryo[(Long, Seq[Any])]
-    val initState = snapshotPairs(initialSnapshot, keyCols, tsCol, valCols)
+    val initState = snapshotPairs(initialSnapshot, keyCols, tsCol, valCols, left, right)
       .groupByKey((r: Row) => r.getStruct(0))(p.keyEnc)
       .mapValues((r: Row) =>
         (r.getTimestamp(1).getTime, r.getStruct(2).toSeq))(stateEnc)
@@ -717,10 +772,15 @@ object Streams {
     *  - `"nearest"`: the bootstrap case that matters — the seeded pair
     *    competes as the backward candidate under the usual tolerance
     *    vetting; forward candidates are streamed rights, as always.
-    *  - `"forward"`: accepted for surface symmetry; the seeded pair is
-    *    semantically inert (a forward match is at-or-after the left,
-    *    and every streamed left postdates the snapshot under the
-    *    stream-from-T0 contract).
+    *  - `"forward"`: accepted for surface symmetry; while the
+    *    stream-from-T0 contract holds (every streamed left postdates
+    *    the snapshot), the seeded pair never wins a forward match. A
+    *    CONTRACT-VIOLATING left that predates its key's snapshot pair
+    *    instead resolves immediately, best-effort, with that pair as
+    *    its forward witness — possibly a later right than the true
+    *    earliest-at-or-after match, the same documented best-effort
+    *    shape as the cross-batch-skew path; pre-T0 replay belongs to
+    *    the batch operator.
     *
     * Same stream-from-T0 parity contract as the backward bootstrap:
     * both streams start after the snapshot's per-key newest; pre-T0
@@ -742,7 +802,7 @@ object Streams {
     require(tol >= 0, s"toleranceMs must be >= 0, got $tol")
     val p = asOfParts(left, right, keyCols, tsCol, valCols, prefix)
     val stateEnc = Encoders.kryo[DirState]
-    val initState = snapshotPairs(initialSnapshot, keyCols, tsCol, valCols)
+    val initState = snapshotPairs(initialSnapshot, keyCols, tsCol, valCols, left, right)
       .groupByKey((r: Row) => r.getStruct(0))(p.keyEnc)
       .mapValues((r: Row) => (Some((r.getTimestamp(1).getTime,
         r.getStruct(2).toSeq)): Option[AsofPair],

@@ -960,6 +960,110 @@ class StreamsSpec extends SparkTestBase {
       e2.getMessage)
   }
 
+  test("guardSite disambiguates the length-cap observed metrics when one " +
+      "query composes two capped joins sharing a tag and start-column " +
+      "name; without sites the duplicate name is rejected at analysis") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.GuardMetrics
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def mk(site: String) = {
+      val lmem = MemoryStream[(String, java.sql.Timestamp, Long)]
+      val rmem = MemoryStream[(String, java.sql.Timestamp,
+        java.sql.Timestamp, Long)]
+      val joined = Streams.rangeJoinStream(
+        lmem.toDF().toDF("k", "lts", "lid"),
+        rmem.toDF().toDF("k", "start", "end", "rid"),
+        keys = Seq("k"), leftTs = "lts", rightStart = "start",
+        rightEnd = "end", maxWindowMs = 3600 * 1000L,
+        watermark = "10 minutes", joinType = "inner", guardSite = site)
+      (joined.select("k", "lid", "rid"), lmem, rmem)
+    }
+    // both capped right sides are named 'start' under one tag: the
+    // site-less composition creates two same-named CollectMetrics nodes
+    // over different children, which Spark rejects — the loud failure
+    // the guardSite parameter exists to resolve
+    val dup = intercept[org.apache.spark.sql.AnalysisException] {
+      val (a, _, _) = mk("")
+      val (b, _, _) = mk("")
+      a.union(b).writeStream.format("memory").queryName("cap_site_dup")
+        .outputMode("append").start()
+    }
+    assert(dup.getMessage.contains("DUPLICATED_METRICS_NAME") &&
+      dup.getMessage.contains(
+        GuardMetrics.observedMetricName("streamRangeCap", "start")),
+      dup.getMessage)
+    // distinct sites → distinct metric names → the composition runs, and
+    // each site's exclusions report under its own spliced name
+    val (a, almem, armem) = mk("siteA")
+    val (b, blmem, brmem) = mk("siteB")
+    val q = a.union(b).writeStream.format("memory")
+      .queryName("cap_site_ok").outputMode("append").start()
+    try {
+      almem.addData(("u1", t("2024-01-01 10:15:00"), 1L))
+      armem.addData(
+        ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 10:30:00"), 10L),
+        // over-cap window on side A only
+        ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 16:00:00"), 11L))
+      blmem.addData(("u2", t("2024-01-01 10:15:00"), 2L))
+      brmem.addData(
+        ("u2", t("2024-01-01 10:00:00"), t("2024-01-01 10:30:00"), 20L))
+      q.processAllAvailable()
+      assert(spark.table("cap_site_ok").count() == 2L)
+      def reported(site: String): Seq[Long] = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get(
+          GuardMetrics.observedMetricName("streamRangeCap", "start", site))))
+        .map(_.getAs[Long]("excludedRows"))
+      assert(reported("siteA").contains(1L),
+        s"siteA never reported its exclusion: ${reported("siteA")}")
+      assert(reported("siteB").nonEmpty && reported("siteB").forall(_ == 0L),
+        s"siteB excluded nothing but reported: ${reported("siteB")}")
+    } finally q.stop()
+  }
+
+  test("bootstrap snapshot column TYPES are validated up front against " +
+      "the stream schemas, naming the mismatched column") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(("A", t("2024-01-01 10:00:00"), 1L))
+      .toDF("sym", "ts", "tid")
+    val right = Seq(("A", t("2024-01-01 09:00:00"), 2.0))
+      .toDF("sym", "ts", "price")
+    def boot(snapshot: org.apache.spark.sql.DataFrame) =
+      Streams.asOfStream(left, right, keyCols = Seq("sym"), tsCol = "ts",
+        valCols = Seq("price"), toleranceMs = None, prefix = "asof_",
+        initialSnapshot = snapshot)
+    // a string tsCol previously surfaced as an executor-side
+    // ClassCastException in the state seeding
+    val badTs = intercept[IllegalArgumentException] {
+      boot(Seq(("A", "2024-01-01", 2.0)).toDF("sym", "ts", "price"))
+    }
+    assert(badTs.getMessage.contains("'ts'") &&
+      badTs.getMessage.contains("TIMESTAMP"), badTs.getMessage)
+    // a mismatched key type previously made the bootstrap silently inert
+    // (encoded snapshot keys never equal streamed keys)
+    val badKey = intercept[IllegalArgumentException] {
+      boot(Seq((7, t("2024-01-01 09:00:00"), 2.0))
+        .toDF("sym", "ts", "price"))
+    }
+    assert(badKey.getMessage.contains("'sym'") &&
+      badKey.getMessage.contains("int"), badKey.getMessage)
+    // a mismatched value type previously surfaced only at output encoding
+    val badVal = intercept[IllegalArgumentException] {
+      boot(Seq(("A", t("2024-01-01 09:00:00"), 2L))
+        .toDF("sym", "ts", "price"))
+    }
+    assert(badVal.getMessage.contains("'price'") &&
+      badVal.getMessage.contains("bigint"), badVal.getMessage)
+    // the directional bootstrap shares the same validation
+    val badDir = intercept[IllegalArgumentException] {
+      Streams.asOfStream(left, right, keyCols = Seq("sym"), tsCol = "ts",
+        valCols = Seq("price"), toleranceMs = Some(1000L),
+        prefix = "asof_", direction = "nearest", watermark = "0 seconds",
+        initialSnapshot = Seq((7, t("2024-01-01 09:00:00"), 2.0))
+          .toDF("sym", "ts", "price"))
+    }
+    assert(badDir.getMessage.contains("'sym'"), badDir.getMessage)
+  }
+
   /** State-boundedness as a TREND, not Spark's exact eviction cadence:
     * the earlier `last <= 4 / max <= 6` bounds encoded exactly when the
     * watermark evicts under processAllAvailable, which a Spark bump
