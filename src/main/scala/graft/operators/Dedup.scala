@@ -311,6 +311,157 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash signature store relation for INCREMENTAL near-dup dedup:
+    * one row per document — `(key, _buckets array<long>, _sh
+    * array<string>)`, the per-band bucket ids plus the shingle set. The
+    * relation is self-contained: candidate generation needs `_buckets`,
+    * exact-jaccard verification needs `_sh`, so incremental runs against
+    * a parquet-persisted store NEVER re-read or re-shingle the original
+    * corpus. Null/empty-text rows are absent (they can never be
+    * duplicates — the same pre-banding filter as
+    * [[minhashNearDuplicates]]).
+    *
+    * The store is parameterized by `(numHashes, bands, shingleSize,
+    * seed)`: [[minhashNearDuplicatesIncremental]] must be called with
+    * the SAME values the store was built with (bucket ids from different
+    * parameters never collide meaningfully — candidates silently vanish)
+    * — the caller owns persisting them next to the store. An empty store
+    * with the right schema is `minhashSignatures(df.limit(0), …)`.
+    *
+    * Store size: signatures are `bands` longs per doc; `_sh` is the
+    * distinct lowercased word n-grams — the same order of magnitude as
+    * the text itself. A 100 TB corpus's store is corpus-sized on disk
+    * but columnar: increments that only generate candidates read the
+    * narrow `_buckets` column and touch `_sh` only for verified
+    * candidate keys (column pruning does this automatically).
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, key: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      seed: Long = 42): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val (hashA, hashB) = Kernels.minhashCoefficients(numHashes, seed)
+    val bucketsUdf = udf((sh: Seq[String]) =>
+      Kernels.bandBuckets(sh, hashA, hashB, bands))
+    df.select(col(key), shinglesUdf(shingleSize)(col(textCol)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col(key), bucketsUdf(col("_sh")).as("_buckets"), col("_sh"))
+  }
+
+  private def validateSignatureStore(store: DataFrame, key: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    for (c <- Seq(key, "_buckets", "_sh"); if !store.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"signature store is missing column '$c' — expected the " +
+          s"($key, _buckets, _sh) relation minhashSignatures produces")
+    (store.schema("_buckets").dataType, store.schema("_sh").dataType) match {
+      case (ArrayType(LongType, _), ArrayType(StringType, _)) => ()
+      case (b, s) => throw new IllegalArgumentException(
+        "signature store column types must be _buckets array<bigint>, " +
+          s"_sh array<string>; got ${b.simpleString}, ${s.simpleString}")
+    }
+  }
+
+  /** Incremental near-duplicate detection: the production shape a crawl
+    * pipeline needs — dedup each NEW batch against the EXISTING corpus
+    * without recomputing all pairs. Returns
+    * `(pairs touching the new batch, updated store)`: the pairs are
+    * `(key_a, key_b, jaccard)` with `key_a < key_b` where at least one
+    * side is from `newDocs` (new-vs-store AND new-vs-new); the updated
+    * store is `store ∪ signatures(newDocs)`, ready to persist for the
+    * next increment. Replaces re-running the batch operator over the
+    * whole union: old-vs-old pairs are never re-generated or
+    * re-verified. (The reference's closest analogue is its
+    * skip-existing incremental re-run, `jigsaw/io_utils.py:89,150` —
+    * file-level skips, not signature reuse.)
+    *
+    * SEMANTICS — parity with the batch run: calling this over a corpus
+    * split into K batches (threading the store through) yields, per
+    * batch, exactly [[minhashNearDuplicates]] over the union-SO-FAR
+    * restricted to pairs touching that batch, with the same `threshold`
+    * and the same `maxBucketSize` guard (the cohort cap is evaluated
+    * over the prefix union's bucket sizes, exactly where that prefix's
+    * batch run evaluates it). Consequently the union of all K
+    * incremental outputs equals the batch run over the full union
+    * whenever no bucket crosses the cap mid-sequence — the normal,
+    * guard-clean case. A bucket that DOES cross the cap at increment j
+    * stops generating candidates from then on, but pairs it yielded at
+    * earlier increments stay emitted (drops are never retroactive), so
+    * the incremental union is a SUPERSET of the late batch run's pairs
+    * there — the right behavior for a pipeline that already acted on
+    * those pairs. Keys must be globally unique across batches (same
+    * contract as the batch operator's `key_a < key_b`
+    * canonicalization).
+    *
+    * SCALE SHAPE per increment: `newDocs` is shingled and banded once
+    * (the store's signatures are read back, never recomputed). With the
+    * guard on, the union's narrow `(key, band, bucket)` banding rows
+    * flow through ONE (band, bucket) exchange — reused by the candidate
+    * join, the batch operator's accepted guard shape — so the
+    * per-increment shuffle is O((|store| + |new|) × bands) 24-byte-ish
+    * rows, NOT the corpus text. With `maxBucketSize <= 0` (buckets
+    * known clean) the guard window disappears and the candidate join of
+    * the small new-batch banding against the store's banding is
+    * broadcastable — a map-side scan of the store with no store shuffle
+    * at all. Verification joins hit the store's `_sh` column only for
+    * candidate keys (AQE broadcasts the candidate side when small).
+    *
+    * Same `cacheSignatures` tradeoff as the batch operator's
+    * `cacheShingles` (the new batch's signatures have three consumers;
+    * localCheckpoint truncates lineage — pass false on spot/dynamic
+    * fleets).
+    */
+  def minhashNearDuplicatesIncremental(newDocs: DataFrame,
+      store: DataFrame, textCol: String, key: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.7, seed: Long = 42,
+      cacheSignatures: Boolean = true,
+      maxBucketSize: Long = 10000): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucketSize <= 0 || maxBucketSize > 1,
+      "maxBucketSize must be > 1 (or <= 0 to skip the skew guard)")
+    validateSignatureStore(store, key)
+    val newSigs0 = minhashSignatures(newDocs, textCol, key, numHashes,
+      bands, shingleSize, seed)
+    // three consumers (banding + the two verify re-joins) of the only
+    // expensive computation in this operator — the new batch's shingle
+    // kernel; the store side is parquet-backed and cheap to re-read
+    val newSigs =
+      if (cacheSignatures) newSigs0.localCheckpoint(false) else newSigs0
+    val all = store.select(col(key), col("_buckets"), col("_sh"))
+      .withColumn("_new", lit(false))
+      .unionByName(newSigs.withColumn("_new", lit(true)))
+    val banded0 = all
+      .select(col(key), col("_new"), posexplode(col("_buckets")))
+      .select(col(key), col("_new"), col("pos").as("_band"),
+        col("col").as("_bucket"))
+    // the SAME union-wide cohort cap as the batch run (see the
+    // minhashNearDuplicates guard note for the count-window shape)
+    val banded = GuardMetrics.capCohorts(banded0,
+      Seq(col("_band"), col("_bucket")), maxBucketSize, "minhash")
+    // candidates touching the new batch only: new side × union side.
+    // (new, old) pairs surface once, (new, new) pairs in both orders —
+    // least/greatest + dropDuplicates canonicalizes to key_a < key_b,
+    // matching the batch operator's orientation
+    val candidates = banded.filter(col("_new"))
+      .select(col(key).as("_ka"), col("_band"), col("_bucket"))
+      .join(banded.select(col(key).as("_kb"), col("_band"), col("_bucket")),
+        Seq("_band", "_bucket"))
+      .filter(col("_ka") =!= col("_kb"))
+      .select(least(col("_ka"), col("_kb")).as("key_a"),
+        greatest(col("_ka"), col("_kb")).as("key_b"))
+      .dropDuplicates("key_a", "key_b")
+    val pairs = candidates
+      .join(all.select(col(key).as("key_a"), col("_sh").as("_sh_a")),
+        "key_a")
+      .join(all.select(col(key).as("key_b"), col("_sh").as("_sh_b")),
+        "key_b")
+      .select(col("key_a"), col("key_b"),
+        jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    (pairs, store.select(col(key), col("_buckets"), col("_sh"))
+      .unionByName(newSigs))
+  }
+
   private val simhashUdf = udf(Kernels.simhash32 _)
 
   /** 32-bit SimHash over distinct-token murmur hashes: for each bit

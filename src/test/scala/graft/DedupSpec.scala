@@ -395,4 +395,116 @@ class DedupSpec extends SparkTestBase {
     assert(out((1L, 2L)) == 1.0)
     assert(out((1L, 3L)) > out((1L, 4L)))
   }
+
+  test("incremental minhash: each increment equals the batch run over " +
+      "the union-so-far restricted to pairs touching it, and the store " +
+      "round-trips through parquet between increments") {
+    // real fixture split into 3 id-range batches, plus planted docs that
+    // GUARANTEE cross-batch exact and near pairs wherever the fixture's
+    // own duplicates happen to fall
+    val real = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").filter($"doc_id" < 600).select("doc_id", "text")
+    val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val longBNear = longB.replace("beta15", "gamma15") // 25/31 sh ≈ 0.81
+    val planted = Seq(
+      (9000001L, longA), (9000003L, longB),            // batch 0
+      (9000011L, longA), (9000013L, longBNear),        // batch 1
+      (9000021L, longA))                               // batch 2
+      .toDF("doc_id", "text")
+    val corpus = real.unionByName(planted)
+    def batchOf(id: Long): Int =
+      if (id >= 9000000L) ((id - 9000000L) / 10L).toInt
+      else (id / 200L).toInt
+    val batchCol = when($"doc_id" >= 9000000L,
+      floor(($"doc_id" - 9000000L) / 10)).otherwise(floor($"doc_id" / 200))
+    val batches = (0 to 2).map(i => corpus.filter(batchCol === i))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("key_a", "key_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigstore")
+    var store = Dedup.minhashSignatures(corpus.limit(0), "text", "doc_id")
+    val increments = (0 to 2).map { i =>
+      val (pairs, updated) = Dedup.minhashNearDuplicatesIncremental(
+        batches(i), store, "text", "doc_id")
+      val got = pairSet(pairs)
+      // persist + reload EVERY increment: the parity below then proves
+      // the parquet round-trip loses nothing the next increment needs
+      val dir = s"$tmp/store_$i"
+      updated.write.mode("overwrite").parquet(dir)
+      store = spark.read.parquet(dir)
+      got
+    }
+    for (i <- 0 to 2) {
+      val prefix = batches.take(i + 1).reduce(_.unionByName(_))
+      val expected = pairSet(
+        Dedup.minhashNearDuplicates(prefix, "text", "doc_id"))
+        .filter(p => math.max(batchOf(p._1), batchOf(p._2)) == i)
+      assert(increments(i) == expected,
+        s"increment $i diverged from the prefix batch run:\n" +
+          s" inc   ${increments(i).toSeq.sorted.take(20)}\n" +
+          s" batch ${expected.toSeq.sorted.take(20)}")
+    }
+    // the planted cross-batch pairs surfaced at the right increments
+    assert(increments(1).exists(p => p._1 == 9000001L && p._2 == 9000011L
+      && p._3 == 1.0), s"cross-batch exact dup missing: ${increments(1)}")
+    assert(increments(1).exists(p => p._1 == 9000003L && p._2 == 9000013L
+      && p._3 >= 0.7), s"cross-batch near dup missing: ${increments(1)}")
+    assert(increments(2).count(p => p._2 == 9000021L && p._3 == 1.0) == 2,
+      s"the 3-clique's final increment must pair against BOTH earlier " +
+        s"copies: ${increments(2)}")
+    // the final store holds one signature row per non-empty-text doc
+    val nonEmpty = corpus.filter(
+      size(Dedup.shingles($"text")) > 0).count()
+    assert(store.count() == nonEmpty)
+  }
+
+  test("incremental minhash guard: a bucket crossing the cap stops " +
+      "candidate generation at that increment; earlier increments' pairs " +
+      "stay emitted (drops are never retroactive)") {
+    import graft.operators.GuardMetrics
+    val ctr = GuardMetrics.of(spark.sparkContext, "minhash")
+    val boiler = "identical boilerplate text repeated across the corpus " +
+      "with enough words to shingle"
+    val b1 = Seq((1L, boiler), (2L, boiler), (3L, boiler))
+      .toDF("doc_id", "text")
+    val b2 = Seq((11L, boiler), (12L, boiler), (13L, boiler))
+      .toDF("doc_id", "text")
+    val cap = 4L
+    val store0 = Dedup.minhashSignatures(b1.limit(0), "text", "doc_id")
+    val (p1, s1) = Dedup.minhashNearDuplicatesIncremental(b1, store0,
+      "text", "doc_id", maxBucketSize = cap)
+    val got1 = p1.select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(got1 == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"under-cap increment must pair the full clique: $got1")
+    ctr.reset()
+    val (p2, _) = Dedup.minhashNearDuplicatesIncremental(b2, s1,
+      "text", "doc_id", maxBucketSize = cap)
+    assert(p2.count() == 0,
+      "the 6-doc bucket crossed the cap: increment 2 must yield nothing")
+    assert(ctr.droppedCohorts.value > 0,
+      "the crossing must be counted in the minhash guard accumulators")
+    // prefix parity holds per increment; the full batch run under the
+    // same cap emits NOTHING — the incremental union keeps increment 1's
+    // pairs, the documented non-retroactive superset
+    val full = Dedup.minhashNearDuplicates(b1.unionByName(b2), "text",
+      "doc_id", maxBucketSize = cap)
+    assert(full.count() == 0)
+  }
+
+  test("minhashSignatures validates the store schema loudly") {
+    val good = Dedup.minhashSignatures(docs, "text", "doc_id")
+    assert(good.columns.toSeq == Seq("doc_id", "_buckets", "_sh"))
+    val missing = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDuplicatesIncremental(docs,
+        docs.select($"doc_id", $"text".as("_sh")), "text", "doc_id")
+    }
+    assert(missing.getMessage.contains("_buckets"), missing.getMessage)
+    val badType = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDuplicatesIncremental(docs,
+        docs.select($"doc_id", array($"text").as("_buckets"),
+          array($"text").as("_sh")), "text", "doc_id")
+    }
+    assert(badType.getMessage.contains("array<bigint>"), badType.getMessage)
+  }
 }
