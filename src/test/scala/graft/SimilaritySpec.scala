@@ -249,4 +249,53 @@ class SimilaritySpec extends SparkTestBase {
     assert(trained >= sampled,
       f"k-means ($trained%.3f) must not lose to sampling ($sampled%.3f)")
   }
+
+  test("ivfTopK recall@k curve on the REAL sf0.1 embeddings: exhaustive " +
+      "probe is exact, recall is monotone in nprobe for the deterministic " +
+      "sampled centroids; the measured curve is recorded in BASELINE.md") {
+    // The quality/cost trade the ivfTopK scaladoc describes, MEASURED on
+    // real (unplanted, near-isotropic) data. Only deterministic facts are
+    // asserted: nprobe = nlist probes every list, so the candidate set is
+    // the whole corpus and the top-k (same (cosine, neighbor_id) ordering
+    // as cosineTopK) is exact; and for the hash-sampled centroids —
+    // deterministic, unlike Lloyd means, which are FP-order-jittered —
+    // the probe sets are nested as nprobe grows, so per-query candidate
+    // sets are nested and recall cannot decrease. The kmeansIters curve
+    // is RECORDED, not asserted (cluster-density luck; the r13-rejected
+    // assertion class).
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.1",
+      "embeddings").select("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 40 === 0) // 50 seeded queries
+    val k = 10
+    val nlist = 16
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(
+      Similarity.cosineTopK(corpus, queries, "embedding", "vec_id", k))
+    assert(truth.size == 50 && truth.values.forall(_.size == k))
+    def recallAt(nprobe: Int, iters: Int): Double = {
+      val got = topSets(Similarity.ivfTopK(corpus, queries, "embedding",
+        "vec_id", k, nlist, nprobe, kmeansIters = iters))
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val probes = Seq(1, 2, 4, 8, nlist)
+    val sampled = probes.map(p => (p, recallAt(p, 0)))
+    val trained = probes.map(p => (p, recallAt(p, 3)))
+    def fmt(c: Seq[(Int, Double)]) =
+      c.map { case (p, r) => f"nprobe=$p%2d $r%.3f" }.mkString("  ")
+    info(s"recall@$k nlist=$nlist sampled:      ${fmt(sampled)}")
+    info(s"recall@$k nlist=$nlist kmeansIters=3: ${fmt(trained)}")
+    assert(sampled.last._2 == 1.0,
+      f"exhaustive probe with sampled centroids must be exact, " +
+        f"got ${sampled.last._2}%.3f")
+    assert(trained.last._2 == 1.0,
+      f"exhaustive probe with k-means centroids must be exact, " +
+        f"got ${trained.last._2}%.3f")
+    assert(sampled.map(_._2).sliding(2).forall(w => w(0) <= w(1) + 1e-12),
+      s"sampled-centroid recall must be monotone in nprobe " +
+        s"(nested probe sets): ${fmt(sampled)}")
+  }
 }
