@@ -8,6 +8,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * capability; replaces its "skip files already downloaded" incremental
   * re-run, `jigsaw/io_utils.py:89,150`, with checkpointed exactly-once file
   * ingestion).
+  *
+  * STATE STORE BACKEND: every stateful operator here (the stream-stream
+  * joins, the as-of family's flatMapGroupsWithState, dedup, sessionize)
+  * runs on whichever provider
+  * `spark.sql.streaming.stateStore.providerClass` names. The default
+  * HDFSBackedStateStoreProvider keeps working state on executor HEAP —
+  * fine at the watermark-bounded sizes these operators maintain, but at
+  * production key cardinality set
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+  *     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  * }}}
+  *
+  * to keep state in native memory + local disk with incremental
+  * checkpointing (rocksdbjni ships with stock Spark; the conf is read
+  * per query at start). The operators are provider-agnostic —
+  * StreamsRocksDbSpec runs each state-machine shape under RocksDB and
+  * asserts via the `rocksdb*` custom metrics that the provider engaged.
   */
 object Streams {
 
