@@ -258,6 +258,123 @@ class ScaleStressSpec extends SparkTestBase {
       f"ratio ${bigSec / baseSec}%.1f×")
   }
 
+  /** Deterministic synthetic corpus over a Zipf-distributed ~10k-token
+    * vocabulary — the de-degenerated counterpart of the concentrated
+    * real-fixture corpus above: with this much vocabulary, distinct
+    * token sets hash to near-uniform 32-bit fingerprints, so
+    * hamming-coincidence pairs drop from the fixture's ~4 orders above
+    * the uniform birthday estimate to WITHIN it, and pair-level
+    * assertions become closed-form.
+    */
+  private def zipfDocs(nDocs: Int, vocab: Int, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // Zipf-Mandelbrot (1/(k+q)^s with q=50): the damped head keeps the
+    // long-tail shape of natural text WITHOUT a handful of near-universal
+    // tokens — a bare Zipf head (top token in ~10% of draws) leaves most
+    // doc pairs sharing identical heavy-token votes, which measurably
+    // correlates fingerprints (~7× the uniform coincidence rate); with
+    // the damped head the residual sits inside the uniform envelope
+    val cum = Array.tabulate(vocab)(k => 1.0 / math.pow(k + 50, 1.07))
+      .scanLeft(0.0)(_ + _).tail
+    def draw(): Int = {
+      val i = java.util.Arrays.binarySearch(cum, rnd.nextDouble() * cum.last)
+      if (i >= 0) i else -i - 1
+    }
+    (0 until nDocs).map { d =>
+      val len = 40 + rnd.nextInt(41)
+      (d.toLong, (0 until len).map(_ => s"tok${draw()}").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("simhash pairs on a Zipf-10k-vocabulary corpus: structural pairs " +
+      "scale EXACTLY linearly at 10×; residual coincidences stay inside " +
+      "the uniform birthday envelope") {
+    // The concentrated-corpus test above can only assert the exchange
+    // exponent — its ~20-word vocabulary makes vote-coincidence pairs
+    // dominate and re-randomize per copy salt. Here the corpus is drawn
+    // from a 10k-token Zipf vocabulary, which removes the degeneracy and
+    // lets the pair-level claim be as tight as minhash's (tighter:
+    // simhash banding is pigeonhole-COMPLETE for hamming ≤ 3, so the
+    // structural populations are exact counts, not recall bands):
+    //  - W: verbatim within-copy dup pairs (δ = 100000) — identical
+    //    strings keep identical fingerprints under the per-copy token
+    //    salt, so exactly 500 per copy, 10× the base's 500.
+    //  - C: the unsalted planted ids form verbatim cross-copy 10-cliques
+    //    — exactly C(10,2) = 45 pairs each.
+    //  - R: everything else is hash coincidence. A token-salt is a
+    //    bijection on tokens but NOT on murmur hashes, so R
+    //    re-randomizes per copy — bounded here by the uniform birthday
+    //    term n(n−1)/2 · 5489/2³² (5489 = Σ C(32,i), i ≤ 3), where the
+    //    concentrated corpus sat ~4 orders above it. R's bound is the
+    //    measured de-degeneration; W and C are the exact linear terms.
+    val guard = GuardMetrics.of(spark.sparkContext, "simhash")
+    guard.reset()
+    val docs = zipfDocs(5000, 10000, seed = 271828)
+    val base = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L))
+      .localCheckpoint(true)
+    val nBase = base.count()
+
+    def pairsOf(df: DataFrame) = Dedup.simhashNearDuplicates(
+      df, "text", "doc_id", maxDistance = 3)
+
+    val (basePairs, baseSec, baseShuffle) = measured("zipf simhash 1×") {
+      pairsOf(base).localCheckpoint(true)
+    }
+    def birthday(n: Long): Double = n.toDouble * (n - 1) / 2 * 5489 / math.pow(2, 32)
+    val baseW = basePairs.filter(col("key_b") - col("key_a") === 100000L).count()
+    val baseR = basePairs.count() - baseW
+    assert(baseW == 500L,
+      s"every verbatim dup pair is hamming-0 and banding is complete: " +
+        s"expected 500, got $baseW")
+    assert(baseR <= math.max(4 * birthday(nBase), 60.0),
+      f"base coincidences exceed the uniform birthday envelope " +
+        f"(${birthday(nBase)}%.0f expected): $baseR — the vocabulary " +
+        "concentrated after all")
+
+    val planted = plantedIds(base, basePairs, "doc_id",
+      col("doc_id") % 250 === 3)
+    assert(planted.size >= 10, s"planted set too small: ${planted.size}")
+
+    val amplified = (0 until Copies).map { i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * CopyStride))
+        .withColumn("text",
+          when((col("doc_id") % CopyStride).isInCollection(planted),
+            col("text"))
+            .otherwise(regexp_replace(col("text"), "(\\S+)", s"$$1x$i")))
+    }.reduce(_ unionByName _)
+
+    val (bigPairs, bigSec, bigShuffle) = measured("zipf simhash 10×") {
+      pairsOf(amplified).localCheckpoint(true)
+    }
+    val nBig = nBase * Copies
+    val bigW = bigPairs.filter(col("key_b") - col("key_a") === 100000L).count()
+    val bigC = bigPairs.filter(
+      (col("key_a") % CopyStride).isInCollection(planted) &&
+        col("key_a") % CopyStride === col("key_b") % CopyStride).count()
+    val bigR = bigPairs.count() - bigW - bigC
+
+    // the tightened-to-minhash-standard claims: structural pairs are
+    // EXACTLY linear (not a [8×,12×] recall band — banding is complete)
+    assert(bigW == 10L * baseW,
+      s"within-copy dup pairs must be exactly 10×: base=$baseW, got $bigW")
+    assert(bigC == planted.size * 45L,
+      s"planted cliques: expected ${planted.size * 45}, got $bigC")
+    assert(bigR <= math.max(4 * birthday(nBig), 60.0),
+      f"10× coincidences exceed the uniform birthday envelope " +
+        f"(${birthday(nBig)}%.0f expected): $bigR")
+    assert(bigShuffle <= 15L * math.max(baseShuffle, 1L),
+      s"band-row shuffle super-linear: 1×=$baseShuffle, 10×=$bigShuffle")
+    assert(guard.droppedRows.value == 0,
+      s"skew guard fired on clean data: ${guard.droppedRows.value} rows")
+    info(f"zipf simhash: 1× $nBase docs → W=$baseW R=$baseR " +
+      f"(birthday est ${birthday(nBase)}%.1f) $baseSec%.2f s; " +
+      f"10× $nBig docs → W=$bigW C=$bigC R=$bigR " +
+      f"(birthday est ${birthday(nBig)}%.1f) $bigSec%.2f s; " +
+      f"shuffle ${baseShuffle / 1e6}%.1f → ${bigShuffle / 1e6}%.1f MB " +
+      f"(${bigShuffle.toDouble / math.max(baseShuffle, 1)}%.1f×)")
+  }
+
 
   test("lshNeighborPairs scales ~linearly from 1× to 10× (candidates, " +
       "verified pairs, shuffle)") {
