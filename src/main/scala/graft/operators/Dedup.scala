@@ -438,17 +438,30 @@ object Dedup {
     // minhashNearDuplicates guard note for the count-window shape)
     val banded = GuardMetrics.capCohorts(banded0,
       Seq(col("_band"), col("_bucket")), maxBucketSize, "minhash")
-    // candidates touching the new batch only: new side × union side.
-    // (new, old) pairs surface once, (new, new) pairs in both orders —
-    // least/greatest + dropDuplicates canonicalizes to key_a < key_b,
-    // matching the batch operator's orientation
-    val candidates = banded.filter(col("_new"))
-      .select(col(key).as("_ka"), col("_band"), col("_bucket"))
-      .join(banded.select(col(key).as("_kb"), col("_band"), col("_bucket")),
-        Seq("_band", "_bucket"))
-      .filter(col("_ka") =!= col("_kb"))
+    // candidates touching the new batch only, as (new × old) ∪
+    // (new × new) — BOTH join inputs are `_new` filters over the same
+    // capped banding relation, so all four subtrees stay canonically
+    // identical below the filters and the (band, bucket) exchange is
+    // planned ONCE and reused (pinned in PlanShapeSpec; filtering only
+    // one side would let column pruning drop `_new` from the other and
+    // break the reuse, silently doubling the banding shuffle). (new,
+    // old) pairs orient via least/greatest — the old key may sit on
+    // either side of the new one; (new, new) pairs surface in both
+    // orders and keep the batch operator's `<` filter. dropDuplicates
+    // canonicalizes multi-band hits, as in the batch operator.
+    val bandedNew = banded.filter(col("_new"))
+    val bandedOld = banded.filter(!col("_new"))
+    def side(df: DataFrame, as: String) =
+      df.select(col(key).as(as), col("_band"), col("_bucket"))
+    val crossCands = side(bandedNew, "_ka")
+      .join(side(bandedOld, "_kb"), Seq("_band", "_bucket"))
       .select(least(col("_ka"), col("_kb")).as("key_a"),
         greatest(col("_ka"), col("_kb")).as("key_b"))
+    val newCands = side(bandedNew, "_ka")
+      .join(side(bandedNew, "_kb"), Seq("_band", "_bucket"))
+      .filter(col("_ka") < col("_kb"))
+      .select(col("_ka").as("key_a"), col("_kb").as("key_b"))
+    val candidates = crossCands.unionByName(newCands)
       .dropDuplicates("key_a", "key_b")
     val pairs = candidates
       .join(all.select(col(key).as("key_a"), col("_sh").as("_sh_a")),

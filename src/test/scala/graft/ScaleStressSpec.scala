@@ -258,6 +258,78 @@ class ScaleStressSpec extends SparkTestBase {
       f"ratio ${bigSec / baseSec}%.1f×")
   }
 
+  test("incremental minhash at 10×: one new copy against a 9-copy " +
+      "persisted store equals the 10× batch run restricted to pairs " +
+      "touching the new copy, at a fraction of its cost") {
+    assume(haveData, "sf0.1 testdata not present")
+    // the minhash scaling corpus shape: salted copies + unsalted planted
+    // docs, so the increment has BOTH within-copy structure and
+    // cross-store planted matches to find (9 per planted id, one per
+    // stored copy)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val base = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L))
+    val basePairs = Dedup.minhashNearDuplicates(
+      base, "text", "doc_id", threshold = 0.9).localCheckpoint(true)
+    val planted = plantedIds(base, basePairs, "doc_id",
+      col("doc_id") % 250 === 1)
+    def copy(i: Int): DataFrame =
+      base.withColumn("doc_id", col("doc_id") + lit(i * CopyStride))
+        .withColumn("text",
+          when((col("doc_id") % CopyStride).isInCollection(planted),
+            col("text"))
+            .otherwise(regexp_replace(col("text"), "(\\S+)", s"$$1x$i")))
+    // the persisted store for copies 0–8 (signatures carry the banding
+    // parameters' defaults, matching the batch call below); pinned so
+    // the increment's measured cost excludes building history
+    val store9 = (0 until 9).map(i =>
+        Dedup.minhashSignatures(copy(i), "text", "doc_id"))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    val (incPairs, incSec, incShuffle) = measured("incremental copy 9") {
+      val (pairs, _) = Dedup.minhashNearDuplicatesIncremental(
+        copy(9), store9, "text", "doc_id", threshold = 0.9)
+      pairs.localCheckpoint(true)
+    }
+    val amplified = (0 until Copies).map(copy).reduce(_ unionByName _)
+    val (batchPairs, batchSec, batchShuffle) = measured("batch 10×") {
+      Dedup.minhashNearDuplicates(amplified, "text", "doc_id",
+        threshold = 0.9).localCheckpoint(true)
+    }
+    def pairSet(df: DataFrame) = df
+      .select("key_a", "key_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val copy9Lo = 9L * CopyStride
+    val expected = pairSet(batchPairs)
+      .filter(p => p._1 >= copy9Lo || p._2 >= copy9Lo)
+    val got = pairSet(incPairs)
+    assert(got == expected,
+      s"increment diverged from the batch run restricted to copy 9: " +
+        s"inc=${got.size} pairs, batch-restricted=${expected.size}; " +
+        s"sample diff ${(got diff expected).take(5)} / " +
+        s"${(expected diff got).take(5)}")
+    // the increment must find the cross-STORE planted matches (copy 9's
+    // unsalted planted doc against each of the 9 stored copies)
+    val crossStore = got.count(p => p._1 < copy9Lo && p._2 >= copy9Lo)
+    assert(crossStore >= planted.size * 9,
+      s"cross-store matches missing: expected >= ${planted.size * 9}, " +
+        s"got $crossStore")
+    // cost: the increment re-bands the store (narrow rows through the
+    // guard's one exchange) but shingles only the new copy and verifies
+    // only new-touching candidates — its verify work is ~1/10th of the
+    // batch rerun's. Assert only the robust direction (strictly cheaper
+    // than rerunning the batch), record the measured ratio.
+    assert(incShuffle < batchShuffle,
+      s"increment shuffled more than the full batch rerun: " +
+        s"$incShuffle vs $batchShuffle")
+    info(f"incremental: ${got.size} pairs in $incSec%.2f s " +
+      f"(${incShuffle / 1e6}%.1f MB shuffle) vs batch 10× " +
+      f"${pairSet(batchPairs).size} pairs in $batchSec%.2f s " +
+      f"(${batchShuffle / 1e6}%.1f MB); shuffle ratio " +
+      f"${incShuffle.toDouble / batchShuffle}%.2f, wall ratio " +
+      f"${incSec / batchSec}%.2f")
+  }
+
   /** Deterministic synthetic corpus over a Zipf-distributed ~10k-token
     * vocabulary — the de-degenerated counterpart of the concentrated
     * real-fixture corpus above: with this much vocabulary, distinct
