@@ -305,4 +305,59 @@ class AlgebraLawsSpec extends SparkTestBase {
         repart == base
     })
   }
+
+  // ---- incremental dedup ----------------------------------------------
+
+  /** Doc corpora with REAL near-dup structure (overlapping token-window
+    * families with drops/extras, so exact dups, near dups, and
+    * unrelated docs all occur), plus a random K-way batch assignment —
+    * including empty batches and the empty initial store.
+    */
+  private val incDedupGen = for {
+    n <- Gen.choose(0, 16)
+    texts <- Gen.listOfN(n, for {
+      fam <- Gen.choose(0, 3)
+      drop <- Gen.choose(0, 2)
+      extra <- Gen.someOf(Vector("x1", "x2"))
+    } yield (Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india")
+      .drop(fam).take(6).drop(drop) ++ extra).mkString(" "))
+    k <- Gen.choose(1, 4)
+    assign <- Gen.listOfN(n, Gen.choose(0, 3))
+  } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+    k, assign.map(_ % k))
+
+  test("law: K-batch incremental minhash (guard off) ≡ the batch run " +
+      "over the union — arbitrary corpora, splits, empty batches, " +
+      "empty initial store") {
+    // the union claim the operator doc makes exact when no bucket
+    // crosses the cap: every pair surfaces exactly once, at the
+    // increment where its later endpoint arrives, with the same
+    // verified jaccard. Spark-vs-Spark (same signature kernels), so
+    // equality is exact, not a recall band.
+    check("incrementalMinhash", Prop.forAll(incDedupGen) {
+      case (docs, k, assign) =>
+        val df = docs.toDF("doc_id", "text")
+        def batchRun = Dedup.minhashNearDuplicates(df, "text", "doc_id",
+            numHashes = 16, bands = 8, shingleSize = 1, threshold = 0.5,
+            cacheShingles = false, maxBucketSize = 0)
+          .select("key_a", "key_b", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+        var store = Dedup.minhashSignatures(df.limit(0), "text", "doc_id",
+          numHashes = 16, bands = 8, shingleSize = 1)
+        val got = (0 until k).flatMap { i =>
+          val b = docs.zip(assign).collect { case (d, a) if a == i => d }
+          val bdf =
+            if (b.isEmpty) df.limit(0) else b.toDF("doc_id", "text")
+          val (pairs, updated) = Dedup.minhashNearDuplicatesIncremental(
+            bdf, store, "text", "doc_id", numHashes = 16, bands = 8,
+            shingleSize = 1, threshold = 0.5, cacheSignatures = false,
+            maxBucketSize = 0)
+          store = updated
+          pairs.select("key_a", "key_b", "jaccard")
+            .as[(Long, Long, Double)].collect()
+        }.toSet
+        got == batchRun && store.count() == docs.size
+    }, cases = 25) // K+2 Spark runs per case
+  }
 }
