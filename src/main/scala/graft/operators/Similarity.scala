@@ -102,10 +102,7 @@ object Similarity {
       dim: Int, numBits: Int = 16, threshold: Double = 0.8,
       seed: Long = 42): DataFrame = {
     // norms hoisted per row; pair cost is one fast dot + a divide
-    val bucketed = corpus.select(col(key),
-      asDouble(col(embCol)).as("_emb"),
-      norm(col(embCol)).as("_n"),
-      lshBucket(col(embCol), dim, numBits, seed).as("_bucket"))
+    val bucketed = lshSignatures(corpus, embCol, key, dim, numBits, seed)
     val a = bucketed.select(col(key).as("key_a"),
       col("_emb").as("_emb_a"), col("_n").as("_n_a"), col("_bucket"))
     val b = bucketed.select(col(key).as("key_b"),
@@ -117,6 +114,105 @@ object Similarity {
           / (col("_n_a") * col("_n_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("key_a", "key_b")
+  }
+
+  /** LSH signature store relation for INCREMENTAL embedding dedup: one
+    * row per vector — `(key, _emb array<double>, _n double, _bucket
+    * long)`, the cast embedding, its hoisted norm, and the sign-bit
+    * bucket. Self-contained like
+    * [[graft.operators.Dedup.minhashSignatures]]: candidate generation
+    * needs `_bucket`, cosine verification needs `_emb`/`_n`, so
+    * incremental runs against a parquet-persisted store never re-read
+    * the original corpus (column pruning reads only `_bucket` until
+    * verification). Null embeddings / embeddings with null elements
+    * bucket to null and are KEPT in the store (they can never pair —
+    * the bucket equi-join drops them — but dropping them here would
+    * silently shrink a store used for other lookups).
+    *
+    * The store is parameterized by `(dim, numBits, seed)` — incremental
+    * calls must pass the values the store was built with (the caller
+    * owns persisting them alongside, same contract as the minhash
+    * store).
+    */
+  def lshSignatures(corpus: DataFrame, embCol: String, key: String,
+      dim: Int, numBits: Int = 16, seed: Long = 42): DataFrame =
+    corpus.select(col(key),
+      asDouble(col(embCol)).as("_emb"),
+      norm(col(embCol)).as("_n"),
+      lshBucket(col(embCol), dim, numBits, seed).as("_bucket"))
+
+  private def validateLshStore(store: DataFrame, key: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    for (c <- Seq(key, "_emb", "_n", "_bucket");
+        if !store.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"LSH signature store is missing column '$c' — expected the " +
+          s"($key, _emb, _n, _bucket) relation lshSignatures produces")
+    (store.schema("_emb").dataType, store.schema("_n").dataType,
+        store.schema("_bucket").dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType, LongType) => ()
+      case (e, n, b) => throw new IllegalArgumentException(
+        "LSH signature store column types must be _emb array<double>, " +
+          s"_n double, _bucket bigint; got ${e.simpleString}, " +
+          s"${n.simpleString}, ${b.simpleString}")
+    }
+  }
+
+  /** Incremental embedding near-duplicate detection — the embedding-side
+    * sibling of
+    * [[graft.operators.Dedup.minhashNearDuplicatesIncremental]]: dedup
+    * each NEW batch of vectors against the existing corpus without
+    * re-bucketing it or re-verifying old-old pairs. Returns
+    * `(pairs touching the new batch, updated store)`; pairs are
+    * `(key_a, key_b, cosine)` with `key_a < key_b`, at least one side
+    * new (new-vs-store and new-vs-new). Keys must be globally unique
+    * across batches.
+    *
+    * Parity: per increment this is exactly [[lshNeighborPairs]] over
+    * the union-so-far restricted to pairs touching the batch (same
+    * hyperplanes — the seed fixes them — same threshold), so the union
+    * of increments over K batches equals the batch run over the full
+    * corpus. Unlike the minhash path there is no cohort guard to cross,
+    * so the equality is unconditional; bucket skew is governed by
+    * `numBits` sizing (~2·log₂(n) at the TARGET corpus size — size for
+    * where the store is going, not the first batch).
+    *
+    * Scale shape per increment: the new batch is bucketed once (one
+    * kernel pass); candidates join the new batch's narrow
+    * (key, bucket) rows against the store's — with the store persisted
+    * bucket-partitioned or simply because the new side is small, AQE
+    * broadcasts it and the store is scanned map-side, never shuffled.
+    * Embeddings ride the verification join only for candidate keys.
+    */
+  def lshNeighborPairsIncremental(newDocs: DataFrame, store: DataFrame,
+      embCol: String, key: String, dim: Int, numBits: Int = 16,
+      threshold: Double = 0.8, seed: Long = 42): (DataFrame, DataFrame) = {
+    validateLshStore(store, key)
+    val newSigs = lshSignatures(newDocs, embCol, key, dim, numBits, seed)
+    val storeSigs = store.select(col(key), col("_emb"), col("_n"),
+      col("_bucket"))
+    def side(df: DataFrame, s: String) = df.select(col(key).as(s"key_$s"),
+      col("_emb").as(s"_emb_$s"), col("_n").as(s"_n_$s"), col("_bucket"))
+    // (new × old) ∪ (new × new): cosine is symmetric, so cross pairs
+    // verify BEFORE canonicalization and only the keys are reordered;
+    // new-new pairs keep the batch operator's `<` filter. dropDuplicates
+    // canonicalizes multi-bucket hits (possible only for null-free
+    // bucket ties here — kept for exact parity with the batch shape).
+    val cross = side(newSigs, "a").join(side(storeSigs, "b"), Seq("_bucket"))
+      .select(col("key_a"), col("key_b"),
+        (dot(col("_emb_a"), col("_emb_b"))
+          / (col("_n_a") * col("_n_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("key_a"), col("key_b")).as("key_a"),
+        greatest(col("key_a"), col("key_b")).as("key_b"), col("cosine"))
+    val within = side(newSigs, "a").join(side(newSigs, "b"), Seq("_bucket"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        (dot(col("_emb_a"), col("_emb_b"))
+          / (col("_n_a") * col("_n_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    (cross.unionByName(within).dropDuplicates("key_a", "key_b"),
+      storeSigs.unionByName(newSigs))
   }
 
   /** Deterministic "training-free" IVF centroids: the first `nlist` corpus
@@ -261,17 +357,38 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
       key: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       kmeansIters: Int = 0): DataFrame = {
+    val index = buildIvfIndex(corpus, embCol, key, nlist, kmeansIters)
+    scoreAndRank(
+      probeLists(index.centroids, queries, embCol, key, nprobe),
+      index.assigned, key, k)
+  }
+
+  /** A built IVF index: `centroids` is the (`_cid` int, `_cv`
+    * array<double>) table, `assigned` the corpus partitioned into lists
+    * — (key, `_emb`, `_n`, `_cid`), one row per corpus key. Build once
+    * with [[buildIvfIndex]] (the expensive full-corpus pass), persist
+    * with [[saveIvfIndex]], then serve query batches against the loaded
+    * index with the `ivfTopK(index, …)` overload — the 100 TB shape,
+    * where re-assigning the corpus per query batch would dwarf the
+    * search itself.
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** Build the IVF index: pick centroids (hash-sampled, optionally
+    * Lloyd-refined — see [[ivfTopK]]) and assign every corpus row to its
+    * nearest list. Assignment shape as before: broadcast centroids,
+    * argmin via `min(struct(…))` hash aggregate with map-side combine —
+    * the shuffle carries one row per corpus key, not the
+    * nlist×-expanded relation a window would sort. The (_d, _cid)
+    * struct prefix is unique per key (distinct centroid ids), so the
+    * trailing payload fields can never influence the comparison.
+    */
+  def buildIvfIndex(corpus: DataFrame, embCol: String, key: String,
+      nlist: Int = 16, kmeansIters: Int = 0): IvfIndex = {
     val centroids =
       if (kmeansIters > 0)
         kmeansCentroids(corpus, embCol, key, nlist, kmeansIters)
       else sampledCentroids(corpus, embCol, key, nlist)
-    // assign each corpus row to nearest centroid (broadcast nested pass).
-    // argmin via min(struct(_d, _cid, ...)): a hash aggregate with MAP-SIDE
-    // combine, so the shuffle carries one row per corpus key — a window
-    // would instead shuffle the full nlist-times-expanded relation
-    // (embeddings included) and sort it. The (_d, _cid) prefix is unique
-    // per key (distinct centroid ids), so the trailing payload fields can
-    // never influence the comparison.
     val assigned = corpus
       .select(col(key), asDouble(col(embCol)).as("_emb"),
         norm(col(embCol)).as("_n"))
@@ -282,16 +399,57 @@ object Similarity {
         .as("_best"))
       .select(col(key), col("_best._emb").as("_emb"),
         col("_best._n").as("_n"), col("_best._cid").as("_cid"))
-    // each query probes its nprobe nearest centroid lists
-    val probes = queries
-      .select(col(key).as("query_id"), asDouble(col(embCol)).as("_q_emb"),
-        norm(col(embCol)).as("_q_n"))
-      .join(broadcast(centroids))
-      .withColumn("_d", -dot(col("_q_emb"), col("_cv")))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("_d"), col("_cid"))))
-      .filter(col("_rk") <= nprobe)
-      .select(col("query_id"), col("_q_emb"), col("_q_n"), col("_cid"))
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Persist an index: centroids as plain parquet, the assigned corpus
+    * PARTITIONED BY its list id — so a loaded index's probe reads touch
+    * only the probed lists' files (partition pruning), the on-disk
+    * analogue of an ANN index's inverted lists.
+    */
+  def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assigned.write.mode("overwrite").partitionBy("_cid")
+      .parquet(s"$dir/assigned")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assigned"))
+
+  /** Serve one query batch against a prebuilt (usually loaded) index —
+    * identical results to the corpus-building overload at the same
+    * centroids. The probed list ids are collected to the driver
+    * (bounded by |queries| × nprobe — queries are broadcast-small by
+    * the operator's contract) and pushed as a partition filter on the
+    * assigned store, so a [[saveIvfIndex]]-persisted index reads ONLY
+    * the probed lists from disk.
+    */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, embCol: String,
+      key: String, k: Int, nprobe: Int): DataFrame = {
+    val probes = probeLists(index.centroids, queries, embCol, key, nprobe)
+    val cids = probes.select("_cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    scoreAndRank(probes,
+      index.assigned.filter(col("_cid").isInCollection(cids)), key, k)
+  }
+
+  /** Each query's `nprobe` nearest centroid lists. */
+  private def probeLists(centroids: DataFrame, queries: DataFrame,
+      embCol: String, key: String, nprobe: Int): DataFrame = queries
+    .select(col(key).as("query_id"), asDouble(col(embCol)).as("_q_emb"),
+      norm(col(embCol)).as("_q_n"))
+    .join(broadcast(centroids))
+    .withColumn("_d", -dot(col("_q_emb"), col("_cv")))
+    .withColumn("_rk", row_number().over(
+      Window.partitionBy("query_id").orderBy(col("_d"), col("_cid"))))
+    .filter(col("_rk") <= nprobe)
+    .select(col("query_id"), col("_q_emb"), col("_q_n"), col("_cid"))
+
+  /** Score probed lists and keep each query's top k. */
+  private def scoreAndRank(probes: DataFrame, assigned: DataFrame,
+      key: String, k: Int): DataFrame =
     probes.join(assigned, Seq("_cid"))
       .filter(col("query_id") =!= col(key))
       .select(col("query_id"), col(key).as("neighbor_id"),
@@ -300,7 +458,6 @@ object Similarity {
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
-  }
 
   /** Exact all-pairs cosine ≥ threshold — the brute-force baseline the LSH
     * and IVF paths approximate. O(n²): only for bounded or pre-filtered

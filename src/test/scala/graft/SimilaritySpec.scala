@@ -281,9 +281,9 @@ class SimilaritySpec extends SparkTestBase {
         got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
       }.sum / truth.size
     }
-    val probes = Seq(1, 2, 4, 8, nlist)
-    val sampled = probes.map(p => (p, recallAt(p, 0)))
-    val trained = probes.map(p => (p, recallAt(p, 3)))
+    val probesSweep = Seq(1, 2, 4, 8, nlist)
+    val sampled = probesSweep.map(p => (p, recallAt(p, 0)))
+    val trained = probesSweep.map(p => (p, recallAt(p, 3)))
     def fmt(c: Seq[(Int, Double)]) =
       c.map { case (p, r) => f"nprobe=$p%2d $r%.3f" }.mkString("  ")
     info(s"recall@$k nlist=$nlist sampled:      ${fmt(sampled)}")
@@ -297,5 +297,97 @@ class SimilaritySpec extends SparkTestBase {
     assert(sampled.map(_._2).sliding(2).forall(w => w(0) <= w(1) + 1e-12),
       s"sampled-centroid recall must be monotone in nprobe " +
         s"(nested probe sets): ${fmt(sampled)}")
+  }
+
+  test("incremental LSH: K increments against a parquet-persisted " +
+      "signature store union to the batch lshNeighborPairs run") {
+    // the planted-dup corpus from the recall test, split into 3 batches
+    // so near-dup pairs cross batch boundaries (each planted copy lands
+    // two batches after its original)
+    val base = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").filter(col("vec_id") < 200)
+      .select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.001f) + lit(0.0004f)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val batches = Seq(
+      corpus.filter(col("vec_id") < 100),
+      corpus.filter(col("vec_id") >= 100 && col("vec_id") < 10000),
+      corpus.filter(col("vec_id") >= 10000))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("key_a", "key_b", "cosine")
+        .as[(Long, Long, Double)].collect().toSet
+    val params = (64, 4, 0.15) // (dim, numBits, threshold) — q33's shape
+    val batchRun = pairSet(Similarity.lshNeighborPairs(corpus,
+      "embedding", "vec_id", params._1, params._2, params._3))
+    assert(batchRun.size >= 30, s"fixture lost its planted pairs")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshstore")
+    var store = Similarity.lshSignatures(corpus.limit(0), "embedding",
+      "vec_id", params._1, params._2)
+    val got = batches.zipWithIndex.flatMap { case (b, i) =>
+      val (pairs, updated) = Similarity.lshNeighborPairsIncremental(
+        b, store, "embedding", "vec_id", params._1, params._2, params._3)
+      val dir = s"$tmp/store_$i"
+      updated.write.mode("overwrite").parquet(dir)
+      store = spark.read.parquet(dir)
+      pairSet(pairs)
+    }.toSet
+    assert(got == batchRun,
+      s"incremental union diverged from batch: inc=${got.size}, " +
+        s"batch=${batchRun.size}; diff ${(got diff batchRun).take(5)} / " +
+        s"${(batchRun diff got).take(5)}")
+    // cross-batch planted pairs really crossed the store boundary
+    assert(got.exists(p => p._1 < 100 && p._2 >= 10000),
+      "no pair crossed from batch 1's store to batch 3")
+    assert(store.count() == corpus.count())
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.lshNeighborPairsIncremental(corpus,
+        corpus.select(col("vec_id"), col("embedding").as("_emb")),
+        "embedding", "vec_id", 64)
+    }
+    assert(bad.getMessage.contains("_bucket"), bad.getMessage)
+  }
+
+  test("IVF index: build-once/serve-many equals the one-shot operator, " +
+      "survives a partitioned-parquet round-trip, and probes read only " +
+      "the probed lists") {
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.1",
+      "embeddings").select("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 400 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val oneShot = asSet(Similarity.ivfTopK(corpus, queries, "embedding",
+      "vec_id", k = 10, nlist = 16, nprobe = 4))
+    val index = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+      nlist = 16)
+    assert(asSet(Similarity.ivfTopK(index, queries, "embedding",
+      "vec_id", k = 10, nprobe = 4)) == oneShot,
+      "prebuilt-index serve diverged from the one-shot operator")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.saveIvfIndex(index, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val served = Similarity.ivfTopK(loaded, queries, "embedding",
+      "vec_id", k = 10, nprobe = 4)
+    assert(asSet(served) == oneShot,
+      "loaded-index serve diverged after the parquet round-trip")
+    // the scale point of persisting lists partitioned by _cid: the cid
+    // filter must land in the scan's PartitionFilters, so the probe
+    // reads ONLY the probed lists' directories — the on-disk inverted
+    // list, not a full-store scan
+    val plan = served.queryExecution.executedPlan.toString()
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("assigned"))
+    assert(scanLine.isDefined, s"no parquet scan of the assigned store:\n$plan")
+    assert(scanLine.get.contains("PartitionFilters: [_cid"),
+      s"probed-cid filter did not reach the partition scan:\n${scanLine.get}")
+    // full-probe sanity on the loaded index too: equals brute force
+    val brute = asSet(Similarity.cosineTopK(corpus, queries, "embedding",
+      "vec_id", k = 10))
+    assert(asSet(Similarity.ivfTopK(loaded, queries, "embedding",
+      "vec_id", k = 10, nprobe = 16)) == brute,
+      "full probe on the loaded index must equal brute force")
   }
 }
