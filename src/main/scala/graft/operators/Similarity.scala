@@ -389,18 +389,23 @@ object Similarity {
       if (kmeansIters > 0)
         kmeansCentroids(corpus, embCol, key, nlist, kmeansIters)
       else sampledCentroids(corpus, embCol, key, nlist)
-    val assigned = corpus
-      .select(col(key), asDouble(col(embCol)).as("_emb"),
-        norm(col(embCol)).as("_n"))
-      .join(broadcast(centroids))
-      .withColumn("_d", -dot(col("_emb"), col("_cv")))
-      .groupBy(col(key))
-      .agg(min(struct(col("_d"), col("_cid"), col("_emb"), col("_n")))
-        .as("_best"))
-      .select(col(key), col("_best._emb").as("_emb"),
-        col("_best._n").as("_n"), col("_best._cid").as("_cid"))
-    IvfIndex(centroids, assigned)
+    IvfIndex(centroids, assignTo(centroids, corpus, embCol, key))
   }
+
+  /** Nearest-centroid assignment of `docs` (the argmin aggregate the
+    * [[buildIvfIndex]] doc describes).
+    */
+  private def assignTo(centroids: DataFrame, docs: DataFrame,
+      embCol: String, key: String): DataFrame = docs
+    .select(col(key), asDouble(col(embCol)).as("_emb"),
+      norm(col(embCol)).as("_n"))
+    .join(broadcast(centroids))
+    .withColumn("_d", -dot(col("_emb"), col("_cv")))
+    .groupBy(col(key))
+    .agg(min(struct(col("_d"), col("_cid"), col("_emb"), col("_n")))
+      .as("_best"))
+    .select(col(key), col("_best._emb").as("_emb"),
+      col("_best._n").as("_n"), col("_best._cid").as("_cid"))
 
   /** Persist an index: centroids as plain parquet, the assigned corpus
     * PARTITIONED BY its list id — so a loaded index's probe reads touch
@@ -417,6 +422,37 @@ object Similarity {
       dir: String): IvfIndex =
     IvfIndex(spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/assigned"))
+
+  /** Extend a built index with a NEW batch of vectors — the crawl-
+    * pipeline shape, matching the incremental dedup family: the batch
+    * is assigned against the EXISTING centroids (one broadcast map
+    * pass, the same argmin aggregate as [[buildIvfIndex]] — no corpus
+    * re-scan, no centroid rebuild) and appended to the lists. Exactly
+    * equivalent to having built the index over the union with these
+    * centroids; keys must be globally unique across batches.
+    *
+    * The returned index's `assigned` is the union relation; persist the
+    * DELTA cheaply instead with
+    * `extended.assigned.exceptAll(old.assigned)`… or simply write the
+    * new batch's assignment with `mode("append")` under the same
+    * partitioned layout:
+    * {{{
+    *   val delta = Similarity.extendIvfIndex(
+    *     IvfIndex(idx.centroids, idx.assigned.limit(0)), newVecs,
+    *     "embedding", "vec_id").assigned
+    *   delta.write.mode("append").partitionBy("_cid")
+    *     .parquet(s"$dir/assigned")
+    * }}}
+    * (an empty-assigned index extension IS the delta). Centroid
+    * quality degrades as the corpus drifts from the one the centroids
+    * were trained on — recall the recall@k curve is a function of how
+    * well lists partition the data; rebuild with fresh
+    * [[kmeansCentroids]] when drift accumulates.
+    */
+  def extendIvfIndex(index: IvfIndex, newDocs: DataFrame, embCol: String,
+      key: String): IvfIndex =
+    IvfIndex(index.centroids, index.assigned.unionByName(
+      assignTo(index.centroids, newDocs, embCol, key)))
 
   /** Serve one query batch against a prebuilt (usually loaded) index —
     * identical results to the corpus-building overload at the same

@@ -390,4 +390,45 @@ class SimilaritySpec extends SparkTestBase {
       "vec_id", k = 10, nprobe = 16)) == brute,
       "full probe on the loaded index must equal brute force")
   }
+
+  test("extendIvfIndex: assigning a new batch to the existing centroids " +
+      "equals the union's assignment, and the append-delta flow serves " +
+      "identically") {
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.1",
+      "embeddings").select("vec_id", "embedding")
+    val batch1 = corpus.filter($"vec_id" < 1500)
+    val batch2 = corpus.filter($"vec_id" >= 1500)
+    val queries = corpus.filter($"vec_id" % 400 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val idx1 = Similarity.buildIvfIndex(batch1, "embedding", "vec_id",
+      nlist = 16)
+    val extended = Similarity.extendIvfIndex(idx1, batch2, "embedding",
+      "vec_id")
+    // same centroids, assignment is a pure per-row function → extension
+    // IS the union's assignment
+    val unionAssigned = asSet(Similarity.ivfTopK(extended, queries,
+      "embedding", "vec_id", k = 10, nprobe = 16))
+    val brute = asSet(Similarity.cosineTopK(corpus, queries, "embedding",
+      "vec_id", k = 10))
+    assert(unionAssigned == brute,
+      "full probe on the extended index must equal brute force over " +
+        "the union")
+    // the documented append-delta flow: persist batch 1's index, append
+    // only the new batch's assignment, reload, serve — same result
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ext")
+      .toString
+    Similarity.saveIvfIndex(idx1, dir)
+    val delta = Similarity.extendIvfIndex(
+      Similarity.IvfIndex(idx1.centroids, idx1.assigned.limit(0)),
+      batch2, "embedding", "vec_id").assigned
+    delta.write.mode("append").partitionBy("_cid")
+      .parquet(s"$dir/assigned")
+    val reloaded = Similarity.loadIvfIndex(spark, dir)
+    assert(asSet(Similarity.ivfTopK(reloaded, queries, "embedding",
+      "vec_id", k = 10, nprobe = 16)) == brute,
+      "append-delta persisted index diverged")
+    assert(reloaded.assigned.count() == corpus.count())
+  }
 }
