@@ -27,6 +27,13 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
       // read as long and let Tables.load restore a timestamp column.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are parquet timestamp[us] WITHOUT the
+      // adjusted-to-UTC flag; by default Spark 3.4+ infers those as
+      // TIMESTAMP_NTZ, which unix_millis/unix_micros reject. Read them as
+      // TimestampType (the session TZ above is UTC, so the micros are
+      // identical) — the same instant semantics DuckDB's oracle applies to
+      // the same files.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def get(appName: String): SparkSession = {
     val spark = builder(appName).getOrCreate()
