@@ -532,6 +532,115 @@ object Dedup {
       .dropDuplicates("key_a", "key_b")
   }
 
+  /** Persistable SimHash signature store for incremental dedup: the
+    * `(key, _h)` relation [[simhashNearDuplicatesIncremental]] consumes
+    * and returns. Unlike the minhash store ([[minhashSignatures]]) this
+    * is TINY — one 32-bit fingerprint per document, no shingle sets —
+    * because simhash verification (exact hamming distance) runs on the
+    * fingerprint itself, never on the text. A 100 TB corpus's store is
+    * ~12 bytes/doc of columnar parquet; re-banding it per increment is
+    * two codegen'd bit ops per row, so the store needs no precomputed
+    * band columns. Null-text documents carry a null `_h` and never pair
+    * (same SQL-comparison semantics as the batch operator).
+    */
+  def simhashSignatures(df: DataFrame, textCol: String,
+      key: String): DataFrame =
+    df.select(col(key), simhash(col(textCol)).as("_h"))
+
+  private def validateSimhashStore(store: DataFrame, key: String): Unit = {
+    import org.apache.spark.sql.types.LongType
+    for (c <- Seq(key, "_h"); if !store.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"simhash store is missing column '$c' — expected the " +
+          s"($key, _h) relation simhashSignatures produces")
+    store.schema("_h").dataType match {
+      case LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"simhash store column _h must be bigint; got ${t.simpleString}")
+    }
+  }
+
+  /** Incremental SimHash near-duplicate detection — the simhash member
+    * of the incremental family ([[minhashNearDuplicatesIncremental]] for
+    * text shingles, `Similarity.lshNeighborPairsIncremental` for
+    * embeddings): dedup each NEW batch against the EXISTING corpus's
+    * persisted fingerprints without recomputing all pairs. Returns
+    * `(pairs touching the new batch, updated store)`; pairs are
+    * `(key_a, key_b, hamming)` with `key_a < key_b` and at least one
+    * side from `newDocs`; the updated store is `store ∪
+    * simhashSignatures(newDocs)`, ready to persist for the next
+    * increment.
+    *
+    * SEMANTICS — same parity contract as the minhash form: per
+    * increment the output equals [[simhashNearDuplicates]] over the
+    * union-so-far restricted to pairs touching the batch, with the same
+    * `maxDistance` and the same union-wide `maxBucketSize` guard; the
+    * union of K incremental runs equals the batch run whenever no
+    * (band, chunk) bucket crosses the cap mid-sequence, and is a
+    * non-retroactive superset where one does. Keys must be globally
+    * unique across batches.
+    *
+    * SCALE SHAPE per increment: only the new batch's text is hashed;
+    * the union's narrow `(key, _h, band, chunk)` banding rows flow
+    * through ONE (band, chunk) exchange reused by the candidate join
+    * (both join inputs are `_new` filters over the same capped banding
+    * relation — the batch operator's accepted guard shape). Hamming
+    * verification is codegen'd xor+bit_count ON the joined rows, so no
+    * verify re-join touches the store at all — with the guard off
+    * (`maxBucketSize <= 0`) the increment is a broadcast of the small
+    * new batch's banding against a map-side scan of the store, zero
+    * store shuffle.
+    */
+  def simhashNearDuplicatesIncremental(newDocs: DataFrame,
+      store: DataFrame, textCol: String, key: String,
+      maxDistance: Int = 3,
+      maxBucketSize: Long = 5000): (DataFrame, DataFrame) = {
+    require(maxDistance <= 3,
+      s"maxDistance $maxDistance exceeds the 4-band pigeonhole bound (3)")
+    validateSimhashStore(store, key)
+    val newSigs = simhashSignatures(newDocs, textCol, key)
+    val all = store.select(col(key), col("_h"))
+      .withColumn("_new", lit(false))
+      .unionByName(newSigs.withColumn("_new", lit(true)))
+    val banded0 = all.select(col(key), col("_h"), col("_new"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("_h"), b * 8).bitwiseAND(0xffL)): _*)))
+      .select(col(key), col("_h"), col("_new"), col("pos").as("_band"),
+        col("col").as("_chunk"))
+    // the SAME union-wide cohort cap as the batch run; both candidate
+    // join inputs filter `_new` over this one capped relation so the
+    // (band, chunk) exchange plans once and is reused (the minhash
+    // incremental's pinned shape — see its inline note on why filtering
+    // only one side would silently double the banding shuffle)
+    val banded = GuardMetrics.capCohorts(banded0,
+      Seq(col("_band"), col("_chunk")), maxBucketSize, "simhash")
+    val bandedNew = banded.filter(col("_new"))
+    val bandedOld = banded.filter(!col("_new"))
+    def side(df: DataFrame, k: String, h: String) =
+      df.select(col(key).as(k), col("_h").as(h), col("_band"),
+        col("_chunk"))
+    // (new, old) pairs orient via least/greatest — the old key may sit
+    // on either side of the new one; hamming is symmetric so the
+    // fingerprints need no reordering. (new, new) pairs surface in both
+    // orders and keep the batch operator's `<` filter.
+    val crossPairs = side(bandedNew, "_ka", "_ha")
+      .join(side(bandedOld, "_kb", "_hb"), Seq("_band", "_chunk"))
+      .select(least(col("_ka"), col("_kb")).as("key_a"),
+        greatest(col("_ka"), col("_kb")).as("key_b"),
+        hammingDistance(col("_ha"), col("_hb")).as("hamming"))
+    val newPairs = side(bandedNew, "_ka", "_ha")
+      .join(side(bandedNew, "_kb", "_hb"), Seq("_band", "_chunk"))
+      .filter(col("_ka") < col("_kb"))
+      .select(col("_ka").as("key_a"), col("_kb").as("key_b"),
+        hammingDistance(col("_ha"), col("_hb")).as("hamming"))
+    // verify hamming BEFORE the dedup shuffle, as in the batch operator:
+    // only true near-dup pairs reach dropDuplicates
+    val pairs = crossPairs.unionByName(newPairs)
+      .filter(col("hamming") <= maxDistance)
+      .dropDuplicates("key_a", "key_b")
+    (pairs, store.select(col(key), col("_h")).unionByName(newSigs))
+  }
+
   /** End-to-end near-duplicate REMOVAL: MinHash pairs → greedy drop-larger
     * survivors (each pair keeps its smaller key) → anti-join. For chains
     * a~b~c this keeps the chain minimum and drops the rest — standard

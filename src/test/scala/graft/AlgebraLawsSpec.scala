@@ -360,4 +360,34 @@ class AlgebraLawsSpec extends SparkTestBase {
         got == batchRun && store.count() == docs.size
     }, cases = 25) // K+2 Spark runs per case
   }
+
+  test("law: K-batch incremental simhash (guard off) ≡ the batch run " +
+      "over the union — arbitrary corpora, splits, empty batches, " +
+      "empty initial store") {
+    // same generator and contract as the minhash law; the overlapping
+    // token families make close fingerprints common, so the hamming ≤ 3
+    // band is well exercised. Spark-vs-Spark (same simhash kernel), so
+    // equality is exact.
+    check("incrementalSimhash", Prop.forAll(incDedupGen) {
+      case (docs, k, assign) =>
+        val df = docs.toDF("doc_id", "text")
+        def batchRun = Dedup.simhashNearDuplicates(df, "text", "doc_id",
+            maxDistance = 3, maxBucketSize = 0)
+          .select("key_a", "key_b", "hamming")
+          .as[(Long, Long, Int)].collect().toSet
+        var store = Dedup.simhashSignatures(df.limit(0), "text", "doc_id")
+        val got = (0 until k).flatMap { i =>
+          val b = docs.zip(assign).collect { case (d, a) if a == i => d }
+          val bdf =
+            if (b.isEmpty) df.limit(0) else b.toDF("doc_id", "text")
+          val (pairs, updated) = Dedup.simhashNearDuplicatesIncremental(
+            bdf, store, "text", "doc_id", maxDistance = 3,
+            maxBucketSize = 0)
+          store = updated
+          pairs.select("key_a", "key_b", "hamming")
+            .as[(Long, Long, Int)].collect()
+        }.toSet
+        got == batchRun && store.count() == docs.size
+    }, cases = 25) // K+2 Spark runs per case
+  }
 }

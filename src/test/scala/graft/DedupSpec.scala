@@ -507,4 +507,111 @@ class DedupSpec extends SparkTestBase {
     }
     assert(badType.getMessage.contains("array<bigint>"), badType.getMessage)
   }
+
+  test("incremental simhash: each increment equals the batch run over " +
+      "the union-so-far restricted to pairs touching it, and the store " +
+      "round-trips through parquet between increments") {
+    // same 3-batch split as the minhash parity test; the plants are
+    // IDENTICAL texts (hamming 0 — deterministic regardless of how the
+    // vote sums land) so cross-batch pairs are guaranteed even if the
+    // real fixture's simhash pairs all fall within one batch
+    val real = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").filter($"doc_id" < 600).select("doc_id", "text")
+    val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val planted = Seq(
+      (9000001L, longA), (9000003L, longB),            // batch 0
+      (9000011L, longA),                               // batch 1
+      (9000021L, longA), (9000023L, longB))            // batch 2
+      .toDF("doc_id", "text")
+    val corpus = real.unionByName(planted)
+    def batchOf(id: Long): Int =
+      if (id >= 9000000L) ((id - 9000000L) / 10L).toInt
+      else (id / 200L).toInt
+    val batchCol = when($"doc_id" >= 9000000L,
+      floor(($"doc_id" - 9000000L) / 10)).otherwise(floor($"doc_id" / 200))
+    val batches = (0 to 2).map(i => corpus.filter(batchCol === i))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("key_a", "key_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shstore")
+    var store = Dedup.simhashSignatures(corpus.limit(0), "text", "doc_id")
+    val increments = (0 to 2).map { i =>
+      val (pairs, updated) = Dedup.simhashNearDuplicatesIncremental(
+        batches(i), store, "text", "doc_id")
+      val got = pairSet(pairs)
+      // persist + reload EVERY increment: the parity below then proves
+      // the parquet round-trip loses nothing the next increment needs
+      val dir = s"$tmp/store_$i"
+      updated.write.mode("overwrite").parquet(dir)
+      store = spark.read.parquet(dir)
+      got
+    }
+    for (i <- 0 to 2) {
+      val prefix = batches.take(i + 1).reduce(_.unionByName(_))
+      val expected = pairSet(
+        Dedup.simhashNearDuplicates(prefix, "text", "doc_id"))
+        .filter(p => math.max(batchOf(p._1), batchOf(p._2)) == i)
+      assert(increments(i) == expected,
+        s"increment $i diverged from the prefix batch run:\n" +
+          s" inc   ${increments(i).toSeq.sorted.take(20)}\n" +
+          s" batch ${expected.toSeq.sorted.take(20)}")
+    }
+    // the planted cross-batch identical pairs surfaced at the right
+    // increments, with hamming 0
+    assert(increments(1).contains((9000001L, 9000011L, 0)),
+      s"cross-batch exact dup missing: ${increments(1)}")
+    assert(increments(2).count(p => p._2 == 9000021L && p._3 == 0) == 2,
+      s"the A-clique's final increment must pair against BOTH earlier " +
+        s"copies: ${increments(2)}")
+    assert(increments(2).contains((9000003L, 9000023L, 0)),
+      s"the B pair's second copy arrives at increment 2: ${increments(2)}")
+    // the final store holds one fingerprint row per doc — simhash keeps
+    // empty-text docs (fingerprint 0), unlike the minhash store
+    assert(store.count() == corpus.count())
+  }
+
+  test("incremental simhash guard: a bucket crossing the cap stops " +
+      "candidate generation at that increment; earlier increments' pairs " +
+      "stay emitted (drops are never retroactive)") {
+    import graft.operators.GuardMetrics
+    val ctr = GuardMetrics.of(spark.sparkContext, "simhash")
+    val boiler = "identical boilerplate text repeated across the corpus"
+    val b1 = Seq((1L, boiler), (2L, boiler), (3L, boiler))
+      .toDF("doc_id", "text")
+    val b2 = Seq((11L, boiler), (12L, boiler), (13L, boiler))
+      .toDF("doc_id", "text")
+    val cap = 4L
+    val store0 = Dedup.simhashSignatures(b1.limit(0), "text", "doc_id")
+    val (p1, s1) = Dedup.simhashNearDuplicatesIncremental(b1, store0,
+      "text", "doc_id", maxBucketSize = cap)
+    val got1 = p1.select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(got1 == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"under-cap increment must pair the full clique: $got1")
+    ctr.reset()
+    val (p2, _) = Dedup.simhashNearDuplicatesIncremental(b2, s1,
+      "text", "doc_id", maxBucketSize = cap)
+    assert(p2.count() == 0,
+      "the 6-doc bucket crossed the cap: increment 2 must yield nothing")
+    assert(ctr.droppedCohorts.value > 0,
+      "the crossing must be counted in the simhash guard accumulators")
+    val full = Dedup.simhashNearDuplicates(b1.unionByName(b2), "text",
+      "doc_id", maxBucketSize = cap)
+    assert(full.count() == 0)
+  }
+
+  test("simhashSignatures validates the store schema loudly") {
+    val good = Dedup.simhashSignatures(docs, "text", "doc_id")
+    assert(good.columns.toSeq == Seq("doc_id", "_h"))
+    val missing = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDuplicatesIncremental(docs,
+        docs.select($"doc_id", $"text"), "text", "doc_id")
+    }
+    assert(missing.getMessage.contains("_h"), missing.getMessage)
+    val badType = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDuplicatesIncremental(docs,
+        docs.select($"doc_id", $"text".as("_h")), "text", "doc_id")
+    }
+    assert(badType.getMessage.contains("bigint"), badType.getMessage)
+  }
 }

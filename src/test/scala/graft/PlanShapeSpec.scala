@@ -196,6 +196,38 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("incremental simhash: guard on reuses the union banding exchange; " +
+      "guard off broadcasts the new batch's banding — no store shuffle") {
+    import org.apache.spark.sql.functions.col
+    val store = graft.operators.Dedup.simhashSignatures(
+        Tables.docs.filter(col("doc_id") < 500).select("doc_id", "text"),
+        "text", "doc_id")
+      .localCheckpoint(true) // pin: the plan under test is the increment
+    val newDocs = Tables.docs
+      .filter(col("doc_id") >= 500 && col("doc_id") < 540)
+      .select("doc_id", "text")
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val (pairs, _) =
+        graft.operators.Dedup.simhashNearDuplicatesIncremental(
+          newDocs, store, "text", "doc_id")
+      val p = pairs.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l =>
+        l.contains("ReusedExchange") && l.contains("_band")),
+        s"incremental candidate join must reuse the banding exchange:\n$p")
+    }
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val (pairs, _) =
+        graft.operators.Dedup.simhashNearDuplicatesIncremental(
+          newDocs, store, "text", "doc_id", maxBucketSize = -1)
+      val p = pairs.queryExecution.executedPlan.toString
+      assert(!p.contains("hashpartitioning(_band"),
+        s"guard-off increment must not shuffle the store's banding:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"guard-off candidate join must broadcast:\n$p")
+    }
+  }
+
   test("q41: IVF assignment is an argmin aggregation with map-side combine") {
     // the round-4 redesign: centroid assignment as min(struct(...)) — a
     // partial aggregation BEFORE the shuffle means the exchange carries one
