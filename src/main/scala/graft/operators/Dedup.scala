@@ -769,6 +769,110 @@ object Dedup {
     labels.select(col("v").as("key"), col("component"))
   }
 
+  private def validateLabelStore(labels: DataFrame): Unit =
+    for (c <- Seq("key", "component"); if !labels.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"label store is missing column '$c' — expected the " +
+          "(key, component) relation connectedComponents produces")
+
+  /** Incremental connected components against a persisted label store —
+    * the cluster-level member of the incremental dedup family: after
+    * [[minhashNearDuplicatesIncremental]] (or the simhash/LSH forms)
+    * yields the pairs an increment adds, this updates the corpus's
+    * cluster labels without re-running label propagation over the whole
+    * pair graph. `labels` is the (key, component) output of a prior
+    * [[connectedComponents]] run or of this method; `newPairs` is any
+    * relation of new edges (new–old, new–new, or even old–old merges).
+    * Returns the FULL updated (key, component) relation, ready to
+    * persist as the next increment's store.
+    *
+    * CORRECTNESS — contraction: the store's min-label invariant (every
+    * cluster is labeled by its minimum key, which [[connectedComponents]]
+    * guarantees and this method preserves inductively) means each stored
+    * component is a certified-connected super-vertex. Mapping every new
+    * edge endpoint to its stored representative (identity for unseen
+    * keys) and solving components on that CONTRACTED graph is therefore
+    * exact: the result equals the batch run over (all old edges ∪
+    * newPairs) — merged clusters relabel to min(old representatives,
+    * new keys) = the merged cluster's true minimum key, and untouched
+    * clusters never appear in the contracted graph at all. The store
+    * must come from connectedComponents or this method; labels that
+    * violate the min invariant (or a `failOnNonConvergence = false` run
+    * that truncated) would silently break the contract.
+    *
+    * SCALE SHAPE per increment: the contracted graph has at most
+    * 2·|newPairs| vertices, so the iterative min-propagation — the only
+    * loop — runs on increment-sized data regardless of corpus size. The
+    * label store is touched exactly twice, both corpus-scale-shuffle-
+    * free with `broadcastIncrement` on (the default): one map-side scan
+    * pruned to (key, component) against the broadcast touched-key set,
+    * and one map-side relabel joining the broadcast (old rep → new rep)
+    * map. A batch rerun instead shuffles the FULL edge set once per
+    * propagation round. Pass `broadcastIncrement = false` when one
+    * increment's touched-key set is too large to broadcast — every join
+    * falls back to Catalyst/AQE planning (and at that point a batch
+    * rerun is usually competitive anyway).
+    *
+    * `maxIterations` / `failOnNonConvergence` / `reliableLineage` are
+    * passed to the inner contracted solve (see [[connectedComponents]];
+    * contraction never increases graph diameter, so a bound that held
+    * for batch runs holds here).
+    */
+  def connectedComponentsIncremental(labels: DataFrame,
+      newPairs: DataFrame, aCol: String = "key_a", bCol: String = "key_b",
+      maxIterations: Int = 25, failOnNonConvergence: Boolean = true,
+      reliableLineage: Boolean = false,
+      broadcastIncrement: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    validateLabelStore(labels)
+    def bc(df: DataFrame) = if (broadcastIncrement) broadcast(df) else df
+    def pin(df: DataFrame): DataFrame =
+      if (!reliableLineage) df.localCheckpoint(false)
+      else df.persist(StorageLevel.MEMORY_AND_DISK)
+    val store = labels.select(col("key"), col("component"))
+    // the increment's edges are the expensive input (typically an LSH
+    // verify pipeline) with several consumers below — pin once
+    val e0 = pin(newPairs.select(col(aCol).as("_a"), col(bCol).as("_b")))
+    val touched = e0.select(col("_a").as("key"))
+      .union(e0.select(col("_b").as("key"))).distinct()
+    // representatives of the touched OLD keys: the one full scan of the
+    // store, map-side against the broadcast touched set; pinned because
+    // both endpoint-mapping joins and the new-key anti-join consume it
+    val touchedReps = pin(store.join(bc(touched), Seq("key")))
+    def repSide(as: String, rc: String) =
+      touchedReps.select(col("key").as(as), col("component").as(rc))
+    // contract: endpoint → stored representative, identity for new keys;
+    // edges internal to one existing cluster vanish here, so the solve
+    // below only ever sees genuinely merging structure
+    val mapped = e0
+      .join(bc(repSide("_a", "_ra")), Seq("_a"), "left")
+      .join(bc(repSide("_b", "_rb")), Seq("_b"), "left")
+      .select(coalesce(col("_ra"), col("_a")).as("key_a"),
+        coalesce(col("_rb"), col("_b")).as("key_b"))
+      .filter(col("key_a") =!= col("key_b"))
+    val repMap = connectedComponents(mapped, "key_a", "key_b",
+      maxIterations, failOnNonConvergence, reliableLineage)
+    // relabel the store: old representative → merged representative,
+    // untouched components pass through (broadcast left-outer, map-side)
+    val updatedOld = store
+      .join(bc(repMap.select(col("key").as("component"),
+        col("component").as("_nc"))), Seq("component"), "left")
+      .select(col("key"), coalesce(col("_nc"), col("component"))
+        .as("component"))
+    // keys the store has never seen label from the contracted solve
+    // directly (they are their own contracted vertex); the coalesce
+    // fallback is unreachable for well-formed pairs (a new key always
+    // carries at least one non-self contracted edge) but keeps malformed
+    // input from dropping rows
+    val newKeys = touched.join(touchedReps.select("key"), Seq("key"),
+      "left_anti")
+    val newKeyLabels = newKeys
+      .join(bc(repMap), Seq("key"), "left")
+      .select(col("key"), coalesce(col("component"), col("key"))
+        .as("component"))
+    updatedOld.unionByName(newKeyLabels)
+  }
+
   /** Cluster-correct near-duplicate REMOVAL: pair generation via MinHash,
     * full [[connectedComponents]] labeling, keep exactly the MINIMUM key
     * of every duplicate cluster. Strictly stronger than the greedy

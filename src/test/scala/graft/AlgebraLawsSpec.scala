@@ -390,4 +390,40 @@ class AlgebraLawsSpec extends SparkTestBase {
         got == batchRun && store.count() == docs.size
     }, cases = 25) // K+2 Spark runs per case
   }
+
+  private val incCcGen = for {
+    n <- Gen.choose(0, 14)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 11L)
+      d <- Gen.choose(1L, 5L)
+    } yield (a, a + d))
+    k <- Gen.choose(1, 4)
+    assign <- Gen.listOfN(n, Gen.choose(0, 3))
+  } yield (edges, k, assign.map(_ % k))
+
+  test("law: K-batch incremental connected components ≡ the batch run " +
+      "over the union edge set — arbitrary graphs, splits, empty " +
+      "batches, empty initial store") {
+    // the contraction argument made executable: threading the label
+    // store through K arbitrary edge batches (old-old merges, chains,
+    // duplicate edges, any delivery order within the batch split) ends
+    // at exactly the batch run's labels — same key coverage, same
+    // min-key canonical representatives. The dense 12-key space forces
+    // frequent cross-batch merges and new-global-min relabels.
+    check("incrementalComponents", Prop.forAll(incCcGen) {
+      case (edges, k, assign) =>
+        val df = edges.toDF("key_a", "key_b")
+        def batchRun = Dedup.connectedComponents(df)
+          .as[(Long, Long)].collect().toSet
+        var store = Dedup.connectedComponents(df.limit(0))
+        for (i <- 0 until k) {
+          val b = edges.zip(assign).collect { case (e, a) if a == i => e }
+          val bdf =
+            if (b.isEmpty) df.limit(0) else b.toDF("key_a", "key_b")
+          store = Dedup.connectedComponentsIncremental(store, bdf)
+            .localCheckpoint(false)
+        }
+        store.as[(Long, Long)].collect().toSet == batchRun
+    }, cases = 20) // K+1 component solves per case
+  }
 }

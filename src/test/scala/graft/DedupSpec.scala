@@ -600,6 +600,56 @@ class DedupSpec extends SparkTestBase {
     assert(full.count() == 0)
   }
 
+  test("incremental connected components: each increment's full label " +
+      "table equals the batch run over the union edge set, through " +
+      "parquet store round-trips") {
+    // engineered to hit every case across increments: chain extension,
+    // an old-old edge MERGING two existing clusters, a brand-new
+    // cluster, an internal no-op edge, and a new key becoming the
+    // global minimum of a merged cluster
+    val b0 = Seq((5L, 9L), (9L, 12L), (20L, 21L), (30L, 31L))
+      .toDF("key_a", "key_b")
+    val b1 = Seq((12L, 40L), (21L, 30L), (50L, 51L))
+      .toDF("key_a", "key_b") // extend; MERGE 20/30-clusters; new cluster
+    val b2 = Seq((40L, 1L), (51L, 20L), (5L, 12L))
+      .toDF("key_a", "key_b") // new global min 1; merge; internal no-op
+    val batchesEdges = Seq(b0, b1, b2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ccstore")
+    var store = Dedup.connectedComponents(b0.limit(0))
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "component").as[(Long, Long)].collect().toSet
+    for (i <- 0 to 2) {
+      store = Dedup.connectedComponentsIncremental(store, batchesEdges(i))
+      val dir = s"$tmp/labels_$i"
+      store.write.mode("overwrite").parquet(dir)
+      store = spark.read.parquet(dir)
+      val prefix = batchesEdges.take(i + 1).reduce(_.unionByName(_))
+      val expected = labelSet(Dedup.connectedComponents(prefix))
+      assert(labelSet(store) == expected,
+        s"increment $i labels diverged from the batch run:\n" +
+          s" inc   ${labelSet(store).toSeq.sorted}\n" +
+          s" batch ${expected.toSeq.sorted}")
+    }
+    // the final merged mega-cluster is labeled by the new global min 1
+    val byKey = labelSet(store).toMap
+    assert(byKey(40L) == 1L && byKey(5L) == 1L && byKey(12L) == 1L,
+      s"merged cluster must relabel to the new global minimum: $byKey")
+    assert(byKey(50L) == 20L && byKey(31L) == 20L,
+      s"the 50-cluster merged into the 20/30 cluster: $byKey")
+    // empty increment is the identity
+    val same = Dedup.connectedComponentsIncremental(store, b0.limit(0))
+    assert(labelSet(same) == labelSet(store))
+  }
+
+  test("connectedComponentsIncremental validates the label store loudly") {
+    val pairs = Seq((1L, 2L)).toDF("key_a", "key_b")
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsIncremental(
+        pairs.select($"key_a".as("key")), pairs)
+    }
+    assert(bad.getMessage.contains("component"), bad.getMessage)
+  }
+
   test("simhashSignatures validates the store schema loudly") {
     val good = Dedup.simhashSignatures(docs, "text", "doc_id")
     assert(good.columns.toSeq == Seq("doc_id", "_h"))

@@ -228,6 +228,35 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("incremental connected components: the label store is never " +
+      "shuffled — broadcast scan filter, broadcast relabel, solve on " +
+      "the contracted graph only") {
+    import org.apache.spark.sql.functions.col
+    // corpus-scale label store stand-in; pinned so the plan under test
+    // is the increment, not the store's construction
+    val store = Tables.docs.select(col("doc_id").as("key"),
+        (col("doc_id") % 97).as("component"))
+      .localCheckpoint(true)
+    val newPairs = Tables.docs.filter(col("doc_id") < 40)
+      .select(col("doc_id").as("key_a"),
+        (col("doc_id") + 1000000L).as("key_b"))
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val out = graft.operators.Dedup.connectedComponentsIncremental(
+        store, newPairs)
+      val p = out.queryExecution.executedPlan.toString
+      // the contracted solve ran eagerly inside the call (checkpointed
+      // rounds), so this plan is exactly the store-touching surface: the
+      // only allowed shuffle is the increment-sized touched-key distinct
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"store-side joins must broadcast, never shuffle the store:\n$p")
+      assert(!p.contains("hashpartitioning(component"),
+        s"the relabel join must broadcast the rep map, not shuffle the " +
+          s"store on component:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"increment joins must be broadcast:\n$p")
+    }
+  }
+
   test("q41: IVF assignment is an argmin aggregation with map-side combine") {
     // the round-4 redesign: centroid assignment as min(struct(...)) — a
     // partial aggregation BEFORE the shuffle means the exchange carries one
