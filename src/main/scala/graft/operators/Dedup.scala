@@ -69,6 +69,80 @@ object Dedup {
     df.join(exactByDigest(df, contentCols, key).select(key), Seq(key),
       "left_semi")
 
+  /** Persistable exact-dedup digest store: one `(key, _d1, _d2)` row per
+    * DISTINCT content digest (the same 192-bit md5 ⊕ xxhash64 family as
+    * [[exactByDigest]], same null/boundary discipline), keyed by the
+    * minimum key that carried it — ~40 bytes per distinct document.
+    * Input duplicates collapse here, so building a store over a batch is
+    * one digest-width shuffle of that batch only.
+    */
+  def exactSignatures(df: DataFrame, contentCols: Seq[String],
+      key: String): DataFrame = {
+    val rendered = to_json(struct(contentCols.map(col): _*),
+      java.util.Collections.singletonMap("ignoreNullFields", "false"))
+    df.select(col(key), md5(rendered).as("_d1"),
+        xxhash64(contentCols.map(col): _*).as("_d2"))
+      .groupBy("_d1", "_d2").agg(min(col(key)).as(key))
+      .select(col(key), col("_d1"), col("_d2"))
+  }
+
+  private def validateDigestStore(store: DataFrame, key: String): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    for (c <- Seq(key, "_d1", "_d2"); if !store.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"digest store is missing column '$c' — expected the " +
+          s"($key, _d1, _d2) relation exactSignatures produces")
+    (store.schema("_d1").dataType, store.schema("_d2").dataType) match {
+      case (StringType, LongType) => ()
+      case (a, b) => throw new IllegalArgumentException(
+        "digest store column types must be _d1 string, _d2 bigint; " +
+          s"got ${a.simpleString}, ${b.simpleString}")
+    }
+  }
+
+  /** Incremental exact-duplicate REMOVAL against a persisted digest
+    * store — the exact-equality member of the incremental family: per
+    * crawl batch, drop every new document whose content digest the
+    * corpus has already seen (and all but the minimum-key copy of each
+    * digest within the batch), without re-digesting or shuffling the
+    * corpus. Returns `(kept rows of newDocs, updated store)`; the store
+    * is `store ∪ signatures(kept)`, ready to persist for the next
+    * increment.
+    *
+    * Unlike the near-dup incrementals there is NO superset caveat:
+    * content equality is transitive, so with monotonically increasing
+    * keys the union of K incremental keep-sets is EXACTLY
+    * [[dropExactDuplicates]] over the union — a late arrival can never
+    * bridge two previously-distinct exact-content groups.
+    *
+    * SCALE SHAPE per increment (`broadcastIncrement` on, the default):
+    * the batch is digested and min-key-collapsed in one batch-sized
+    * shuffle; the store is read ONCE, map-side, against the broadcast
+    * batch digests (the hit set); the batch-side anti/semi joins are
+    * all broadcast. The store is never shuffled and document content
+    * never leaves the map side. Pass `broadcastIncrement = false` for
+    * an increment too large to broadcast.
+    */
+  def dropExactDuplicatesIncremental(newDocs: DataFrame,
+      store: DataFrame, contentCols: Seq[String], key: String,
+      broadcastIncrement: Boolean = true): (DataFrame, DataFrame) = {
+    validateDigestStore(store, key)
+    def bc(df: DataFrame) = if (broadcastIncrement) broadcast(df) else df
+    // within-batch representatives (min key per digest); pinned — the
+    // hit join, the anti-join, and the store update all consume it
+    val newSigs = exactSignatures(newDocs, contentCols, key)
+      .localCheckpoint(false)
+    // digests the corpus has seen: the one store scan, map-side against
+    // the broadcast batch digests
+    val hit = store.join(bc(newSigs.select("_d1", "_d2")),
+      Seq("_d1", "_d2")).select(col("_d1"), col("_d2"))
+    val freshSigs = newSigs.join(bc(hit), Seq("_d1", "_d2"), "left_anti")
+    val kept = newDocs.join(bc(freshSigs.select(key)), Seq(key),
+      "left_semi")
+    (kept, store.select(col(key), col("_d1"), col("_d2"))
+      .unionByName(freshSigs.select(col(key), col("_d1"), col("_d2"))))
+  }
+
   /** Word n-gram shingles of a text column (distinct, lowercased). Empty
     * tokens are filtered (so tab/newline padding can't smuggle "" into the
     * set — Spark `trim` strips spaces only) and null/empty text yields an

@@ -426,4 +426,41 @@ class AlgebraLawsSpec extends SparkTestBase {
         store.as[(Long, Long)].collect().toSet == batchRun
     }, cases = 20) // K+1 component solves per case
   }
+
+  private val incExactGen = for {
+    n <- Gen.choose(0, 16)
+    contents <- Gen.listOfN(n,
+      Gen.oneOf("a", "b", "c", "d", "e", "f", "", "aa"))
+    k <- Gen.choose(1, 4)
+    assign <- Gen.listOfN(n, Gen.choose(0, 3))
+  } yield (contents, k, assign.map(_ % k))
+
+  test("law: K-batch incremental exact dedup ≡ the one-shot run over " +
+      "the union — exact equality is transitive, so no superset " +
+      "caveat; keys monotone with batch order") {
+    // the operator's parity contract needs keys assigned monotonically
+    // increasing across batches (the normal crawl pipeline): the
+    // one-shot run keeps the min key per content group, the incremental
+    // run keeps the first arrival — monotone ids make them the same doc
+    check("incrementalExact", Prop.forAll(incExactGen) {
+      case (contents, k, assign) =>
+        val docs = contents.zip(assign).sortBy(_._2).zipWithIndex
+          .map { case ((t, b), i) => (i.toLong, t, b) }
+        val df = docs.map(d => (d._1, d._2)).toDF("doc_id", "text")
+        def batchRun = Dedup.dropExactDuplicates(df, Seq("text"),
+          "doc_id").select("doc_id").as[Long].collect().toSet
+        var store = Dedup.exactSignatures(df.limit(0), Seq("text"),
+          "doc_id")
+        val keptAll = (0 until k).flatMap { i =>
+          val b = docs.collect { case (id, t, bb) if bb == i => (id, t) }
+          val bdf =
+            if (b.isEmpty) df.limit(0) else b.toDF("doc_id", "text")
+          val (kept, updated) = Dedup.dropExactDuplicatesIncremental(
+            bdf, store, Seq("text"), "doc_id")
+          store = updated.localCheckpoint(false)
+          kept.select("doc_id").as[Long].collect()
+        }.toSet
+        keptAll == batchRun && store.count() == contents.distinct.size
+    }, cases = 25)
+  }
 }

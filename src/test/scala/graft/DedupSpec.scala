@@ -600,6 +600,53 @@ class DedupSpec extends SparkTestBase {
     assert(full.count() == 0)
   }
 
+  test("incremental exact dedup: K-batch keep-set union equals the " +
+      "one-shot run, through parquet store round-trips") {
+    val b0 = Seq[(Long, String)]((1L, "x"), (2L, "y"), (3L, "x"),
+      (4L, null)).toDF("doc_id", "text")
+    val b1 = Seq[(Long, String)]((11L, "x"), (12L, "z"), (13L, "z"),
+      (14L, null), (15L, "")).toDF("doc_id", "text")
+    val b2 = Seq[(Long, String)]((21L, "y"), (22L, "w"))
+      .toDF("doc_id", "text")
+    val batches = Seq(b0, b1, b2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-digstore")
+    var store = Dedup.exactSignatures(b0.limit(0), Seq("text"), "doc_id")
+    val kept = batches.zipWithIndex.map { case (b, i) =>
+      val (k, updated) = Dedup.dropExactDuplicatesIncremental(
+        b, store, Seq("text"), "doc_id")
+      val dir = s"$tmp/store_$i"
+      updated.write.mode("overwrite").parquet(dir)
+      store = spark.read.parquet(dir)
+      k.select("doc_id").as[Long].collect().toSet
+    }
+    // within-batch dup 3 drops; null is a real (kept) group distinct
+    // from "" — 14 drops against 4, 15 ships
+    assert(kept(0) == Set(1L, 2L, 4L), s"batch 0: ${kept(0)}")
+    assert(kept(1) == Set(12L, 15L), s"batch 1: ${kept(1)}")
+    assert(kept(2) == Set(22L), s"batch 2: ${kept(2)}")
+    // exact equality is transitive: the union EQUALS the one-shot run,
+    // no superset caveat
+    val oneShot = Dedup.dropExactDuplicates(
+      batches.reduce(_ unionByName _), Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.reduce(_ | _) == oneShot, s"${kept.reduce(_ | _)} vs $oneShot")
+    assert(store.count() == 6) // x y null z "" w
+  }
+
+  test("exactSignatures validates the digest store loudly") {
+    val missing = intercept[IllegalArgumentException] {
+      Dedup.dropExactDuplicatesIncremental(docs,
+        docs.select($"doc_id", $"text".as("_d1")), Seq("text"), "doc_id")
+    }
+    assert(missing.getMessage.contains("_d2"), missing.getMessage)
+    val badType = intercept[IllegalArgumentException] {
+      Dedup.dropExactDuplicatesIncremental(docs,
+        docs.select($"doc_id", $"text".as("_d1"), $"text".as("_d2")),
+        Seq("text"), "doc_id")
+    }
+    assert(badType.getMessage.contains("bigint"), badType.getMessage)
+  }
+
   test("incremental connected components: each increment's full label " +
       "table equals the batch run over the union edge set, through " +
       "parquet store round-trips") {

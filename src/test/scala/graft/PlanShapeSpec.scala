@@ -257,6 +257,29 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("incremental exact dedup: the digest store is never shuffled — " +
+      "map-side hit scan, broadcast batch joins") {
+    import org.apache.spark.sql.functions.col
+    val store = graft.operators.Dedup.exactSignatures(
+        Tables.docs.filter(col("doc_id") < 500).select("doc_id", "text"),
+        Seq("text"), "doc_id")
+      .localCheckpoint(true) // pin: the plan under test is the increment
+    val newDocs = Tables.docs
+      .filter(col("doc_id") >= 500 && col("doc_id") < 540)
+      .select("doc_id", "text")
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val (kept, _) = graft.operators.Dedup.dropExactDuplicatesIncremental(
+        newDocs, store, Seq("text"), "doc_id")
+      val p = kept.queryExecution.executedPlan.toString
+      // the only shuffle is the batch's own digest groupBy; every join
+      // (store hit scan, anti, semi) broadcasts the increment side
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"store-side joins must broadcast, never shuffle the store:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"increment joins must be broadcast:\n$p")
+    }
+  }
+
   test("q41: IVF assignment is an argmin aggregation with map-side combine") {
     // the round-4 redesign: centroid assignment as min(struct(...)) — a
     // partial aggregation BEFORE the shuffle means the exchange carries one
