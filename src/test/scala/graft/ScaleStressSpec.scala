@@ -330,6 +330,66 @@ class ScaleStressSpec extends SparkTestBase {
       f"${incSec / batchSec}%.2f")
   }
 
+  test("incremental store flatness: a FIXED increment against a 10× " +
+      "larger persisted store shuffles the same bytes — increment cost " +
+      "tracks the increment, not the corpus") {
+    // the claim the incremental family's scaladocs make, measured: the
+    // store is only ever touched map-side (broadcast hit-scan /
+    // broadcast relabel), so growing the corpus 10× must not grow the
+    // increment's shuffle at all. Wall time may grow mildly (the
+    // map-side store scan is linear); shuffle bytes are the honest
+    // no-corpus-shuffle observable.
+    val smallN = 100000L
+    def labelStore(n: Long) = spark.range(n)
+      .select(col("id").as("key"), col("id").as("component"))
+      .localCheckpoint(true)
+    val ccPairs = spark.range(5000)
+      .select((col("id") + 20000000L).as("key_a"),
+        (col("id") * 7 % smallN).as("key_b"))
+      .localCheckpoint(true)
+    def runCc(store: DataFrame): Long =
+      Dedup.connectedComponentsIncremental(store, ccPairs).count()
+    val (cc1, _, ccBytes1) = measured("cc store 1×")(runCc(labelStore(smallN)))
+    val (cc10, _, ccBytes10) =
+      measured("cc store 10×")(runCc(labelStore(10 * smallN)))
+    assert(cc1 == smallN + 5000 && cc10 == 10 * smallN + 5000)
+    assert(ccBytes10 < 2 * ccBytes1,
+      s"label-store 10× must not grow the increment's shuffle: " +
+        s"$ccBytes1 -> $ccBytes10")
+
+    def docs(n: Long, off: Long) = spark.range(n)
+      .select((col("id") + off).as("doc_id"),
+        concat(lit("document body number "), col("id") + off).as("text"))
+    def digestStore(n: Long) =
+      Dedup.exactSignatures(docs(n, 0), Seq("text"), "doc_id")
+        .localCheckpoint(true)
+    // fixed 5k batch: half duplicates of stored docs, half fresh
+    val batch = docs(2500, smallN + 50000000L)
+      .unionByName(docs(2500, 0)
+        .withColumn("doc_id", col("doc_id") + 90000000L))
+      .localCheckpoint(true)
+    def runExact(store: DataFrame): Long = {
+      val (kept, _) = Dedup.dropExactDuplicatesIncremental(
+        batch, store, Seq("text"), "doc_id")
+      kept.count()
+    }
+    // build the stores OUTSIDE the measured blocks: exactSignatures'
+    // own groupBy legitimately shuffles store-proportional digest rows
+    // once at store-construction time; the claim under test is the
+    // per-INCREMENT cost
+    val store1 = digestStore(smallN)
+    val store10 = digestStore(10 * smallN)
+    val (k1, _, exBytes1) =
+      measured("digest store 1×")(runExact(store1))
+    val (k10, _, exBytes10) =
+      measured("digest store 10×")(runExact(store10))
+    // the 2500 re-sent bodies dedup against the store at BOTH scales
+    assert(k1 == 2500 && k10 == 2500, s"kept $k1 / $k10")
+    assert(exBytes10 < 2 * exBytes1,
+      s"digest-store 10× must not grow the increment's shuffle: " +
+        s"$exBytes1 -> $exBytes10")
+  }
+
   /** Deterministic synthetic corpus over a Zipf-distributed ~10k-token
     * vocabulary — the de-degenerated counterpart of the concentrated
     * real-fixture corpus above: with this much vocabulary, distinct
