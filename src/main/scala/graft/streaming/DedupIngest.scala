@@ -142,7 +142,13 @@ object DedupIngest {
       storeRoot: String, keptDir: String, checkpointDir: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.9, seed: Long = 42,
-      maxBucketSize: Long = 10000): StreamingQuery =
+      maxBucketSize: Long = 10000): StreamingQuery = {
+    require(docs.isStreaming,
+      "DedupIngest.start needs a streaming DataFrame — for batch data " +
+        "use the QUICKSTART.md loop over the incremental operators")
+    for (c <- Seq(textCol, key); if !docs.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"docs is missing column '$c' (have: ${docs.columns.mkString(", ")})")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -150,6 +156,7 @@ object DedupIngest {
           numHashes, bands, shingleSize, threshold, seed, maxBucketSize)
       }
       .start()
+  }
 
   /** Collapse the version history (signatures unioned, labels resolved
     * latest-per-key). Run with the ingest query STOPPED — compaction

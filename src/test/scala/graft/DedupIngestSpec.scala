@@ -104,4 +104,20 @@ class DedupIngestSpec extends SparkTestBase {
     assert(keptByBatch()(2L) == Set(202L), "post-compaction retry broke")
     assert(labels() == l0, "post-compaction retry changed labels")
   }
+
+  test("start validates its inputs loudly") {
+    val notStreaming = intercept[IllegalArgumentException] {
+      DedupIngest.start(batches.head.toDF("doc_id", "text"), "text",
+        "doc_id", "/tmp/x", "/tmp/y", "/tmp/z")
+    }
+    assert(notStreaming.getMessage.contains("streaming"),
+      notStreaming.getMessage)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val missingCol = intercept[IllegalArgumentException] {
+      DedupIngest.start(mem.toDF().toDF("doc_id", "body"), "text",
+        "doc_id", "/tmp/x", "/tmp/y", "/tmp/z")
+    }
+    assert(missingCol.getMessage.contains("'text'"), missingCol.getMessage)
+  }
 }
