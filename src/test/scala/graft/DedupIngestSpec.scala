@@ -105,6 +105,26 @@ class DedupIngestSpec extends SparkTestBase {
     assert(labels() == l0, "post-compaction retry changed labels")
   }
 
+  test("an empty micro-batch writes empty deltas that later batches " +
+      "read through the schema-pinned store readers") {
+    val storeRoot = Files.createTempDirectory("graft-ingest-e").toString
+    val keptDir = Files.createTempDirectory("graft-ingest-ek").toString
+    val empty = batches.head.toDF("doc_id", "text").limit(0)
+    DedupIngest.processBatch(empty, 0L, storeRoot, keptDir, "text",
+      "doc_id", 64, 16, 3, 0.7, 42, 10000)
+    // the empty version committed (parquet writes only _SUCCESS for a
+    // zero-partition frame — exactly the case the pinned schemas cover)
+    assert(new java.io.File(s"$storeRoot/sig/v=0/_SUCCESS").exists())
+    DedupIngest.processBatch(batches.head.toDF("doc_id", "text"), 1L,
+      storeRoot, keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000)
+    val kept = spark.read.parquet(s"$keptDir/ingest_batch=1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L), s"kept after empty batch: $kept")
+    val sigs = DedupIngest.loadSignatureStore(spark, storeRoot,
+      empty, "text", "doc_id").count()
+    assert(sigs == 4L, s"signature store rows: $sigs")
+  }
+
   test("start validates its inputs loudly") {
     val notStreaming = intercept[IllegalArgumentException] {
       DedupIngest.start(batches.head.toDF("doc_id", "text"), "text",
