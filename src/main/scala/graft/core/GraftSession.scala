@@ -33,6 +33,12 @@ object GraftSession {
       // TimestampType (the session TZ above is UTC, so the micros are
       // identical) — the same instant semantics DuckDB's oracle applies to
       // the same files.
+      // COUPLING: this flag is session-global and only lossless BECAUSE
+      // the session TZ above is pinned to UTC — under any other TZ a
+      // genuinely wall-clock (NTZ) parquet column would silently shift
+      // when reinterpreted as an instant. If this session ever reads
+      // non-testdata parquet with intended-NTZ semantics, scope the flag
+      // to the testdata read path instead of setting it here.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def get(appName: String): SparkSession = {

@@ -256,6 +256,17 @@ object Dedup {
       * bucket equi-join, matching SQL join semantics.
       * Tokenization is bare `\s+` split + nonEmpty filter (no trim) for the
       * same reason as [[shingleSet]].
+      *
+      * WIDTH CAVEAT — why 64 is the default: two DISTINCT documents
+      * collide at hamming 0 with probability ~n²/2³³ per fingerprint
+      * width 32, and such birthday collisions PASS hamming verification —
+      * they are indistinguishable from true near-dups downstream (they
+      * would even bridge clusters in [[connectedComponents]]). Measured
+      * on a Zipf-10k corpus (BASELINE.md): coincidence pairs grow
+      * quadratically, 50 → 2,367 at 1×→10× (5.5k→55k docs). The 64-bit
+      * kernel below drops that floor by 2³² — effectively zero at any
+      * realistic corpus size — so it is the default everywhere; 32 stays
+      * available for fingerprint stores built before the widening.
       */
     def simhash32(text: String): java.lang.Long = {
       if (text == null) return null
@@ -281,6 +292,45 @@ object Dedup {
       var acc = 0L
       var i = 0
       while (i < 32) { if (votes(i) > 0) acc |= (1L << i); i += 1 }
+      acc
+    }
+
+    /** 64-bit SimHash: same vote semantics and tokenization as
+      * [[simhash32]] but with 64 vote counters over xxhash64 token hashes
+      * (Spark's own XXH64 with the `xxhash64()` seed, so values match the
+      * equivalent Catalyst formulation `aggregate(transform(tokens,
+      * xxhash64), …)`). The doubled width retires the 32-bit birthday
+      * floor (see the width caveat on [[simhash32]]): the hamming≤3
+      * coincidence probability drops by 2³², from quadratically-growing
+      * junk pairs at corpus scale to ~n²·43745/2⁶⁵ ≈ 0 for any n a real
+      * corpus reaches. Null/empty-text semantics identical to the 32-bit
+      * kernel.
+      */
+    def simhash64(text: String): java.lang.Long = {
+      if (text == null) return null
+      val tk = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      val seen = new scala.collection.mutable.HashSet[String]
+      val votes = new Array[Int](64)
+      var ti = 0
+      while (ti < tk.length) {
+        val t = tk(ti)
+        if (seen.add(t)) {
+          val bytes = t.getBytes("UTF-8")
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(bytes,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              bytes.length, 42L)
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1) == 1) votes(i) += 1 else votes(i) -= 1
+            i += 1
+          }
+        }
+        ti += 1
+      }
+      var acc = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) acc |= (1L << i); i += 1 }
       acc
     }
 
@@ -549,38 +599,63 @@ object Dedup {
       .unionByName(newSigs))
   }
 
-  private val simhashUdf = udf(Kernels.simhash32 _)
+  private val simhash32Udf = udf(Kernels.simhash32 _)
+  private val simhash64Udf = udf(Kernels.simhash64 _)
 
-  /** 32-bit SimHash over distinct-token murmur hashes: for each bit
-    * position, sum +1/-1 votes across tokens; the bit is set if the sum is
-    * positive. Implemented as a JVM-loop UDF ([[Kernels.simhash32]]): the
-    * equivalent Catalyst formulation is 32 `aggregate` HOF folds, which are
-    * interpreted per element and dominated q40's runtime.
+  private def requireBits(bits: Int): Unit = require(
+    bits == 32 || bits == 64, s"simhash width must be 32 or 64, got $bits")
+
+  /** SimHash over distinct-token hashes: for each bit position, sum
+    * +1/-1 votes across tokens; the bit is set if the sum is positive.
+    * Implemented as a JVM-loop UDF (the equivalent Catalyst formulation
+    * is `bits` interpreted `aggregate` HOF folds, which dominated q40's
+    * runtime). `bits = 64` (xxhash64 token hashes, the default) retires
+    * the 32-bit birthday floor — see the width caveat on
+    * [[Kernels.simhash32]]; pass 32 only for compatibility with
+    * fingerprint stores built at that width.
     */
-  def simhash(text: Column): Column = simhashUdf(text)
+  def simhash(text: Column, bits: Int = 64): Column = {
+    requireBits(bits)
+    if (bits == 64) simhash64Udf(text) else simhash32Udf(text)
+  }
 
   /** Hamming distance between two simhash values. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate pairs at scale: band the 32-bit simhash into
-    * four 8-bit chunks — two hashes within hamming distance ≤ 3 of each
-    * other must agree on at least one chunk (pigeonhole) — bucket-join per
-    * (band, chunk), dedup candidates, verify exact hamming distance.
-    * Output: (key_a, key_b, hamming) with key_a < key_b.
-    * `maxBucketSize <= 0` skips the skew-guard window entirely (same
-    * sentinel contract as [[minhashNearDuplicates]]).
+  /** The four band chunks of a `bits`-wide simhash: chunk `b` is the
+    * b-th `bits/4`-bit slice. Two hashes within hamming distance ≤ 3
+    * must agree on at least one of the four chunks (pigeonhole),
+    * independent of width.
+    */
+  private def bandChunks(h: Column, bits: Int): Column = {
+    val chunkBits = bits / 4
+    val mask = (1L << chunkBits) - 1
+    array((0 until 4).map(b =>
+      shiftright(h, b * chunkBits).bitwiseAND(lit(mask))): _*)
+  }
+
+  /** SimHash near-duplicate pairs at scale: band the `bits`-wide simhash
+    * into four `bits/4`-bit chunks — two hashes within hamming distance
+    * ≤ 3 of each other must agree on at least one chunk (pigeonhole) —
+    * bucket-join per (band, chunk), dedup candidates, verify exact
+    * hamming distance. Output: (key_a, key_b, hamming) with
+    * key_a < key_b. `maxBucketSize <= 0` skips the skew-guard window
+    * entirely (same sentinel contract as [[minhashNearDuplicates]]).
+    * `bits = 64` is the default (the 32-bit fingerprint's birthday floor
+    * is quadratic in corpus size — see [[Kernels.simhash32]]).
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String, key: String,
-      maxDistance: Int = 3, maxBucketSize: Long = 5000): DataFrame = {
+      maxDistance: Int = 3, maxBucketSize: Long = 5000,
+      bits: Int = 64): DataFrame = {
     // pigeonhole bound of 4 banded chunks: only distances <= 3 are
     // guaranteed a shared chunk — larger values would silently lose recall
     require(maxDistance <= 3,
       s"maxDistance $maxDistance exceeds the 4-band pigeonhole bound (3)")
-    val hashed = df.select(col(key), simhash(col(textCol)).as("_h"))
+    requireBits(bits)
+    val hashed = df.select(col(key), simhash(col(textCol), bits).as("_h"))
     val banded0 = hashed.select(col(key), col("_h"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("_h"), b * 8).bitwiseAND(0xffL)): _*)))
+      posexplode(bandChunks(col("_h"), bits)))
       .select(col(key), col("_h"), col("pos").as("_band"),
         col("col").as("_chunk"))
     // Skew guard: a degenerate bucket of B rows emits B² candidates. Cap
@@ -609,17 +684,26 @@ object Dedup {
   /** Persistable SimHash signature store for incremental dedup: the
     * `(key, _h)` relation [[simhashNearDuplicatesIncremental]] consumes
     * and returns. Unlike the minhash store ([[minhashSignatures]]) this
-    * is TINY — one 32-bit fingerprint per document, no shingle sets —
-    * because simhash verification (exact hamming distance) runs on the
+    * is TINY — one fingerprint per document, no shingle sets — because
+    * simhash verification (exact hamming distance) runs on the
     * fingerprint itself, never on the text. A 100 TB corpus's store is
     * ~12 bytes/doc of columnar parquet; re-banding it per increment is
     * two codegen'd bit ops per row, so the store needs no precomputed
     * band columns. Null-text documents carry a null `_h` and never pair
     * (same SQL-comparison semantics as the batch operator).
+    *
+    * The store schema is `_h` bigint at EITHER width — `bits` is a
+    * build-time parameter the caller must persist next to the store and
+    * pass identically to [[simhashNearDuplicatesIncremental]] (like the
+    * minhash store's hash parameters; fingerprints of different widths
+    * never band meaningfully against each other). Default 64; a store
+    * built at 32 before the widening keeps working by passing 32.
     */
   def simhashSignatures(df: DataFrame, textCol: String,
-      key: String): DataFrame =
-    df.select(col(key), simhash(col(textCol)).as("_h"))
+      key: String, bits: Int = 64): DataFrame = {
+    requireBits(bits)
+    df.select(col(key), simhash(col(textCol), bits).as("_h"))
+  }
 
   private def validateSimhashStore(store: DataFrame, key: String): Unit = {
     import org.apache.spark.sql.types.LongType
@@ -652,7 +736,8 @@ object Dedup {
     * union of K incremental runs equals the batch run whenever no
     * (band, chunk) bucket crosses the cap mid-sequence, and is a
     * non-retroactive superset where one does. Keys must be globally
-    * unique across batches.
+    * unique across batches. `bits` must equal the width the store was
+    * built with (see [[simhashSignatures]]).
     *
     * SCALE SHAPE per increment: only the new batch's text is hashed;
     * the union's narrow `(key, _h, band, chunk)` banding rows flow
@@ -668,17 +753,17 @@ object Dedup {
   def simhashNearDuplicatesIncremental(newDocs: DataFrame,
       store: DataFrame, textCol: String, key: String,
       maxDistance: Int = 3,
-      maxBucketSize: Long = 5000): (DataFrame, DataFrame) = {
+      maxBucketSize: Long = 5000, bits: Int = 64): (DataFrame, DataFrame) = {
     require(maxDistance <= 3,
       s"maxDistance $maxDistance exceeds the 4-band pigeonhole bound (3)")
+    requireBits(bits)
     validateSimhashStore(store, key)
-    val newSigs = simhashSignatures(newDocs, textCol, key)
+    val newSigs = simhashSignatures(newDocs, textCol, key, bits)
     val all = store.select(col(key), col("_h"))
       .withColumn("_new", lit(false))
       .unionByName(newSigs.withColumn("_new", lit(true)))
     val banded0 = all.select(col(key), col("_h"), col("_new"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("_h"), b * 8).bitwiseAND(0xffL)): _*)))
+      posexplode(bandChunks(col("_h"), bits)))
       .select(col(key), col("_h"), col("_new"), col("pos").as("_band"),
         col("col").as("_chunk"))
     // the SAME union-wide cohort cap as the batch run; both candidate

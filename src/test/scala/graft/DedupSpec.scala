@@ -90,33 +90,45 @@ class DedupSpec extends SparkTestBase {
     assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
   }
 
-  test("simhash kernel matches the Catalyst-HOF reference formulation") {
-    // the original (slow, interpreted) Column formulation, kept here as the
-    // executable spec of the kernel's semantics
-    def simhashHof(text: org.apache.spark.sql.Column) = {
+  test("simhash kernels (32 and 64 bit) match the Catalyst reference " +
+      "formulations") {
+    // the original (slow, interpreted) Column formulations, kept here as
+    // the executable specs of the kernels' semantics
+    def tk(text: org.apache.spark.sql.Column) =
       // filter empty tokens: Spark trim is space-only, so tab/newline
-      // padding leaves a leading "" after split — the kernel's
+      // padding leaves a leading "" after split — the kernels'
       // split+nonEmpty tokenization never sees such tokens
-      val tk = array_distinct(
+      array_distinct(
         filter(graft.operators.TextOps.tokens(text), t => length(t) > 0))
-      val h = transform(tk,
-        t => hash(t).cast("bigint").bitwiseAND(lit(0xffffffffL)))
-      (0 until 32).map { i =>
+    def votes(h: org.apache.spark.sql.Column, bits: Int) =
+      (0 until bits).map { i =>
         val vote = aggregate(h, lit(0L),
           (acc, x) => acc + when(shiftright(x, i).bitwiseAND(1) === 1, 1L)
             .otherwise(-1L))
         when(vote > 0, lit(1L << i)).otherwise(0L)
-      }.reduce(_ + _)
-    }
+      }.reduce(_ bitwiseOR _)
+    def simhash32Hof(text: org.apache.spark.sql.Column) =
+      votes(transform(tk(text),
+        t => hash(t).cast("bigint").bitwiseAND(lit(0xffffffffL))), 32)
+    def simhash64Hof(text: org.apache.spark.sql.Column) =
+      votes(transform(tk(text), t => xxhash64(t)), 64)
     // include whitespace-padded variants: tab/newline padding must hash
     // the same as the clean text (tokenization is \s+ split + nonEmpty
     // filter on both paths, with no trim-dependent behavior)
     val padded = docs.union(docs.select($"doc_id" + 100,
       concat(lit("\t\n "), $"text", lit(" \t\n"))))
-    val rows = padded.select(Dedup.simhash($"text").as("fast"),
-        simhashHof($"text").as("ref"))
+    val rows = padded.select(
+        Dedup.simhash($"text", 32).as("fast32"),
+        simhash32Hof($"text").as("ref32"),
+        Dedup.simhash($"text").as("fast64"), // 64 is the default width
+        simhash64Hof($"text").as("ref64"))
       .collect()
-    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r"))
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"32-bit mismatch: $r")
+      assert(r.getLong(2) == r.getLong(3), s"64-bit mismatch: $r")
+      assert((r.getLong(0) & ~0xffffffffL) == 0L,
+        s"32-bit fingerprint overflows 32 bits: $r")
+    }
     val clean = padded.select(pmod($"doc_id", lit(100L)).as("id"),
         Dedup.simhash($"text").as("h"))
       .groupBy("id").agg(countDistinct($"h").as("n"))
@@ -323,18 +335,19 @@ class DedupSpec extends SparkTestBase {
     } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
     def samples[T](g: Gen[T], n: Int): Seq[T] =
       (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
-    samples(corpusGen, 6).foreach { corpus =>
+    // both widths share the banding machinery; run the property at each
+    for (bits <- Seq(32, 64); corpus <- samples(corpusGen, 3)) {
       val df = corpus.toDF("doc_id", "text")
-      val hashes = df.select(col("doc_id"), Dedup.simhash(col("text")))
+      val hashes = df.select(col("doc_id"), Dedup.simhash(col("text"), bits))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val expected = (for {
         a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
         h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
       } yield (a, b, h)).toSet
-      val got = Dedup.simhashNearDuplicates(df, "text", "doc_id")
+      val got = Dedup.simhashNearDuplicates(df, "text", "doc_id", bits = bits)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      assert(got == expected,
-        s"corpus=$corpus\nmissing=${expected -- got}\nextra=${got -- expected}")
+      assert(got == expected, s"bits=$bits corpus=$corpus\n" +
+        s"missing=${expected -- got}\nextra=${got -- expected}")
     }
   }
 
@@ -695,6 +708,26 @@ class DedupSpec extends SparkTestBase {
         pairs.select($"key_a".as("key")), pairs)
     }
     assert(bad.getMessage.contains("component"), bad.getMessage)
+  }
+
+  test("a width-32 simhash store built before the 64-bit default keeps " +
+      "working by passing bits = 32 through the incremental") {
+    val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val b1 = Seq((1L, longA), (2L, "other words entirely here"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((11L, longA)).toDF("doc_id", "text")
+    val store0 = Dedup.simhashSignatures(b1, "text", "doc_id", bits = 32)
+    // the 32-bit store really is 32-bit
+    assert(store0.agg(max(shiftrightunsigned($"_h", 32))).as[Long].head() == 0L)
+    val (pairs, s1) = Dedup.simhashNearDuplicatesIncremental(
+      b2, store0, "text", "doc_id", bits = 32)
+    assert(pairs.select("key_a", "key_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet == Set((1L, 11L, 0)))
+    assert(s1.count() == 3)
+    // the default width is 64: identical text fingerprints at full width
+    val h64 = Dedup.simhashSignatures(b1, "text", "doc_id")
+    assert(h64.agg(max(shiftrightunsigned($"_h", 32))).as[Long].head() > 0L,
+      "64-bit fingerprints must use the upper word")
   }
 
   test("simhashSignatures validates the store schema loudly") {
