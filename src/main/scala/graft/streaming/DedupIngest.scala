@@ -42,23 +42,66 @@ import graft.operators.Dedup
   * batch-sized, the corpus is never re-shingled), the signature store is
   * re-read as narrow columnar parquet, and the label store is
   * reconstructed by a latest-per-key aggregation over deltas — call
-  * [[compactStores]] periodically (with the query stopped) to collapse
-  * the version history and keep that reconstruction one version wide.
+  * [[compactStores]] periodically (with the query stopped) to fold the
+  * version history into a few geometric size tiers and keep that
+  * reconstruction narrow.
   */
 object DedupIngest {
+
+  /** One merged group from [[compactStores]]: the committed, adjacent
+    * `versions` (all strictly below the family's max) were folded into
+    * `v=<into>` (= `versions.max`), rewriting `bytes` parquet bytes. */
+  final case class Fold(family: String, versions: Seq[Long], into: Long,
+      bytes: Long)
+
+  private val VersionDir = "^v=(\\d+)$".r
+  private val StagingDir = "^\\.compact-v=(\\d+)$".r
+
+  /** Finish any compaction that crashed between unlinking its fold
+    * target and renaming the staged merge into place — the one window
+    * where committed rows are on disk but invisible (the staged
+    * directory carries its own `_SUCCESS` from the merged write).
+    * Rename is atomic, so a raced second healer simply loses the rename
+    * and moves on. Incomplete staging directories (no `_SUCCESS`, or
+    * the target still present) are left alone here — readers never
+    * delete; [[compactStores]] sweeps them. Returns true if anything
+    * was healed (the caller's listing is stale). */
+  private def healStagedCompactions(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): Boolean = {
+    var healed = false
+    for (s <- entries; if s.isDirectory;
+        m <- StagingDir.findFirstMatchIn(s.getPath.getName)) {
+      val target = new Path(dir, s"v=${m.group(1)}")
+      if (!fs.exists(target) &&
+          fs.exists(new Path(s.getPath, "_SUCCESS")))
+        healed |= fs.rename(s.getPath, target)
+    }
+    healed
+  }
 
   private def committedVersions(spark: SparkSession, dir: String,
       below: Long): Seq[Long] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath)
-      .filter(d => fs.exists(new Path(d, "_SUCCESS")))
-      .map(_.getName.stripPrefix("v=").toLong)
-      .filter(_ < below)
-      .sorted
+    else {
+      val entries = fs.listStatus(p).toSeq
+      val listed =
+        if (healStagedCompactions(fs, p, entries)) fs.listStatus(p).toSeq
+        else entries
+      listed
+        .filter(_.isDirectory)
+        // only ^v=\d+$ — a foreign or leftover directory (v=1.bak, a
+        // staging dir, an editor artifact) must not crash every batch
+        .flatMap(s => VersionDir.findFirstMatchIn(s.getPath.getName)
+          .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+          .map(v => (v, s.getPath)))
+        .filter { case (_, d) => fs.exists(new Path(d, "_SUCCESS")) }
+        .map(_._1)
+        .filter(_ < below)
+        .sorted
+    }
   }
 
   private def dirs(root: String, family: String, vs: Seq[Long]) =
@@ -159,45 +202,113 @@ object DedupIngest {
   }
 
   /** Collapse the version history (signatures unioned, labels resolved
-    * latest-per-key). Run with the ingest query STOPPED — compaction
-    * rewrites directories a running batch may be reading.
+    * latest-per-key) under a SIZE-TIERED policy. Run with the ingest
+    * query STOPPED — compaction rewrites directories a running batch
+    * may be reading.
     *
-    * Only versions STRICTLY BELOW the highest are folded (into the
-    * second-highest), leaving two directories per family. The highest
-    * version must survive untouched because `foreachBatch` commits its
-    * epoch AFTER the batch function returns — a stop in that window
-    * re-delivers the last batch on restart, and its retry reads
-    * versions `< batchId`; folding history into the max would make
-    * that retry see an empty store and overwrite the merged data with
-    * a batch-sized delta. Every version below the max has provably
+    * POLICY — tiered, not monolithic: folding the whole history into
+    * one version every call is an O(store) rewrite per call, which at
+    * corpus scale means periodically rewriting the entire signature
+    * store. Instead, adjacent committed versions are grouped oldest →
+    * newest with the classic merge rule: a run of newer versions folds
+    * into the next older one only once the run's bytes reach within
+    * `sizeRatio` of it (`newerBytes × sizeRatio ≥ olderBytes`). The
+    * surviving tiers grow geometrically, so each byte is rewritten
+    * O(log_ratio(store/delta)) times over the store's lifetime and a
+    * large settled version is touched only when the data accumulated
+    * after it is comparable to it. Pass `sizeRatio =
+    * Double.PositiveInfinity` for the old fold-everything behavior.
+    * Groups are contiguous and fold into the group's own maximum
+    * version, so every directory `v=N` always holds rows from versions
+    * ≤ N and the readers' `below = batchId` prefix filter stays exact.
+    *
+    * Only versions STRICTLY BELOW the highest are ever folded. The
+    * highest version must survive untouched because `foreachBatch`
+    * commits its epoch AFTER the batch function returns — a stop in
+    * that window re-delivers the last batch on restart, and its retry
+    * reads versions `< batchId`; folding history into the max would
+    * make that retry see an empty store and overwrite the merged data
+    * with a batch-sized delta. Every version below the max has provably
     * committed (offsets advance in order), so folding them is safe.
     *
-    * Crash-safe by re-run: a crash between the merged write and the
-    * deletes leaves duplicate rows across versions, which the next
-    * compaction's whole-row dropDuplicates (signatures are immutable
-    * per key) and the labels' latest-per-key resolution both collapse.
+    * CRASH SAFETY — staged commit: each group's merge is written to
+    * `.compact-v=<into>` (invisible to readers, with its own `_SUCCESS`
+    * once complete), then committed by unlinking `v=<into>` and
+    * atomically renaming the staging directory over it, and only then
+    * are the other source versions deleted. Every committed version
+    * therefore remains readable until the merged data is fully on
+    * disk. A crash inside the two-metadata-op unlink/rename window
+    * leaves the merge complete but unlinked — the next reader or
+    * compaction heals it by finishing the rename
+    * ([[healStagedCompactions]]). A crash after the rename but before
+    * the source deletes leaves duplicate rows across versions, which
+    * the store semantics already collapse (signatures are immutable
+    * per key; labels resolve latest-per-key) and the next compaction
+    * removes.
+    *
+    * Returns the folds performed, with the parquet bytes each rewrote
+    * — the observability hook for sizing `sizeRatio`.
     */
-  def compactStores(spark: SparkSession, storeRoot: String): Unit = {
-    def compact(family: String, resolve: DataFrame => DataFrame): Unit = {
-      val all = committedVersions(spark, s"$storeRoot/$family",
-        Long.MaxValue)
+  def compactStores(spark: SparkSession, storeRoot: String,
+      sizeRatio: Double = 4.0): Seq[Fold] = {
+    require(sizeRatio >= 1.0, s"sizeRatio must be >= 1, got $sizeRatio")
+    val fs = new Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // adjacent-run grouping: push versions oldest -> newest, cascading
+    // a merge whenever the newest tier is within sizeRatio of the one
+    // below it; cascades let accumulated small tiers climb into the
+    // settled large ones exactly when they have earned the rewrite
+    def tiers(sized: Seq[(Long, Long)]): List[(Vector[Long], Long)] = {
+      var stack = List.empty[(Vector[Long], Long)] // head = newest tier
+      for ((v, bytes) <- sized) {
+        stack ::= (Vector(v), bytes)
+        // the isPosInfinity arm dodges 0 bytes × Infinity = NaN for
+        // empty deltas under the fold-everything ratio
+        while (stack.lengthCompare(2) >= 0 && (sizeRatio.isPosInfinity ||
+            stack.head._2 * sizeRatio >= stack(1)._2)) {
+          val (nv, nb) :: (ov, ob) :: rest = stack: @unchecked
+          stack = (ov ++ nv, ob + nb) :: rest
+        }
+      }
+      stack.reverse
+    }
+
+    def compact(family: String,
+        resolve: DataFrame => DataFrame): Seq[Fold] = {
+      val famDir = s"$storeRoot/$family"
+      // sweep staging leftovers a crash may have orphaned: completed
+      // ones were healed by committedVersions below the first read;
+      // whatever remains is an incomplete attempt whose sources are
+      // all still committed, so it is safe to drop
+      val all = committedVersions(spark, famDir, Long.MaxValue)
+      if (fs.exists(new Path(famDir)))
+        for (s <- fs.listStatus(new Path(famDir));
+            if StagingDir.findFirstMatchIn(s.getPath.getName).isDefined)
+          fs.delete(s.getPath, true)
       val vs = if (all.isEmpty) all else all.filter(_ < all.max)
-      if (vs.size > 1) {
-        val vInto = vs.max
-        val merged = resolve(
-          spark.read.parquet(dirs(storeRoot, family, vs): _*))
-          .localCheckpoint(true) // sever lineage from the dirs we delete
-        val fs = new Path(storeRoot)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        merged.write.mode("overwrite")
-          .parquet(s"$storeRoot/$family/v=$vInto")
-        vs.filter(_ != vInto).foreach(v =>
-          fs.delete(new Path(s"$storeRoot/$family/v=$v"), true))
+      val sized = vs.map(v =>
+        v -> fs.getContentSummary(new Path(s"$famDir/v=$v")).getLength)
+      for ((group, _) <- tiers(sized); if group.size > 1) yield {
+        val vInto = group.max
+        val staging = new Path(s"$famDir/.compact-v=$vInto")
+        val target = new Path(s"$famDir/v=$vInto")
+        resolve(spark.read.parquet(dirs(storeRoot, family, group): _*))
+          .write.mode("overwrite").parquet(staging.toString)
+        fs.delete(target, true)
+        if (!fs.rename(staging, target) && !fs.exists(target))
+          throw new IllegalStateException(
+            s"compaction commit failed: could not rename $staging " +
+              s"over $target")
+        group.filter(_ != vInto).foreach(v =>
+          fs.delete(new Path(s"$famDir/v=$v"), true))
+        Fold(family, group, vInto, fs.getContentSummary(target).getLength)
       }
     }
-    compact("sig", _.dropDuplicates())
-    compact("labels", df => graft.operators.AggOps.latestByKey(df,
-      Seq("key"), "_v", Seq("component"))
-      .select(col("key"), col("component"), col("_v")))
+
+    compact("sig", _.dropDuplicates()) ++
+      compact("labels", df => graft.operators.AggOps.latestByKey(df,
+        Seq("key"), "_v", Seq("component"))
+        .select(col("key"), col("component"), col("_v")))
   }
 }

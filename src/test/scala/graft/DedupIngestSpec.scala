@@ -125,6 +125,91 @@ class DedupIngestSpec extends SparkTestBase {
     assert(sigs == 4L, s"signature store rows: $sigs")
   }
 
+  test("foreign or unparseable version directories are ignored, not " +
+      "fatal") {
+    val storeRoot = Files.createTempDirectory("graft-ingest-f").toString
+    val keptDir = Files.createTempDirectory("graft-ingest-fk").toString
+    val b0 = batches.head.toDF("doc_id", "text")
+    DedupIngest.processBatch(b0, 0L, storeRoot, keptDir, "text",
+      "doc_id", 64, 16, 3, 0.7, 42, 10000)
+    // a leftover backup and a non-numeric name, both with _SUCCESS
+    // markers to make them maximally tempting
+    for (bad <- Seq("v=0.bak", "v=abc")) {
+      val d = new java.io.File(s"$storeRoot/sig/$bad")
+      assert(d.mkdirs())
+      assert(new java.io.File(d, "_SUCCESS").createNewFile())
+    }
+    val sigs = DedupIngest.loadSignatureStore(spark, storeRoot, b0,
+      "text", "doc_id").count()
+    assert(sigs == 4L, s"signature rows with foreign dirs present: $sigs")
+  }
+
+  test("a compaction crash between unlink and rename is healed by the " +
+      "next reader") {
+    val storeRoot = Files.createTempDirectory("graft-ingest-h").toString
+    val keptDir = Files.createTempDirectory("graft-ingest-hk").toString
+    for ((b, i) <- batches.zipWithIndex)
+      DedupIngest.processBatch(b.toDF("doc_id", "text"), i.toLong,
+        storeRoot, keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000)
+    def labels() = DedupIngest.loadLabelStore(spark, storeRoot,
+        batches.head.toDF("doc_id", "text"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val before = labels()
+    // simulate the crash window: the staged merge is complete (the
+    // moved directory carries the original write's _SUCCESS) but the
+    // fold target was unlinked before the rename landed
+    val v1 = new java.io.File(s"$storeRoot/labels/v=1")
+    assert(v1.renameTo(new java.io.File(s"$storeRoot/labels/.compact-v=1")))
+    assert(labels() == before, "reader did not heal the staged compaction")
+    assert(new java.io.File(s"$storeRoot/labels/v=1/_SUCCESS").exists(),
+      "healed version directory missing")
+    assert(!new java.io.File(s"$storeRoot/labels/.compact-v=1").exists(),
+      "staging directory left behind after heal")
+  }
+
+  test("size-tiered compaction folds accumulated small deltas without " +
+      "rewriting the settled large version") {
+    val storeRoot = Files.createTempDirectory("graft-ingest-t").toString
+    val keptDir = Files.createTempDirectory("graft-ingest-tk").toString
+    // all-distinct texts: no dup pairs, so version sizes are the only
+    // moving part
+    def docs(from: Long, n: Int) = (0 until n)
+      .map(i => (from + i, (1 to 30).map(w => s"t${from + i}w$w")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      DedupIngest.processBatch(b, id,
+      storeRoot, keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000)
+    run(docs(0L, 500), 0L)
+    var folds = Seq.empty[DedupIngest.Fold]
+    for (i <- 1 to 6) {
+      run(docs(1000L * i, 2), i.toLong)
+      folds ++= DedupIngest.compactStores(spark, storeRoot)
+    }
+    // the 500-doc signature version dwarfs every accumulated small
+    // tier, so no sig fold may ever touch it — that is the whole point
+    // of tiering (the labels family's v=0 is empty and folds freely)
+    assert(folds.nonEmpty, "expected at least one small-tier fold")
+    assert(folds.filter(_.family == "sig")
+        .forall(f => !f.versions.contains(0L)),
+      s"a fold rewrote the large settled version: $folds")
+    assert(new java.io.File(s"$storeRoot/sig/v=0/_SUCCESS").exists())
+    val total = DedupIngest.loadSignatureStore(spark, storeRoot,
+      docs(0L, 1), "text", "doc_id").count()
+    assert(total == 500L + 2 * 6, s"signature rows after tiering: $total")
+    // the fold-everything escape hatch still collapses history below
+    // the max version into a single directory
+    DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    val sigDirs = new java.io.File(s"$storeRoot/sig").listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).toSet
+    assert(sigDirs == Set("v=5", "v=6"),
+      s"sig versions after full fold: $sigDirs")
+    val after = DedupIngest.loadSignatureStore(spark, storeRoot,
+      docs(0L, 1), "text", "doc_id").count()
+    assert(after == total, s"full fold changed the store: $after")
+  }
+
   test("start validates its inputs loudly") {
     val notStreaming = intercept[IllegalArgumentException] {
       DedupIngest.start(batches.head.toDF("doc_id", "text"), "text",
