@@ -982,6 +982,64 @@ object Dedup {
       maxIterations: Int = 25, failOnNonConvergence: Boolean = true,
       reliableLineage: Boolean = false,
       broadcastIncrement: Boolean = true): DataFrame = {
+    val (store, repMap, newKeyLabels, bc) = incrementalComponentsCore(
+      labels, newPairs, aCol, bCol, maxIterations, failOnNonConvergence,
+      reliableLineage, broadcastIncrement)
+    // relabel the store: old representative → merged representative,
+    // untouched components pass through (broadcast left-outer, map-side)
+    val updatedOld = store
+      .join(bc(repMap.select(col("key").as("component"),
+        col("component").as("_nc"))), Seq("component"), "left")
+      .select(col("key"), coalesce(col("_nc"), col("component"))
+        .as("component"))
+    updatedOld.unionByName(newKeyLabels)
+  }
+
+  /** The DELTA form of [[connectedComponentsIncremental]]: returns ONLY
+    * the (key, component) rows whose mapping DIFFERS from `labels` —
+    * existing members of clusters the increment relabels, plus keys the
+    * store has never seen. Exactly the rows a versioned label store
+    * needs to persist per increment, computed without ever joining two
+    * corpus-scale relations: a full-minus-store comparison join would
+    * shuffle the corpus twice per batch, while here the changed old
+    * rows fall out of one inner broadcast join of the store against the
+    * contracted solve's remapped representatives (those with a NEW
+    * representative — map-side, same shape as the relabel join) and the
+    * new keys are increment-sized by construction. The output is sized
+    * by the increment's touched clusters (a relabeled cluster
+    * necessarily surfaces all its members — their labels all change),
+    * never by the corpus.
+    *
+    * `labels` union-overridden by this delta (latest wins per key)
+    * equals [[connectedComponentsIncremental]]'s full relation.
+    */
+  def connectedComponentsIncrementalDelta(labels: DataFrame,
+      newPairs: DataFrame, aCol: String = "key_a", bCol: String = "key_b",
+      maxIterations: Int = 25, failOnNonConvergence: Boolean = true,
+      reliableLineage: Boolean = false,
+      broadcastIncrement: Boolean = true): DataFrame = {
+    val (store, repMap, newKeyLabels, bc) = incrementalComponentsCore(
+      labels, newPairs, aCol, bCol, maxIterations, failOnNonConvergence,
+      reliableLineage, broadcastIncrement)
+    // only representatives that actually MOVED relabel anything; a
+    // contracted vertex that is already its cluster's minimum maps to
+    // itself and its members keep their labels
+    val remapped = repMap.filter(col("key") =!= col("component"))
+      .select(col("key").as("component"), col("component").as("_nc"))
+    val changedOld = store.join(bc(remapped), Seq("component"))
+      .select(col("key"), col("_nc").as("component"))
+    changedOld.unionByName(newKeyLabels)
+  }
+
+  /** Shared contraction pipeline of the incremental component forms:
+    * returns (store, repMap — contracted vertex → merged representative,
+    * newKeyLabels — labels for keys absent from the store, bc — the
+    * configured broadcast wrapper). */
+  private def incrementalComponentsCore(labels: DataFrame,
+      newPairs: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int, failOnNonConvergence: Boolean,
+      reliableLineage: Boolean, broadcastIncrement: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame => DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     validateLabelStore(labels)
     def bc(df: DataFrame) = if (broadcastIncrement) broadcast(df) else df
@@ -1009,15 +1067,11 @@ object Dedup {
       .select(coalesce(col("_ra"), col("_a")).as("key_a"),
         coalesce(col("_rb"), col("_b")).as("key_b"))
       .filter(col("key_a") =!= col("key_b"))
+    // already effectively pinned: connectedComponents returns a
+    // projection of its last checkpointed/persisted round, so both
+    // downstream consumers reuse the solved labels without re-iterating
     val repMap = connectedComponents(mapped, "key_a", "key_b",
       maxIterations, failOnNonConvergence, reliableLineage)
-    // relabel the store: old representative → merged representative,
-    // untouched components pass through (broadcast left-outer, map-side)
-    val updatedOld = store
-      .join(bc(repMap.select(col("key").as("component"),
-        col("component").as("_nc"))), Seq("component"), "left")
-      .select(col("key"), coalesce(col("_nc"), col("component"))
-        .as("component"))
     // keys the store has never seen label from the contracted solve
     // directly (they are their own contracted vertex); the coalesce
     // fallback is unreachable for well-formed pairs (a new key always
@@ -1029,7 +1083,7 @@ object Dedup {
       .join(bc(repMap), Seq("key"), "left")
       .select(col("key"), coalesce(col("component"), col("key"))
         .as("component"))
-    updatedOld.unionByName(newKeyLabels)
+    (store, repMap, newKeyLabels, bc _)
   }
 
   /** Cluster-correct near-duplicate REMOVAL: pair generation via MinHash,

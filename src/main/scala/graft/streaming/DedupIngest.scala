@@ -153,12 +153,11 @@ object DedupIngest {
     val (pairs, _) = Dedup.minhashNearDuplicatesIncremental(
       batch, sigStore, textCol, key, numHashes, bands, shingleSize,
       threshold, seed, cacheSignatures = true, maxBucketSize)
-    val labels = Dedup.connectedComponentsIncremental(labelStore,
-      pairs.localCheckpoint(false))
-    val changed = labels
-      .join(labelStore.withColumnRenamed("component", "_old"),
-        Seq("key"), "left")
-      .filter(col("_old").isNull || col("_old") =!= col("component"))
+    // the delta form hands back exactly the rows to persist — a full
+    // updated relation would need a corpus×corpus comparison join
+    // against the prior store every micro-batch to find them
+    val changed = Dedup.connectedComponentsIncrementalDelta(labelStore,
+        pairs.localCheckpoint(false))
       .select(col("key"), col("component"), lit(batchId).as("_v"))
       .localCheckpoint(false)
     val kept = batch.join(

@@ -701,6 +701,45 @@ class DedupSpec extends SparkTestBase {
     assert(labelSet(same) == labelSet(store))
   }
 
+  test("connectedComponentsIncrementalDelta returns exactly the rows " +
+      "whose mapping changed; override-merging it reproduces the full " +
+      "incremental") {
+    val b0 = Seq((5L, 9L), (9L, 12L), (20L, 21L), (30L, 31L))
+      .toDF("key_a", "key_b")
+    val b1 = Seq((12L, 40L), (21L, 30L), (50L, 51L))
+      .toDF("key_a", "key_b")
+    val b2 = Seq((40L, 1L), (51L, 20L), (5L, 12L))
+      .toDF("key_a", "key_b")
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "component").as[(Long, Long)].collect().toSet
+    var store = Dedup.connectedComponents(b0.limit(0))
+    for (edges <- Seq(b0, b1, b2)) {
+      val full = labelSet(
+        Dedup.connectedComponentsIncremental(store, edges))
+      val delta = labelSet(
+        Dedup.connectedComponentsIncrementalDelta(store, edges))
+      val prior = labelSet(store)
+      // delta rows all genuinely differ from the prior store
+      assert(delta.forall { case (k, c) => !prior.contains((k, c)) },
+        s"delta contains an unchanged mapping: $delta vs $prior")
+      // prior overridden by delta == full
+      val deltaKeys = delta.map(_._1)
+      val merged = prior.filterNot(kv => deltaKeys(kv._1)) | delta
+      assert(merged == full, s"override merge diverged:\n $merged\n $full")
+      store = spark.createDataFrame(full.toSeq).toDF("key", "component")
+    }
+    // the last increment relabels the 5-cluster (new global min 1) and
+    // folds the 50-cluster into the 20-cluster, while the 20-cluster's
+    // own members keep their labels and must NOT surface in the delta
+    val lastDelta = labelSet(Dedup.connectedComponentsIncrementalDelta(
+      spark.createDataFrame(
+        Seq((5L, 5L), (9L, 5L), (12L, 5L), (40L, 5L), (20L, 20L),
+          (21L, 20L), (30L, 20L), (31L, 20L), (50L, 50L), (51L, 50L)))
+        .toDF("key", "component"), b2))
+    assert(lastDelta == Set((1L, 1L), (5L, 1L), (9L, 1L), (12L, 1L),
+      (40L, 1L), (50L, 20L), (51L, 20L)), s"delta: $lastDelta")
+  }
+
   test("connectedComponentsIncremental validates the label store loudly") {
     val pairs = Seq((1L, 2L)).toDF("key_a", "key_b")
     val bad = intercept[IllegalArgumentException] {
