@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,44 @@ object Dedup {
       .select(col(key), col("_d1"), col("_d2"))
   }
 
+  /** Fail fast when an increment violates the incremental family's
+    * globally-unique-key contract. Every incremental operator
+    * ([[dropExactDuplicatesIncremental]],
+    * [[minhashNearDuplicatesIncremental]],
+    * [[simhashNearDuplicatesIncremental]], the LSH form in
+    * `Similarity`, and [[connectedComponentsIncremental]]) assumes the
+    * increment's keys have never been seen by the store — a violated
+    * contract does not error, it silently corrupts keep-first
+    * semantics and cluster labels. Call this before an incremental
+    * step when the upstream key assignment is not trusted.
+    *
+    * SCALE SHAPE: one map-side scan of the store against the broadcast
+    * increment key set (the same shape as the incrementals' hit scan)
+    * with an early-exit take — the store is never shuffled. Pass
+    * `broadcastIncrement = false` for an increment too large to
+    * broadcast.
+    *
+    * @param storeKey the store's key column when its name differs from
+    *                 the increment's (e.g. a label store's `key`)
+    */
+  def assertDisjointKeys(increment: DataFrame, store: DataFrame,
+      key: String, storeKey: String = "",
+      broadcastIncrement: Boolean = true): Unit = {
+    val sk = if (storeKey.isEmpty) key else storeKey
+    def bc(df: DataFrame) = if (broadcastIncrement) broadcast(df) else df
+    val offenders = store.select(col(sk).as("_k"))
+      .join(bc(increment.select(col(key).as("_k")).distinct()),
+        Seq("_k"), "left_semi")
+      .take(5)
+    if (offenders.nonEmpty)
+      throw new IllegalStateException(
+        "incremental key contract violated: the increment reuses keys " +
+          s"the store already holds (first offenders: ${offenders
+            .map(_.get(0)).mkString(", ")}) — keys must be globally " +
+          "unique across batches; deduplicate the key assignment " +
+          "upstream or re-key the increment")
+  }
+
   private def validateDigestStore(store: DataFrame, key: String): Unit = {
     import org.apache.spark.sql.types.{LongType, StringType}
     for (c <- Seq(key, "_d1", "_d2"); if !store.columns.contains(c))
@@ -121,7 +159,9 @@ object Dedup {
     * batch digests (the hit set); the batch-side anti/semi joins are
     * all broadcast. The store is never shuffled and document content
     * never leaves the map side. Pass `broadcastIncrement = false` for
-    * an increment too large to broadcast.
+    * an increment too large to broadcast — and persist the store with
+    * [[saveBucketedDigestStore]] so that fallback's sort-merge hit
+    * scan still plans with no store-side shuffle.
     */
   def dropExactDuplicatesIncremental(newDocs: DataFrame,
       store: DataFrame, contentCols: Seq[String], key: String,
@@ -141,6 +181,60 @@ object Dedup {
       "left_semi")
     (kept, store.select(col(key), col("_d1"), col("_d2"))
       .unionByName(freshSigs.select(col(key), col("_d1"), col("_d2"))))
+  }
+
+  /** Persist a digest store PRE-BUCKETED on its join digest — the
+    * large-increment escape hatch for
+    * [[dropExactDuplicatesIncremental]]. The incremental's
+    * no-store-shuffle claim rides on broadcasting the increment; with
+    * `broadcastIncrement = false` (an increment too large to
+    * broadcast) the hit scan falls back to a sort-merge join that
+    * shuffles the CORPUS-scale store on every increment. A store
+    * persisted through this helper carries its hash partitioning in
+    * the catalog (`CLUSTERED BY (_d1, _d2)`), so that join plans with
+    * NO store-side Exchange (pinned in PlanShapeSpec): only the
+    * increment shuffles, to `numBuckets` partitions. The store is
+    * written `repartition(numBuckets, _d1, _d2)` first — the writer's
+    * task hash equals the bucket hash, yielding one file per bucket
+    * so the sorted-bucket metadata stays usable.
+    *
+    * Size `numBuckets` for the TARGET corpus: one bucket should be a
+    * comfortable task's worth of store (the usual ~128 MB parquet
+    * yardstick), and it cannot be changed without rewriting the store.
+    *
+    * The files are plain parquet; the bucketing lives in the session
+    * catalog. In a fresh session, re-attach with
+    * [[bucketedDigestStore]] before trusting the plan shape.
+    */
+  def saveBucketedDigestStore(store: DataFrame, table: String,
+      path: String, numBuckets: Int = 256): Unit = {
+    for (c <- Seq("_d1", "_d2"); if !store.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"digest store is missing column '$c' — expected the " +
+          "(key, _d1, _d2) relation exactSignatures produces")
+    val spark = store.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    store.repartition(numBuckets, col("_d1"), col("_d2"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "_d1", "_d2").sortBy("_d1", "_d2")
+      .option("path", path).saveAsTable(table)
+  }
+
+  /** Load (re-attaching to the session catalog if needed) a bucketed
+    * digest store written by [[saveBucketedDigestStore]]. A fresh
+    * session does not know the parquet files are bucketed until the
+    * table is declared; `numBuckets` must equal the written value or
+    * the declared partitioning is a lie and joins silently
+    * mis-cluster. */
+  def bucketedDigestStore(spark: SparkSession, table: String,
+      path: String, numBuckets: Int = 256): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val ddl = spark.read.parquet(path).schema.toDDL
+      spark.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
+        s"CLUSTERED BY (_d1, _d2) SORTED BY (_d1, _d2) " +
+        s"INTO $numBuckets BUCKETS LOCATION '$path'")
+    }
+    spark.table(table)
   }
 
   /** Word n-gram shingles of a text column (distinct, lowercased). Empty

@@ -140,12 +140,51 @@ object DedupIngest {
         .select("key", "component")
   }
 
+  /** The micro-batch key-order guard: every committed signature
+    * version carries a one-row `_keyrange` parquet (underscore-prefixed
+    * — invisible to the version's data readers) recording its min/max
+    * key; a new batch's min key must exceed the max over all committed
+    * ranges, enforcing the monotonically-increasing-unique-key contract
+    * the whole incremental family rides on WITHOUT ever scanning the
+    * store (metadata-sized: one tiny file per version, two one-row
+    * aggregates). Versions written before this guard existed carry no
+    * range and are skipped — best-effort for pre-existing stores. A
+    * null comparison (empty batch, or an all-null range) skips the
+    * check, mirroring SQL predicate semantics. */
+  private def enforceKeyOrderGuard(batch: DataFrame, batchId: Long,
+      storeRoot: String, key: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rangeDirs = committedVersions(spark, s"$storeRoot/sig", batchId)
+      .map(v => s"$storeRoot/sig/v=$v/_keyrange")
+      .filter(d => fs.exists(new Path(d, "_SUCCESS")))
+    if (rangeDirs.nonEmpty) {
+      val viol = spark.read.parquet(rangeDirs: _*)
+        .agg(max(col("maxKey")).as("_storeMax"))
+        .crossJoin(batch.agg(min(col(key)).as("_batchMin")))
+        .filter(col("_batchMin") <= col("_storeMax"))
+        .collect()
+      if (viol.nonEmpty)
+        throw new IllegalStateException(
+          s"key-order contract violated: batch $batchId min key " +
+            s"${viol(0).get(1)} does not exceed the store's max key " +
+            s"${viol(0).get(0)} — keys must be globally unique and " +
+            "monotonically increasing across batches (the keep-first " +
+            "contract; see DedupIngest.start); pass enforceKeyOrder = " +
+            "false to disable the guard")
+    }
+  }
+
   /** One micro-batch, exposed for direct testing of idempotence. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       storeRoot: String, keptDir: String, textCol: String, key: String,
       numHashes: Int, bands: Int, shingleSize: Int, threshold: Double,
-      seed: Long, maxBucketSize: Long): Unit = {
+      seed: Long, maxBucketSize: Long,
+      enforceKeyOrder: Boolean = true): Unit = {
     val spark = batch.sparkSession
+    if (enforceKeyOrder)
+      enforceKeyOrderGuard(batch, batchId, storeRoot, key)
     val sigStore = loadSignatureStore(spark, storeRoot, batch, textCol,
       key, below = batchId)
     val labelStore = loadLabelStore(spark, storeRoot, batch, key,
@@ -168,6 +207,11 @@ object DedupIngest {
     Dedup.minhashSignatures(batch, textCol, key, numHashes, bands,
         shingleSize, seed)
       .write.mode("overwrite").parquet(s"$storeRoot/sig/v=$batchId")
+    // the guard sidecar rides after the data commit: a crash between
+    // the two leaves a committed version the guard merely skips
+    batch.agg(min(col(key)).as("minKey"), max(col(key)).as("maxKey"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeRoot/sig/v=$batchId/_keyrange")
     changed.write.mode("overwrite")
       .parquet(s"$storeRoot/labels/v=$batchId")
     kept.write.mode("overwrite")
@@ -177,14 +221,21 @@ object DedupIngest {
   /** Start the ingest query. `docs` is any streaming DataFrame carrying
     * `textCol` and a globally-unique `key` assigned monotonically
     * increasing across batches (the keep-first contract — see
-    * QUICKSTART.md). The minhash knobs mirror
+    * QUICKSTART.md). That contract is ENFORCED per batch by default
+    * via metadata-sized version key ranges (see
+    * [[enforceKeyOrderGuard]]) — a violated contract would not error,
+    * it would silently corrupt keep-first semantics and cluster
+    * labels; pass `enforceKeyOrder = false` only when the upstream key
+    * assignment is trusted and the two tiny per-batch aggregates
+    * matter. The minhash knobs mirror
     * [[Dedup.minhashNearDuplicates]].
     */
   def start(docs: DataFrame, textCol: String, key: String,
       storeRoot: String, keptDir: String, checkpointDir: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.9, seed: Long = 42,
-      maxBucketSize: Long = 10000): StreamingQuery = {
+      maxBucketSize: Long = 10000,
+      enforceKeyOrder: Boolean = true): StreamingQuery = {
     require(docs.isStreaming,
       "DedupIngest.start needs a streaming DataFrame — for batch data " +
         "use the QUICKSTART.md loop over the incremental operators")
@@ -195,7 +246,8 @@ object DedupIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storeRoot, keptDir, textCol, key,
-          numHashes, bands, shingleSize, threshold, seed, maxBucketSize)
+          numHashes, bands, shingleSize, threshold, seed, maxBucketSize,
+          enforceKeyOrder)
       }
       .start()
   }
@@ -294,6 +346,18 @@ object DedupIngest {
         val target = new Path(s"$famDir/v=$vInto")
         resolve(spark.read.parquet(dirs(storeRoot, family, group): _*))
           .write.mode("overwrite").parquet(staging.toString)
+        // carry the key-order guard's range sidecars through the fold
+        // (union of whichever sources have one — a missing source range
+        // was unguarded anyway, and understating never false-positives)
+        val srcRanges = group
+          .map(v => s"$famDir/v=$v/_keyrange")
+          .filter(d => fs.exists(new Path(d, "_SUCCESS")))
+        if (srcRanges.nonEmpty)
+          spark.read.parquet(srcRanges: _*)
+            .agg(min(col("minKey")).as("minKey"),
+              max(col("maxKey")).as("maxKey"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new Path(staging, "_keyrange").toString)
         fs.delete(target, true)
         if (!fs.rename(staging, target) && !fs.exists(target))
           throw new IllegalStateException(

@@ -210,6 +210,36 @@ class DedupIngestSpec extends SparkTestBase {
     assert(after == total, s"full fold changed the store: $after")
   }
 
+  test("the key-order guard fails fast on a batch that reuses or " +
+      "precedes committed keys") {
+    val storeRoot = Files.createTempDirectory("graft-ingest-k").toString
+    val keptDir = Files.createTempDirectory("graft-ingest-kk").toString
+    def run(rows: Seq[(Long, String)], id: Long,
+        enforce: Boolean = true) =
+      DedupIngest.processBatch(rows.toDF("doc_id", "text"), id,
+        storeRoot, keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000,
+        enforceKeyOrder = enforce)
+    run(batches.head, 0L)
+    // key 2 was committed by batch 0 — a re-used key must fail before
+    // any store/dedup work happens
+    val reuse = intercept[IllegalStateException] {
+      run(Seq((2L, "smuggled duplicate key")), 1L)
+    }
+    assert(reuse.getMessage.contains("key-order"), reuse.getMessage)
+    // a stale-but-unseen key below the committed max also fails (the
+    // contract is monotone, not merely unique)
+    val stale = intercept[IllegalStateException] {
+      run(Seq((3L, "never seen but below the high-water mark")), 1L)
+    }
+    assert(stale.getMessage.contains("key-order"), stale.getMessage)
+    // the opt-out lets a trusted pipeline skip the two aggregates
+    run(Seq((2L, "explicitly waved through")), 1L, enforce = false)
+    // a valid successor batch passes, and a retry of it (reading only
+    // versions below its own id) still passes
+    run(batches(1), 2L)
+    run(batches(1), 2L)
+  }
+
   test("start validates its inputs loudly") {
     val notStreaming = intercept[IllegalArgumentException] {
       DedupIngest.start(batches.head.toDF("doc_id", "text"), "text",

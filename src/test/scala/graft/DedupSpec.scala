@@ -646,6 +646,25 @@ class DedupSpec extends SparkTestBase {
     assert(store.count() == 6) // x y null z "" w
   }
 
+  test("assertDisjointKeys flags an increment that reuses store keys " +
+      "and stays quiet on a disjoint one") {
+    val store = Dedup.exactSignatures(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text"),
+      Seq("text"), "doc_id")
+    val clash = Seq((2L, "x"), (9L, "y")).toDF("doc_id", "text")
+    val err = intercept[IllegalStateException] {
+      Dedup.assertDisjointKeys(clash, store, "doc_id")
+    }
+    assert(err.getMessage.contains("2"), err.getMessage)
+    Dedup.assertDisjointKeys(
+      Seq((9L, "y")).toDF("doc_id", "text"), store, "doc_id")
+    // storeKey covers stores whose key column is named differently
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("key", "component")
+    intercept[IllegalStateException] {
+      Dedup.assertDisjointKeys(clash, labels, "doc_id", storeKey = "key")
+    }
+  }
+
   test("exactSignatures validates the digest store loudly") {
     val missing = intercept[IllegalArgumentException] {
       Dedup.dropExactDuplicatesIncremental(docs,

@@ -280,6 +280,53 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("incremental exact dedup over a bucketed store: a non-broadcast " +
+      "increment still plans no store-side shuffle") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val store0 = graft.operators.Dedup.exactSignatures(
+      Tables.docs.filter(col("doc_id") < 500).select("doc_id", "text"),
+      Seq("text"), "doc_id")
+    graft.operators.Dedup.saveBucketedDigestStore(store0,
+      "graft_bucketed_digest_test", s"$tmp/store", numBuckets = 8)
+    // reload through the re-attach path (drops to the CREATE TABLE
+    // branch in a fresh session; here it just reads the catalog)
+    val store = graft.operators.Dedup.bucketedDigestStore(spark,
+      "graft_bucketed_digest_test", s"$tmp/store", numBuckets = 8)
+    val newDocs = Tables.docs
+      .filter(col("doc_id") >= 500 && col("doc_id") < 540)
+      .select("doc_id", "text")
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val (kept, _) =
+        graft.operators.Dedup.dropExactDuplicatesIncremental(
+          newDocs, store, Seq("text"), "doc_id",
+          broadcastIncrement = false)
+      val plan = kept.queryExecution.executedPlan
+      // the hit scan must sort-merge against the bucketed store scan
+      // DIRECTLY — any Exchange on the store side means the catalog's
+      // CLUSTERED BY was not honored and the corpus shuffles per batch
+      def bucketedNoShuffle(side: SparkPlan): Boolean =
+        side.collect { case s: FileSourceScanExec
+          if s.relation.bucketSpec.isDefined => s }.nonEmpty &&
+        side.collect { case e: ShuffleExchangeExec => e }.isEmpty
+      val hitJoins = plan.collect { case j: SortMergeJoinExec
+        if bucketedNoShuffle(j.left) || bucketedNoShuffle(j.right) => j }
+      assert(hitJoins.nonEmpty,
+        s"no shuffle-free bucketed store side found in:\n$plan")
+      // and the plan change is not a semantics change: same keep-set
+      // as the plain-parquet store path
+      val (keptPlain, _) =
+        graft.operators.Dedup.dropExactDuplicatesIncremental(
+          newDocs, store0, Seq("text"), "doc_id")
+      assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        keptPlain.select("doc_id").collect().map(_.getLong(0)).toSet)
+    }
+  }
+
   test("q41: IVF assignment is an argmin aggregation with map-side combine") {
     // the round-4 redesign: centroid assignment as min(struct(...)) — a
     // partial aggregation BEFORE the shuffle means the exchange carries one
