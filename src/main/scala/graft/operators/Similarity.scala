@@ -446,13 +446,52 @@ object Similarity {
     * (an empty-assigned index extension IS the delta). Centroid
     * quality degrades as the corpus drifts from the one the centroids
     * were trained on — recall the recall@k curve is a function of how
-    * well lists partition the data; rebuild with fresh
-    * [[kmeansCentroids]] when drift accumulates.
+    * well lists partition the data; measure each batch with
+    * [[assignmentDrift]] against the build-time row and rebuild with
+    * fresh [[kmeansCentroids]] when it climbs.
     */
   def extendIvfIndex(index: IvfIndex, newDocs: DataFrame, embCol: String,
       key: String): IvfIndex =
     IvfIndex(index.centroids, index.assigned.unionByName(
       assignTo(index.centroids, newDocs, embCol, key)))
+
+  /** The drift number the [[extendIvfIndex]] doc promises: the
+    * distribution of assigned-centroid cosine distances
+    * (`1 − dot(emb, cv)/(|emb|·|cv|)`, for the centroid the argmin
+    * assignment picks) over `docs`, as a one-row
+    * (`count`, `mean_dist`, `p95_dist`) DataFrame.
+    *
+    * Usage: record it once over the build corpus, then per extension
+    * batch — a batch whose mean/p95 sits well above the build-time row
+    * is drifting off the trained lists (recall@nprobe degrades even
+    * though extension itself stays exact), which is the signal to
+    * rebuild centroids with [[kmeansCentroids]].
+    *
+    * SCALE SHAPE: the same broadcast argmin aggregate as assignment —
+    * but narrower (the shuffle carries the winning (distance, norms)
+    * per key, never the embedding) — followed by a one-row global
+    * aggregate; zero-norm embeddings yield null distances and are
+    * ignored by the aggregates, matching cosine's undefinedness there.
+    */
+  def assignmentDrift(centroids: DataFrame, docs: DataFrame,
+      embCol: String, key: String): DataFrame = {
+    val cents = broadcast(centroids.withColumn("_cvn", norm(col("_cv"))))
+    docs
+      .select(col(key), asDouble(col(embCol)).as("_emb"),
+        norm(col(embCol)).as("_n"))
+      .join(cents)
+      .withColumn("_d", -dot(col("_emb"), col("_cv")))
+      .groupBy(col(key))
+      .agg(min(struct(col("_d"), col("_cid"), col("_n"), col("_cvn")))
+        .as("_best"))
+      .select((lit(1.0) + col("_best._d")
+        / when(col("_best._n") * col("_best._cvn") > 0,
+          col("_best._n") * col("_best._cvn"))).as("_dist"))
+      .agg(count(col("_dist")).as("count"),
+        avg(col("_dist")).as("mean_dist"),
+        percentile_approx(col("_dist"), lit(0.95), lit(10000))
+          .as("p95_dist"))
+  }
 
   /** Serve one query batch against a prebuilt (usually loaded) index —
     * identical results to the corpus-building overload at the same

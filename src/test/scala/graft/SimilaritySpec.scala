@@ -431,4 +431,38 @@ class SimilaritySpec extends SparkTestBase {
       "append-delta persisted index diverged")
     assert(reloaded.assigned.count() == corpus.count())
   }
+
+  test("assignmentDrift flags an extension batch that left the trained " +
+      "distribution") {
+    // centroids trained on the 4 orthogonal clusters; an in-distribution
+    // batch sits near its assigned centroid, a batch on an axis no
+    // cluster occupies does not
+    val corpus = clusteredCorpus(25)
+    val idx = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+      nlist = 4, kmeansIters = 5)
+    def drift(df: org.apache.spark.sql.DataFrame): (Long, Double, Double) =
+      Similarity.assignmentDrift(idx.centroids, df, "embedding", "vec_id")
+        .as[(Long, Double, Double)].collect().head
+    val (bn, bMean, bP95) = drift(corpus) // the build-time row
+    val inDist = clusteredCorpus(5)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val (_, iMean, iP95) = drift(inDist)
+    // dims 13-15 are occupied by no cluster axis (axes sit at 0,4,8,12)
+    val drifted = (0 until 20).map(i =>
+      ((20000 + i).toLong, Seq.tabulate(16)(j =>
+        if (j == 13 + i % 3) 10.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (dn, dMean, dP95) = drift(drifted)
+    info(f"build mean/p95 $bMean%.4f/$bP95%.4f, in-dist $iMean%.4f, " +
+      f"drifted $dMean%.4f/$dP95%.4f")
+    assert(bn == 100L && dn == 20L)
+    // in-distribution extension reads like the build corpus...
+    assert(iMean < bP95 * 1.5,
+      f"in-distribution batch flagged: $iMean%.4f vs build p95 $bP95%.4f")
+    // ...the drifted batch is unmistakably above it
+    assert(dMean > bP95 * 2 && dP95 > bP95 * 2,
+      f"drifted batch not flagged: mean $dMean%.4f p95 $dP95%.4f vs " +
+        f"build p95 $bP95%.4f")
+    assert(iP95 <= dMean, "ordering sanity")
+  }
 }
