@@ -396,6 +396,88 @@ class ScaleStressSpec extends SparkTestBase {
         s"$exBytes1 -> $exBytes10")
   }
 
+  test("ingest per-batch cost vs version-history width: wide label " +
+      "history taxes every batch; compaction returns it to the floor") {
+    import graft.streaming.DedupIngest
+    // Same LIVE store content throughout — n signature rows, n live
+    // labels; only the version-history SHAPE varies. Histories are
+    // synthesized directly (the reader cost under test is a function
+    // of the directories on disk, not of how they accrued): the first
+    // label version carries the live mapping, each later version the
+    // churn rows a relabel-heavy batch leaves behind, which the
+    // latest-per-key reconstruction must shuffle on EVERY subsequent
+    // batch until compaction folds them away.
+    val n = 50000L
+    val churnPerVersion = 10000L
+    def docsDf(count: Long, off: Long) = spark.range(count)
+      .select((col("id") + off).as("doc_id"),
+        concat_ws(" ", (1 to 12).map(j =>
+          concat(lit(s"w${j}x"), col("id") + off)): _*).as("text"))
+    val sigs = Dedup.minhashSignatures(docsDf(n, 0), "text", "doc_id")
+      .localCheckpoint(true)
+    def buildStore(root: String, width: Int): Unit =
+      for (v <- 1 to width) {
+        sigs.filter(col("doc_id") % width === (v - 1))
+          .write.mode("overwrite").parquet(s"$root/sig/v=$v")
+        val delta =
+          if (v == 1) spark.range(n).select(col("id").as("key"),
+            col("id").as("component"), lit(1L).as("_v"))
+          else spark.range(churnPerVersion).select(
+            ((col("id") * 31 + v) % n).as("key"),
+            ((col("id") * 31 + v) % n).as("component"),
+            lit(v.toLong).as("_v"))
+        delta.write.mode("overwrite").parquet(s"$root/labels/v=$v")
+      }
+    val batch = docsDf(500, 10000000L).localCheckpoint(true)
+    def run(root: String, what: String) = measured(what) {
+      DedupIngest.processBatch(batch, 1000L, root, s"$root/kept",
+        "text", "doc_id", 64, 16, 3, 0.7, 42, 10000)
+    }
+    def labelHistoryRows(root: String): Long = spark.read.parquet(
+      new java.io.File(s"$root/labels").listFiles()
+        .filter(f => f.getName.startsWith("v=") && f.getName != "v=1000")
+        .map(_.toString): _*).count()
+    def mkRoot(tag: String) =
+      java.nio.file.Files.createTempDirectory(tag).toString
+    val floorRoot = mkRoot("graft-ing-floor")
+    val midRoot = mkRoot("graft-ing-mid")
+    val wideRoot = mkRoot("graft-ing-wide")
+    buildStore(floorRoot, 2)
+    buildStore(midRoot, 10)
+    buildStore(wideRoot, 100)
+    info(s"label history rows: floor(2v)=${labelHistoryRows(floorRoot)} " +
+      s"mid(10v)=${labelHistoryRows(midRoot)} " +
+      s"wide(100v)=${labelHistoryRows(wideRoot)}")
+    val (_, floorSec, floorBytes) = run(floorRoot, "batch vs 2 versions")
+    val (_, midSec, midBytes) = run(midRoot, "batch vs 10 versions")
+    val (_, wideSec, wideBytes) = run(wideRoot, "batch vs 100 versions")
+    // the width tax is real and visible: the wide history's extra ~1M
+    // churn rows ride the per-batch reconstruction shuffle
+    assert(wideBytes > floorBytes * 13 / 10,
+      s"expected the 100-version history to tax the batch's shuffle: " +
+        s"$floorBytes -> $wideBytes")
+    val (folds, compactSec, compactBytes) =
+      measured("compactStores over 100 versions") {
+        DedupIngest.compactStores(spark, wideRoot,
+          sizeRatio = Double.PositiveInfinity)
+      }
+    assert(folds.nonEmpty)
+    info(s"post-compaction label history rows: " +
+      s"${labelHistoryRows(wideRoot)}")
+    val (_, postSec, postBytes) =
+      run(wideRoot, "batch vs compacted store")
+    // the floor is restored: per-batch cost is the 2-version shape
+    // again, not the 100-version one
+    assert(postBytes < floorBytes * 13 / 10,
+      s"compaction must return the per-batch shuffle to the floor: " +
+        s"floor=$floorBytes wide=$wideBytes post=$postBytes")
+    info(f"ingest width tax: floor $floorSec%.2f s/${floorBytes / 1e6}%.1f MB, " +
+      f"mid $midSec%.2f s/${midBytes / 1e6}%.1f MB, " +
+      f"wide $wideSec%.2f s/${wideBytes / 1e6}%.1f MB, " +
+      f"compact $compactSec%.2f s/${compactBytes / 1e6}%.1f MB, " +
+      f"post $postSec%.2f s/${postBytes / 1e6}%.1f MB")
+  }
+
   /** Deterministic synthetic corpus over a Zipf-distributed ~10k-token
     * vocabulary — the de-degenerated counterpart of the concentrated
     * real-fixture corpus above: with this much vocabulary, distinct
