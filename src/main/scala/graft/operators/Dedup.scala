@@ -183,6 +183,102 @@ object Dedup {
       .unionByName(freshSigs.select(col(key), col("_d1"), col("_d2"))))
   }
 
+  /** Build a Bloom-filter sidecar over a digest store's `_d2` hashes —
+    * the membership summary that lets
+    * [[dropExactDuplicatesIncrementalBloomed]] answer "definitely
+    * fresh" for most of a batch WITHOUT any store I/O. At corpus scale
+    * the plain incremental's hit scan reads the whole digest store
+    * once per batch (map-side, but still O(store) bytes off disk); the
+    * sidecar is ~1.2 bytes × `ln(1/fpp)/ln²2` per stored doc (about
+    * 1.2 GB for 10⁹ docs at 1% fpp) and lives in memory, so only the
+    * bloom-positive sliver of a batch ever consults the store.
+    *
+    * `expectedItems` must cover the STORE'S EVENTUAL size (the filter
+    * cannot be resized; overshooting only costs bits). Extend with
+    * [[extendDigestBloom]] as increments commit, persist with
+    * [[saveDigestBloom]]/[[loadDigestBloom]].
+    */
+  def digestBloom(store: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    // stat.bloomFilter NPEs on zero rows (null aggregate buffer) — the
+    // empty bootstrap store starts from a blank filter instead
+    if (store.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    else store.stat.bloomFilter("_d2", expectedItems, fpp)
+
+  /** Fold an increment's digests into an existing sidecar (in place,
+    * and returned for chaining). Increment-sized: the digests stream
+    * through the driver — the filter lives there anyway. */
+  def extendDigestBloom(bloom: org.apache.spark.util.sketch.BloomFilter,
+      newSigs: DataFrame): org.apache.spark.util.sketch.BloomFilter = {
+    val it = newSigs.select(col("_d2")).distinct().toLocalIterator()
+    while (it.hasNext) bloom.putLong(it.next().getLong(0))
+    bloom
+  }
+
+  def saveDigestBloom(spark: SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  def loadDigestBloom(spark: SparkSession,
+      path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  /** [[dropExactDuplicatesIncremental]] behind a Bloom sidecar: the
+    * batch's digests are first split by `bloom` membership — the
+    * definitely-fresh majority (no false negatives: the sidecar must
+    * cover every digest in the store, the contract
+    * [[digestBloom]]/[[extendDigestBloom]] maintain; supersets are
+    * safe) skips the store entirely, and only the bloom-positive
+    * sliver (true duplicates + `fpp` of the fresh) is confirmed
+    * against the store's hit scan. When a batch has NO positives —
+    * the common case for genuinely novel crawl data — the store is
+    * never read at all, which is the point: per-batch store I/O drops
+    * from O(store) to O(positives' confirmation), at the price of a
+    * memory-resident sidecar broadcast to executors.
+    *
+    * Returns `(kept, updated store, the same bloom extended with the
+    * kept signatures)`. Keep-sets are IDENTICAL to the plain
+    * incremental — the bloom only ever short-circuits negatives.
+    */
+  def dropExactDuplicatesIncrementalBloomed(newDocs: DataFrame,
+      store: DataFrame, bloom: org.apache.spark.util.sketch.BloomFilter,
+      contentCols: Seq[String], key: String,
+      broadcastIncrement: Boolean = true)
+      : (DataFrame, DataFrame, org.apache.spark.util.sketch.BloomFilter) = {
+    validateDigestStore(store, key)
+    def bc(df: DataFrame) = if (broadcastIncrement) broadcast(df) else df
+    val spark = newDocs.sparkSession
+    val bcBloom = spark.sparkContext.broadcast(bloom)
+    val might = udf((d2: Long) => bcBloom.value.mightContainLong(d2))
+    val newSigs = exactSignatures(newDocs, contentCols, key)
+      .localCheckpoint(false)
+    val suspect = newSigs.filter(might(col("_d2")))
+      .localCheckpoint(false)
+    val freshSigs =
+      if (suspect.isEmpty) newSigs // zero positives: NO store access
+      else {
+        val hit = store.join(bc(suspect.select("_d1", "_d2")),
+          Seq("_d1", "_d2")).select(col("_d1"), col("_d2"))
+        newSigs.join(bc(hit), Seq("_d1", "_d2"), "left_anti")
+      }
+    val kept = newDocs.join(bc(freshSigs.select(key)), Seq(key),
+      "left_semi")
+    (kept, store.select(col(key), col("_d1"), col("_d2"))
+      .unionByName(freshSigs.select(col(key), col("_d1"), col("_d2"))),
+      extendDigestBloom(bloom, freshSigs))
+  }
+
   /** Persist a digest store PRE-BUCKETED on its join digest — the
     * large-increment escape hatch for
     * [[dropExactDuplicatesIncremental]]. The incremental's

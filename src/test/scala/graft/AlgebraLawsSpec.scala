@@ -416,15 +416,26 @@ class AlgebraLawsSpec extends SparkTestBase {
         def batchRun = Dedup.connectedComponents(df)
           .as[(Long, Long)].collect().toSet
         var store = Dedup.connectedComponents(df.limit(0))
+        // the DELTA form threaded in parallel as an override-merged
+        // shadow map — per batch it must land on exactly the same
+        // relation as the full form
+        var shadow = Map.empty[Long, Long]
         for (i <- 0 until k) {
           val b = edges.zip(assign).collect { case (e, a) if a == i => e }
           val bdf =
             if (b.isEmpty) df.limit(0) else b.toDF("key_a", "key_b")
+          val shadowDf =
+            if (shadow.isEmpty) Dedup.connectedComponents(df.limit(0))
+            else shadow.toSeq.toDF("key", "component")
+          val delta = Dedup.connectedComponentsIncrementalDelta(
+            shadowDf, bdf).as[(Long, Long)].collect().toMap
+          shadow = shadow ++ delta
           store = Dedup.connectedComponentsIncremental(store, bdf)
             .localCheckpoint(false)
         }
-        store.as[(Long, Long)].collect().toSet == batchRun
-    }, cases = 20) // K+1 component solves per case
+        val full = store.as[(Long, Long)].collect().toSet
+        full == batchRun && shadow.toSet == full
+    }, cases = 20) // 2K+1 component solves per case
   }
 
   private val incExactGen = for {

@@ -646,6 +646,57 @@ class DedupSpec extends SparkTestBase {
     assert(store.count() == 6) // x y null z "" w
   }
 
+  test("bloomed incremental exact dedup: keep-sets identical to the " +
+      "plain incremental; a definitely-fresh batch never reads the " +
+      "store; the sidecar round-trips through disk") {
+    val batches = Seq(
+      Seq((1L, "x"), (2L, "y"), (3L, "x")),
+      Seq((11L, "x"), (12L, "z")),
+      Seq((21L, "z"), (22L, "w"), (23L, "y")))
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+    val empty = df(batches.head).limit(0)
+    var store = Dedup.exactSignatures(empty, Seq("text"), "doc_id")
+    var storeB = store
+    var bloom = Dedup.digestBloom(storeB, expectedItems = 100)
+    for (b <- batches) {
+      val (kept, updated) = Dedup.dropExactDuplicatesIncremental(
+        df(b), store, Seq("text"), "doc_id")
+      val (keptB, updatedB, bloomB) =
+        Dedup.dropExactDuplicatesIncrementalBloomed(
+          df(b), storeB, bloom, Seq("text"), "doc_id")
+      def ids(d: org.apache.spark.sql.DataFrame) =
+        d.select("doc_id").as[Long].collect().toSet
+      assert(ids(keptB) == ids(kept),
+        s"bloomed keep-set diverged on batch $b")
+      store = updated.localCheckpoint(false)
+      storeB = updatedB.localCheckpoint(false)
+      bloom = bloomB
+    }
+    // the sidecar survives persistence with its membership intact
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom")
+    Dedup.saveDigestBloom(spark, bloom, s"$dir/bloom.bin")
+    val loaded = Dedup.loadDigestBloom(spark, s"$dir/bloom.bin")
+    val d2s = storeB.select("_d2").as[Long].collect()
+    assert(d2s.nonEmpty && d2s.forall(loaded.mightContainLong),
+      "loaded sidecar lost store digests (false negatives)")
+    // the zero-positive shortcut, proven: a store whose evaluation
+    // THROWS is schema-valid, and a batch the (empty) sidecar has
+    // never seen must dedup without ever executing it
+    val boom = udf { (l: Long) =>
+      if (l != Long.MinValue) throw new RuntimeException("store was read")
+      l
+    }
+    val poison = Seq((1L, "d", 7L)).toDF("doc_id", "_d1", "_d2")
+      .filter(boom(col("_d2")) === col("_d2"))
+    val (freshKept, _, _) = Dedup.dropExactDuplicatesIncrementalBloomed(
+      df(Seq((31L, "totally new content"))), poison,
+      Dedup.digestBloom(Dedup.exactSignatures(empty, Seq("text"),
+        "doc_id"), expectedItems = 10),
+      Seq("text"), "doc_id")
+    assert(freshKept.select("doc_id").as[Long].collect().toSet ==
+      Set(31L), "fresh batch must keep everything without store I/O")
+  }
+
   test("assertDisjointKeys flags an increment that reuses store keys " +
       "and stays quiet on a disjoint one") {
     val store = Dedup.exactSignatures(
