@@ -26,6 +26,9 @@ import graft.operators.Dedup
   *     each row carrying `_v = batchId`; the live store is
   *     latest-version-per-key over all committed versions (labels are
   *     not append-only — a bridge batch relabels old clusters)
+  *   - `exact/v=<batchId>/`  — with `exactPrefilter = true`, the
+  *     batch's FRESH content digests (append-only), so verbatim
+  *     re-crawls drop before any shingling
   * A version counts only once its `_SUCCESS` marker exists, so
   * half-written attempts are invisible to readers.
   *
@@ -122,6 +125,20 @@ object DedupIngest {
       .parquet(dirs(storeRoot, "sig", vs): _*)
   }
 
+  /** The live exact-digest store (the optional prefilter family) from
+    * all committed deltas below `below`; schema-pinned like the
+    * signature store. */
+  private[graft] def loadExactStore(spark: SparkSession,
+      storeRoot: String, batchLike: DataFrame, textCol: String,
+      key: String, below: Long = Long.MaxValue): DataFrame = {
+    val empty = Dedup.exactSignatures(batchLike.limit(0), Seq(textCol),
+      key)
+    val vs = committedVersions(spark, s"$storeRoot/exact", below)
+    if (vs.isEmpty) empty
+    else spark.read.schema(empty.schema)
+      .parquet(dirs(storeRoot, "exact", vs): _*)
+  }
+
   /** The live label store: latest-version-per-key over all committed
     * deltas below `below`. */
   private[graft] def loadLabelStore(spark: SparkSession,
@@ -181,16 +198,37 @@ object DedupIngest {
       storeRoot: String, keptDir: String, textCol: String, key: String,
       numHashes: Int, bands: Int, shingleSize: Int, threshold: Double,
       seed: Long, maxBucketSize: Long,
-      enforceKeyOrder: Boolean = true): Unit = {
+      enforceKeyOrder: Boolean = true,
+      exactPrefilter: Boolean = false): Unit = {
     val spark = batch.sparkSession
     if (enforceKeyOrder)
       enforceKeyOrderGuard(batch, batchId, storeRoot, key)
+    // optional stage 0: drop verbatim re-crawls against the digest
+    // store BEFORE any shingling — exact dups are the common case in
+    // re-crawl traffic and shingling them is pure waste; a dropped
+    // doc's near-dup future matches still work because its identical
+    // original already sits in the signature store. The `exact/`
+    // family is append-only fresh digests, batchId-addressed like the
+    // others (idempotent under redelivery).
+    val work =
+      if (!exactPrefilter) batch
+      else {
+        val exactStore = loadExactStore(spark, storeRoot, batch,
+          textCol, key, below = batchId)
+        val (exactKept, _) = Dedup.dropExactDuplicatesIncremental(
+          batch, exactStore, Seq(textCol), key)
+        val ek = exactKept.localCheckpoint(false)
+        Dedup.exactSignatures(ek, Seq(textCol), key)
+          .write.mode("overwrite")
+          .parquet(s"$storeRoot/exact/v=$batchId")
+        ek
+      }
     val sigStore = loadSignatureStore(spark, storeRoot, batch, textCol,
       key, below = batchId)
     val labelStore = loadLabelStore(spark, storeRoot, batch, key,
       below = batchId)
     val (pairs, _) = Dedup.minhashNearDuplicatesIncremental(
-      batch, sigStore, textCol, key, numHashes, bands, shingleSize,
+      work, sigStore, textCol, key, numHashes, bands, shingleSize,
       threshold, seed, cacheSignatures = true, maxBucketSize)
     // the delta form hands back exactly the rows to persist — a full
     // updated relation would need a corpus×corpus comparison join
@@ -199,12 +237,12 @@ object DedupIngest {
         pairs.localCheckpoint(false))
       .select(col("key"), col("component"), lit(batchId).as("_v"))
       .localCheckpoint(false)
-    val kept = batch.join(
+    val kept = work.join(
       changed.filter(col("component") =!= col("key"))
         .select(col("key").as(key)), Seq(key), "left_anti")
-    // all three outputs are batchId-addressed wholesale overwrites —
-    // see the exactly-once note in the object doc
-    Dedup.minhashSignatures(batch, textCol, key, numHashes, bands,
+    // all outputs are batchId-addressed wholesale overwrites — see the
+    // exactly-once note in the object doc
+    Dedup.minhashSignatures(work, textCol, key, numHashes, bands,
         shingleSize, seed)
       .write.mode("overwrite").parquet(s"$storeRoot/sig/v=$batchId")
     // the guard sidecar rides after the data commit: a crash between
@@ -235,7 +273,8 @@ object DedupIngest {
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.9, seed: Long = 42,
       maxBucketSize: Long = 10000,
-      enforceKeyOrder: Boolean = true): StreamingQuery = {
+      enforceKeyOrder: Boolean = true,
+      exactPrefilter: Boolean = false): StreamingQuery = {
     require(docs.isStreaming,
       "DedupIngest.start needs a streaming DataFrame — for batch data " +
         "use the QUICKSTART.md loop over the incremental operators")
@@ -247,7 +286,7 @@ object DedupIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storeRoot, keptDir, textCol, key,
           numHashes, bands, shingleSize, threshold, seed, maxBucketSize,
-          enforceKeyOrder)
+          enforceKeyOrder, exactPrefilter)
       }
       .start()
   }
@@ -370,6 +409,7 @@ object DedupIngest {
     }
 
     compact("sig", _.dropDuplicates()) ++
+      compact("exact", _.dropDuplicates()) ++
       compact("labels", df => graft.operators.AggOps.latestByKey(df,
         Seq("key"), "_v", Seq("component"))
         .select(col("key"), col("component"), col("_v")))

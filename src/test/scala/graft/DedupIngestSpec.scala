@@ -210,6 +210,49 @@ class DedupIngestSpec extends SparkTestBase {
     assert(after == total, s"full fold changed the store: $after")
   }
 
+  test("exact prefilter: verbatim re-crawls drop before shingling, " +
+      "the exact store accumulates fresh digests across batches, " +
+      "redelivery is idempotent, and compaction folds the family") {
+    val storeRoot = Files.createTempDirectory("graft-ingest-x").toString
+    val keptDir = Files.createTempDirectory("graft-ingest-xk").toString
+    def run(b: Seq[(Long, String)], id: Long) =
+      DedupIngest.processBatch(b.toDF("doc_id", "text"), id, storeRoot,
+        keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000,
+        enforceKeyOrder = true, exactPrefilter = true)
+    for ((b, i) <- batches.zipWithIndex) run(b, i.toLong)
+    def keptByBatch(): Map[Long, Set[Long]] =
+      spark.read.parquet(keptDir)
+        .select($"ingest_batch".cast("long"), $"doc_id")
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (b, r) => b -> r.map(_._2).toSet }
+    // identical keep-sets to the minhash-only loop: the exact stage
+    // catches the verbatim A re-crawl (101) a shingle pass would have
+    // caught anyway, just without paying for the shingles
+    val expected = Map(
+      0L -> Set(1L, 2L, 3L, 4L),
+      1L -> Set(103L, 104L),
+      2L -> Set(202L))
+    assert(keptByBatch() == expected, s"keep-sets: ${keptByBatch()}")
+    def exactRows() = DedupIngest.loadExactStore(spark, storeRoot,
+      batches.head.toDF("doc_id", "text"), "text", "doc_id").count()
+    // 4 + 3 + 3 fresh digests (the duplicate A digest committed once)
+    assert(exactRows() == 10L, s"exact store rows: ${exactRows()}")
+    run(batches(2), 2L) // redelivery
+    assert(keptByBatch() == expected && exactRows() == 10L,
+      "retry changed the prefilter outputs")
+    DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    def versionDirs(family: String) =
+      new java.io.File(s"$storeRoot/$family").listFiles()
+        .filter(_.getName.startsWith("v=")).map(_.getName).toSet
+    assert(versionDirs("exact") == Set("v=1", "v=2"),
+      s"exact versions after compaction: ${versionDirs("exact")}")
+    assert(exactRows() == 10L && keptByBatch() == expected,
+      "compaction changed the prefilter store")
+    run(batches(2), 2L) // post-compaction retry still sees the history
+    assert(keptByBatch() == expected && exactRows() == 10L)
+  }
+
   test("the key-order guard fails fast on a batch that reuses or " +
       "precedes committed keys") {
     val storeRoot = Files.createTempDirectory("graft-ingest-k").toString
