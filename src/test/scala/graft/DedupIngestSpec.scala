@@ -283,6 +283,61 @@ class DedupIngestSpec extends SparkTestBase {
     run(batches(1), 2L)
   }
 
+  test("fuzz: random compaction schedules and ratios are invisible — " +
+      "keep-sets, labels, and signatures match an uncompacted twin") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // content pool with planted exact and near duplicates; keys
+      // monotone across batches per the contract
+      val pool = Vector(A, B, bNear, C, cNear, F1, F2, F3) ++
+        (1 to 6).map(i => words(s"solo$i").mkString(" "))
+      var nextKey = 1L
+      val fuzzBatches = (0 until 6).map { _ =>
+        (0 until 2 + rnd.nextInt(4)).map { _ =>
+          val k = nextKey; nextKey += 1
+          (k, pool(rnd.nextInt(pool.size)))
+        }
+      }
+      val rootA = Files.createTempDirectory(s"graft-fz-a$seed").toString
+      val keptA = Files.createTempDirectory(s"graft-fz-ak$seed").toString
+      val rootB = Files.createTempDirectory(s"graft-fz-b$seed").toString
+      val keptB = Files.createTempDirectory(s"graft-fz-bk$seed").toString
+      def run(root: String, kept: String, b: Seq[(Long, String)],
+          id: Long) =
+        DedupIngest.processBatch(b.toDF("doc_id", "text"), id, root,
+          kept, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000,
+          enforceKeyOrder = true, exactPrefilter = true)
+      for ((b, i) <- fuzzBatches.zipWithIndex) {
+        run(rootA, keptA, b, i.toLong)
+        run(rootB, keptB, b, i.toLong)
+        // twin A compacts at random points with random aggressiveness;
+        // twin B never compacts
+        if (rnd.nextBoolean())
+          DedupIngest.compactStores(spark, rootA,
+            sizeRatio = Seq(1.5, 4.0, Double.PositiveInfinity)(
+              rnd.nextInt(3)))
+      }
+      def state(root: String, kept: String) = {
+        val like = fuzzBatches.head.toDF("doc_id", "text")
+        (spark.read.parquet(kept).select($"ingest_batch".cast("long"),
+            $"doc_id").as[(Long, Long)].collect().toSet,
+          DedupIngest.loadLabelStore(spark, root, like, "doc_id")
+            .as[(Long, Long)].collect().toSet,
+          DedupIngest.loadSignatureStore(spark, root, like, "text",
+            "doc_id").select("doc_id").as[Long].collect().toSet,
+          DedupIngest.loadExactStore(spark, root, like, "text",
+            "doc_id").select("_d2").as[Long].collect().toSet)
+      }
+      assert(state(rootA, keptA) == state(rootB, keptB),
+        s"seed $seed: compaction schedule changed observable state")
+      // the last batch retries identically on both twins
+      run(rootA, keptA, fuzzBatches.last, fuzzBatches.size - 1L)
+      run(rootB, keptB, fuzzBatches.last, fuzzBatches.size - 1L)
+      assert(state(rootA, keptA) == state(rootB, keptB),
+        s"seed $seed: post-retry state diverged")
+    }
+  }
+
   test("start validates its inputs loudly") {
     val notStreaming = intercept[IllegalArgumentException] {
       DedupIngest.start(batches.head.toDF("doc_id", "text"), "text",
