@@ -166,6 +166,19 @@ object Dedup {
   def dropExactDuplicatesIncremental(newDocs: DataFrame,
       store: DataFrame, contentCols: Seq[String], key: String,
       broadcastIncrement: Boolean = true): (DataFrame, DataFrame) = {
+    val (kept, _, updated) = dropExactDuplicatesIncrementalDetailed(
+      newDocs, store, contentCols, key, broadcastIncrement)
+    (kept, updated)
+  }
+
+  /** [[dropExactDuplicatesIncremental]] plus the batch's FRESH
+    * signatures as a middle element — the store DELTA a versioned
+    * layout persists, already computed inside; recomputing it from the
+    * kept rows would digest the batch a second time. */
+  private[graft] def dropExactDuplicatesIncrementalDetailed(
+      newDocs: DataFrame, store: DataFrame, contentCols: Seq[String],
+      key: String, broadcastIncrement: Boolean = true)
+      : (DataFrame, DataFrame, DataFrame) = {
     validateDigestStore(store, key)
     def bc(df: DataFrame) = if (broadcastIncrement) broadcast(df) else df
     // within-batch representatives (min key per digest); pinned — the
@@ -179,8 +192,9 @@ object Dedup {
     val freshSigs = newSigs.join(bc(hit), Seq("_d1", "_d2"), "left_anti")
     val kept = newDocs.join(bc(freshSigs.select(key)), Seq(key),
       "left_semi")
-    (kept, store.select(col(key), col("_d1"), col("_d2"))
-      .unionByName(freshSigs.select(col(key), col("_d1"), col("_d2"))))
+    (kept, freshSigs.select(col(key), col("_d1"), col("_d2")),
+      store.select(col(key), col("_d1"), col("_d2"))
+        .unionByName(freshSigs.select(col(key), col("_d1"), col("_d2"))))
   }
 
   /** Build a Bloom-filter sidecar over a digest store's `_d2` hashes —
@@ -270,7 +284,10 @@ object Dedup {
       else {
         val hit = store.join(bc(suspect.select("_d1", "_d2")),
           Seq("_d1", "_d2")).select(col("_d1"), col("_d2"))
+        // three consumers (bloom extension, kept semi-join, store
+        // union) — pin, or the store-confirm scan runs three times
         newSigs.join(bc(hit), Seq("_d1", "_d2"), "left_anti")
+          .localCheckpoint(false)
       }
     val kept = newDocs.join(bc(freshSigs.select(key)), Seq(key),
       "left_semi")
@@ -314,17 +331,36 @@ object Dedup {
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "_d1", "_d2").sortBy("_d1", "_d2")
       .option("path", path).saveAsTable(table)
+    // record the bucket count next to the files: re-attaching with a
+    // DIFFERENT count would declare a partitioning the files don't
+    // have, and the hit join would silently miss true duplicates
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(numBuckets.toString.getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Load (re-attaching to the session catalog if needed) a bucketed
     * digest store written by [[saveBucketedDigestStore]]. A fresh
     * session does not know the parquet files are bucketed until the
-    * table is declared; `numBuckets` must equal the written value or
-    * the declared partitioning is a lie and joins silently
-    * mis-cluster. */
+    * table is declared; the bucket count is read from the
+    * `_graft_buckets` sidecar the save wrote — a caller-supplied
+    * count cannot drift from the files' actual hashing. */
   def bucketedDigestStore(spark: SparkSession, table: String,
-      path: String, numBuckets: Int = 256): DataFrame = {
+      path: String): DataFrame = {
     if (!spark.catalog.tableExists(table)) {
+      val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p))
+        throw new IllegalArgumentException(
+          s"no _graft_buckets sidecar under $path — was this store " +
+            "written by saveBucketedDigestStore?")
+      val in = fs.open(p)
+      val numBuckets =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .trim.toInt
+        finally in.close()
       val ddl = spark.read.parquet(path).schema.toDDL
       spark.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
         s"CLUSTERED BY (_d1, _d2) SORTED BY (_d1, _d2) " +
@@ -723,6 +759,13 @@ object Dedup {
     * `cacheShingles` (the new batch's signatures have three consumers;
     * localCheckpoint truncates lineage — pass false on spot/dynamic
     * fleets).
+    *
+    * Unlike the digest store ([[saveBucketedDigestStore]]), bucketing
+    * the signature store cannot remove its exchange: the banding join
+    * key (band, bucket) is DERIVED by exploding `_buckets` per row, so
+    * no on-disk clustering of the un-exploded rows satisfies the
+    * join's distribution — the (band, bucket) exchange of narrow
+    * banding rows IS the operator's scale cost, by design.
     */
   def minhashNearDuplicatesIncremental(newDocs: DataFrame,
       store: DataFrame, textCol: String, key: String,
@@ -948,6 +991,24 @@ object Dedup {
       s"maxDistance $maxDistance exceeds the 4-band pigeonhole bound (3)")
     requireBits(bits)
     validateSimhashStore(store, key)
+    // width-mismatch tripwire: banding 64-bit batch fingerprints
+    // against a 32-bit store does not error — chunks 2-3 of every
+    // stored fingerprint are zero, cross-width pairs essentially never
+    // verify, and every old-vs-new duplicate is silently missed. A
+    // true 32-bit store has every `_h` in [0, 2³²); a genuine 64-bit
+    // fingerprint lands there with probability 2⁻³², so a bounded
+    // sample is decisive (one cheap first-partition read, not a scan).
+    if (bits == 64) {
+      val sample = store.select(col("_h")).limit(1000)
+        .collect().map(_.getLong(0))
+      if (sample.nonEmpty &&
+          sample.forall(h => h >= 0L && h < (1L << 32)))
+        throw new IllegalArgumentException(
+          "simhash store appears to be 32-bit wide (every sampled " +
+            "fingerprint fits in 32 bits) but bits = 64 was requested " +
+            "— pass bits = 32 for a store built before the widening, " +
+            "or rebuild the store at 64 bits")
+    }
     val newSigs = simhashSignatures(newDocs, textCol, key, bits)
     val all = store.select(col(key), col("_h"))
       .withColumn("_new", lit(false))

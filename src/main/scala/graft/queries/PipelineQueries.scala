@@ -209,7 +209,7 @@ object PipelineQueries {
     },
 
     // --- SimHash values + hamming distance of the planted duplicate pairs
-    //     (distance 0 for exact dups). Murmur-based → rows-only.
+    //     (distance 0 for exact dups). xxhash64-vote-based → rows-only.
     Query.noOracle("q31_simhash") { (s, d) =>
       val docs = Tables.load(s, d, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))

@@ -72,15 +72,28 @@ object DedupIngest {
   private def healStagedCompactions(
       fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       entries: Seq[org.apache.hadoop.fs.FileStatus]): Boolean = {
-    var healed = false
+    var attempted = false
     for (s <- entries; if s.isDirectory;
         m <- StagingDir.findFirstMatchIn(s.getPath.getName)) {
       val target = new Path(dir, s"v=${m.group(1)}")
       if (!fs.exists(target) &&
-          fs.exists(new Path(s.getPath, "_SUCCESS")))
-        healed |= fs.rename(s.getPath, target)
+          fs.exists(new Path(s.getPath, "_SUCCESS"))) {
+        attempted = true
+        // rename is atomic; a raced second healer loses and finds the
+        // target present. But if the rename failed AND the target is
+        // still missing, the staged merge holds the ONLY copy of
+        // committed rows — proceeding would silently dedup against a
+        // store with a hole in it, so fail instead.
+        if (!fs.rename(s.getPath, target) && !fs.exists(target))
+          throw new IllegalStateException(
+            s"committed rows are stranded in ${s.getPath}: a crashed " +
+              s"compaction's staged merge could not be renamed to " +
+              s"$target — repair the filesystem state before reading " +
+              "this store")
+      }
     }
-    healed
+    // any attempt (won or raced) invalidates the caller's listing
+    attempted
   }
 
   private def committedVersions(spark: SparkSession, dir: String,
@@ -215,11 +228,13 @@ object DedupIngest {
       else {
         val exactStore = loadExactStore(spark, storeRoot, batch,
           textCol, key, below = batchId)
-        val (exactKept, _) = Dedup.dropExactDuplicatesIncremental(
-          batch, exactStore, Seq(textCol), key)
+        val (exactKept, freshSigs, _) =
+          Dedup.dropExactDuplicatesIncrementalDetailed(
+            batch, exactStore, Seq(textCol), key)
         val ek = exactKept.localCheckpoint(false)
-        Dedup.exactSignatures(ek, Seq(textCol), key)
-          .write.mode("overwrite")
+        // the fresh signatures ARE the delta — writing them directly
+        // avoids digesting the batch a second time
+        freshSigs.write.mode("overwrite")
           .parquet(s"$storeRoot/exact/v=$batchId")
         ek
       }

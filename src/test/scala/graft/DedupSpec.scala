@@ -819,6 +819,20 @@ class DedupSpec extends SparkTestBase {
     assert(bad.getMessage.contains("component"), bad.getMessage)
   }
 
+  test("a width-32 simhash store against the 64-bit default fails " +
+      "loudly instead of silently missing every cross-width duplicate") {
+    val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val store32 = Dedup.simhashSignatures(
+      Seq((1L, longA)).toDF("doc_id", "text"), "text", "doc_id",
+      bits = 32)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDuplicatesIncremental(
+        Seq((11L, longA)).toDF("doc_id", "text"), store32, "text",
+        "doc_id") // default bits = 64
+    }
+    assert(err.getMessage.contains("32-bit"), err.getMessage)
+  }
+
   test("a width-32 simhash store built before the 64-bit default keeps " +
       "working by passing bits = 32 through the incremental") {
     val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")

@@ -292,10 +292,12 @@ class PlanShapeSpec extends SparkTestBase {
       Seq("text"), "doc_id")
     graft.operators.Dedup.saveBucketedDigestStore(store0,
       "graft_bucketed_digest_test", s"$tmp/store", numBuckets = 8)
-    // reload through the re-attach path (drops to the CREATE TABLE
-    // branch in a fresh session; here it just reads the catalog)
+    // reload through the re-attach path — drop the catalog entry first
+    // so the CREATE TABLE branch (and its _graft_buckets sidecar read)
+    // actually executes, as it would in a fresh session
+    spark.sql("DROP TABLE graft_bucketed_digest_test")
     val store = graft.operators.Dedup.bucketedDigestStore(spark,
-      "graft_bucketed_digest_test", s"$tmp/store", numBuckets = 8)
+      "graft_bucketed_digest_test", s"$tmp/store")
     val newDocs = Tables.docs
       .filter(col("doc_id") >= 500 && col("doc_id") < 540)
       .select("doc_id", "text")
