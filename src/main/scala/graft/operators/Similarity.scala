@@ -395,7 +395,7 @@ object Similarity {
   /** Nearest-centroid assignment of `docs` (the argmin aggregate the
     * [[buildIvfIndex]] doc describes).
     */
-  private def assignTo(centroids: DataFrame, docs: DataFrame,
+  private[graft] def assignTo(centroids: DataFrame, docs: DataFrame,
       embCol: String, key: String): DataFrame = docs
     .select(col(key), asDouble(col(embCol)).as("_emb"),
       norm(col(embCol)).as("_n"))

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -51,77 +50,17 @@ import graft.operators.Dedup
   */
 object DedupIngest {
 
-  /** One merged group from [[compactStores]]: the committed, adjacent
-    * `versions` (all strictly below the family's max) were folded into
-    * `v=<into>` (= `versions.max`), rewriting `bytes` parquet bytes. */
-  final case class Fold(family: String, versions: Seq[Long], into: Long,
-      bytes: Long)
-
-  private val VersionDir = "^v=(\\d+)$".r
-  private val StagingDir = "^\\.compact-v=(\\d+)$".r
-
-  /** Finish any compaction that crashed between unlinking its fold
-    * target and renaming the staged merge into place — the one window
-    * where committed rows are on disk but invisible (the staged
-    * directory carries its own `_SUCCESS` from the merged write).
-    * Rename is atomic, so a raced second healer simply loses the rename
-    * and moves on. Incomplete staging directories (no `_SUCCESS`, or
-    * the target still present) are left alone here — readers never
-    * delete; [[compactStores]] sweeps them. Returns true if anything
-    * was healed (the caller's listing is stale). */
-  private def healStagedCompactions(
-      fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      entries: Seq[org.apache.hadoop.fs.FileStatus]): Boolean = {
-    var attempted = false
-    for (s <- entries; if s.isDirectory;
-        m <- StagingDir.findFirstMatchIn(s.getPath.getName)) {
-      val target = new Path(dir, s"v=${m.group(1)}")
-      if (!fs.exists(target) &&
-          fs.exists(new Path(s.getPath, "_SUCCESS"))) {
-        attempted = true
-        // rename is atomic; a raced second healer loses and finds the
-        // target present. But if the rename failed AND the target is
-        // still missing, the staged merge holds the ONLY copy of
-        // committed rows — proceeding would silently dedup against a
-        // store with a hole in it, so fail instead.
-        if (!fs.rename(s.getPath, target) && !fs.exists(target))
-          throw new IllegalStateException(
-            s"committed rows are stranded in ${s.getPath}: a crashed " +
-              s"compaction's staged merge could not be renamed to " +
-              s"$target — repair the filesystem state before reading " +
-              "this store")
-      }
-    }
-    // any attempt (won or raced) invalidates the caller's listing
-    attempted
-  }
+  /** One merged group from [[compactStores]] — see
+    * [[VersionedStore.Fold]] (the store machinery is shared with
+    * [[SimilarityIngest]]). */
+  type Fold = VersionedStore.Fold
 
   private def committedVersions(spark: SparkSession, dir: String,
-      below: Long): Seq[Long] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val entries = fs.listStatus(p).toSeq
-      val listed =
-        if (healStagedCompactions(fs, p, entries)) fs.listStatus(p).toSeq
-        else entries
-      listed
-        .filter(_.isDirectory)
-        // only ^v=\d+$ — a foreign or leftover directory (v=1.bak, a
-        // staging dir, an editor artifact) must not crash every batch
-        .flatMap(s => VersionDir.findFirstMatchIn(s.getPath.getName)
-          .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
-          .map(v => (v, s.getPath)))
-        .filter { case (_, d) => fs.exists(new Path(d, "_SUCCESS")) }
-        .map(_._1)
-        .filter(_ < below)
-        .sorted
-    }
-  }
+      below: Long): Seq[Long] =
+    VersionedStore.committedVersions(spark, dir, below)
 
   private def dirs(root: String, family: String, vs: Seq[Long]) =
-    vs.map(v => s"$root/$family/v=$v")
+    VersionedStore.dirs(root, family, vs)
 
   /** The live signature store from all committed deltas below `below`
     * (empty-schema fallback derived from `batchLike`; reads are
@@ -170,42 +109,6 @@ object DedupIngest {
         .select("key", "component")
   }
 
-  /** The micro-batch key-order guard: every committed signature
-    * version carries a one-row `_keyrange` parquet (underscore-prefixed
-    * — invisible to the version's data readers) recording its min/max
-    * key; a new batch's min key must exceed the max over all committed
-    * ranges, enforcing the monotonically-increasing-unique-key contract
-    * the whole incremental family rides on WITHOUT ever scanning the
-    * store (metadata-sized: one tiny file per version, two one-row
-    * aggregates). Versions written before this guard existed carry no
-    * range and are skipped — best-effort for pre-existing stores. A
-    * null comparison (empty batch, or an all-null range) skips the
-    * check, mirroring SQL predicate semantics. */
-  private def enforceKeyOrderGuard(batch: DataFrame, batchId: Long,
-      storeRoot: String, key: String): Unit = {
-    val spark = batch.sparkSession
-    val fs = new Path(storeRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rangeDirs = committedVersions(spark, s"$storeRoot/sig", batchId)
-      .map(v => s"$storeRoot/sig/v=$v/_keyrange")
-      .filter(d => fs.exists(new Path(d, "_SUCCESS")))
-    if (rangeDirs.nonEmpty) {
-      val viol = spark.read.parquet(rangeDirs: _*)
-        .agg(max(col("maxKey")).as("_storeMax"))
-        .crossJoin(batch.agg(min(col(key)).as("_batchMin")))
-        .filter(col("_batchMin") <= col("_storeMax"))
-        .collect()
-      if (viol.nonEmpty)
-        throw new IllegalStateException(
-          s"key-order contract violated: batch $batchId min key " +
-            s"${viol(0).get(1)} does not exceed the store's max key " +
-            s"${viol(0).get(0)} — keys must be globally unique and " +
-            "monotonically increasing across batches (the keep-first " +
-            "contract; see DedupIngest.start); pass enforceKeyOrder = " +
-            "false to disable the guard")
-    }
-  }
-
   /** One micro-batch, exposed for direct testing of idempotence. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       storeRoot: String, keptDir: String, textCol: String, key: String,
@@ -215,7 +118,8 @@ object DedupIngest {
       exactPrefilter: Boolean = false): Unit = {
     val spark = batch.sparkSession
     if (enforceKeyOrder)
-      enforceKeyOrderGuard(batch, batchId, storeRoot, key)
+      VersionedStore.enforceKeyOrderGuard(batch, batchId,
+        s"$storeRoot/sig", key)
     // optional stage 0: drop verbatim re-crawls against the digest
     // store BEFORE any shingling — exact dups are the common case in
     // re-crawl traffic and shingling them is pure waste; a dropped
@@ -262,9 +166,7 @@ object DedupIngest {
       .write.mode("overwrite").parquet(s"$storeRoot/sig/v=$batchId")
     // the guard sidecar rides after the data commit: a crash between
     // the two leaves a committed version the guard merely skips
-    batch.agg(min(col(key)).as("minKey"), max(col(key)).as("maxKey"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$storeRoot/sig/v=$batchId/_keyrange")
+    VersionedStore.writeKeyRange(batch, key, s"$storeRoot/sig/v=$batchId")
     changed.write.mode("overwrite")
       .parquet(s"$storeRoot/labels/v=$batchId")
     kept.write.mode("overwrite")
@@ -356,73 +258,9 @@ object DedupIngest {
     */
   def compactStores(spark: SparkSession, storeRoot: String,
       sizeRatio: Double = 4.0): Seq[Fold] = {
-    require(sizeRatio >= 1.0, s"sizeRatio must be >= 1, got $sizeRatio")
-    val fs = new Path(storeRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-    // adjacent-run grouping: push versions oldest -> newest, cascading
-    // a merge whenever the newest tier is within sizeRatio of the one
-    // below it; cascades let accumulated small tiers climb into the
-    // settled large ones exactly when they have earned the rewrite
-    def tiers(sized: Seq[(Long, Long)]): List[(Vector[Long], Long)] = {
-      var stack = List.empty[(Vector[Long], Long)] // head = newest tier
-      for ((v, bytes) <- sized) {
-        stack ::= (Vector(v), bytes)
-        // the isPosInfinity arm dodges 0 bytes × Infinity = NaN for
-        // empty deltas under the fold-everything ratio
-        while (stack.lengthCompare(2) >= 0 && (sizeRatio.isPosInfinity ||
-            stack.head._2 * sizeRatio >= stack(1)._2)) {
-          val (nv, nb) :: (ov, ob) :: rest = stack: @unchecked
-          stack = (ov ++ nv, ob + nb) :: rest
-        }
-      }
-      stack.reverse
-    }
-
-    def compact(family: String,
-        resolve: DataFrame => DataFrame): Seq[Fold] = {
-      val famDir = s"$storeRoot/$family"
-      // sweep staging leftovers a crash may have orphaned: completed
-      // ones were healed by committedVersions below the first read;
-      // whatever remains is an incomplete attempt whose sources are
-      // all still committed, so it is safe to drop
-      val all = committedVersions(spark, famDir, Long.MaxValue)
-      if (fs.exists(new Path(famDir)))
-        for (s <- fs.listStatus(new Path(famDir));
-            if StagingDir.findFirstMatchIn(s.getPath.getName).isDefined)
-          fs.delete(s.getPath, true)
-      val vs = if (all.isEmpty) all else all.filter(_ < all.max)
-      val sized = vs.map(v =>
-        v -> fs.getContentSummary(new Path(s"$famDir/v=$v")).getLength)
-      for ((group, _) <- tiers(sized); if group.size > 1) yield {
-        val vInto = group.max
-        val staging = new Path(s"$famDir/.compact-v=$vInto")
-        val target = new Path(s"$famDir/v=$vInto")
-        resolve(spark.read.parquet(dirs(storeRoot, family, group): _*))
-          .write.mode("overwrite").parquet(staging.toString)
-        // carry the key-order guard's range sidecars through the fold
-        // (union of whichever sources have one — a missing source range
-        // was unguarded anyway, and understating never false-positives)
-        val srcRanges = group
-          .map(v => s"$famDir/v=$v/_keyrange")
-          .filter(d => fs.exists(new Path(d, "_SUCCESS")))
-        if (srcRanges.nonEmpty)
-          spark.read.parquet(srcRanges: _*)
-            .agg(min(col("minKey")).as("minKey"),
-              max(col("maxKey")).as("maxKey"))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(new Path(staging, "_keyrange").toString)
-        fs.delete(target, true)
-        if (!fs.rename(staging, target) && !fs.exists(target))
-          throw new IllegalStateException(
-            s"compaction commit failed: could not rename $staging " +
-              s"over $target")
-        group.filter(_ != vInto).foreach(v =>
-          fs.delete(new Path(s"$famDir/v=$v"), true))
-        Fold(family, group, vInto, fs.getContentSummary(target).getLength)
-      }
-    }
-
+    def compact(family: String, resolve: DataFrame => DataFrame) =
+      VersionedStore.compactFamily(spark, storeRoot, family, sizeRatio,
+        resolve)
     compact("sig", _.dropDuplicates()) ++
       compact("exact", _.dropDuplicates()) ++
       compact("labels", df => graft.operators.AggOps.latestByKey(df,

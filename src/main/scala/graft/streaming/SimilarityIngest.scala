@@ -1,0 +1,249 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Similarity
+import graft.operators.Similarity.IvfIndex
+
+/** Streaming incremental ingest for the EMBEDDING family — the
+  * similarity-side sibling of [[DedupIngest]] (not a reference
+  * capability; the reference has no embedding pipeline at all — this is
+  * the LLM-training-data extension's production loop). Each micro-batch
+  * of vectors is near-dup-deduplicated keep-first against the persisted
+  * LSH signature store via
+  * [[Similarity.lshNeighborPairsIncremental]], kept rows land in
+  * `keptDir/ingest_batch=<id>/`, and — when centroids are supplied —
+  * the kept vectors are appended to a servable IVF index
+  * ([[Similarity.extendIvfIndex]] semantics) with a per-batch
+  * [[Similarity.assignmentDrift]] row logged, so centroid staleness is
+  * a number you watch rather than a silent recall leak.
+  *
+  * STORE LAYOUT under `storeRoot` (the [[VersionedStore]] machinery —
+  * `_SUCCESS`-gated `v=<batchId>` deltas, committed-prefix readers,
+  * tiered crash-safe compaction — is shared with [[DedupIngest]];
+  * its exactly-once and crash-safety analysis applies verbatim):
+  *   - `lsh/v=<batchId>/`      — the batch's LSH signatures
+  *     (`key, _emb, _n, _bucket`; append-only — signatures are
+  *     immutable per key). ALL batch rows sign, kept or dropped,
+  *     matching the batch operator which bands every corpus row.
+  *   - `assigned/v=<batchId>/` — the KEPT rows' IVF list assignment
+  *     delta, partitioned by `_cid` so a serving read prunes to the
+  *     probed lists (only with centroids).
+  *   - `drift/v=<batchId>/`    — the batch's one-row assignment-drift
+  *     record (only with centroids).
+  *   - `centroids/`            — the fixed centroid relation, written
+  *     once so the store serves on its own (idempotent overwrite).
+  *
+  * KEEP-FIRST PARITY: under the monotone-unique-key contract every
+  * near-dup pair's canonical `key_b` is the LATER key, so each pair is
+  * discovered exactly in `key_b`'s batch and the union of per-batch
+  * drop lists equals [[Similarity.embeddingDedupDropList]] over the
+  * full corpus (same hyperplanes — the seed pins them). Dropped rows
+  * still sign the store, so a future re-near-dup of a dropped vector
+  * matches its earlier twin.
+  *
+  * SCALE SHAPE per micro-batch: the batch is bucketed once (one kernel
+  * pass), candidates join the batch's narrow `(key, bucket)` rows
+  * against the store's (batch side broadcast — the store is scanned
+  * map-side, never shuffled), embeddings ride only the candidate
+  * verify-join, and the IVF stage is one broadcast argmin aggregate
+  * over the batch. Size `numBits` for the TARGET corpus
+  * (~2·log₂(n)), not the first batch.
+  */
+object SimilarityIngest {
+
+  /** One merged group from [[compactStores]] — see
+    * [[VersionedStore.Fold]]. */
+  type Fold = VersionedStore.Fold
+
+  /** The live LSH signature store from all committed deltas below
+    * `below` (schema-pinned: an empty delta directory cannot break
+    * schema inference). */
+  private[graft] def loadLshStore(spark: SparkSession, storeRoot: String,
+      batchLike: DataFrame, embCol: String, key: String, dim: Int,
+      numBits: Int, seed: Long,
+      below: Long = Long.MaxValue): DataFrame = {
+    val empty = Similarity.lshSignatures(batchLike.limit(0), embCol, key,
+      dim, numBits, seed)
+    val vs = VersionedStore.committedVersions(spark, s"$storeRoot/lsh",
+      below)
+    if (vs.isEmpty) empty
+    else spark.read.schema(empty.schema)
+      .parquet(VersionedStore.dirs(storeRoot, "lsh", vs): _*)
+  }
+
+  /** The live assigned relation (IVF inverted lists) from all committed
+    * deltas below `below`. Versions are read one directory at a time so
+    * each keeps its own `_cid=` partition discovery (and partition
+    * pruning under a probe's `_cid` filter); the committed version
+    * count is compaction-bounded at O(log) tiers, so the union stays
+    * narrow. The key column's name and type belong to the caller, so
+    * the schema is pinned from the first committed delta (empty deltas
+    * are never written — see [[processBatch]]). */
+  private[graft] def loadAssignedStore(spark: SparkSession,
+      storeRoot: String, below: Long = Long.MaxValue): DataFrame = {
+    val vs = VersionedStore.committedVersions(spark,
+      s"$storeRoot/assigned", below)
+    if (vs.isEmpty)
+      throw new IllegalStateException(
+        s"no committed assignment deltas under $storeRoot/assigned — " +
+          "the ingest has not yet kept any rows with an IVF stage " +
+          "active")
+    val first = spark.read.parquet(s"$storeRoot/assigned/v=${vs.head}")
+    vs.tail
+      .map(v => spark.read.schema(first.schema)
+        .parquet(s"$storeRoot/assigned/v=$v"))
+      .foldLeft(first)(_.unionByName(_))
+  }
+
+  /** The per-batch drift log: one row per committed batch
+    * (`_v, count, mean_dist, p95_dist`), ascending. Compare against the
+    * build-time [[Similarity.assignmentDrift]] row — a sustained climb
+    * is the rebuild-centroids signal ([[Similarity.extendIvfIndex]]
+    * doc). */
+  def driftLog(spark: SparkSession, storeRoot: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("_v", LongType),
+      StructField("count", LongType),
+      StructField("mean_dist", DoubleType),
+      StructField("p95_dist", DoubleType)))
+    val vs = VersionedStore.committedVersions(spark, s"$storeRoot/drift",
+      Long.MaxValue)
+    if (vs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(VersionedStore.dirs(storeRoot, "drift", vs): _*)
+      .orderBy("_v")
+  }
+
+  /** The servable index the ingest has accumulated: the stored
+    * centroids plus every committed assignment delta — pass straight to
+    * [[Similarity.ivfTopK]] (probe reads prune to the probed `_cid`
+    * lists). Requires the loop to have run with centroids. */
+  def loadIvfIndex(spark: SparkSession, storeRoot: String): IvfIndex = {
+    val cdir = new Path(s"$storeRoot/centroids")
+    val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(cdir, "_SUCCESS")))
+      throw new IllegalStateException(
+        s"no centroids at $cdir — this similarity store was ingested " +
+          "without an IVF stage (start(..., centroids = Some(...)))")
+    IvfIndex(spark.read.parquet(cdir.toString),
+      loadAssignedStore(spark, storeRoot))
+  }
+
+  /** One micro-batch, exposed for direct testing of idempotence. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      storeRoot: String, keptDir: String, embCol: String, key: String,
+      dim: Int, numBits: Int, threshold: Double, seed: Long,
+      centroids: Option[DataFrame],
+      enforceKeyOrder: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    if (enforceKeyOrder)
+      VersionedStore.enforceKeyOrderGuard(batch, batchId,
+        s"$storeRoot/lsh", key)
+    val store = loadLshStore(spark, storeRoot, batch, embCol, key, dim,
+      numBits, seed, below = batchId)
+    val (pairs, _) = Similarity.lshNeighborPairsIncremental(batch, store,
+      embCol, key, dim, numBits, threshold, seed)
+    // keep-first: every pair's canonical key_b is the later key under
+    // the monotone contract, so dropping key_b per batch composes to
+    // embeddingDedupDropList over the union (see object doc)
+    val kept = batch.join(
+      pairs.select(col("key_b").as(key)).distinct(), Seq(key),
+      "left_anti")
+      .localCheckpoint(false)
+    // all outputs are batchId-addressed wholesale overwrites — the
+    // DedupIngest exactly-once note applies verbatim
+    Similarity.lshSignatures(batch, embCol, key, dim, numBits, seed)
+      .write.mode("overwrite").parquet(s"$storeRoot/lsh/v=$batchId")
+    // the guard sidecar rides after the data commit: a crash between
+    // the two leaves a committed version the guard merely skips
+    VersionedStore.writeKeyRange(batch, key, s"$storeRoot/lsh/v=$batchId")
+    for (cents <- centroids) {
+      val fs = new Path(storeRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // once, so the store serves on its own; overwrite-idempotent
+      // under redelivery, and cheap to skip once committed
+      if (!fs.exists(new Path(s"$storeRoot/centroids/_SUCCESS")))
+        cents.write.mode("overwrite").parquet(s"$storeRoot/centroids")
+      // index the KEPT rows only — a dropped vector's near-identical
+      // twin is already (or about to be) in the lists. An all-dropped
+      // (or empty) batch writes NO delta: a partitioned empty write
+      // has no readable schema, and skipping is retry-consistent
+      // because kept is deterministic over the committed prefix
+      if (!kept.isEmpty)
+        Similarity.assignTo(cents, kept, embCol, key)
+          .write.mode("overwrite").partitionBy("_cid")
+          .parquet(s"$storeRoot/assigned/v=$batchId")
+      // drift is a property of the incoming TRAFFIC, so it is measured
+      // over the whole batch, dropped rows included
+      Similarity.assignmentDrift(cents, batch, embCol, key)
+        .select(lit(batchId).as("_v"), col("count"), col("mean_dist"),
+          col("p95_dist"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$storeRoot/drift/v=$batchId")
+    }
+    kept.write.mode("overwrite")
+      .parquet(s"$keptDir/ingest_batch=$batchId")
+  }
+
+  /** Start the ingest query. `docs` is any streaming DataFrame carrying
+    * an `embCol` vector column (castable to `array<double>`, dimension
+    * `dim`) and a globally-unique `key` assigned monotonically
+    * increasing across batches — the keep-first contract, ENFORCED per
+    * batch by default via metadata-sized version key ranges exactly as
+    * in [[DedupIngest.start]]. Pass `centroids` (e.g. a built index's
+    * `centroids` relation, or `loadIvfIndex(dir).centroids`) to also
+    * maintain the servable IVF index + drift log; leave it `None` for
+    * dedup-only ingest. The LSH knobs mirror
+    * [[Similarity.lshNeighborPairs]].
+    */
+  def start(docs: DataFrame, embCol: String, key: String, dim: Int,
+      storeRoot: String, keptDir: String, checkpointDir: String,
+      numBits: Int = 16, threshold: Double = 0.95, seed: Long = 42,
+      centroids: Option[DataFrame] = None,
+      enforceKeyOrder: Boolean = true): StreamingQuery = {
+    require(docs.isStreaming,
+      "SimilarityIngest.start needs a streaming DataFrame — for batch " +
+        "data use the incremental operators directly " +
+        "(Similarity.lshNeighborPairsIncremental / extendIvfIndex)")
+    require(dim > 0, s"dim must be positive, got $dim")
+    for (c <- Seq(embCol, key); if !docs.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"docs is missing column '$c' (have: ${docs.columns.mkString(", ")})")
+    // pin the centroid relation now — foreachBatch must not re-evaluate
+    // a live query plan against moved data on every batch
+    val pinnedCentroids = centroids.map(_.localCheckpoint(true))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, storeRoot, keptDir, embCol, key,
+          dim, numBits, threshold, seed, pinnedCentroids,
+          enforceKeyOrder)
+      }
+      .start()
+  }
+
+  /** Collapse the version history under the same size-tiered,
+    * staged-commit policy as [[DedupIngest.compactStores]] (whose
+    * scaladoc carries the full policy and crash-safety argument — the
+    * implementation is shared, [[VersionedStore.compactFamily]]). Run
+    * with the ingest query STOPPED. Signatures and assignments resolve
+    * by `dropDuplicates` (both append-only, immutable per key; the
+    * assigned merge keeps its `_cid` partitioning so probe pruning
+    * survives compaction); the drift log is a log — rows are carried
+    * unchanged. */
+  def compactStores(spark: SparkSession, storeRoot: String,
+      sizeRatio: Double = 4.0): Seq[Fold] =
+    VersionedStore.compactFamily(spark, storeRoot, "lsh", sizeRatio,
+      _.dropDuplicates()) ++
+      VersionedStore.compactFamily(spark, storeRoot, "assigned",
+        sizeRatio, _.dropDuplicates(), partitionBy = Seq("_cid")) ++
+      VersionedStore.compactFamily(spark, storeRoot, "drift", sizeRatio,
+        identity)
+}

@@ -1,0 +1,255 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The versioned-delta store layout both streaming ingest loops ride
+  * ([[DedupIngest]] for text near-dup, [[SimilarityIngest]] for
+  * embedding near-dup + IVF serving): each family directory holds
+  * `v=<batchId>/` version deltas, a version counts only once its
+  * `_SUCCESS` marker exists, readers take the committed prefix
+  * `< batchId`, and [[compactFamily]] folds committed history under a
+  * size-tiered policy with a staged, crash-safe commit. Factored here
+  * so the two ingests share one store implementation — the crash-safety
+  * and idempotence analysis in the [[DedupIngest]] scaladoc applies to
+  * every family verbatim.
+  */
+private[streaming] object VersionedStore {
+
+  /** One merged group from [[compactFamily]]: the committed, adjacent
+    * `versions` (all strictly below the family's max) were folded into
+    * `v=<into>` (= `versions.max`), rewriting `bytes` parquet bytes. */
+  final case class Fold(family: String, versions: Seq[Long], into: Long,
+      bytes: Long)
+
+  private val VersionDir = "^v=(\\d+)$".r
+  private val StagingDir = "^\\.compact-v=(\\d+)$".r
+
+  /** Finish any compaction that crashed between unlinking its fold
+    * target and renaming the staged merge into place — the one window
+    * where committed rows are on disk but invisible (the staged
+    * directory carries its own `_SUCCESS` from the merged write).
+    * Rename is atomic, so a raced second healer simply loses the rename
+    * and moves on. Incomplete staging directories (no `_SUCCESS`, or
+    * the target still present) are left alone here — readers never
+    * delete; [[compactFamily]] sweeps them. Returns true if anything
+    * was healed (the caller's listing is stale). */
+  private def healStagedCompactions(fs: FileSystem, dir: Path,
+      entries: Seq[FileStatus]): Boolean = {
+    var attempted = false
+    for (s <- entries; if s.isDirectory;
+        m <- StagingDir.findFirstMatchIn(s.getPath.getName)) {
+      val target = new Path(dir, s"v=${m.group(1)}")
+      if (!fs.exists(target) &&
+          fs.exists(new Path(s.getPath, "_SUCCESS"))) {
+        attempted = true
+        // rename is atomic; a raced second healer loses and finds the
+        // target present. But if the rename failed AND the target is
+        // still missing, the staged merge holds the ONLY copy of
+        // committed rows — proceeding would silently dedup against a
+        // store with a hole in it, so fail instead.
+        if (!fs.rename(s.getPath, target) && !fs.exists(target))
+          throw new IllegalStateException(
+            s"committed rows are stranded in ${s.getPath}: a crashed " +
+              s"compaction's staged merge could not be renamed to " +
+              s"$target — repair the filesystem state before reading " +
+              "this store")
+      }
+    }
+    // any attempt (won or raced) invalidates the caller's listing
+    attempted
+  }
+
+  /** The committed version ids strictly below `below` in `dir`,
+    * ascending — healing crashed compactions on the way. */
+  def committedVersions(spark: SparkSession, dir: String,
+      below: Long): Seq[Long] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val entries = fs.listStatus(p).toSeq
+      val listed =
+        if (healStagedCompactions(fs, p, entries)) fs.listStatus(p).toSeq
+        else entries
+      listed
+        .filter(_.isDirectory)
+        // only ^v=\d+$ — a foreign or leftover directory (v=1.bak, a
+        // staging dir, an editor artifact) must not crash every batch
+        .flatMap(s => VersionDir.findFirstMatchIn(s.getPath.getName)
+          .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+          .map(v => (v, s.getPath)))
+        .filter { case (_, d) => fs.exists(new Path(d, "_SUCCESS")) }
+        .map(_._1)
+        .filter(_ < below)
+        .sorted
+    }
+  }
+
+  def dirs(root: String, family: String, vs: Seq[Long]): Seq[String] =
+    vs.map(v => s"$root/$family/v=$v")
+
+  /** Write the key-order guard's one-row range sidecar for a just-
+    * committed version (underscore-prefixed — invisible to the
+    * version's data readers). Written AFTER the data commit: a crash
+    * between the two leaves a committed version the guard merely
+    * skips. */
+  def writeKeyRange(batch: DataFrame, key: String,
+      versionDir: String): Unit =
+    batch.agg(min(col(key)).as("minKey"), max(col(key)).as("maxKey"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$versionDir/_keyrange")
+
+  /** The micro-batch key-order guard: every committed version of the
+    * guarded family carries a one-row `_keyrange` sidecar recording its
+    * min/max key; a new batch's min key must exceed the max over all
+    * committed ranges, enforcing the monotonically-increasing-unique-key
+    * contract the whole incremental family rides on WITHOUT ever
+    * scanning the store (metadata-sized: one tiny file per version, two
+    * one-row aggregates). Versions written before the guard existed
+    * carry no range and are skipped — best-effort for pre-existing
+    * stores. A null comparison (empty batch, or an all-null range)
+    * skips the check, mirroring SQL predicate semantics. */
+  def enforceKeyOrderGuard(batch: DataFrame, batchId: Long,
+      famDir: String, key: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(famDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rangeDirs = committedVersions(spark, famDir, batchId)
+      .map(v => s"$famDir/v=$v/_keyrange")
+      .filter(d => fs.exists(new Path(d, "_SUCCESS")))
+    if (rangeDirs.nonEmpty) {
+      val viol = spark.read.parquet(rangeDirs: _*)
+        .agg(max(col("maxKey")).as("_storeMax"))
+        .crossJoin(batch.agg(min(col(key)).as("_batchMin")))
+        .filter(col("_batchMin") <= col("_storeMax"))
+        .collect()
+      if (viol.nonEmpty)
+        throw new IllegalStateException(
+          s"key-order contract violated: batch $batchId min key " +
+            s"${viol(0).get(1)} does not exceed the store's max key " +
+            s"${viol(0).get(0)} — keys must be globally unique and " +
+            "monotonically increasing across batches (the keep-first " +
+            "contract; see the ingest's start doc); pass " +
+            "enforceKeyOrder = false to disable the guard")
+    }
+  }
+
+  // adjacent-run grouping: push versions oldest -> newest, cascading
+  // a merge whenever the newest tier is within sizeRatio of the one
+  // below it; cascades let accumulated small tiers climb into the
+  // settled large ones exactly when they have earned the rewrite
+  private def tiers(sized: Seq[(Long, Long)],
+      sizeRatio: Double): List[(Vector[Long], Long)] = {
+    var stack = List.empty[(Vector[Long], Long)] // head = newest tier
+    for ((v, bytes) <- sized) {
+      stack ::= (Vector(v), bytes)
+      // the isPosInfinity arm dodges 0 bytes × Infinity = NaN for
+      // empty deltas under the fold-everything ratio
+      while (stack.lengthCompare(2) >= 0 && (sizeRatio.isPosInfinity ||
+          stack.head._2 * sizeRatio >= stack(1)._2)) {
+        val (nv, nb) :: (ov, ob) :: rest = stack: @unchecked
+        stack = (ov ++ nv, ob + nb) :: rest
+      }
+    }
+    stack.reverse
+  }
+
+  /** Fold one family's committed history (resolved by `resolve`) under
+    * the size-tiered policy, with the staged crash-safe commit and the
+    * `_keyrange` sidecar carry-through — the full policy and safety
+    * argument lives on [[DedupIngest.compactStores]], which (like
+    * [[SimilarityIngest.compactStores]]) is this per family. Only
+    * versions STRICTLY BELOW the family's max are ever folded (the max
+    * must survive for `foreachBatch` retry reads). */
+  def compactFamily(spark: SparkSession, storeRoot: String,
+      family: String, sizeRatio: Double,
+      resolve: DataFrame => DataFrame,
+      partitionBy: Seq[String] = Nil): Seq[Fold] = {
+    require(sizeRatio >= 1.0, s"sizeRatio must be >= 1, got $sizeRatio")
+    val fs = new Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val famDir = s"$storeRoot/$family"
+    // sweep staging leftovers a crash may have orphaned: completed
+    // ones were healed by committedVersions below the first read;
+    // whatever remains is an incomplete attempt whose sources are
+    // all still committed, so it is safe to drop
+    val all = committedVersions(spark, famDir, Long.MaxValue)
+    if (fs.exists(new Path(famDir)))
+      for (s <- fs.listStatus(new Path(famDir));
+          if StagingDir.findFirstMatchIn(s.getPath.getName).isDefined)
+        fs.delete(s.getPath, true)
+    val vs = if (all.isEmpty) all else all.filter(_ < all.max)
+    val sized = vs.map(v =>
+      v -> fs.getContentSummary(new Path(s"$famDir/v=$v")).getLength)
+    // a version dir counts as holding data only when some file sits
+    // outside hidden (_ or .) segments — `_SUCCESS`-only empty deltas
+    // and `_keyrange/` sidecars don't; such dirs can't be read (no
+    // schema to infer) and contribute nothing to a merge
+    def hasData(dir: String): Boolean = {
+      val base = new Path(dir)
+      if (!fs.exists(base)) false
+      else {
+        val it = fs.listFiles(base, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val rel = it.next().getPath.toUri.getPath
+            .stripPrefix(base.toUri.getPath).split('/')
+          // Spark's hidden-path rule: _ and . prefixes hide a segment
+          // UNLESS it is a partition dir (contains '='), so `_cid=0`
+          // partition directories still count as data
+          found = rel.filter(_.nonEmpty).forall(s =>
+            !(s.startsWith("_") || s.startsWith(".")) || s.contains("="))
+        }
+        found
+      }
+    }
+    for ((group, _) <- tiers(sized, sizeRatio); if group.size > 1) yield {
+      val vInto = group.max
+      val staging = new Path(s"$famDir/.compact-v=$vInto")
+      val target = new Path(s"$famDir/v=$vInto")
+      // read the group one directory at a time: a multi-path read of
+      // `partitionBy`-laid-out versions trips Spark's partition
+      // discovery (the v=N level itself parses as a conflicting
+      // partition), and per-dir reads keep each version's own
+      // partition-column inference
+      val readable = dirs(storeRoot, family, group).filter(hasData)
+      fs.delete(staging, true)
+      if (readable.isEmpty) {
+        // every source was an empty delta — the merge is the same
+        // empty version the writers produce: a bare `_SUCCESS` marker
+        fs.mkdirs(staging)
+        fs.create(new Path(staging, "_SUCCESS"), true).close()
+      } else {
+        val first = spark.read.parquet(readable.head)
+        val merged = readable.tail
+          .map(d => spark.read.schema(first.schema).parquet(d))
+          .foldLeft(first)(_.unionByName(_))
+        val writer = resolve(merged).write.mode("overwrite")
+        (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+          else writer).parquet(staging.toString)
+      }
+      // carry the key-order guard's range sidecars through the fold
+      // (union of whichever sources have one — a missing source range
+      // was unguarded anyway, and understating never false-positives)
+      val srcRanges = group
+        .map(v => s"$famDir/v=$v/_keyrange")
+        .filter(d => fs.exists(new Path(d, "_SUCCESS")))
+      if (srcRanges.nonEmpty)
+        spark.read.parquet(srcRanges: _*)
+          .agg(min(col("minKey")).as("minKey"),
+            max(col("maxKey")).as("maxKey"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new Path(staging, "_keyrange").toString)
+      fs.delete(target, true)
+      if (!fs.rename(staging, target) && !fs.exists(target))
+        throw new IllegalStateException(
+          s"compaction commit failed: could not rename $staging " +
+            s"over $target")
+      group.filter(_ != vInto).foreach(v =>
+        fs.delete(new Path(s"$famDir/v=$v"), true))
+      Fold(family, group, vInto, fs.getContentSummary(target).getLength)
+    }
+  }
+}

@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Similarity
+import graft.streaming.SimilarityIngest
+
+/** End-to-end checks for the streaming embedding ingest: micro-batch
+  * near-dup dedup against the persisted LSH store, keep-first parity
+  * with the batch operator over the union, restart continuity,
+  * redelivery idempotence, the servable IVF store + drift log, and
+  * compaction invisibility for the `_cid`-partitioned family.
+  */
+class SimilarityIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 8
+
+  // axis-dominated vectors: cosine(base(i), base(j)) is small for i ≠ j,
+  // while near(v) perturbs one coordinate by 0.05 → cosine ≈ 1
+  private def base(axis: Int): Seq[Double] =
+    Seq.tabulate(dim)(j =>
+      (if (j == axis) 10.0 else 0.0) + 0.3 * ((j + axis) % 3))
+  private def near(v: Seq[Double]): Seq[Double] =
+    v.updated((v.indexOf(v.max) + 1) % dim, v((v.indexOf(v.max) + 1) % dim) + 0.05)
+
+  // planted duplicate structure across three monotone-key batches:
+  // 101~1, 103~4 (cross-batch), 201~102 (cross-batch), 202 = exact 3
+  private val batches: Seq[Seq[(Long, Seq[Double])]] = Seq(
+    Seq((1L, base(0)), (2L, base(1)), (3L, base(2)), (4L, base(3))),
+    Seq((101L, near(base(0))), (102L, base(4)), (103L, near(base(3))),
+      (104L, base(5))),
+    Seq((201L, near(base(4))), (202L, base(2)), (203L, base(6))))
+  private val expectedKept =
+    Map(0L -> Set(1L, 2L, 3L, 4L), 1L -> Set(102L, 104L), 2L -> Set(203L))
+
+  private def fullCorpus = batches.flatten.toDF("vec_id", "embedding")
+
+  test("streaming embedding ingest dedups each micro-batch against the " +
+      "persisted LSH store, survives a restart, redelivers idempotently, " +
+      "matches the batch drop list, and serves the ingested IVF index") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeRoot = Files.createTempDirectory("graft-sim-store").toString
+    val keptDir = Files.createTempDirectory("graft-sim-kept").toString
+    val ckpt = Files.createTempDirectory("graft-sim-ckpt").toString
+    val cents = Similarity.buildIvfIndex(batches.head.toDF("vec_id",
+        "embedding"), "embedding", "vec_id", nlist = 2).centroids
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val docs = mem.toDF().toDF("vec_id", "embedding")
+    def startQuery() = SimilarityIngest.start(docs, "embedding", "vec_id",
+      dim, storeRoot, keptDir, ckpt, numBits = 4, threshold = 0.95,
+      centroids = Some(cents))
+    def keptByBatch(): Map[Long, Set[Long]] =
+      spark.read.parquet(keptDir)
+        .select($"ingest_batch".cast("long"), $"vec_id")
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (b, r) => b -> r.map(_._2).toSet }
+
+    val q1 = startQuery()
+    try {
+      for (b <- batches.take(2)) { mem.addData(b: _*); q1.processAllAvailable() }
+    } finally q1.stop()
+
+    // restart from the same checkpoint: batch 2 must dedup against the
+    // store batches 0-1 persisted in the PREVIOUS query run
+    val q2 = startQuery()
+    try { mem.addData(batches(2): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(keptByBatch() == expectedKept)
+
+    // keep-first parity with the batch operator over the union: the
+    // per-batch drop lists compose to embeddingDedupDropList (same
+    // hyperplanes, same threshold)
+    val batchDrops = Similarity.embeddingDedupDropList(fullCorpus,
+        "embedding", "vec_id", dim, numBits = 4, threshold = 0.95)
+      .as[Long].collect().toSet
+    val ingestKept = keptByBatch().values.flatten.toSet
+    assert(ingestKept == batches.flatten.map(_._1).toSet -- batchDrops)
+
+    // redelivery idempotence: re-run the last batch directly with the
+    // same batchId — stores and kept output must be unchanged
+    def storeCounts() = (
+      SimilarityIngest.loadLshStore(spark, storeRoot, fullCorpus,
+        "embedding", "vec_id", dim, 4, 42L).count(),
+      SimilarityIngest.loadAssignedStore(spark, storeRoot).count(),
+      SimilarityIngest.driftLog(spark, storeRoot).as[(Long, Long,
+        Option[Double], Option[Double])].collect().toSeq)
+    val beforeRetry = storeCounts()
+    SimilarityIngest.processBatch(batches(2).toDF("vec_id", "embedding"),
+      2L, storeRoot, keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L,
+      Some(cents))
+    assert(storeCounts() == beforeRetry)
+    assert(keptByBatch() == expectedKept)
+
+    // the ingested IVF index serves: identical results to a batch-built
+    // index over the kept corpus at the same centroids
+    val served = SimilarityIngest.loadIvfIndex(spark, storeRoot)
+    assert(served.assigned.count() == ingestKept.size)
+    val queries = Seq((9001L, base(5)), (9002L, base(0)))
+      .toDF("vec_id", "embedding")
+    val keptCorpus = fullCorpus.filter($"vec_id".isInCollection(ingestKept))
+    val reference = Similarity.IvfIndex(cents,
+      Similarity.assignTo(cents, keptCorpus, "embedding", "vec_id"))
+    def topk(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopK(ix, queries, "embedding", "vec_id", k = 3,
+          nprobe = 2)
+        .select($"query_id".cast("long"), $"neighbor_id".cast("long"),
+          $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(topk(served) == topk(reference))
+
+    // the drift log has one row per batch, counting ALL batch rows
+    assert(beforeRetry._3.map(r => (r._1, r._2)) ==
+      Seq((0L, 4L), (1L, 4L), (2L, 3L)))
+
+    // compaction: observably invisible (lsh + assigned + drift), and
+    // the partitioned assigned family still serves identical results
+    val folds = SimilarityIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert(folds.nonEmpty)
+    assert(storeCounts() == beforeRetry)
+    assert(topk(SimilarityIngest.loadIvfIndex(spark, storeRoot)) ==
+      topk(reference))
+    // a redelivery retry AFTER compaction still reads only the
+    // committed prefix and reproduces the same outputs
+    SimilarityIngest.processBatch(batches(2).toDF("vec_id", "embedding"),
+      2L, storeRoot, keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L,
+      Some(cents))
+    assert(keptByBatch() == expectedKept)
+    assert(topk(SimilarityIngest.loadIvfIndex(spark, storeRoot)) ==
+      topk(reference))
+  }
+
+  test("the drift log flags a batch that drifts off the trained " +
+      "centroids") {
+    val storeRoot = Files.createTempDirectory("graft-sim-drift").toString
+    val keptDir = Files.createTempDirectory("graft-sim-driftk").toString
+    // centroids trained on axes 0-3; an aligned batch sits near them,
+    // a drifted batch points down axes the training never saw
+    val train = (0 until 4).map(a => (a.toLong, base(a)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.buildIvfIndex(train, "embedding", "vec_id",
+      nlist = 4, kmeansIters = 3).centroids
+    val aligned = Seq((10L, near(base(0))), (11L, near(base(2))))
+      .toDF("vec_id", "embedding")
+    val drifted = Seq((20L, base(5)), (21L, base(6)))
+      .toDF("vec_id", "embedding")
+    SimilarityIngest.processBatch(aligned, 0L, storeRoot, keptDir,
+      "embedding", "vec_id", dim, 4, 0.95, 42L, Some(cents))
+    SimilarityIngest.processBatch(drifted, 1L, storeRoot, keptDir,
+      "embedding", "vec_id", dim, 4, 0.95, 42L, Some(cents))
+    val log = SimilarityIngest.driftLog(spark, storeRoot)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(log.map(_._1) == Seq(0L, 1L))
+    val Seq(alignedRow, driftedRow) = log
+    info(f"aligned mean_dist ${alignedRow._3}%.4f, " +
+      f"drifted ${driftedRow._3}%.4f")
+    assert(alignedRow._3 < 0.05,
+      s"aligned batch should sit near its centroids, got ${alignedRow._3}")
+    assert(driftedRow._3 > 2 * alignedRow._3,
+      "the drifted batch must stand out in the log")
+  }
+
+  test("a dedup-only ingest (no centroids) writes no IVF families and " +
+      "loadIvfIndex fails with the remedy") {
+    val storeRoot = Files.createTempDirectory("graft-sim-nocent").toString
+    val keptDir = Files.createTempDirectory("graft-sim-nocentk").toString
+    SimilarityIngest.processBatch(batches.head.toDF("vec_id", "embedding"),
+      0L, storeRoot, keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L,
+      None)
+    val err = intercept[IllegalStateException](
+      SimilarityIngest.loadIvfIndex(spark, storeRoot))
+    assert(err.getMessage.contains("centroids"), err.getMessage)
+    assert(spark.read.parquet(s"$keptDir/ingest_batch=0").count() == 4)
+  }
+
+  test("an all-dropped micro-batch writes no assigned delta and the " +
+      "index still loads and serves") {
+    val storeRoot = Files.createTempDirectory("graft-sim-alldrop").toString
+    val keptDir = Files.createTempDirectory("graft-sim-alldropk").toString
+    val cents = Similarity.buildIvfIndex(batches.head.toDF("vec_id",
+        "embedding"), "embedding", "vec_id", nlist = 2).centroids
+    val b0 = batches.head.toDF("vec_id", "embedding")
+    // batch 1 is four near-copies of batch 0's rows — everything drops
+    val b1 = batches.head.map { case (k, v) => (k + 100L, near(v)) }
+      .toDF("vec_id", "embedding")
+    SimilarityIngest.processBatch(b0, 0L, storeRoot, keptDir,
+      "embedding", "vec_id", dim, 4, 0.95, 42L, Some(cents))
+    SimilarityIngest.processBatch(b1, 1L, storeRoot, keptDir,
+      "embedding", "vec_id", dim, 4, 0.95, 42L, Some(cents))
+    assert(spark.read.parquet(s"$keptDir/ingest_batch=1").isEmpty)
+    val ix = SimilarityIngest.loadIvfIndex(spark, storeRoot)
+    assert(ix.assigned.count() == 4) // batch 0 only; no v=1 delta
+    // the drift log still recorded the dropped batch's traffic
+    assert(SimilarityIngest.driftLog(spark, storeRoot).count() == 2)
+  }
+
+  test("the key-order guard fails fast on a batch that reuses or " +
+      "precedes stored keys") {
+    val storeRoot = Files.createTempDirectory("graft-sim-guard").toString
+    val keptDir = Files.createTempDirectory("graft-sim-guardk").toString
+    SimilarityIngest.processBatch(batches.head.toDF("vec_id", "embedding"),
+      0L, storeRoot, keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L,
+      None)
+    val stale = intercept[IllegalStateException](
+      SimilarityIngest.processBatch(
+        Seq((2L, base(7))).toDF("vec_id", "embedding"), 1L, storeRoot,
+        keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L, None))
+    assert(stale.getMessage.contains("key-order"), stale.getMessage)
+    // and the override lets a trusted upstream through
+    SimilarityIngest.processBatch(
+      Seq((2L, base(7))).toDF("vec_id", "embedding"), 1L, storeRoot,
+      keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L, None,
+      enforceKeyOrder = false)
+  }
+}
