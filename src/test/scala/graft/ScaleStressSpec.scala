@@ -394,6 +394,41 @@ class ScaleStressSpec extends SparkTestBase {
     assert(exBytes10 < 2 * exBytes1,
       s"digest-store 10× must not grow the increment's shuffle: " +
         s"$exBytes1 -> $exBytes10")
+
+    // the embedding-side sibling (lshNeighborPairsIncremental, the
+    // per-batch op SimilarityIngest rides): same claim, same shape —
+    // the batch side broadcasts, the LSH signature store is scanned
+    // map-side (embeddings included), so a 10× store must not grow
+    // the increment's shuffle
+    val dim = 16
+    def vecs(count: Long, off: Long) = spark.range(count)
+      .select((col("id") + off).as("vec_id"),
+        array((0 until dim).map(j =>
+          (pmod(hash(col("id") + off, lit(j)), lit(1000)) / 500.0
+            - 1.0)): _*).as("emb"))
+    def lshStore(n: Long) = Similarity.lshSignatures(vecs(n, 0), "emb",
+      "vec_id", dim).localCheckpoint(true)
+    // fixed 500-vector batch: half exact copies of stored rows (ids
+    // 0-249 exist in BOTH stores), half fresh
+    val embBatch = vecs(250, 70000000L)
+      .unionByName(vecs(250, 0)
+        .withColumn("vec_id", col("vec_id") + 80000000L))
+      .localCheckpoint(true)
+    def runLsh(store: DataFrame): Long =
+      Similarity.lshNeighborPairsIncremental(embBatch, store, "emb",
+        "vec_id", dim, threshold = 0.95)._1.count()
+    val lshStore1 = lshStore(smallN)
+    val lshStore10 = lshStore(10 * smallN)
+    val (p1, _, lshBytes1) =
+      measured("lsh store 1×")(runLsh(lshStore1))
+    val (p10, _, lshBytes10) =
+      measured("lsh store 10×")(runLsh(lshStore10))
+    // the 250 copied vectors match their stored originals at cosine 1
+    // at BOTH scales (plus any hash-coincident extras)
+    assert(p1 >= 250 && p10 >= 250, s"pairs $p1 / $p10")
+    assert(lshBytes10 < 2 * lshBytes1,
+      s"LSH-store 10× must not grow the increment's shuffle: " +
+        s"$lshBytes1 -> $lshBytes10")
   }
 
   test("ingest per-batch cost vs version-history width: wide label " +

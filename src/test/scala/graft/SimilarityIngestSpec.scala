@@ -112,6 +112,22 @@ class SimilarityIngestSpec extends SparkTestBase {
         .as[(Long, Long, Int)].collect().toSet
     assert(topk(served) == topk(reference))
 
+    // the scale point of the _cid-partitioned assigned deltas: the
+    // probe's cid filter must land in every version scan's
+    // PartitionFilters, so serving reads ONLY the probed lists'
+    // directories across the whole version history
+    val servedPlan = Similarity.ivfTopK(served, queries, "embedding",
+        "vec_id", k = 3, nprobe = 1)
+      .queryExecution.executedPlan.toString()
+    val assignedScans = servedPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("assigned"))
+      .toList
+    assert(assignedScans.nonEmpty,
+      s"no parquet scan of the assigned store:\n$servedPlan")
+    val pruned = "PartitionFilters: \\[[^\\]]*_cid".r
+    assert(assignedScans.forall(l => pruned.findFirstIn(l).isDefined),
+      s"probed-cid filter missed a version scan:\n${assignedScans.mkString("\n")}")
+
     // the drift log has one row per batch, counting ALL batch rows
     assert(beforeRetry._3.map(r => (r._1, r._2)) ==
       Seq((0L, 4L), (1L, 4L), (2L, 3L)))
