@@ -229,6 +229,66 @@ object SimilarityIngest {
       .start()
   }
 
+  /** The answer to a climbing [[driftLog]]: retrain the centroids on
+    * the embeddings the store has ACCUMULATED (fresh spherical
+    * [[Similarity.kmeansCentroids]] rounds over every committed
+    * assignment delta) and rewrite each version's list assignment
+    * against them, so the inverted lists partition today's corpus
+    * rather than the bootstrap sample's. Run with the ingest query
+    * STOPPED, like [[compactStores]]; restart it with `centroids =
+    * Some(retrained.centroids)` (the pinned relation a running query
+    * holds would silently re-diverge the next batch). Returns the
+    * retrained, servable index.
+    *
+    * `nlist` may differ from the original build — the `_cid` space is
+    * wholly replaced.
+    *
+    * CRASH SAFETY: each version rewrite goes through the staged-commit
+    * protocol ([[VersionedStore.stagedReplace]] — same heal/sweep story
+    * as compaction), and the centroids commit LAST, staged the same
+    * way. A crash mid-retrain can therefore leave versions assigned
+    * against centroids newer than the committed `centroids/` relation.
+    * That state is still SAFE — every served cosine is real; ivfTopK
+    * can only lose recall while lists and centroids disagree — and
+    * re-running retrain (or restarting it after fixing the fault)
+    * converges the store. */
+  def retrainIvfIndex(spark: SparkSession, storeRoot: String,
+      nlist: Int, kmeansIters: Int = 5): IvfIndex = {
+    val assigned = loadAssignedStore(spark, storeRoot)
+      .localCheckpoint(true)
+    // the key column leads the assigned schema by construction
+    // (assignTo selects it first); its name belongs to the caller
+    val key = assigned.columns.head
+    val cents = Similarity.kmeansCentroids(assigned, "_emb", key, nlist,
+      kmeansIters).localCheckpoint(true)
+    val famDir = s"$storeRoot/assigned"
+    for (v <- VersionedStore.committedVersions(spark, famDir,
+        Long.MaxValue)) {
+      val rows = spark.read.schema(assigned.schema)
+        .parquet(s"$famDir/v=$v").localCheckpoint(true)
+      VersionedStore.stagedReplace(spark, famDir, v) { staging =>
+        Similarity.assignTo(cents, rows, "_emb", key)
+          .write.mode("overwrite").partitionBy("_cid").parquet(staging)
+      }
+    }
+    // centroids commit LAST, via the same write-stage/unlink/rename
+    // shape (no v= healer applies here: a crash inside this two-op
+    // window leaves no committed centroids, which loadIvfIndex refuses
+    // loudly — the re-run remedy in the scaladoc)
+    val fs = new Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cStaging = new Path(s"$storeRoot/.centroids-retrain")
+    val cTarget = new Path(s"$storeRoot/centroids")
+    fs.delete(cStaging, true)
+    cents.write.mode("overwrite").parquet(cStaging.toString)
+    fs.delete(cTarget, true)
+    if (!fs.rename(cStaging, cTarget) && !fs.exists(cTarget))
+      throw new IllegalStateException(
+        s"retrain commit failed: could not rename $cStaging over " +
+          s"$cTarget")
+    IvfIndex(cents, loadAssignedStore(spark, storeRoot))
+  }
+
   /** Collapse the version history under the same size-tiered,
     * staged-commit policy as [[DedupIngest.compactStores]] (whose
     * scaladoc carries the full policy and crash-safety argument — the

@@ -156,6 +156,37 @@ private[streaming] object VersionedStore {
     stack.reverse
   }
 
+  /** Commit a fully-written staging directory over its target: unlink,
+    * then atomic rename. The crash window between the two is exactly
+    * the one [[healStagedCompactions]] closes — which is why every
+    * staged writer uses the `.compact-v=N` staging names the healer
+    * recognizes. */
+  private def commitStaged(fs: FileSystem, staging: Path,
+      target: Path): Unit = {
+    fs.delete(target, true)
+    if (!fs.rename(staging, target) && !fs.exists(target))
+      throw new IllegalStateException(
+        s"staged commit failed: could not rename $staging over $target")
+  }
+
+  /** Replace one committed version's contents via the staged-commit
+    * protocol: `write` produces the new data at the staging path (it
+    * must leave a `_SUCCESS` marker — any DataFrame parquet write
+    * does), then the staging directory is committed over `v=<v>`. A
+    * crash before the write completes leaves an ignored partial
+    * staging dir (swept by the next [[compactFamily]]); a crash inside
+    * the commit window heals on the next read. Used by maintenance
+    * rewrites ([[SimilarityIngest.retrainIvfIndex]]). */
+  def stagedReplace(spark: SparkSession, famDir: String, v: Long)(
+      write: String => Unit): Unit = {
+    val fs = new Path(famDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"$famDir/.compact-v=$v")
+    fs.delete(staging, true)
+    write(staging.toString)
+    commitStaged(fs, staging, new Path(s"$famDir/v=$v"))
+  }
+
   /** Fold one family's committed history (resolved by `resolve`) under
     * the size-tiered policy, with the staged crash-safe commit and the
     * `_keyrange` sidecar carry-through — the full policy and safety
@@ -242,11 +273,7 @@ private[streaming] object VersionedStore {
             max(col("maxKey")).as("maxKey"))
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(staging, "_keyrange").toString)
-      fs.delete(target, true)
-      if (!fs.rename(staging, target) && !fs.exists(target))
-        throw new IllegalStateException(
-          s"compaction commit failed: could not rename $staging " +
-            s"over $target")
+      commitStaged(fs, staging, target)
       group.filter(_ != vInto).foreach(v =>
         fs.delete(new Path(s"$famDir/v=$v"), true))
       Fold(family, group, vInto, fs.getContentSummary(target).getLength)

@@ -214,6 +214,58 @@ class SimilarityIngestSpec extends SparkTestBase {
     assert(SimilarityIngest.driftLog(spark, storeRoot).count() == 2)
   }
 
+  test("retrainIvfIndex retrains centroids on the accumulated corpus, " +
+      "rewrites every version's lists in place, and commits servable " +
+      "state") {
+    val storeRoot = Files.createTempDirectory("graft-sim-retrain").toString
+    val keptDir = Files.createTempDirectory("graft-sim-retraink").toString
+    // bootstrap centroids see only axes 0-1; ingested traffic covers
+    // axes 0-7, so the drift log climbs and retrain is the remedy
+    val boot = Seq((1L, base(0)), (2L, base(1))).toDF("vec_id", "embedding")
+    val cents0 = Similarity.buildIvfIndex(boot, "embedding", "vec_id",
+      nlist = 2).centroids
+    val b0 = (0 until 4).map(a => (10L + a, base(a)))
+      .toDF("vec_id", "embedding")
+    val b1 = (4 until 8).map(a => (20L + a, base(a)))
+      .toDF("vec_id", "embedding")
+    SimilarityIngest.processBatch(b0, 0L, storeRoot, keptDir,
+      "embedding", "vec_id", dim, 4, 0.95, 42L, Some(cents0))
+    SimilarityIngest.processBatch(b1, 1L, storeRoot, keptDir,
+      "embedding", "vec_id", dim, 4, 0.95, 42L, Some(cents0))
+    val corpus = b0.unionByName(b1)
+    val driftBefore = Similarity.assignmentDrift(cents0, corpus,
+      "embedding", "vec_id").select("mean_dist").as[Double].head()
+
+    val retrained = SimilarityIngest.retrainIvfIndex(spark, storeRoot,
+      nlist = 8, kmeansIters = 4)
+    // every kept row survives the rewrite, in its original version
+    assert(retrained.assigned.count() == 8)
+    assert(spark.read.parquet(s"$storeRoot/assigned/v=0").count() == 4)
+    assert(spark.read.parquet(s"$storeRoot/assigned/v=1").count() == 4)
+    // the retrained centroids fit the WHOLE accumulated corpus — with
+    // one list per distinct axis the assignment distance collapses
+    val driftAfter = Similarity.assignmentDrift(retrained.centroids,
+      corpus, "embedding", "vec_id").select("mean_dist").as[Double].head()
+    info(f"mean_dist: bootstrap $driftBefore%.4f -> retrained $driftAfter%.4f")
+    assert(driftAfter < 0.01 && driftAfter < driftBefore / 10,
+      s"retrain did not collapse the drift: $driftBefore -> $driftAfter")
+    // full probe over the retrained index is exact, and what
+    // loadIvfIndex serves IS the committed retrained state
+    val queries = Seq((9001L, base(4)), (9002L, base(1)))
+      .toDF("vec_id", "embedding")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long"),
+        $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = asSet(Similarity.cosineTopK(corpus, queries, "embedding",
+      "vec_id", k = 3))
+    assert(asSet(Similarity.ivfTopK(retrained, queries, "embedding",
+      "vec_id", k = 3, nprobe = 8)) == brute)
+    assert(asSet(Similarity.ivfTopK(
+      SimilarityIngest.loadIvfIndex(spark, storeRoot), queries,
+      "embedding", "vec_id", k = 3, nprobe = 8)) == brute)
+  }
+
   test("the key-order guard fails fast on a batch that reuses or " +
       "precedes stored keys") {
     val storeRoot = Files.createTempDirectory("graft-sim-guard").toString
