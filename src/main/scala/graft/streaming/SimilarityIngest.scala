@@ -171,6 +171,27 @@ object SimilarityIngest {
       // under redelivery, and cheap to skip once committed
       if (!fs.exists(new Path(s"$storeRoot/centroids/_SUCCESS")))
         cents.write.mode("overwrite").parquet(s"$storeRoot/centroids")
+      else {
+        // tripwire: assigning against centroids that disagree with the
+        // committed relation would not error — it would silently
+        // desynchronize lists from the centroids probes rank against,
+        // a pure recall leak. The common way in is restarting the loop
+        // with a stale relation after retrainIvfIndex. Both sides are
+        // parquet round-trips of the same doubles (bit-exact), so
+        // set equality is the right check; nlist-bounded collect.
+        def keyOf(df: DataFrame) = df
+          .select(col("_cid"), col("_cv").cast("array<double>"))
+          .collect().map(r =>
+            (r.getInt(0), r.getSeq[Double](1).toList)).toSet
+        if (keyOf(spark.read.parquet(s"$storeRoot/centroids"))
+            != keyOf(cents))
+          throw new IllegalStateException(
+            s"the centroids passed to this ingest disagree with the " +
+              s"committed relation at $storeRoot/centroids — after " +
+              "retrainIvfIndex, restart with the retrained centroids " +
+              "(loadIvfIndex(storeRoot).centroids); assigning against " +
+              "stale centroids silently desynchronizes the lists")
+      }
       // index the KEPT rows only — a dropped vector's near-identical
       // twin is already (or about to be) in the lists. An all-dropped
       // (or empty) batch writes NO delta: a partitioned empty write

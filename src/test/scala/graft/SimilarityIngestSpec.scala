@@ -266,6 +266,89 @@ class SimilarityIngestSpec extends SparkTestBase {
       "embedding", "vec_id", k = 3, nprobe = 8)) == brute)
   }
 
+  test("processBatch trips on centroids that disagree with the " +
+      "committed relation (the stale-restart-after-retrain window)") {
+    val storeRoot = Files.createTempDirectory("graft-sim-stale").toString
+    val keptDir = Files.createTempDirectory("graft-sim-stalek").toString
+    val b0 = batches.head.toDF("vec_id", "embedding")
+    val cents0 = Similarity.buildIvfIndex(b0, "embedding", "vec_id",
+      nlist = 2).centroids
+    SimilarityIngest.processBatch(b0, 0L, storeRoot, keptDir,
+      "embedding", "vec_id", dim, 4, 0.95, 42L, Some(cents0))
+    // the same relation (parquet round-trip) passes
+    SimilarityIngest.processBatch(b0, 0L, storeRoot, keptDir,
+      "embedding", "vec_id", dim, 4, 0.95, 42L,
+      Some(SimilarityIngest.loadIvfIndex(spark, storeRoot).centroids))
+    // a different relation fails loudly instead of desynchronizing
+    val other = Similarity.buildIvfIndex(b0, "embedding", "vec_id",
+      nlist = 3).centroids
+    val err = intercept[IllegalStateException](
+      SimilarityIngest.processBatch(
+        Seq((50L, base(7))).toDF("vec_id", "embedding"), 1L, storeRoot,
+        keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L, Some(other)))
+    assert(err.getMessage.contains("centroids"), err.getMessage)
+  }
+
+  test("fuzz: random compaction schedules and ratios are invisible — " +
+      "keep-sets, signatures, assignments, and the drift log match an " +
+      "uncompacted twin") {
+    val cents = Similarity.buildIvfIndex(batches.head.toDF("vec_id",
+        "embedding"), "embedding", "vec_id", nlist = 2).centroids
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed)
+      // vector pool with planted near-duplicate structure; keys
+      // monotone across batches per the contract
+      val pool = (0 until 8).map(a => base(a)) ++
+        (0 until 8).map(a => near(base(a)))
+      var nextKey = 1L
+      val fuzzBatches = (0 until 5).map { _ =>
+        (0 until 2 + rnd.nextInt(3)).map { _ =>
+          val k = nextKey; nextKey += 1
+          (k, pool(rnd.nextInt(pool.size)))
+        }
+      }
+      val rootA = Files.createTempDirectory(s"graft-sfz-a$seed").toString
+      val keptA = Files.createTempDirectory(s"graft-sfz-ak$seed").toString
+      val rootB = Files.createTempDirectory(s"graft-sfz-b$seed").toString
+      val keptB = Files.createTempDirectory(s"graft-sfz-bk$seed").toString
+      def run(root: String, kept: String, b: Seq[(Long, Seq[Double])],
+          id: Long) =
+        SimilarityIngest.processBatch(b.toDF("vec_id", "embedding"), id,
+          root, kept, "embedding", "vec_id", dim, 4, 0.95, 42L,
+          Some(cents))
+      for ((b, i) <- fuzzBatches.zipWithIndex) {
+        run(rootA, keptA, b, i.toLong)
+        run(rootB, keptB, b, i.toLong)
+        // twin A compacts at random points with random aggressiveness;
+        // twin B never compacts
+        if (rnd.nextBoolean())
+          SimilarityIngest.compactStores(spark, rootA,
+            sizeRatio = Seq(1.5, 4.0, Double.PositiveInfinity)(
+              rnd.nextInt(3)))
+      }
+      def state(root: String, kept: String) = {
+        val like = fuzzBatches.head.toDF("vec_id", "embedding")
+        (spark.read.parquet(kept).select($"ingest_batch".cast("long"),
+            $"vec_id").as[(Long, Long)].collect().toSet,
+          SimilarityIngest.loadLshStore(spark, root, like, "embedding",
+            "vec_id", dim, 4, 42L).select("vec_id").as[Long]
+            .collect().toSet,
+          SimilarityIngest.loadAssignedStore(spark, root)
+            .select($"vec_id", $"_cid").as[(Long, Int)].collect().toSet,
+          SimilarityIngest.driftLog(spark, root)
+            .as[(Long, Long, Option[Double], Option[Double])]
+            .collect().toSeq)
+      }
+      assert(state(rootA, keptA) == state(rootB, keptB),
+        s"seed $seed: compaction schedule changed observable state")
+      // the last batch retries identically on both twins
+      run(rootA, keptA, fuzzBatches.last, fuzzBatches.size - 1L)
+      run(rootB, keptB, fuzzBatches.last, fuzzBatches.size - 1L)
+      assert(state(rootA, keptA) == state(rootB, keptB),
+        s"seed $seed: post-retry state diverged")
+    }
+  }
+
   test("the key-order guard fails fast on a batch that reuses or " +
       "precedes stored keys") {
     val storeRoot = Files.createTempDirectory("graft-sim-guard").toString
