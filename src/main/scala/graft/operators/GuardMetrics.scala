@@ -172,6 +172,42 @@ object GuardMetrics {
     }
   }
 
+  /** Count-based sibling of [[capCohorts]] for callers that must not
+    * window the data relation itself — the store side of an incremental
+    * join, where a cohort window would shuffle the (wide) store rows
+    * the incremental's scale shape promises never move. The caller
+    * aggregates per-cohort totals and passes the (already tiny)
+    * OVER-CAP relation here with its size column; each cohort is
+    * recorded in the same accumulators (rows += size, cohorts += 1,
+    * one warn line) and the relation comes back MATERIALIZED (eager
+    * localCheckpoint) so the recording fires exactly once no matter
+    * how many joins then consume it.
+    */
+  def recordOverCohorts(over: DataFrame, sizeCol: String, cap: Long,
+      tag: String = ""): DataFrame = {
+    val sc = over.sparkSession.sparkContext
+    val total = of(sc)
+    val own = if (tag.isEmpty) None else Some(of(sc, tag))
+    val appId = sc.applicationId
+    val record = udf { (n: Long) =>
+      total.droppedRows.add(n)
+      total.droppedCohorts.add(1L)
+      own.foreach { c =>
+        c.droppedRows.add(n)
+        c.droppedCohorts.add(1L)
+      }
+      warnOnce(appId, tag,
+        s"graft: skew guard '${tagLabel(tag)}' dropped an over-cap " +
+          s"cohort (cap=$cap); see accumulators " +
+          s"'${taggedName(DroppedRowsName, tag)}' / " +
+          s"'${taggedName(DroppedCohortsName, tag)}' for totals. " +
+          "Raise the cap or pass the <=0 sentinel to keep such " +
+          "cohorts (at quadratic cost).")
+      true
+    }.asNondeterministic()
+    over.filter(record(col(sizeCol))).localCheckpoint(true)
+  }
+
   /** Length-cap guard for the streaming banded joins
     * ([[graft.streaming.Streams.rangeJoinStream]] /
     * [[graft.streaming.Streams.overlapJoinStream]]): drop every row whose

@@ -100,9 +100,18 @@ object Similarity {
     */
   def lshNeighborPairs(corpus: DataFrame, embCol: String, key: String,
       dim: Int, numBits: Int = 16, threshold: Double = 0.8,
-      seed: Long = 42): DataFrame = {
-    // norms hoisted per row; pair cost is one fast dot + a divide
-    val bucketed = lshSignatures(corpus, embCol, key, dim, numBits, seed)
+      seed: Long = 42, maxBucketSize: Long = 10000): DataFrame = {
+    require(maxBucketSize <= 0 || maxBucketSize > 1,
+      "maxBucketSize must be > 1 (or <= 0 to skip the skew guard)")
+    // norms hoisted per row; pair cost is one fast dot + a divide.
+    // `maxBucketSize` caps the B² blow-up of a degenerate bucket (a hot
+    // cluster the hyperplanes fail to split, or numBits sized for a
+    // smaller corpus) — same cohort guard as the minhash/simhash band
+    // joins, riding the self-join's own _bucket exchange, drops counted
+    // in GuardMetrics' accumulators under the "lsh" tag. <= 0 skips it.
+    val bucketed = GuardMetrics.capCohorts(
+      lshSignatures(corpus, embCol, key, dim, numBits, seed),
+      Seq(col("_bucket")), maxBucketSize, "lsh")
     val a = bucketed.select(col(key).as("key_a"),
       col("_emb").as("_emb_a"), col("_n").as("_n_a"), col("_bucket"))
     val b = bucketed.select(col(key).as("key_b"),
@@ -139,7 +148,14 @@ object Similarity {
     corpus.select(col(key),
       asDouble(col(embCol)).as("_emb"),
       norm(col(embCol)).as("_n"),
-      lshBucket(col(embCol), dim, numBits, seed).as("_bucket"))
+      // zero-norm embeddings (the classic missing-embedding-as-zeros
+      // data bug) bucket to NULL, not to the all-signs-negative bucket:
+      // they can never verify (cosine is undefined), but at corpus
+      // scale millions of them piling into one bucket is a quadratic
+      // candidate blow-up for pairs the threshold filter then discards.
+      // A null bucket never equi-joins — same output, none of the cost.
+      when(norm(col(embCol)) > 0,
+        lshBucket(col(embCol), dim, numBits, seed)).as("_bucket"))
 
   private def validateLshStore(store: DataFrame, key: String): Unit = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
@@ -186,11 +202,40 @@ object Similarity {
     */
   def lshNeighborPairsIncremental(newDocs: DataFrame, store: DataFrame,
       embCol: String, key: String, dim: Int, numBits: Int = 16,
-      threshold: Double = 0.8, seed: Long = 42): (DataFrame, DataFrame) = {
+      threshold: Double = 0.8, seed: Long = 42,
+      maxBucketSize: Long = 10000): (DataFrame, DataFrame) = {
     validateLshStore(store, key)
+    require(maxBucketSize <= 0 || maxBucketSize > 1,
+      "maxBucketSize must be > 1 (or <= 0 to skip the skew guard)")
     val newSigs = lshSignatures(newDocs, embCol, key, dim, numBits, seed)
-    val storeSigs = store.select(col(key), col("_emb"), col("_n"),
+    val allStoreSigs = store.select(col(key), col("_emb"), col("_n"),
       col("_bucket"))
+    // the batch operator's UNION-WIDE cohort cap, enforced WITHOUT
+    // windowing (= shuffling) the store: per-bucket totals from two
+    // count aggregates whose shuffles carry at most 2^numBits narrow
+    // (bucket, count) rows, over-cap buckets recorded in GuardMetrics'
+    // "lsh" accumulators and broadcast into map-side anti-joins on
+    // both sides. Parity with the guarded batch run holds as long as
+    // no bucket CROSSES the cap mid-stream (same guard-crossing caveat
+    // as the minhash incremental: a bucket that grows past the cap at
+    // batch k already emitted its under-cap pairs in batches < k and
+    // only stops pairing from k on). Null (zero-norm) buckets never
+    // pair, so they are excluded from the totals.
+    val (newGuarded, storeSigs) =
+      if (maxBucketSize <= 0) (newSigs, allStoreSigs)
+      else {
+        val over = GuardMetrics.recordOverCohorts(
+          allStoreSigs.filter(col("_bucket").isNotNull)
+            .groupBy("_bucket").count()
+            .unionByName(newSigs.filter(col("_bucket").isNotNull)
+              .groupBy("_bucket").count())
+            .groupBy("_bucket").agg(sum("count").as("_total"))
+            .filter(col("_total") > maxBucketSize),
+          "_total", maxBucketSize, "lsh")
+          .select("_bucket")
+        (newSigs.join(broadcast(over), Seq("_bucket"), "left_anti"),
+          allStoreSigs.join(broadcast(over), Seq("_bucket"), "left_anti"))
+      }
     def side(df: DataFrame, s: String) = df.select(col(key).as(s"key_$s"),
       col("_emb").as(s"_emb_$s"), col("_n").as(s"_n_$s"), col("_bucket"))
     // (new × old) ∪ (new × new): cosine is symmetric, so cross pairs
@@ -198,21 +243,26 @@ object Similarity {
     // new-new pairs keep the batch operator's `<` filter. dropDuplicates
     // canonicalizes multi-bucket hits (possible only for null-free
     // bucket ties here — kept for exact parity with the batch shape).
-    val cross = side(newSigs, "a").join(side(storeSigs, "b"), Seq("_bucket"))
+    val cross = side(newGuarded, "a").join(side(storeSigs, "b"),
+        Seq("_bucket"))
       .select(col("key_a"), col("key_b"),
         (dot(col("_emb_a"), col("_emb_b"))
           / (col("_n_a") * col("_n_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(least(col("key_a"), col("key_b")).as("key_a"),
         greatest(col("key_a"), col("key_b")).as("key_b"), col("cosine"))
-    val within = side(newSigs, "a").join(side(newSigs, "b"), Seq("_bucket"))
+    val within = side(newGuarded, "a").join(side(newGuarded, "b"),
+        Seq("_bucket"))
       .filter(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"),
         (dot(col("_emb_a"), col("_emb_b"))
           / (col("_n_a") * col("_n_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // the guard affects PAIRING only — the updated store keeps every
+    // signature, so a later cap raise (or compaction-time re-pair)
+    // still has the full relation
     (cross.unionByName(within).dropDuplicates("key_a", "key_b"),
-      storeSigs.unionByName(newSigs))
+      allStoreSigs.unionByName(newSigs))
   }
 
   /** Deterministic "training-free" IVF centroids: the first `nlist` corpus
@@ -561,7 +611,8 @@ object Similarity {
     */
   def embeddingDedupDropList(corpus: DataFrame, embCol: String, key: String,
       dim: Int, numBits: Int = 16, threshold: Double = 0.95,
-      seed: Long = 42): DataFrame =
-    lshNeighborPairs(corpus, embCol, key, dim, numBits, threshold, seed)
+      seed: Long = 42, maxBucketSize: Long = 10000): DataFrame =
+    lshNeighborPairs(corpus, embCol, key, dim, numBits, threshold, seed,
+        maxBucketSize)
       .select(col("key_b").as(key)).distinct()
 }

@@ -141,7 +141,8 @@ object SimilarityIngest {
       storeRoot: String, keptDir: String, embCol: String, key: String,
       dim: Int, numBits: Int, threshold: Double, seed: Long,
       centroids: Option[DataFrame],
-      enforceKeyOrder: Boolean = true): Unit = {
+      enforceKeyOrder: Boolean = true,
+      maxBucketSize: Long = 10000): Unit = {
     val spark = batch.sparkSession
     if (enforceKeyOrder)
       VersionedStore.enforceKeyOrderGuard(batch, batchId,
@@ -149,7 +150,7 @@ object SimilarityIngest {
     val store = loadLshStore(spark, storeRoot, batch, embCol, key, dim,
       numBits, seed, below = batchId)
     val (pairs, _) = Similarity.lshNeighborPairsIncremental(batch, store,
-      embCol, key, dim, numBits, threshold, seed)
+      embCol, key, dim, numBits, threshold, seed, maxBucketSize)
     // keep-first: every pair's canonical key_b is the later key under
     // the monotone contract, so dropping key_b per batch composes to
     // embeddingDedupDropList over the union (see object doc)
@@ -228,7 +229,8 @@ object SimilarityIngest {
       storeRoot: String, keptDir: String, checkpointDir: String,
       numBits: Int = 16, threshold: Double = 0.95, seed: Long = 42,
       centroids: Option[DataFrame] = None,
-      enforceKeyOrder: Boolean = true): StreamingQuery = {
+      enforceKeyOrder: Boolean = true,
+      maxBucketSize: Long = 10000): StreamingQuery = {
     require(docs.isStreaming,
       "SimilarityIngest.start needs a streaming DataFrame — for batch " +
         "data use the incremental operators directly " +
@@ -245,7 +247,7 @@ object SimilarityIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storeRoot, keptDir, embCol, key,
           dim, numBits, threshold, seed, pinnedCentroids,
-          enforceKeyOrder)
+          enforceKeyOrder, maxBucketSize)
       }
       .start()
   }

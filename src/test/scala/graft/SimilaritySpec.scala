@@ -170,6 +170,58 @@ class SimilaritySpec extends SparkTestBase {
       f"LSH recall $recall%.3f under the 0.9 floor")
   }
 
+  test("LSH bucket-skew guard: a degenerate bucket is dropped with " +
+      "attributed metrics in the batch op, the incremental enforces " +
+      "the same union-wide cap store-shuffle-free, and zero-norm " +
+      "embeddings bucket to null") {
+    import graft.operators.GuardMetrics
+    val sc = spark.sparkContext
+    GuardMetrics.resetAll(sc)
+    val lsh = GuardMetrics.of(sc, "lsh")
+    // 30 identical vectors: one hot bucket, C(30,2) = 435 pairs unguarded
+    val hotVec = Seq.fill(8)(1.0)
+    val hot = (1L to 30L).map(k => (k, hotVec)).toDF("vec_id", "embedding")
+    val unguarded = Similarity.lshNeighborPairs(hot, "embedding",
+      "vec_id", dim = 8, numBits = 4, threshold = 0.95,
+      maxBucketSize = -1).count()
+    assert(unguarded == 435)
+    assert(lsh.droppedRows.value == 0)
+    val guarded = Similarity.lshNeighborPairs(hot, "embedding", "vec_id",
+      dim = 8, numBits = 4, threshold = 0.95, maxBucketSize = 10).count()
+    assert(guarded == 0, s"over-cap bucket must drop, got $guarded pairs")
+    assert(lsh.droppedRows.value == 30 && lsh.droppedCohorts.value == 1,
+      s"metrics ${lsh.droppedRows.value}/${lsh.droppedCohorts.value}")
+
+    // incremental: 20 stored + 10 new identical vectors — the UNION
+    // total (30) is over the cap even though each side alone is not
+    GuardMetrics.resetAll(sc)
+    val store = Similarity.lshSignatures(
+      (1L to 20L).map(k => (k, hotVec)).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", dim = 8, numBits = 4)
+    val batch = (21L to 30L).map(k => (k, hotVec))
+      .toDF("vec_id", "embedding")
+    val (openPairs, _) = Similarity.lshNeighborPairsIncremental(batch,
+      store, "embedding", "vec_id", dim = 8, numBits = 4,
+      threshold = 0.95, maxBucketSize = -1)
+    assert(openPairs.count() == 20 * 10 + 45) // cross + within
+    val (cappedPairs, updated) = Similarity.lshNeighborPairsIncremental(
+      batch, store, "embedding", "vec_id", dim = 8, numBits = 4,
+      threshold = 0.95, maxBucketSize = 10)
+    assert(cappedPairs.count() == 0)
+    assert(lsh.droppedRows.value == 30 && lsh.droppedCohorts.value == 1,
+      s"metrics ${lsh.droppedRows.value}/${lsh.droppedCohorts.value}")
+    // the guard affects pairing only: the updated store keeps all rows
+    assert(updated.count() == 30)
+
+    // zero-norm embeddings: null bucket (never joins), row still kept
+    val zeros = Similarity.lshSignatures(
+      Seq((1L, Seq.fill(8)(0.0)), (2L, hotVec)).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", dim = 8, numBits = 4)
+    val rows = zeros.select($"vec_id", $"_bucket").collect()
+      .map(r => (r.getLong(0), r.isNullAt(1))).toSet
+    assert(rows == Set((1L, true), (2L, false)))
+  }
+
   /** Well-separated clusters around 4 orthogonal axes: the shape where
     * hash-sampled centroids underperform (several samples land in one
     * cluster, another cluster gets none) and Lloyd rounds must fix it.
