@@ -228,6 +228,35 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("incremental LSH embedding dedup: the signature store is never " +
+      "shuffled — guard totals ride narrow count aggregates, candidate " +
+      "and anti joins broadcast") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val dim = emb.select("embedding").head.getSeq[Float](0).length
+    val store = Similarity.lshSignatures(
+        emb.filter(col("vec_id") < 100), "embedding", "vec_id", dim)
+      .localCheckpoint(true) // pin: the plan under test is the increment
+    val newDocs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val (pairs, _) = Similarity.lshNeighborPairsIncremental(newDocs,
+        store, "embedding", "vec_id", dim)
+      val p = pairs.queryExecution.executedPlan.toString
+      // guard ON (the default): the over-cap relation was materialized
+      // eagerly at call time off narrow count aggregates; what remains
+      // in THIS plan is the pairing itself, where the store-side rows
+      // (embeddings included) must only ever be scanned map-side —
+      // anti-join against the broadcast over-cap list, candidate join
+      // against the broadcast new side
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"store-side joins must broadcast, never shuffle the store:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"increment joins must be broadcast:\n$p")
+    }
+  }
+
   test("incremental connected components: the label store is never " +
       "shuffled — broadcast scan filter, broadcast relabel, solve on " +
       "the contracted graph only") {
