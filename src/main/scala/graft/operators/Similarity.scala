@@ -157,6 +157,65 @@ object Similarity {
       when(norm(col(embCol)) > 0,
         lshBucket(col(embCol), dim, numBits, seed)).as("_bucket"))
 
+  /** Persist an LSH signature store hash-bucketed by `_bucket` — the
+    * large-increment escape hatch for [[lshNeighborPairsIncremental]],
+    * the embedding-side twin of
+    * [[graft.operators.Dedup.saveBucketedDigestStore]] (whose scaladoc
+    * carries the full rationale and sizing guidance). Unlike the
+    * minhash store — whose banding key is DERIVED by exploding
+    * `_buckets`, so no on-disk clustering can serve it — the LSH
+    * store's join key is the stored `_bucket` column, so a
+    * `CLUSTERED BY (_bucket)` store lets a non-broadcastable
+    * increment's candidate join sort-merge with NO store-side
+    * Exchange: only the increment shuffles, to `numBuckets`
+    * partitions. The bucket count rides a `_graft_buckets` sidecar so
+    * a re-attach can never declare a partitioning the files don't
+    * have. */
+  def saveBucketedLshStore(store: DataFrame, table: String,
+      path: String, numBuckets: Int = 256): Unit = {
+    for (c <- Seq("_emb", "_n", "_bucket"); if !store.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"LSH store is missing column '$c' — expected the relation " +
+          "lshSignatures produces")
+    val spark = store.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    store.repartition(numBuckets, col("_bucket"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "_bucket").sortBy("_bucket")
+      .option("path", path).saveAsTable(table)
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(numBuckets.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load (re-attaching to the session catalog if needed) a bucketed
+    * LSH store written by [[saveBucketedLshStore]]; the bucket count
+    * comes from the `_graft_buckets` sidecar, exactly as in
+    * [[graft.operators.Dedup.bucketedDigestStore]]. */
+  def bucketedLshStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p))
+        throw new IllegalArgumentException(
+          s"no _graft_buckets sidecar under $path — was this store " +
+            "written by saveBucketedLshStore?")
+      val in = fs.open(p)
+      val numBuckets =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .trim.toInt
+        finally in.close()
+      val ddl = spark.read.parquet(path).schema.toDDL
+      spark.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
+        s"CLUSTERED BY (_bucket) SORTED BY (_bucket) " +
+        s"INTO $numBuckets BUCKETS LOCATION '$path'")
+    }
+    spark.table(table)
+  }
+
   private def validateLshStore(store: DataFrame, key: String): Unit = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
     for (c <- Seq(key, "_emb", "_n", "_bucket");

@@ -257,6 +257,55 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("incremental LSH over a bucketed store: a non-broadcast " +
+      "increment still plans no store-side shuffle") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import graft.operators.Similarity
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val dim = emb.select("embedding").head.getSeq[Float](0).length
+    val tmp = java.nio.file.Files.createTempDirectory("graft-blsh")
+    val store0 = Similarity.lshSignatures(
+      emb.filter(col("vec_id") < 100), "embedding", "vec_id", dim)
+    Similarity.saveBucketedLshStore(store0, "graft_bucketed_lsh_test",
+      s"$tmp/store", numBuckets = 8)
+    // reload through the re-attach path — drop the catalog entry first
+    // so the CREATE TABLE branch (and its _graft_buckets sidecar read)
+    // actually executes, as it would in a fresh session
+    spark.sql("DROP TABLE graft_bucketed_lsh_test")
+    val store = Similarity.bucketedLshStore(spark,
+      "graft_bucketed_lsh_test", s"$tmp/store")
+    val newDocs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val (pairs, _) = Similarity.lshNeighborPairsIncremental(newDocs,
+        store, "embedding", "vec_id", dim, maxBucketSize = -1)
+      val plan = pairs.queryExecution.executedPlan
+      // the candidate join must sort-merge against the bucketed store
+      // scan DIRECTLY — any Exchange on the store side means the
+      // catalog's CLUSTERED BY was not honored and the corpus shuffles
+      // per increment
+      def bucketedNoShuffle(side: SparkPlan): Boolean =
+        side.collect { case s: FileSourceScanExec
+          if s.relation.bucketSpec.isDefined => s }.nonEmpty &&
+        side.collect { case e: ShuffleExchangeExec => e }.isEmpty
+      val storeJoins = plan.collect { case j: SortMergeJoinExec
+        if bucketedNoShuffle(j.left) || bucketedNoShuffle(j.right) => j }
+      assert(storeJoins.nonEmpty,
+        s"no shuffle-free bucketed store side found in:\n$plan")
+      // and the plan change is not a semantics change: same pairs as
+      // the plain-relation store path
+      val (plainPairs, _) = Similarity.lshNeighborPairsIncremental(
+        newDocs, store0, "embedding", "vec_id", dim, maxBucketSize = -1)
+      def pairSet(df: DataFrame) = df.select("key_a", "key_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairSet(pairs) == pairSet(plainPairs))
+    }
+  }
+
   test("incremental connected components: the label store is never " +
       "shuffled — broadcast scan filter, broadcast relabel, solve on " +
       "the contracted graph only") {
