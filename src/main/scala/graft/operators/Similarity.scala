@@ -109,8 +109,14 @@ object Similarity {
     // smaller corpus) — same cohort guard as the minhash/simhash band
     // joins, riding the self-join's own _bucket exchange, drops counted
     // in GuardMetrics' accumulators under the "lsh" tag. <= 0 skips it.
+    // Null (zero-norm) buckets are filtered BEFORE the guard: the
+    // equi-join drops them anyway, and counting them as a "dropped
+    // cohort" would fire the skew alarm for rows that never lose a
+    // pair (the incremental excludes them from its totals the same
+    // way).
     val bucketed = GuardMetrics.capCohorts(
-      lshSignatures(corpus, embCol, key, dim, numBits, seed),
+      lshSignatures(corpus, embCol, key, dim, numBits, seed)
+        .filter(col("_bucket").isNotNull),
       Seq(col("_bucket")), maxBucketSize, "lsh")
     val a = bucketed.select(col(key).as("key_a"),
       col("_emb").as("_emb_a"), col("_n").as("_n_a"), col("_bucket"))
@@ -245,12 +251,15 @@ object Similarity {
     *
     * Parity: per increment this is exactly [[lshNeighborPairs]] over
     * the union-so-far restricted to pairs touching the batch (same
-    * hyperplanes — the seed fixes them — same threshold), so the union
-    * of increments over K batches equals the batch run over the full
-    * corpus. Unlike the minhash path there is no cohort guard to cross,
-    * so the equality is unconditional; bucket skew is governed by
-    * `numBits` sizing (~2·log₂(n) at the TARGET corpus size — size for
-    * where the store is going, not the first batch).
+    * hyperplanes — the seed fixes them — same threshold, same
+    * union-wide `maxBucketSize` cohort cap), so the union of increments
+    * over K batches equals the batch run over the full corpus, with the
+    * minhash family's guard-crossing caveat: a bucket that grows past
+    * the cap at batch k emitted its under-cap pairs in batches < k and
+    * only stops pairing from k on. Bucket skew is governed by `numBits`
+    * sizing first (~2·log₂(n) at the TARGET corpus size — size for
+    * where the store is going, not the first batch); the cap is the
+    * backstop.
     *
     * Scale shape per increment: the new batch is bucketed once (one
     * kernel pass); candidates join the new batch's narrow
@@ -262,24 +271,47 @@ object Similarity {
   def lshNeighborPairsIncremental(newDocs: DataFrame, store: DataFrame,
       embCol: String, key: String, dim: Int, numBits: Int = 16,
       threshold: Double = 0.8, seed: Long = 42,
+      maxBucketSize: Long = 10000): (DataFrame, DataFrame) =
+    lshNeighborPairsIncrementalFromSigs(
+      lshSignatures(newDocs, embCol, key, dim, numBits, seed), store,
+      key, threshold, maxBucketSize)
+
+  /** [[lshNeighborPairsIncremental]] for a caller that already holds
+    * the batch's [[lshSignatures]] relation — e.g. to also persist it
+    * as a store delta without running the bucketing kernel twice
+    * ([[graft.streaming.SimilarityIngest]] does). `newSigs` must have
+    * been produced at the store's `(dim, numBits, seed)`. */
+  def lshNeighborPairsIncrementalFromSigs(newSigs: DataFrame,
+      store: DataFrame, key: String, threshold: Double = 0.8,
       maxBucketSize: Long = 10000): (DataFrame, DataFrame) = {
     validateLshStore(store, key)
+    validateLshStore(newSigs, key)
     require(maxBucketSize <= 0 || maxBucketSize > 1,
       "maxBucketSize must be > 1 (or <= 0 to skip the skew guard)")
-    val newSigs = lshSignatures(newDocs, embCol, key, dim, numBits, seed)
     val allStoreSigs = store.select(col(key), col("_emb"), col("_n"),
       col("_bucket"))
     // the batch operator's UNION-WIDE cohort cap, enforced WITHOUT
     // windowing (= shuffling) the store: per-bucket totals from two
-    // count aggregates whose shuffles carry at most 2^numBits narrow
-    // (bucket, count) rows, over-cap buckets recorded in GuardMetrics'
+    // count aggregates, over-cap buckets recorded in GuardMetrics'
     // "lsh" accumulators and broadcast into map-side anti-joins on
-    // both sides. Parity with the guarded batch run holds as long as
+    // both sides. Guard-ON cost: the store-side count's partial
+    // aggregation emits per-partition-distinct (bucket, count) rows —
+    // a narrow column-pruned store-sized exchange per call in the
+    // worst (well-sized numBits) case, the exact trade the minhash
+    // incremental's guard-ON banding window makes; pass <= 0 on a
+    // trusted (size-governed) bucket space for the zero-store-shuffle
+    // shape, which is the form BASELINE.md's flatness row measures.
+    // Parity with the guarded batch run holds as long as
     // no bucket CROSSES the cap mid-stream (same guard-crossing caveat
     // as the minhash incremental: a bucket that grows past the cap at
     // batch k already emitted its under-cap pairs in batches < k and
     // only stops pairing from k on). Null (zero-norm) buckets never
-    // pair, so they are excluded from the totals.
+    // pair, so they are excluded from the totals. Metric unit: each
+    // CALL records the union total of every over-cap bucket it sees —
+    // a persistently hot bucket re-records per call, so across a
+    // streaming ingest the accumulators are fire diagnostics, not
+    // cumulative excluded-row accounting (the GuardMetrics object doc's
+    // contract).
     val (newGuarded, storeSigs) =
       if (maxBucketSize <= 0) (newSigs, allStoreSigs)
       else {

@@ -149,8 +149,12 @@ object SimilarityIngest {
         s"$storeRoot/lsh", key)
     val store = loadLshStore(spark, storeRoot, batch, embCol, key, dim,
       numBits, seed, below = batchId)
-    val (pairs, _) = Similarity.lshNeighborPairsIncremental(batch, store,
-      embCol, key, dim, numBits, threshold, seed, maxBucketSize)
+    // one bucketing-kernel pass: the same signatures feed the pair op
+    // AND the store delta write below
+    val sigs = Similarity.lshSignatures(batch, embCol, key, dim, numBits,
+      seed).localCheckpoint(false)
+    val (pairs, _) = Similarity.lshNeighborPairsIncrementalFromSigs(sigs,
+      store, key, threshold, maxBucketSize)
     // keep-first: every pair's canonical key_b is the later key under
     // the monotone contract, so dropping key_b per batch composes to
     // embeddingDedupDropList over the union (see object doc)
@@ -160,8 +164,7 @@ object SimilarityIngest {
       .localCheckpoint(false)
     // all outputs are batchId-addressed wholesale overwrites — the
     // DedupIngest exactly-once note applies verbatim
-    Similarity.lshSignatures(batch, embCol, key, dim, numBits, seed)
-      .write.mode("overwrite").parquet(s"$storeRoot/lsh/v=$batchId")
+    sigs.write.mode("overwrite").parquet(s"$storeRoot/lsh/v=$batchId")
     // the guard sidecar rides after the data commit: a crash between
     // the two leaves a committed version the guard merely skips
     VersionedStore.writeKeyRange(batch, key, s"$storeRoot/lsh/v=$batchId")
@@ -169,10 +172,24 @@ object SimilarityIngest {
       val fs = new Path(storeRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       // once, so the store serves on its own; overwrite-idempotent
-      // under redelivery, and cheap to skip once committed
-      if (!fs.exists(new Path(s"$storeRoot/centroids/_SUCCESS")))
+      // under redelivery, and cheap to skip once committed. Writing is
+      // legal ONLY on a fresh store: missing centroids WITH committed
+      // list assignments means a retrainIvfIndex crashed in its
+      // centroid-commit window — silently re-committing the (likely
+      // stale) passed relation over already-rewritten lists would
+      // bless exactly the desynchronization the tripwire below exists
+      // to stop.
+      if (!fs.exists(new Path(s"$storeRoot/centroids/_SUCCESS"))) {
+        if (VersionedStore.committedVersions(spark,
+            s"$storeRoot/assigned", Long.MaxValue).nonEmpty)
+          throw new IllegalStateException(
+            s"committed list assignments exist under $storeRoot but " +
+              "no committed centroids — a retrainIvfIndex crashed in " +
+              "its centroid-commit window; re-run retrainIvfIndex " +
+              "(and restart the ingest with its centroids) before " +
+              "processing more batches")
         cents.write.mode("overwrite").parquet(s"$storeRoot/centroids")
-      else {
+      } else {
         // tripwire: assigning against centroids that disagree with the
         // committed relation would not error — it would silently
         // desynchronize lists from the centroids probes rank against,
@@ -239,14 +256,24 @@ object SimilarityIngest {
     for (c <- Seq(embCol, key); if !docs.columns.contains(c))
       throw new IllegalArgumentException(
         s"docs is missing column '$c' (have: ${docs.columns.mkString(", ")})")
-    // pin the centroid relation now — foreachBatch must not re-evaluate
-    // a live query plan against moved data on every batch
-    val pinnedCentroids = centroids.map(_.localCheckpoint(true))
+    // pin the centroid relation ON THE DRIVER — foreachBatch must not
+    // re-evaluate a live query plan against moved data on every batch,
+    // and an executor-resident pin (localCheckpoint) would die with
+    // its executor hours into the run (spot / dynamic allocation).
+    // nlist × dim doubles: the same bounded-collect class as the
+    // k-means loop's per-round centroids.
+    val pinned = centroids.map { c =>
+      (c.collect().toSeq, c.schema)
+    }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import scala.jdk.CollectionConverters._
+        val cents = pinned.map { case (rows, schema) =>
+          batch.sparkSession.createDataFrame(rows.asJava, schema)
+        }
         processBatch(batch, batchId, storeRoot, keptDir, embCol, key,
-          dim, numBits, threshold, seed, pinnedCentroids,
+          dim, numBits, threshold, seed, cents,
           enforceKeyOrder, maxBucketSize)
       }
       .start()
@@ -294,21 +321,14 @@ object SimilarityIngest {
           .write.mode("overwrite").partitionBy("_cid").parquet(staging)
       }
     }
-    // centroids commit LAST, via the same write-stage/unlink/rename
-    // shape (no v= healer applies here: a crash inside this two-op
-    // window leaves no committed centroids, which loadIvfIndex refuses
-    // loudly — the re-run remedy in the scaladoc)
-    val fs = new Path(storeRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cStaging = new Path(s"$storeRoot/.centroids-retrain")
-    val cTarget = new Path(s"$storeRoot/centroids")
-    fs.delete(cStaging, true)
-    cents.write.mode("overwrite").parquet(cStaging.toString)
-    fs.delete(cTarget, true)
-    if (!fs.rename(cStaging, cTarget) && !fs.exists(cTarget))
-      throw new IllegalStateException(
-        s"retrain commit failed: could not rename $cStaging over " +
-          s"$cTarget")
+    // centroids commit LAST, through the shared staged protocol (no
+    // v= healer applies here: a crash inside the commit window leaves
+    // no committed centroids, which loadIvfIndex AND the next
+    // processBatch refuse loudly — the re-run remedy in the scaladoc)
+    VersionedStore.stagedCommitDir(spark,
+        s"$storeRoot/.centroids-retrain", s"$storeRoot/centroids") {
+      staging => cents.write.mode("overwrite").parquet(staging)
+    }
     IvfIndex(cents, loadAssignedStore(spark, storeRoot))
   }
 

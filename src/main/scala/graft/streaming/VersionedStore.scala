@@ -61,8 +61,24 @@ private[streaming] object VersionedStore {
     attempted
   }
 
+  /** The versions a committed fold target records as folded away (its
+    * `_folded` sidecar): their rows live in the target, so any of them
+    * still on disk is a crash leftover a reader must EXCLUDE (else its
+    * rows count twice) and the next compaction deletes. */
+  private def foldedAway(fs: FileSystem, versionDir: Path): Seq[Long] = {
+    val f = new Path(versionDir, "_folded")
+    if (!fs.exists(f)) Seq.empty
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toList
+      finally in.close()
+    }
+  }
+
   /** The committed version ids strictly below `below` in `dir`,
-    * ascending — healing crashed compactions on the way. */
+    * ascending — healing crashed compactions and excluding
+    * folded-away crash leftovers on the way. */
   def committedVersions(spark: SparkSession, dir: String,
       below: Long): Seq[Long] = {
     val p = new Path(dir)
@@ -73,7 +89,7 @@ private[streaming] object VersionedStore {
       val listed =
         if (healStagedCompactions(fs, p, entries)) fs.listStatus(p).toSeq
         else entries
-      listed
+      val committed = listed
         .filter(_.isDirectory)
         // only ^v=\d+$ — a foreign or leftover directory (v=1.bak, a
         // staging dir, an editor artifact) must not crash every batch
@@ -81,9 +97,16 @@ private[streaming] object VersionedStore {
           .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
           .map(v => (v, s.getPath)))
         .filter { case (_, d) => fs.exists(new Path(d, "_SUCCESS")) }
-        .map(_._1)
-        .filter(_ < below)
-        .sorted
+        .filter(_._1 < below)
+      // exclude sources a surviving fold target already holds — the
+      // crash-between-commit-and-source-deletes window would otherwise
+      // double their rows (harmless for resolve-collapsed families,
+      // wrong for the serving `assigned` lists). Only targets THIS
+      // reader sees may exclude: a filtered-out target can't vouch for
+      // its sources.
+      val folded = committed
+        .flatMap { case (_, d) => foldedAway(fs, d) }.toSet
+      committed.map(_._1).filterNot(folded).sorted
     }
   }
 
@@ -169,23 +192,32 @@ private[streaming] object VersionedStore {
         s"staged commit failed: could not rename $staging over $target")
   }
 
-  /** Replace one committed version's contents via the staged-commit
-    * protocol: `write` produces the new data at the staging path (it
-    * must leave a `_SUCCESS` marker — any DataFrame parquet write
-    * does), then the staging directory is committed over `v=<v>`. A
-    * crash before the write completes leaves an ignored partial
-    * staging dir (swept by the next [[compactFamily]]); a crash inside
-    * the commit window heals on the next read. Used by maintenance
-    * rewrites ([[SimilarityIngest.retrainIvfIndex]]). */
-  def stagedReplace(spark: SparkSession, famDir: String, v: Long)(
-      write: String => Unit): Unit = {
-    val fs = new Path(famDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(s"$famDir/.compact-v=$v")
-    fs.delete(staging, true)
-    write(staging.toString)
-    commitStaged(fs, staging, new Path(s"$famDir/v=$v"))
+  /** Write-then-commit a directory via the staged protocol: `write`
+    * produces the new contents at the staging path (it must leave a
+    * `_SUCCESS` marker — any DataFrame parquet write does), then the
+    * staging directory is committed over `target`. A crash before the
+    * write completes leaves an ignored partial staging dir; a crash
+    * inside the commit window either heals on the next read (when the
+    * staging name matches the healer's `.compact-v=N` pattern) or
+    * leaves no committed target, which the caller's readers must
+    * refuse loudly. */
+  def stagedCommitDir(spark: SparkSession, staging: String,
+      target: String)(write: String => Unit): Unit = {
+    val s = new Path(staging)
+    val fs = s.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(s, true)
+    write(staging)
+    commitStaged(fs, s, new Path(target))
   }
+
+  /** Replace one committed version's contents via the staged-commit
+    * protocol — [[stagedCommitDir]] at the `.compact-v=N` staging name
+    * the crash healer recognizes. Used by maintenance rewrites
+    * ([[SimilarityIngest.retrainIvfIndex]]). */
+  def stagedReplace(spark: SparkSession, famDir: String, v: Long)(
+      write: String => Unit): Unit =
+    stagedCommitDir(spark, s"$famDir/.compact-v=$v", s"$famDir/v=$v")(
+      write)
 
   /** Fold one family's committed history (resolved by `resolve`) under
     * the size-tiered policy, with the staged crash-safe commit and the
@@ -211,6 +243,12 @@ private[streaming] object VersionedStore {
       for (s <- fs.listStatus(new Path(famDir));
           if StagingDir.findFirstMatchIn(s.getPath.getName).isDefined)
         fs.delete(s.getPath, true)
+    // sweep folded-away crash leftovers: sources whose rows a
+    // committed fold target already holds (readers exclude them via
+    // the `_folded` sidecar; here they are finally deleted)
+    for (v <- all; fv <- foldedAway(fs, new Path(s"$famDir/v=$v"));
+        d = new Path(s"$famDir/v=$fv"); if fs.exists(d))
+      fs.delete(d, true)
     val vs = if (all.isEmpty) all else all.filter(_ < all.max)
     val sized = vs.map(v =>
       v -> fs.getContentSummary(new Path(s"$famDir/v=$v")).getLength)
@@ -273,9 +311,23 @@ private[streaming] object VersionedStore {
             max(col("maxKey")).as("maxKey"))
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(staging, "_keyrange").toString)
+      // record the folded sources INSIDE the staging dir before the
+      // commit: once the rename lands, readers exclude any source the
+      // crash window left undeleted (their rows live here now), and
+      // the next compaction's sweep removes them. The healer only
+      // finishes renames whose target is already unlinked — which
+      // commitStaged does strictly after this write — so every healed
+      // or committed fold target carries its `_folded` list.
+      // carried-forward entries keep exclusion alive across nested
+      // folds even when a prior crash's leftovers outlive their
+      // original target (already-deleted dirs are no-ops to exclude)
+      val srcs = (group.filter(_ != vInto) ++ group.flatMap(v =>
+        foldedAway(fs, new Path(s"$famDir/v=$v")))).distinct.sorted
+      val out = fs.create(new Path(staging, "_folded"), true)
+      try out.write(srcs.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
       commitStaged(fs, staging, target)
-      group.filter(_ != vInto).foreach(v =>
-        fs.delete(new Path(s"$famDir/v=$v"), true))
+      srcs.foreach(v => fs.delete(new Path(s"$famDir/v=$v"), true))
       Fold(family, group, vInto, fs.getContentSummary(target).getLength)
     }
   }

@@ -414,9 +414,13 @@ class ScaleStressSpec extends SparkTestBase {
       .unionByName(vecs(250, 0)
         .withColumn("vec_id", col("vec_id") + 80000000L))
       .localCheckpoint(true)
+    // guard OFF: the flatness claim is the zero-store-shuffle shape,
+    // exactly as BASELINE documents the minhash incremental (guard ON
+    // buys the union-wide cap with a narrow store-sized count
+    // exchange — the same trade as minhash's guard-ON banding window)
     def runLsh(store: DataFrame): Long =
       Similarity.lshNeighborPairsIncremental(embBatch, store, "emb",
-        "vec_id", dim, threshold = 0.95)._1.count()
+        "vec_id", dim, threshold = 0.95, maxBucketSize = -1)._1.count()
     val lshStore1 = lshStore(smallN)
     val lshStore10 = lshStore(10 * smallN)
     val (p1, _, lshBytes1) =

@@ -266,6 +266,64 @@ class SimilarityIngestSpec extends SparkTestBase {
       "embedding", "vec_id", k = 3, nprobe = 8)) == brute)
   }
 
+  test("a fold source resurrected by the crash-before-source-deletes " +
+      "window is excluded by readers (no duplicate neighbors served) " +
+      "and swept by the next compaction") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val storeRoot = Files.createTempDirectory("graft-sim-crash").toString
+    val keptDir = Files.createTempDirectory("graft-sim-crashk").toString
+    val cents = Similarity.buildIvfIndex(batches.head.toDF("vec_id",
+        "embedding"), "embedding", "vec_id", nlist = 2).centroids
+    for ((b, i) <- batches.zipWithIndex)
+      SimilarityIngest.processBatch(b.toDF("vec_id", "embedding"),
+        i.toLong, storeRoot, keptDir, "embedding", "vec_id", dim, 4,
+        0.95, 42L, Some(cents))
+    val fs = new Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v0 = new Path(s"$storeRoot/assigned/v=0")
+    val snapshot = new Path(s"$storeRoot/.v0-snapshot")
+    FileUtil.copy(fs, v0, fs, snapshot, false, conf)
+    val before = SimilarityIngest.loadAssignedStore(spark, storeRoot)
+      .select($"vec_id").as[Long].collect().sorted
+    assert(SimilarityIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity).nonEmpty)
+    // simulate the crash: the fold committed, the source delete never
+    // ran — put v=0 back exactly as it was
+    assert(!fs.exists(v0))
+    FileUtil.copy(fs, snapshot, fs, v0, false, conf)
+    assert(fs.exists(new Path(v0, "_SUCCESS")))
+    val after = SimilarityIngest.loadAssignedStore(spark, storeRoot)
+      .select($"vec_id").as[Long].collect().sorted
+    assert(after.toSeq == before.toSeq,
+      "resurrected fold source must be excluded, not double-counted")
+    // and the next compaction deletes the leftover for good
+    SimilarityIngest.compactStores(spark, storeRoot)
+    assert(!fs.exists(v0), "sweep must remove the folded-away leftover")
+  }
+
+  test("a restart with missing committed centroids but committed " +
+      "assignments fails loudly (the crashed-retrain window) instead " +
+      "of blessing stale centroids") {
+    val storeRoot = Files.createTempDirectory("graft-sim-crashc").toString
+    val keptDir = Files.createTempDirectory("graft-sim-crashck").toString
+    val cents = Similarity.buildIvfIndex(batches.head.toDF("vec_id",
+        "embedding"), "embedding", "vec_id", nlist = 2).centroids
+    SimilarityIngest.processBatch(batches.head.toDF("vec_id", "embedding"),
+      0L, storeRoot, keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L,
+      Some(cents))
+    // simulate retrainIvfIndex crashing between its list rewrites and
+    // the centroid commit
+    val fs = new org.apache.hadoop.fs.Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$storeRoot/centroids"), true)
+    val err = intercept[IllegalStateException](
+      SimilarityIngest.processBatch(
+        batches(1).toDF("vec_id", "embedding"), 1L, storeRoot, keptDir,
+        "embedding", "vec_id", dim, 4, 0.95, 42L, Some(cents)))
+    assert(err.getMessage.contains("retrainIvfIndex"), err.getMessage)
+  }
+
   test("processBatch trips on centroids that disagree with the " +
       "committed relation (the stale-restart-after-retrain window)") {
     val storeRoot = Files.createTempDirectory("graft-sim-stale").toString
