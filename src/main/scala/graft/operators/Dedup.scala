@@ -774,11 +774,28 @@ object Dedup {
       cacheSignatures: Boolean = true,
       maxBucketSize: Long = 10000): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    minhashNearDuplicatesIncrementalFromSigs(
+      minhashSignatures(newDocs, textCol, key, numHashes, bands,
+        shingleSize, seed),
+      store, key, threshold, cacheSignatures, maxBucketSize)
+  }
+
+  /** [[minhashNearDuplicatesIncremental]] for a caller that already
+    * holds the batch's [[minhashSignatures]] relation — e.g. to also
+    * persist it as a store delta without running the shingle kernel
+    * twice ([[graft.streaming.DedupIngest]] does; pass an
+    * already-localCheckpointed relation with
+    * `cacheSignatures = false` so the persisted delta IS the relation
+    * the pair op consumed). `newSigs` must have been produced at the
+    * store's `(numHashes, bands, shingleSize, seed)`. */
+  def minhashNearDuplicatesIncrementalFromSigs(newSigs0: DataFrame,
+      store: DataFrame, key: String, threshold: Double = 0.7,
+      cacheSignatures: Boolean = true,
+      maxBucketSize: Long = 10000): (DataFrame, DataFrame) = {
     require(maxBucketSize <= 0 || maxBucketSize > 1,
       "maxBucketSize must be > 1 (or <= 0 to skip the skew guard)")
     validateSignatureStore(store, key)
-    val newSigs0 = minhashSignatures(newDocs, textCol, key, numHashes,
-      bands, shingleSize, seed)
+    validateSignatureStore(newSigs0, key)
     // three consumers (banding + the two verify re-joins) of the only
     // expensive computation in this operator — the new batch's shingle
     // kernel; the store side is parquet-backed and cheap to re-read

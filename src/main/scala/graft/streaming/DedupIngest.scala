@@ -39,9 +39,9 @@ import graft.operators.Dedup
   * committed prefix (the operators are seeded/deterministic) and
   * overwrites the same paths, making the batch idempotent end to end.
   *
-  * SCALE SHAPE per micro-batch: the batch's text is shingled (twice —
-  * once inside the incremental pair op, once for the delta write; both
-  * batch-sized, the corpus is never re-shingled), the signature store is
+  * SCALE SHAPE per micro-batch: the batch's text is shingled ONCE
+  * (the checkpointed signature relation feeds both the pair op and the
+  * delta write; the corpus is never re-shingled), the signature store is
   * re-read as narrow columnar parquet, and the label store is
   * reconstructed by a latest-per-key aggregation over deltas — call
   * [[compactStores]] periodically (with the query stopped) to fold the
@@ -146,9 +146,13 @@ object DedupIngest {
       key, below = batchId)
     val labelStore = loadLabelStore(spark, storeRoot, batch, key,
       below = batchId)
-    val (pairs, _) = Dedup.minhashNearDuplicatesIncremental(
-      work, sigStore, textCol, key, numHashes, bands, shingleSize,
-      threshold, seed, cacheSignatures = true, maxBucketSize)
+    // one shingle-kernel pass: the same checkpointed signatures feed
+    // the pair op AND the store delta write below
+    val sigs = Dedup.minhashSignatures(work, textCol, key, numHashes,
+      bands, shingleSize, seed).localCheckpoint(false)
+    val (pairs, _) = Dedup.minhashNearDuplicatesIncrementalFromSigs(
+      sigs, sigStore, key, threshold, cacheSignatures = false,
+      maxBucketSize)
     // the delta form hands back exactly the rows to persist — a full
     // updated relation would need a corpus×corpus comparison join
     // against the prior store every micro-batch to find them
@@ -161,9 +165,7 @@ object DedupIngest {
         .select(col("key").as(key)), Seq(key), "left_anti")
     // all outputs are batchId-addressed wholesale overwrites — see the
     // exactly-once note in the object doc
-    Dedup.minhashSignatures(work, textCol, key, numHashes, bands,
-        shingleSize, seed)
-      .write.mode("overwrite").parquet(s"$storeRoot/sig/v=$batchId")
+    sigs.write.mode("overwrite").parquet(s"$storeRoot/sig/v=$batchId")
     // the guard sidecar rides after the data commit: a crash between
     // the two leaves a committed version the guard merely skips
     VersionedStore.writeKeyRange(batch, key, s"$storeRoot/sig/v=$batchId")
