@@ -312,6 +312,10 @@ object SimilarityIngest {
     val cents = Similarity.kmeansCentroids(assigned, "_emb", key, nlist,
       kmeansIters).localCheckpoint(true)
     val famDir = s"$storeRoot/assigned"
+    // the rewrite below destroys any fold target's `_folded` sidecar,
+    // so folded crash leftovers must be deleted first or they would
+    // silently rejoin the committed set (with stale-centroid rows)
+    VersionedStore.sweepFoldedLeftovers(spark, famDir)
     for (v <- VersionedStore.committedVersions(spark, famDir,
         Long.MaxValue)) {
       val rows = spark.read.schema(assigned.schema)

@@ -179,6 +179,22 @@ private[streaming] object VersionedStore {
     stack.reverse
   }
 
+  /** Delete folded-away crash leftovers: sources whose rows a
+    * committed fold target already holds (readers exclude them via the
+    * `_folded` sidecar; here they are finally removed). Every
+    * maintenance pass that REWRITES version directories must run this
+    * first — a wholesale rewrite of a fold target destroys its
+    * `_folded` sidecar, and a leftover that outlived its exclusion
+    * record would silently return to the committed set. */
+  def sweepFoldedLeftovers(spark: SparkSession, famDir: String): Unit = {
+    val p = new Path(famDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (v <- committedVersions(spark, famDir, Long.MaxValue);
+        fv <- foldedAway(fs, new Path(s"$famDir/v=$v"));
+        d = new Path(s"$famDir/v=$fv"); if fs.exists(d))
+      fs.delete(d, true)
+  }
+
   /** Commit a fully-written staging directory over its target: unlink,
     * then atomic rename. The crash window between the two is exactly
     * the one [[healStagedCompactions]] closes — which is why every
@@ -243,12 +259,7 @@ private[streaming] object VersionedStore {
       for (s <- fs.listStatus(new Path(famDir));
           if StagingDir.findFirstMatchIn(s.getPath.getName).isDefined)
         fs.delete(s.getPath, true)
-    // sweep folded-away crash leftovers: sources whose rows a
-    // committed fold target already holds (readers exclude them via
-    // the `_folded` sidecar; here they are finally deleted)
-    for (v <- all; fv <- foldedAway(fs, new Path(s"$famDir/v=$v"));
-        d = new Path(s"$famDir/v=$fv"); if fs.exists(d))
-      fs.delete(d, true)
+    sweepFoldedLeftovers(spark, famDir)
     val vs = if (all.isEmpty) all else all.filter(_ < all.max)
     val sized = vs.map(v =>
       v -> fs.getContentSummary(new Path(s"$famDir/v=$v")).getLength)

@@ -300,6 +300,18 @@ class SimilarityIngestSpec extends SparkTestBase {
     // and the next compaction deletes the leftover for good
     SimilarityIngest.compactStores(spark, storeRoot)
     assert(!fs.exists(v0), "sweep must remove the folded-away leftover")
+
+    // retrain is the other maintenance rewrite: it destroys fold
+    // targets' _folded sidecars, so it must sweep leftovers first —
+    // resurrect the source again and retrain through it
+    FileUtil.copy(fs, snapshot, fs, v0, false, conf)
+    val retrained = SimilarityIngest.retrainIvfIndex(spark, storeRoot,
+      nlist = 4, kmeansIters = 2)
+    assert(!fs.exists(v0),
+      "retrain must sweep folded leftovers before rewriting targets")
+    assert(retrained.assigned.select($"vec_id").as[Long].collect().sorted
+      .toSeq == before.toSeq,
+      "retrained store must not resurrect folded-away rows")
   }
 
   test("a restart with missing committed centroids but committed " +
