@@ -564,6 +564,72 @@ object Similarity {
     IvfIndex(spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/assigned"))
 
+  /** Int8-quantized form of an index's assigned lists: per vector a
+    * symmetric-quantized `_q array<tinyint>` plus its `_scale`
+    * ([[graft.functions.VectorFunctions.quantizeInt8]]), ~8× fewer
+    * bytes than the `array<double>` embeddings — the standard
+    * vector-index compression, here as the SERVING-store layout (the
+    * scan is the probe path's IO cost at corpus scale). The key column
+    * leads the schema, as in [[assignTo]]'s output. */
+  private[graft] def quantizeAssigned(assigned: DataFrame): DataFrame = {
+    val key = assigned.columns.head
+    assigned
+      .select(col(key), col("_emb"), col("_n"), col("_cid"),
+        maxAbs(col("_emb")).as("_scale"))
+      .select(col(key),
+        quantizeInt8(col("_emb"), col("_scale"))
+          .cast("array<tinyint>").as("_q"),
+        col("_scale"), col("_n"), col("_cid"))
+  }
+
+  /** The servable view over a quantized assigned relation — the
+    * algebraic trick that keeps scoring inside Cast + the codegen'd
+    * dot kernel (no per-element HOF on the hot path): expose the RAW
+    * int vector as `_emb` and fold the dequantization scale into the
+    * norm (`_n' = _n·127/_scale`), so [[ivfTopK]]'s generic
+    * `dot(q, _emb)/(_n_q · _n')` equals
+    * `dot(q, dequantized)/(_n_q · |orig|)` exactly. Zero vectors
+    * (`_scale = 0`) yield a null norm and rank nowhere — the same
+    * contract as the plain path's undefined cosine. */
+  private[graft] def dequantizeAssigned(quantized: DataFrame): DataFrame = {
+    val key = quantized.columns.head
+    quantized.select(col(key),
+      col("_q").cast("array<double>").as("_emb"),
+      (col("_n") * lit(127.0)
+        / when(col("_scale") =!= 0.0, col("_scale"))).as("_n"),
+      col("_cid"))
+  }
+
+  /** Persist an index in the int8-quantized serving layout — same
+    * partition-pruned probe reads as [[saveIvfIndex]], ~8× less scan
+    * IO (the quantized lists land under `assigned_q/`, so the two
+    * layouts cannot be confused at load time). Quantization costs one
+    * HOF pass at WRITE time; serving pays only a codegen'd cast.
+    * Recall impact is the int8 rounding error — measured in
+    * SimilaritySpec on the real embeddings and recorded in
+    * COVERAGE.md. */
+  def saveQuantizedIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    quantizeAssigned(index.assigned).write.mode("overwrite")
+      .partitionBy("_cid").parquet(s"$dir/assigned_q")
+  }
+
+  /** Load a [[saveQuantizedIvfIndex]] layout as a ready-to-serve
+    * index ([[ivfTopK]] works unchanged over the dequantizing view).
+    */
+  def loadQuantizedIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/assigned_q")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"no quantized lists under $dir — was this index written by " +
+          "saveQuantizedIvfIndex? (plain saveIvfIndex layouts load " +
+          "with loadIvfIndex)")
+    IvfIndex(spark.read.parquet(s"$dir/centroids"),
+      dequantizeAssigned(spark.read.parquet(s"$dir/assigned_q")))
+  }
+
   /** Extend a built index with a NEW batch of vectors — the crawl-
     * pipeline shape, matching the incremental dedup family: the batch
     * is assigned against the EXISTING centroids (one broadcast map

@@ -443,6 +443,65 @@ class SimilaritySpec extends SparkTestBase {
       "full probe on the loaded index must equal brute force")
   }
 
+  test("quantized IVF index: int8 lists shrink the serving store, " +
+      "probes stay partition-pruned, and exhaustive-probe recall on " +
+      "the real embeddings clears the floor") {
+    import org.apache.hadoop.fs.Path
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.1",
+      "embeddings").select("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 400 === 0)
+    val index = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+      nlist = 16)
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-plain").toString
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-q").toString
+    Similarity.saveIvfIndex(index, plainDir)
+    Similarity.saveQuantizedIvfIndex(index, qDir)
+    // the storage claim, measured: the quantized lists' bytes on disk
+    val fs = new Path(qDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val plainBytes = fs.getContentSummary(
+      new Path(s"$plainDir/assigned")).getLength
+    val qBytes = fs.getContentSummary(
+      new Path(s"$qDir/assigned_q")).getLength
+    info(f"assigned bytes: plain $plainBytes%d, int8 $qBytes%d " +
+      f"(${plainBytes.toDouble / qBytes}%.1f× smaller)")
+    assert(qBytes * 2 < plainBytes,
+      s"quantized lists must be well under half the plain bytes: " +
+        s"$qBytes vs $plainBytes")
+    val loaded = Similarity.loadQuantizedIvfIndex(spark, qDir)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+    // exhaustive probe: the candidate set is the whole corpus, so the
+    // only divergence from brute force is the int8 rounding — recall
+    // measured on the real embeddings (near-isotropic, the hard case)
+    val brute = asSet(Similarity.cosineTopK(corpus, queries, "embedding",
+      "vec_id", k = 10))
+    val quant = Similarity.ivfTopK(loaded, queries, "embedding",
+      "vec_id", k = 10, nprobe = 16)
+    val recall = asSet(quant).intersect(brute).size.toDouble / brute.size
+    info(f"int8 exhaustive-probe recall@10: $recall%.3f")
+    assert(recall >= 0.9, f"int8 recall $recall%.3f under the 0.9 floor")
+    // partition pruning survives the quantized layout + dequant view
+    val served = Similarity.ivfTopK(loaded, queries, "embedding",
+      "vec_id", k = 10, nprobe = 4)
+    val plan = served.queryExecution.executedPlan.toString()
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("assigned_q"))
+    assert(scanLine.isDefined,
+      s"no parquet scan of the quantized store:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*_cid".r
+      .findFirstIn(scanLine.get).isDefined,
+      s"probed-cid filter did not reach the quantized scan:\n${scanLine.get}")
+    // loading a quantized dir with the plain loader direction is
+    // unambiguous: the quantized loader refuses a plain layout loudly
+    val err = intercept[IllegalArgumentException](
+      Similarity.loadQuantizedIvfIndex(spark, plainDir))
+    assert(err.getMessage.contains("saveQuantizedIvfIndex"), err.getMessage)
+  }
+
   test("extendIvfIndex: assigning a new batch to the existing centroids " +
       "equals the union's assignment, and the append-delta flow serves " +
       "identically") {
