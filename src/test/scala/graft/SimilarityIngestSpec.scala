@@ -148,6 +148,20 @@ class SimilarityIngestSpec extends SparkTestBase {
     assert(keptByBatch() == expectedKept)
     assert(topk(SimilarityIngest.loadIvfIndex(spark, storeRoot)) ==
       topk(reference))
+
+    // the QUICKSTART serving-snapshot composition: quantize the
+    // ingested (full-precision, canonical) store offline and serve the
+    // snapshot. The top-k SET must survive int8 rounding; exact RANKS
+    // may swap between near-tied low-cosine neighbors (the measured
+    // rounding cost — SimilaritySpec's recall floor on the real
+    // embeddings), so the pin is rank-free.
+    val servingDir = Files.createTempDirectory("graft-sim-snap").toString
+    Similarity.saveQuantizedIvfIndex(
+      SimilarityIngest.loadIvfIndex(spark, storeRoot), servingDir)
+    def neighbors(ix: Similarity.IvfIndex) =
+      topk(ix).map { case (q, n, _) => (q, n) }
+    assert(neighbors(Similarity.loadQuantizedIvfIndex(spark, servingDir))
+      == neighbors(reference))
   }
 
   test("the drift log flags a batch that drifts off the trained " +
