@@ -325,20 +325,7 @@ object Dedup {
       throw new IllegalArgumentException(
         s"digest store is missing column '$c' — expected the " +
           "(key, _d1, _d2) relation exactSignatures produces")
-    val spark = store.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    store.repartition(numBuckets, col("_d1"), col("_d2"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(numBuckets, "_d1", "_d2").sortBy("_d1", "_d2")
-      .option("path", path).saveAsTable(table)
-    // record the bucket count next to the files: re-attaching with a
-    // DIFFERENT count would declare a partitioning the files don't
-    // have, and the hit join would silently miss true duplicates
-    val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(numBuckets.toString.getBytes("UTF-8"))
-    finally out.close()
+    BucketedStore.save(store, table, path, numBuckets, Seq("_d1", "_d2"))
   }
 
   /** Load (re-attaching to the session catalog if needed) a bucketed
@@ -348,26 +335,9 @@ object Dedup {
     * `_graft_buckets` sidecar the save wrote — a caller-supplied
     * count cannot drift from the files' actual hashing. */
   def bucketedDigestStore(spark: SparkSession, table: String,
-      path: String): DataFrame = {
-    if (!spark.catalog.tableExists(table)) {
-      val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p))
-        throw new IllegalArgumentException(
-          s"no _graft_buckets sidecar under $path — was this store " +
-            "written by saveBucketedDigestStore?")
-      val in = fs.open(p)
-      val numBuckets =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          .trim.toInt
-        finally in.close()
-      val ddl = spark.read.parquet(path).schema.toDDL
-      spark.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
-        s"CLUSTERED BY (_d1, _d2) SORTED BY (_d1, _d2) " +
-        s"INTO $numBuckets BUCKETS LOCATION '$path'")
-    }
-    spark.table(table)
-  }
+      path: String): DataFrame =
+    BucketedStore.attach(spark, table, path, Seq("_d1", "_d2"),
+      "saveBucketedDigestStore")
 
   /** Word n-gram shingles of a text column (distinct, lowercased). Empty
     * tokens are filtered (so tab/newline padding can't smuggle "" into the

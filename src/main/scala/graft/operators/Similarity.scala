@@ -183,17 +183,7 @@ object Similarity {
       throw new IllegalArgumentException(
         s"LSH store is missing column '$c' — expected the relation " +
           "lshSignatures produces")
-    val spark = store.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    store.repartition(numBuckets, col("_bucket"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(numBuckets, "_bucket").sortBy("_bucket")
-      .option("path", path).saveAsTable(table)
-    val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(numBuckets.toString.getBytes("UTF-8"))
-    finally out.close()
+    BucketedStore.save(store, table, path, numBuckets, Seq("_bucket"))
   }
 
   /** Load (re-attaching to the session catalog if needed) a bucketed
@@ -201,26 +191,9 @@ object Similarity {
     * comes from the `_graft_buckets` sidecar, exactly as in
     * [[graft.operators.Dedup.bucketedDigestStore]]. */
   def bucketedLshStore(spark: org.apache.spark.sql.SparkSession,
-      table: String, path: String): DataFrame = {
-    if (!spark.catalog.tableExists(table)) {
-      val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p))
-        throw new IllegalArgumentException(
-          s"no _graft_buckets sidecar under $path — was this store " +
-            "written by saveBucketedLshStore?")
-      val in = fs.open(p)
-      val numBuckets =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          .trim.toInt
-        finally in.close()
-      val ddl = spark.read.parquet(path).schema.toDDL
-      spark.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
-        s"CLUSTERED BY (_bucket) SORTED BY (_bucket) " +
-        s"INTO $numBuckets BUCKETS LOCATION '$path'")
-    }
-    spark.table(table)
-  }
+      table: String, path: String): DataFrame =
+    BucketedStore.attach(spark, table, path, Seq("_bucket"),
+      "saveBucketedLshStore")
 
   private def validateLshStore(store: DataFrame, key: String): Unit = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}

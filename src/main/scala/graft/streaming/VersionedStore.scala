@@ -96,7 +96,17 @@ private[streaming] object VersionedStore {
         .flatMap(s => VersionDir.findFirstMatchIn(s.getPath.getName)
           .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
           .map(v => (v, s.getPath)))
-        .filter { case (_, d) => fs.exists(new Path(d, "_SUCCESS")) }
+        // one listStatus per version answers BOTH marker questions
+        // (_SUCCESS committed? _folded present?) — on an object store
+        // these per-version probes are the read path's metadata cost,
+        // so they must not multiply per sidecar. A dir deleted under
+        // us (racing cleanup) simply drops out.
+        .flatMap { case (v, d) =>
+          scala.util.Try(
+            fs.listStatus(d).map(_.getPath.getName).toSet).toOption
+            .filter(_.contains("_SUCCESS"))
+            .map(names => (v, d, names.contains("_folded")))
+        }
         .filter(_._1 < below)
       // exclude sources a surviving fold target already holds — the
       // crash-between-commit-and-source-deletes window would otherwise
@@ -105,7 +115,7 @@ private[streaming] object VersionedStore {
       // reader sees may exclude: a filtered-out target can't vouch for
       // its sources.
       val folded = committed
-        .flatMap { case (_, d) => foldedAway(fs, d) }.toSet
+        .collect { case (_, d, true) => foldedAway(fs, d) }.flatten.toSet
       committed.map(_._1).filterNot(folded).sorted
     }
   }
