@@ -71,6 +71,72 @@ class ScaleStressSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(tally)
   }
 
+  test("quantized IVF serving layout: the same probe reads well under " +
+      "half the bytes of the plain layout") {
+    import graft.operators.Similarity
+    // the raw sf0.1 table is too small for byte-level IO measurement
+    // (sub-0.1 MB probes drown in rowgroup granularity) — amplify it
+    // 20× with distinct ids so the probed lists span real megabytes
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select("vec_id", "embedding")
+    val corpus = (0 until 20).map(c => base.select(
+        (col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ unionByName _)
+    val queries = base.filter(col("vec_id") % 400 === 0)
+      .localCheckpoint(true)
+    val index = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+      nlist = 16)
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft-io-plain").toString
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-io-q").toString
+    Similarity.saveIvfIndex(index, plainDir)
+    Similarity.saveQuantizedIvfIndex(index, qDir)
+    // the observable: the probe scan's post-partition-pruning file
+    // bytes (the FileSourceScan's own "size of files read" metric) —
+    // deterministic, and exactly what the probed lists cost to read.
+    // AQE off so the executed plan's scan nodes are directly visible.
+    def probe(ix: Similarity.IvfIndex,
+        dirToken: String): (Long, Long) = {
+      val df = Similarity.ivfTopK(ix, queries, "embedding", "vec_id",
+        k = 10, nprobe = 4)
+      // execute THIS df's plan instance (df.count() would build and run
+      // a separate aggregate plan, leaving these scan metrics at zero)
+      val n = df.queryExecution.executedPlan.execute().count()
+      val bytes = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths
+              .exists(_.toString.contains(dirToken)) =>
+          s.metrics.collectFirst {
+            case (k, m) if k.equalsIgnoreCase("filesSize") ||
+                m.name.exists(_.contains("size of files")) => m.value
+          }.getOrElse(0L)
+      }.sum
+      (n, bytes)
+    }
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (nPlain, plainBytes) = probe(
+        Similarity.loadIvfIndex(spark, plainDir), plainDir)
+      val (nQuant, quantBytes) = probe(
+        Similarity.loadQuantizedIvfIndex(spark, qDir), qDir)
+      // both layouts rank the same probed lists; the quantized scan is
+      // the IO claim — int8 lists against array<double> embeddings
+      assert(nPlain > 0 && nQuant == nPlain,
+        s"result cardinality diverged: $nPlain vs $nQuant")
+      assert(plainBytes > 0 && quantBytes > 0,
+        s"scan metric missing: $plainBytes / $quantBytes")
+      info(f"probe scan bytes: plain ${plainBytes / 1e6}%.1f MB, int8 " +
+        f"${quantBytes / 1e6}%.1f MB " +
+        f"(${plainBytes.toDouble / quantBytes}%.1f× less)")
+      assert(quantBytes * 2 < plainBytes,
+        s"quantized probe must read well under half the plain bytes: " +
+          s"$quantBytes vs $plainBytes")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   /** Rows from the seeded planted-candidate selection that are
     * near-dup-free in the base corpus — excluding base-pair members keeps
     * every planted clique EXACTLY the 10 verbatim copies, so its expected
