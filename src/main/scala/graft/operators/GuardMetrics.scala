@@ -182,6 +182,15 @@ object GuardMetrics {
     * one warn line) and the relation comes back MATERIALIZED (eager
     * localCheckpoint) so the recording fires exactly once no matter
     * how many joins then consume it.
+    *
+    * Same accumulator caveat as [[capCohorts]]: the recording UDF runs
+    * inside a transformation, so task retries / speculative duplicates
+    * during the eager localCheckpoint can over-count `droppedRows` /
+    * `droppedCohorts` — treat the totals as a skew DIAGNOSTIC, not
+    * exact excluded-row accounting. And note the cost: the eager
+    * localCheckpoint runs one Spark job at CALL time (sized to the
+    * over-cap relation, which is tiny by contract) even if no join
+    * ever consumes the result.
     */
   def recordOverCohorts(over: DataFrame, sizeCol: String, cap: Long,
       tag: String = ""): DataFrame = {

@@ -156,10 +156,12 @@ object Similarity {
       norm(col(embCol)).as("_n"),
       // zero-norm embeddings (the classic missing-embedding-as-zeros
       // data bug) bucket to NULL, not to the all-signs-negative bucket:
-      // they can never verify (cosine is undefined), but at corpus
-      // scale millions of them piling into one bucket is a quadratic
-      // candidate blow-up for pairs the threshold filter then discards.
-      // A null bucket never equi-joins — same output, none of the cost.
+      // their cosine is 0/0 = NaN, which Spark's total ordering ranks
+      // ABOVE every double — `NaN >= threshold` is TRUE — so bucketing
+      // them together would not just waste quadratic candidate work, it
+      // would EMIT every such pair. A null bucket never equi-joins —
+      // the pairs never form at all (and the incremental additionally
+      // filters _n > 0 against legacy stores predating this rule).
       when(norm(col(embCol)) > 0,
         lshBucket(col(embCol), dim, numBits, seed)).as("_bucket"))
 
@@ -288,10 +290,14 @@ object Similarity {
     val (newGuarded, storeSigs) =
       if (maxBucketSize <= 0) (newSigs, allStoreSigs)
       else {
+        // counts mirror the pairing sides exactly: null buckets AND
+        // legacy zero-norm rows (_n = 0, see `side` below) never pair,
+        // so neither may inflate a cohort total past the cap
         val over = GuardMetrics.recordOverCohorts(
-          allStoreSigs.filter(col("_bucket").isNotNull)
+          allStoreSigs.filter(col("_bucket").isNotNull && col("_n") > 0)
             .groupBy("_bucket").count()
-            .unionByName(newSigs.filter(col("_bucket").isNotNull)
+            .unionByName(newSigs.filter(col("_bucket").isNotNull
+                && col("_n") > 0)
               .groupBy("_bucket").count())
             .groupBy("_bucket").agg(sum("count").as("_total"))
             .filter(col("_total") > maxBucketSize),
@@ -300,8 +306,17 @@ object Similarity {
         (newSigs.join(broadcast(over), Seq("_bucket"), "left_anti"),
           allStoreSigs.join(broadcast(over), Seq("_bucket"), "left_anti"))
       }
-    def side(df: DataFrame, s: String) = df.select(col(key).as(s"key_$s"),
-      col("_emb").as(s"_emb_$s"), col("_n").as(s"_n_$s"), col("_bucket"))
+    // Pairing sides require _n > 0: stores written by pre-null-bucket
+    // versions of lshSignatures can hold zero-norm rows (_n = 0) with
+    // REAL buckets, and for those cosine is 0/0 = NaN — which Spark's
+    // ordering ranks ABOVE every double, so `cosine >= threshold` is
+    // TRUE, not false: without this filter a legacy store row would
+    // emit bogus pairs (and, as a bogus key_b, silently drop a
+    // legitimate new row downstream). Current-format rows are
+    // unaffected (zero-norm ⇒ null bucket ⇒ never equi-joins).
+    def side(df: DataFrame, s: String) = df.filter(col("_n") > 0)
+      .select(col(key).as(s"key_$s"),
+        col("_emb").as(s"_emb_$s"), col("_n").as(s"_n_$s"), col("_bucket"))
     // (new × old) ∪ (new × new): cosine is symmetric, so cross pairs
     // verify BEFORE canonicalization and only the keys are reordered;
     // new-new pairs keep the batch operator's `<` filter. dropDuplicates
@@ -738,6 +753,17 @@ object Similarity {
   /** Embedding-cosine near-duplicate keys: pairs above threshold collapsed
     * to "drop the larger key" survivors (connected-components-free greedy,
     * adequate for sparse duplicate graphs).
+    *
+    * GUARD CAVEAT — over-cap clusters survive dedup ENTIRELY: the skew
+    * guard defaults ON (`maxBucketSize = 10000`), and a bucket holding
+    * more than that many near-identical vectors — the prime dedup
+    * target — emits ZERO pairs, so every copy in such a cluster is
+    * KEPT (the drop only warns, via GuardMetrics' "lsh" accumulators).
+    * If massive duplicate clusters are expected, either raise the cap,
+    * pass `maxBucketSize <= 0` to disable the guard (accepting the B²
+    * verify cost on the hot bucket), or watch the accumulators and
+    * re-run the flagged buckets exactly. The default favors
+    * never-quadratic over never-misses, matching the minhash family.
     */
   def embeddingDedupDropList(corpus: DataFrame, embCol: String, key: String,
       dim: Int, numBits: Int = 16, threshold: Double = 0.95,

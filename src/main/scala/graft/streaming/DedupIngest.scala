@@ -54,6 +54,10 @@ object DedupIngest {
     * [[VersionedStore.Fold]] (the store machinery is shared with
     * [[SimilarityIngest]]). */
   type Fold = VersionedStore.Fold
+  // a type alias does not alias the COMPANION: keep construction and
+  // pattern-extraction (`DedupIngest.Fold(...)`) compiling for callers
+  // that predate the VersionedStore factoring
+  val Fold = VersionedStore.Fold
 
   private def committedVersions(spark: SparkSession, dir: String,
       below: Long): Seq[Long] =

@@ -197,6 +197,10 @@ object SimilarityIngest {
         // with a stale relation after retrainIvfIndex. Both sides are
         // parquet round-trips of the same doubles (bit-exact), so
         // set equality is the right check; nlist-bounded collect.
+        // Flip side (start()'s scaladoc carries the contract): a
+        // re-evaluated LIVE kmeansCentroids plan is NOT bit-stable
+        // (partition-order float addition) and can spuriously trip
+        // this — restarts must pass loadIvfIndex(storeRoot).centroids.
         def keyOf(df: DataFrame) = df
           .select(col("_cid"), col("_cv").cast("array<double>"))
           .collect().map(r =>
@@ -241,6 +245,15 @@ object SimilarityIngest {
     * maintain the servable IVF index + drift log; leave it `None` for
     * dedup-only ingest. The LSH knobs mirror
     * [[Similarity.lshNeighborPairs]].
+    *
+    * RESTARTS must pass parquet-round-tripped centroids —
+    * `loadIvfIndex(storeRoot).centroids` — NOT a re-evaluated live
+    * `kmeansCentroids` plan: the committed-centroid tripwire compares
+    * bit-exact doubles (the correct check for two parquet round-trips
+    * of the same relation), and k-means component means depend on
+    * partition-order float addition, so a recomputed plan can differ
+    * in the last ulp and spuriously trip it even when the centroids
+    * are logically identical.
     */
   def start(docs: DataFrame, embCol: String, key: String, dim: Int,
       storeRoot: String, keptDir: String, checkpointDir: String,

@@ -222,6 +222,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows == Set((1L, true), (2L, false)))
   }
 
+  test("legacy stores with zero-norm rows in real buckets cannot emit " +
+      "NaN pairs (NaN >= threshold is TRUE in Spark's ordering)") {
+    val hotVec = Seq.fill(8)(1.0)
+    val fresh = Similarity.lshSignatures(
+      Seq((10L, hotVec)).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", dim = 8, numBits = 4)
+    val hotBucket = fresh.select($"_bucket").as[Long].head()
+    // a store written by a pre-null-bucket lshSignatures: the zero-norm
+    // row carries _n = 0 and a REAL bucket (the all-signs-negative one
+    // here stands in — what matters is it collides with live traffic)
+    val legacy = Seq(
+        (1L, Seq.fill(8)(0.0), 0.0, hotBucket),
+        (2L, hotVec, math.sqrt(8.0), hotBucket))
+      .toDF("vec_id", "_emb", "_n", "_bucket")
+    val batch = Seq((20L, hotVec), (21L, Seq.fill(8)(0.0)))
+      .toDF("vec_id", "embedding")
+    val (pairs, updated) = Similarity.lshNeighborPairsIncremental(batch,
+      legacy, "embedding", "vec_id", dim = 8, numBits = 4,
+      threshold = 0.95)
+    val got = pairs.select("key_a", "key_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // exactly the one legitimate pair; the legacy zero-norm row (key 1)
+    // must pair with NOTHING — before the _n > 0 pairing filter its
+    // 0/0 = NaN cosine passed `>= threshold` and emitted (1, 20)
+    assert(got.map(p => (p._1, p._2)) == Set((2L, 20L)), s"got $got")
+    assert(got.forall(p => !p._3.isNaN))
+    // the store update still keeps every signature, legacy rows included
+    assert(updated.count() == 4)
+  }
+
   /** Well-separated clusters around 4 orthogonal axes: the shape where
     * hash-sampled centroids underperform (several samples land in one
     * cluster, another cluster gets none) and Lloyd rounds must fix it.
