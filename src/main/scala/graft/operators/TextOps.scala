@@ -362,4 +362,95 @@ object TextOps {
       java.lang.Long.valueOf(acc)
     }
   }: java.lang.Long)
+
+  /** 64-bit n-gram hash from two independently-seeded 32-bit murmurs —
+    * the same collision-width composition as the exact-dedup digest path
+    * (Dedup.exactByDigest's md5+xxhash64): 32 bits alone would produce
+    * real per-document false positives against a multi-million-n-gram
+    * benchmark set (1k-n-gram doc × 10M bench / 2³² ≈ 2 spurious hits),
+    * 64 bits makes them negligible (≈ 5·10⁻¹² per doc at that size).
+    */
+  private[operators] def ngramHash64(s: String): Long = {
+    import scala.util.hashing.MurmurHash3
+    (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+      (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
+  }
+
+  /** Benchmark decontamination — tag every corpus document with the
+    * fraction of its distinct word `n`-grams that also occur anywhere in
+    * a benchmark/eval corpus, plus a keep/drop verdict. The standard
+    * guard against test-set leakage into training data: the reference's
+    * membership-filter algebra
+    * (`/root/reference/jigsaw/model_utils/filters.py:60-112` — tag by
+    * set membership, then drop) lifted to n-gram space.
+    *
+    * Output: `corpus.*` plus `doc_ngrams` (distinct n-grams in the doc),
+    * `contaminated_ngrams` (of those, how many appear in the benchmark),
+    * `contamination_frac` (their ratio; 0.0 for token-less/null docs),
+    * `verdict` ('keep' when `contamination_frac <= threshold`, else
+    * 'drop' — the q43 quality-filter decision-column pattern). The
+    * default `threshold = 0.0` drops a document sharing even ONE n-gram
+    * with the benchmark; raise it to tolerate incidental short-phrase
+    * overlap (with the default `n = 8`, shared 8-grams are almost never
+    * incidental — the GPT-3-lineage 8–13-gram rule of thumb).
+    *
+    * Scale shape — the 100 TB corpus side is MAP-ONLY: the benchmark's
+    * distinct n-gram HASHES (8 bytes each, not the strings) are
+    * collected once, sorted, and broadcast; each corpus document is then
+    * shingled in one JVM kernel pass ([[Dedup.Kernels.shingleSet]]
+    * semantics: lowercased, whitespace-split, distinct; < n tokens → one
+    * whole-text shingle; null/empty → empty set) with a binary search
+    * per shingle. No shuffle, no per-document join — the tag fuses into
+    * the scan. The benchmark side runs one distinct-aggregation job
+    * EAGERLY at call time, and the collect is bounded by the
+    * benchmark's n-gram-type count (an eval set is MBs against a corpus
+    * of TBs; ~10⁷ n-grams ≈ 80 MB of longs is the practical ceiling).
+    * For a "benchmark" too big for that contract, compose the relational
+    * form instead: explode [[graft.operators.Dedup.shinglesFast]] on
+    * both sides, broadcast semi-join on the hash, re-aggregate per key —
+    * one corpus-wide shuffle buys unbounded benchmark size.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, n: Int = 8, threshold: Double = 0.0,
+      benchTextCol: String = ""): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0,1], got $threshold")
+    val btc = if (benchTextCol.isEmpty) textCol else benchTextCol
+    require(benchmark.columns.contains(btc),
+      s"benchmark is missing text column '$btc'")
+    require(corpus.columns.contains(textCol),
+      s"corpus is missing text column '$textCol'")
+    val hashOne = udf((g: String) => ngramHash64(g))
+    val benchHashes = benchmark
+      .select(explode(Dedup.shinglesFast(col(btc), n)).as("_g"))
+      .select(hashOne(col("_g")).as("_h")).distinct()
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(benchHashes)
+    val bc = corpus.sparkSession.sparkContext.broadcast(benchHashes)
+    val stats = udf { (text: String) =>
+      val sh = Dedup.Kernels.shingleSet(text, n)
+      val set = bc.value
+      var hits = 0
+      var i = 0
+      while (i < sh.length) {
+        if (java.util.Arrays.binarySearch(set, ngramHash64(sh(i))) >= 0)
+          hits += 1
+        i += 1
+      }
+      (sh.length.toLong, hits.toLong)
+    }
+    corpus
+      .withColumn("_dc", stats(col(textCol)))
+      .withColumn("doc_ngrams", col("_dc._1"))
+      .withColumn("contaminated_ngrams", col("_dc._2"))
+      .withColumn("contamination_frac",
+        when(col("doc_ngrams") === 0, lit(0.0))
+          .otherwise(col("contaminated_ngrams").cast("double")
+            / col("doc_ngrams")))
+      .withColumn("verdict",
+        when(col("contamination_frac") <= threshold, "keep")
+          .otherwise("drop"))
+      .drop("_dc")
+  }
 }

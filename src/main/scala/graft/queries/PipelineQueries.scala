@@ -1215,6 +1215,52 @@ object PipelineQueries {
           TextOps.redact(col("t")).as("redacted"),
           TextOps.redactionCount(col("t")).as("n_redactions"))
         .orderBy("doc_id")
+    },
+
+    // --- Benchmark decontamination: docs 0–49 stand in for an eval set;
+    //     every corpus doc gets its contaminated-3-gram fraction and a
+    //     keep/drop verdict at threshold 0.1. Overlap fractions are exact
+    //     set math DuckDB replays verbatim (the engine's 64-bit n-gram
+    //     hashes are collision-free at this scale by construction). n=3
+    //     because the synthetic corpus draws from a tiny shared
+    //     vocabulary — real pipelines use the 8–13-gram default.
+    Query(
+      "q80_decontaminate",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE
+        |    WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |    WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(len(tk) - 2),
+        |      i -> array_to_string(tk[i+1:i+3], ' ')) END) AS sh
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+        |          WHERE doc_id < 50),
+        |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |hits AS (SELECT e.doc_id, count(*) AS c
+        |         FROM ex e JOIN bench b USING (g) GROUP BY e.doc_id),
+        |fr AS (
+        |  SELECT s.doc_id, CAST(len(sh) AS BIGINT) AS doc_ngrams,
+        |    CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+        |    CASE WHEN len(sh) = 0 THEN 0.0
+        |         ELSE coalesce(h.c, 0)::DOUBLE / len(sh) END AS f
+        |  FROM sh s LEFT JOIN hits h USING (doc_id))
+        |SELECT doc_id, doc_ngrams, contaminated_ngrams,
+        |  round(f, 4) AS contamination_frac,
+        |  CASE WHEN f <= 0.1 THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM fr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      TextOps.decontaminate(docs, docs.filter(col("doc_id") < 50),
+          "text", n = 3, threshold = 0.1)
+        .select(col("doc_id"), col("doc_ngrams"),
+          col("contaminated_ngrams"),
+          round(col("contamination_frac"), 4).as("contamination_frac"),
+          col("verdict"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -50,6 +50,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"hashSplit must not shuffle:\n$p")
   }
 
+  test("q80 decontaminate tags the corpus map-side — no Exchange in the " +
+      "returned plan") {
+    import graft.operators.TextOps
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    // benchmark prep (one distinct job + bounded collect) runs eagerly
+    // inside the call; what comes back must be scan → project only —
+    // any Exchange here would mean the 100 TB corpus shuffles to be
+    // TAGGED, which is the shape the operator exists to avoid
+    val p = TextOps.decontaminate(docs,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 10),
+        "text", n = 3, threshold = 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"decontaminate must tag map-side, no shuffle:\n$p")
+  }
+
   test("q52 deterministic sample plans as TakeOrderedAndProject") {
     val p = plan("q52_det_sample")
     assert(p.contains("TakeOrderedAndProject"),

@@ -173,4 +173,45 @@ class TextOpsSpec extends SparkTestBase {
     // tf scales the weight linearly
     assert(math.abs(out((1L, "apple"))._2 - 2 * out((3L, "apple"))._2) < 1e-12)
   }
+
+  test("decontaminate: exact overlap fractions, shingle-edge semantics, " +
+      "and the keep/drop verdict") {
+    val bench = Seq((1L, "the quick brown fox jumps")).toDF("bid", "btext")
+    // bench 3-grams: {the quick brown, quick brown fox, brown fox jumps}
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),       // identical: frac 1.0
+      (11L, "a the quick brown fox here"),      // 2 of 4 3-grams hit
+      (12L, "completely different words here"), // frac 0.0
+      (13L, "the quick"),                       // < n tokens: whole-text
+                                                // shingle, not in bench
+      (14L, ""),                                // no tokens: 0/0 → 0.0
+      (15L, null.asInstanceOf[String]))         // null text: 0.0, kept
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(corpus, bench, "text", n = 3,
+        threshold = 0.4, benchTextCol = "btext")
+      .select("doc_id", "doc_ngrams", "contaminated_ngrams",
+        "contamination_frac", "verdict")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toMap
+    assert(out(10L) == ((3L, 3L, 1.0, "drop")))
+    assert(out(11L) == ((4L, 2L, 0.5, "drop")))
+    assert(out(12L) == ((2L, 0L, 0.0, "keep")))
+    assert(out(13L) == ((1L, 0L, 0.0, "keep")))
+    assert(out(14L) == ((0L, 0L, 0.0, "keep")))
+    assert(out(15L) == ((0L, 0L, 0.0, "keep")))
+    // default threshold 0.0: ONE shared n-gram drops the doc
+    val strict = TextOps.decontaminate(corpus, bench, "text", n = 3,
+        benchTextCol = "btext")
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict(11L) == "drop" && strict(12L) == "keep")
+    // boundary: frac == threshold keeps (<=, not <)
+    val at = TextOps.decontaminate(corpus, bench, "text", n = 3,
+        threshold = 0.5, benchTextCol = "btext")
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at(11L) == "keep")
+  }
 }
