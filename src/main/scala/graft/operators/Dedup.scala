@@ -368,7 +368,7 @@ object Dedup {
     * thousands of interpreted expression evaluations per row; a JVM loop is
     * ~100× cheaper and still fully distributed.
     */
-  private[operators] object Kernels extends Serializable {
+  private[graft] object Kernels extends Serializable {
     import scala.util.hashing.MurmurHash3
 
     /** Word n-gram shingles in one pass (mirrors [[shingles]] semantics).
@@ -530,6 +530,82 @@ object Dedup {
       acc
     }
 
+    /** Per-OCCURRENCE n-gram spans of a text: one (start, end, hash64)
+      * triple per n-gram position, multiplicity kept (unlike
+      * [[shingleSet]] — occurrence COUNTS are the point here). Token
+      * positions index the lowercased whitespace-split non-empty token
+      * sequence; `< n` tokens → one whole-text span [0, len); null/empty
+      * → no spans. Hashes are [[TextOps.ngramHash64]], the same 64-bit
+      * two-seed murmur the decontamination operator keys on.
+      */
+    def ngramSpans(text: String, n: Int): Array[(Int, Int, Long)] = {
+      if (text == null) return Array.empty
+      val tk = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      if (tk.length == 0) Array.empty
+      else if (tk.length < n)
+        Array((0, tk.length, TextOps.ngramHash64(tk.mkString(" "))))
+      else {
+        val out = new Array[(Int, Int, Long)](tk.length - n + 1)
+        var i = 0
+        while (i + n <= tk.length) {
+          out(i) = (i, i + n, TextOps.ngramHash64(tk.slice(i, i + n).mkString(" ")))
+          i += 1
+        }
+        out
+      }
+    }
+
+    /** Merge token spans into maximal disjoint intervals: overlapping OR
+      * adjacent ([0,5) + [5,8) → [0,8)) spans coalesce — identical to
+      * islands over the covered-position set.
+      */
+    def mergeSpans(spans: Seq[(Int, Int)]): Array[(Int, Int)] = {
+      if (spans.isEmpty) return Array.empty
+      val sorted = spans.sortBy(identity)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var cs = sorted.head._1
+      var ce = sorted.head._2
+      for ((s, e) <- sorted.tail) {
+        if (s <= ce) ce = math.max(ce, e)
+        else { out += ((cs, ce)); cs = s; ce = e }
+      }
+      out += ((cs, ce))
+      out.toArray
+    }
+
+    /** Rewrite a text with its duplicated spans removed: tokens (original
+      * case, whitespace-split) inside any [start, end) span are dropped;
+      * a non-empty `marker` is emitted once per span. The output is
+      * always the single-space join of what remains — token-level
+      * masking inherently normalizes whitespace, for span-free documents
+      * too (keeps the transform uniform and the oracle replayable).
+      * Spans must be sorted and disjoint ([[mergeSpans]] output).
+      * Null text → null.
+      */
+    def maskSpans(text: String, starts: Seq[Int], ends: Seq[Int],
+        marker: String): String = {
+      if (text == null) return null
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      val sb = new java.lang.StringBuilder
+      var si = 0
+      var j = 0
+      def append(tok: String): Unit = {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(tok)
+      }
+      while (j < tk.length) {
+        if (si < starts.length && j == starts(si)) {
+          if (marker.nonEmpty) append(marker)
+          j = ends(si)
+          si += 1
+        } else {
+          append(tk(j))
+          j += 1
+        }
+      }
+      sb.toString
+    }
+
     /** Set-based exact Jaccard, O(n+m). */
     def jaccard(a: Seq[String], b: Seq[String]): Double = {
       if (a.isEmpty && b.isEmpty) return 0.0
@@ -554,6 +630,89 @@ object Dedup {
     */
   def shinglesFast(text: Column, n: Int = 3): Column = shinglesUdf(n)(text)
   private val jaccardUdf = udf(Kernels.jaccard _)
+
+  /** Per-document merged duplicated-span relation backing
+    * [[repeatedSpans]] / [[maskRepeatedSpans]]: `(key, _spans)` where
+    * `_spans` is the sorted disjoint [start, end) token intervals covered
+    * by any n-gram occurring ≥ `minCount` times corpus-wide. Only
+    * documents with ≥ 1 span appear.
+    */
+  private def mergedSpanRelation(df: DataFrame, textCol: String,
+      key: String, n: Int, minCount: Long): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(minCount >= 2,
+      s"minCount must be >= 2 (1 would mark every token), got $minCount")
+    val gramUdf = udf((text: String) => Kernels.ngramSpans(text, n))
+    val occ = df
+      .select(col(key), explode(gramUdf(col(textCol))).as("_g"))
+      .select(col(key), col("_g._1").as("_s"), col("_g._2").as("_e"),
+        col("_g._3").as("_h"))
+    val rep = occ.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select("_h")
+    val mergeUdf = udf((ss: Seq[Int], es: Seq[Int]) =>
+      Kernels.mergeSpans(ss.zip(es)))
+    occ.join(rep, Seq("_h"))
+      .groupBy(col(key))
+      .agg(collect_list(struct(col("_s"), col("_e"))).as("_iv"))
+      .select(col(key), mergeUdf(col("_iv._s"), col("_iv._e")).as("_spans"))
+  }
+
+  /** Cross-document repeated-substring detection — the span-level
+    * complement of whole-document dedup: boilerplate (headers, licenses,
+    * navigation chrome) that survives doc-granular
+    * [[minhashNearDuplicates]] at any threshold shows up here as token
+    * n-grams occurring ≥ `minCount` times across the corpus. Output: one
+    * row per maximal duplicated span, `(key, span_start, span_end)` —
+    * [start, end) positions into the document's whitespace-split
+    * non-empty token sequence, overlapping/adjacent repeated n-grams
+    * merged. The reference's dedup family stops at whole-document
+    * granularity (`/root/reference/jigsaw/model_utils/filters.py:142-143`
+    * keep-first); this is the standard span-level next step for LLM
+    * training corpora.
+    *
+    * Scale shape — nothing is quadratic, no guard needed (unlike the
+    * banding self-joins): the occurrence relation is corpus-TOKEN-sized
+    * narrow rows (key, 2×int, hash64); the count aggregate partial-
+    * combines map-side, so its exchange carries per-partition-DISTINCT
+    * n-grams, not occurrences (a corpus-hot boilerplate gram collapses
+    * to one row per map partition — ScaleStressSpec measures the
+    * exchange scaling with distinct-gram count); the repeated set is
+    * boilerplate-sized and joins the occurrences narrow (AQE broadcasts
+    * it when small); the per-document merge shuffles only HIT spans,
+    * bounded by document length. Counting is per OCCURRENCE (a doc
+    * repeating its own n-gram 10× contributes 10), so within-document
+    * boilerplate is caught too.
+    *
+    * `< n`-token documents contribute one whole-text pseudo-n-gram
+    * covering [0, len) — exact short-duplicate texts repeated
+    * ≥ `minCount` times are flagged whole.
+    */
+  def repeatedSpans(df: DataFrame, textCol: String, key: String,
+      n: Int = 10, minCount: Long = 5): DataFrame =
+    mergedSpanRelation(df, textCol, key, n, minCount)
+      .select(col(key), explode(col("_spans")).as("_sp"))
+      .select(col(key), col("_sp._1").as("span_start"),
+        col("_sp._2").as("span_end"))
+
+  /** The removal transform over [[repeatedSpans]]: every input row comes
+    * back with a `masked_text` column — the document's tokens with all
+    * duplicated spans dropped (replaced by `marker` once per span when
+    * non-empty). Token-level masking inherently whitespace-normalizes:
+    * `masked_text` is ALWAYS the single-space join of the surviving
+    * original-case tokens, span-free documents included (uniform output,
+    * exactly replayable by the SQL oracle). Null text → null.
+    */
+  def maskRepeatedSpans(df: DataFrame, textCol: String, key: String,
+      n: Int = 10, minCount: Long = 5, marker: String = ""): DataFrame = {
+    val maskUdf = udf((text: String, ss: Seq[Int], es: Seq[Int]) =>
+      Kernels.maskSpans(text,
+        if (ss == null) Nil else ss, if (es == null) Nil else es, marker))
+    df.join(mergedSpanRelation(df, textCol, key, n, minCount),
+        Seq(key), "left")
+      .withColumn("masked_text",
+        maskUdf(col(textCol), col("_spans._1"), col("_spans._2")))
+      .drop("_spans")
+  }
 
   /** LSH candidate pairs: minhash-band the shingles, bucket-join on compact
     * (band, bucket-long) keys, dedup candidate pairs, then verify with exact

@@ -370,7 +370,7 @@ object TextOps {
     * benchmark set (1k-n-gram doc × 10M bench / 2³² ≈ 2 spurious hits),
     * 64 bits makes them negligible (≈ 5·10⁻¹² per doc at that size).
     */
-  private[operators] def ngramHash64(s: String): Long = {
+  private[graft] def ngramHash64(s: String): Long = {
     import scala.util.hashing.MurmurHash3
     (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
       (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)

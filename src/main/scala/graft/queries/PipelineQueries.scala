@@ -1261,6 +1261,126 @@ object PipelineQueries {
           round(col("contamination_frac"), 4).as("contamination_frac"),
           col("verdict"))
         .orderBy("doc_id")
+    },
+
+    // --- Repeated-substring detection: a planted license header (every
+    //     5th doc) and footer (every 4th) are the corpus-repeated
+    //     boilerplate doc-level dedup can't see; the oracle replays the
+    //     occurrence counts and islands-merges the covered positions.
+    Query(
+      "q81_repeated_spans",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'standard license header all rights reserved worldwide '
+        |        || text ELSE text END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' visit our website for more information today'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM aug),
+        |occ AS (
+        |  SELECT doc_id, i AS s, i + 5 AS e,
+        |    array_to_string(tk[i+1:i+5], ' ') AS g
+        |  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 4)) AS i
+        |        FROM tok WHERE len(tk) >= 5)
+        |  UNION ALL
+        |  SELECT doc_id, 0 AS s, len(tk) AS e,
+        |    array_to_string(tk, ' ') AS g
+        |  FROM tok WHERE len(tk) > 0 AND len(tk) < 5),
+        |rep AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 30),
+        |hits AS (SELECT o.doc_id, o.s, o.e FROM occ o JOIN rep r USING (g)),
+        |cov AS (SELECT DISTINCT doc_id, p FROM
+        |  (SELECT doc_id, s + unnest(range(e - s)) AS p FROM hits)),
+        |isl AS (SELECT doc_id, p,
+        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM cov)
+        |SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+        |  CAST(max(p) + 1 AS INT) AS span_end
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      Dedup.repeatedSpans(boilerplateCorpus(s, d), "text", "doc_id",
+          n = 5, minCount = 30)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // --- The removal transform over q81's spans: masked text must match
+    //     the oracle's rebuild token for token (marker inserted once per
+    //     span) — a full cross-engine string check like q63's.
+    Query(
+      "q82_mask_repeated",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'standard license header all rights reserved worldwide '
+        |        || text ELSE text END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' visit our website for more information today'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |lotok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM aug),
+        |occ AS (
+        |  SELECT doc_id, i AS s, i + 5 AS e,
+        |    array_to_string(tk[i+1:i+5], ' ') AS g
+        |  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 4)) AS i
+        |        FROM lotok WHERE len(tk) >= 5)
+        |  UNION ALL
+        |  SELECT doc_id, 0 AS s, len(tk) AS e,
+        |    array_to_string(tk, ' ') AS g
+        |  FROM lotok WHERE len(tk) > 0 AND len(tk) < 5),
+        |rep AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 30),
+        |hits AS (SELECT o.doc_id, o.s, o.e FROM occ o JOIN rep r USING (g)),
+        |cov AS (SELECT DISTINCT doc_id, p FROM
+        |  (SELECT doc_id, s + unnest(range(e - s)) AS p FROM hits)),
+        |isl AS (SELECT doc_id, p,
+        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM cov),
+        |spans AS (SELECT doc_id, min(p) AS span_start
+        |  FROM isl GROUP BY doc_id, grp),
+        |otok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |      trim(coalesce(text, '')), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM aug),
+        |pieces AS (
+        |  SELECT k.doc_id, k.p, k.tok FROM
+        |    (SELECT doc_id, j AS p, tk[j+1] AS tok FROM
+        |      (SELECT doc_id, tk, unnest(range(len(tk))) AS j FROM otok)) k
+        |  LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.p = c.p
+        |  WHERE c.p IS NULL
+        |  UNION ALL
+        |  SELECT doc_id, span_start AS p, '<DUP>' AS tok FROM spans),
+        |masked AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS m
+        |  FROM pieces GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(m.m, '') AS masked_text
+        |FROM otok t LEFT JOIN masked m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.maskRepeatedSpans(boilerplateCorpus(s, d), "text", "doc_id",
+          n = 5, minCount = 30, marker = "<DUP>")
+        .select("doc_id", "masked_text")
+        .orderBy("doc_id")
     }
   )
+
+  /** q81/q82's fixture: documents with a license-header prefix planted on
+    * every 5th doc and a footer on every 4th — corpus-repeated spans that
+    * whole-document dedup cannot flag.
+    */
+  private def boilerplateCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 5 === 0,
+          concat(lit("standard license header all rights reserved " +
+            "worldwide "), col("text"))).otherwise(col("text")),
+        when(col("doc_id") % 4 === 0,
+          lit(" visit our website for more information today"))
+          .otherwise(lit(""))).as("text"))
 }

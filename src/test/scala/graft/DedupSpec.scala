@@ -867,4 +867,68 @@ class DedupSpec extends SparkTestBase {
     }
     assert(badType.getMessage.contains("bigint"), badType.getMessage)
   }
+
+  test("ngramSpans/mergeSpans/maskSpans kernels: positions, multiplicity, " +
+      "edges") {
+    import Dedup.{Kernels => K}
+    // multiplicity kept: "a b a b a" has 2-grams (a b)(b a)(a b)(b a)
+    val sp = K.ngramSpans("a b a b a", 2)
+    assert(sp.map(s => (s._1, s._2)).toSeq ==
+      Seq((0, 2), (1, 3), (2, 4), (3, 5)))
+    assert(sp(0)._3 == sp(2)._3 && sp(1)._3 == sp(3)._3
+      && sp(0)._3 != sp(1)._3)
+    // case-insensitive hashing, original positions
+    assert(K.ngramSpans("A B", 2).head._3 == K.ngramSpans("a b", 2).head._3)
+    // short doc: one whole-text span
+    assert(K.ngramSpans("one two", 5).toSeq ==
+      Seq((0, 2, graft.operators.TextOps.ngramHash64("one two"))))
+    assert(K.ngramSpans("", 3).isEmpty && K.ngramSpans(null, 3).isEmpty)
+    // merge: overlap, adjacency, disjoint
+    assert(K.mergeSpans(Seq((0, 5), (3, 7), (7, 9), (12, 14))).toSeq ==
+      Seq((0, 9), (12, 14)))
+    assert(K.mergeSpans(Nil).isEmpty)
+    // mask: drop covered tokens, marker once per span, normalize ws
+    assert(K.maskSpans("a  b c\td e", Seq(1, 4), Seq(3, 5), "<DUP>") ==
+      "a <DUP> d <DUP>")
+    assert(K.maskSpans("a  b\tc", Nil, Nil, "") == "a b c")
+    assert(K.maskSpans(null, Nil, Nil, "") == null)
+  }
+
+  test("repeatedSpans finds corpus-repeated boilerplate doc-level dedup " +
+      "misses; maskRepeatedSpans removes exactly those tokens") {
+    // "shared header text" occurs in 3 docs (+ once more inside doc 4,
+    // which also repeats it internally — occurrence counting) → the
+    // 3-gram count is 5 ≥ 4; everything else is unique
+    val corpus = Seq(
+      (1L, "shared header text alpha beta gamma delta"),
+      (2L, "epsilon shared header text zeta eta theta"),
+      (3L, "iota kappa shared header text lambda mu"),
+      (4L, "shared header text shared header text nu"),
+      (5L, "totally original content with no duplication at all"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(corpus, "text", "doc_id",
+        n = 3, minCount = 4)
+      .as[(Long, Int, Int)].collect().toSet
+    // doc 4: spans [0,3) and [3,6) are adjacent → merged [0,6)
+    assert(spans == Set((1L, 0, 3), (2L, 1, 4), (3L, 2, 5), (4L, 0, 6)))
+    val masked = Dedup.maskRepeatedSpans(corpus, "text", "doc_id",
+        n = 3, minCount = 4, marker = "<DUP>")
+      .select("doc_id", "masked_text")
+      .as[(Long, String)].collect().toMap
+    assert(masked(1L) == "<DUP> alpha beta gamma delta")
+    assert(masked(2L) == "epsilon <DUP> zeta eta theta")
+    assert(masked(3L) == "iota kappa <DUP> lambda mu")
+    assert(masked(4L) == "<DUP> nu")
+    // span-free docs come back whitespace-normalized, text intact
+    assert(masked(5L) ==
+      "totally original content with no duplication at all")
+    // empty marker: spans vanish without a trace
+    val bare = Dedup.maskRepeatedSpans(corpus, "text", "doc_id",
+        n = 3, minCount = 4)
+      .select("doc_id", "masked_text").as[(Long, String)].collect().toMap
+    assert(bare(4L) == "nu")
+    // minCount just above the count: nothing is repeated
+    assert(Dedup.repeatedSpans(corpus, "text", "doc_id",
+      n = 3, minCount = 6).isEmpty)
+  }
 }

@@ -264,6 +264,56 @@ class ScaleStressSpec extends SparkTestBase {
       f"shuffle ratio ${bigShuffle.toDouble / math.max(baseShuffle, 1)}%.1f×")
   }
 
+  test("repeatedSpans at 10×: exact-copy amplification with a scaled " +
+      "minCount keeps the repeated set fixed — spans exactly ×10, " +
+      "shuffle far under quadratic") {
+    assume(haveData, "sf0.1 testdata not present")
+    // planted boilerplate (the q81 fixture shape): a license header on
+    // every 5th doc is the only n-gram family crossing minCount
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("standard license header all rights reserved " +
+            "worldwide "), col("text"))).otherwise(col("text")).as("text"))
+    val (baseSpans, baseSec, baseShuffle) = measured("repeatedSpans 1×") {
+      Dedup.repeatedSpans(base, "text", "doc_id", n = 5, minCount = 50)
+        .localCheckpoint(true)
+    }
+    val nBase = baseSpans.count()
+    assert(nBase > 0, "planted header produced no spans")
+
+    // 10 EXACT copies under shifted ids: every n-gram's occurrence count
+    // scales exactly ×10 while the DISTINCT gram set stays fixed, so
+    // minCount 50→500 selects the bit-identical repeated set and each
+    // copy must flag the same spans — a closed-form ×10 on the output.
+    val amplified = (0 until Copies).map { i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * CopyStride))
+    }.reduce(_ unionByName _)
+    val (bigSpans, bigSec, bigShuffle) = measured("repeatedSpans 10×") {
+      Dedup.repeatedSpans(amplified, "text", "doc_id",
+          n = 5, minCount = 500).localCheckpoint(true)
+    }
+    val nBig = bigSpans.count()
+    assert(nBig == Copies * nBase,
+      s"exact-copy spans must be exactly ×$Copies: 1×=$nBase, 10×=$nBig")
+    // every copy's spans reduce to the base span set
+    assert(bigSpans.select((col("doc_id") % CopyStride).as("doc_id"),
+        col("span_start"), col("span_end")).distinct().count() == nBase,
+      "copy spans disagree with the base span set")
+    // the count aggregate partial-combines map-side (the exchange
+    // carries per-partition-DISTINCT grams) and the hit join + per-doc
+    // merge move only linear relations: ×10 input must stay well under
+    // quadratic (×100) shuffle — same slack convention as the minhash
+    // row above
+    assert(bigShuffle <= 15L * math.max(baseShuffle, 1L),
+      s"repeatedSpans shuffle super-linear: 1×=$baseShuffle B, " +
+        s"10×=$bigShuffle B")
+    info(f"repeatedSpans scaling: 1× $nBase spans $baseSec%.2f s " +
+      f"(${baseShuffle / 1e6}%.1f MB) → 10× $nBig spans $bigSec%.2f s " +
+      f"(${bigShuffle / 1e6}%.1f MB); shuffle ratio " +
+      f"${bigShuffle.toDouble / math.max(baseShuffle, 1)}%.1f×")
+  }
+
   test("simhash banding: the band-bucket exchange scales ~linearly at " +
       "10× with zero guard drops on a fingerprint-concentrated corpus") {
     assume(haveData, "sf0.1 testdata not present")
