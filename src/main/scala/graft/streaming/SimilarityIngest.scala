@@ -136,6 +136,69 @@ object SimilarityIngest {
       loadAssignedStore(spark, storeRoot))
   }
 
+  /** Crash-safe refresh of the compressed SERVING snapshot — the
+    * QUICKSTART recipe (`Similarity.saveQuantizedIvfIndex(
+    * loadIvfIndex(spark, storeRoot), dir)`) promoted to a first-class
+    * maintenance step with the store layer's commit discipline: the
+    * ingested store stays full-precision and canonical; this derives
+    * the int8 serving layout from it under `servingDir/v=<k>` and
+    * commits the snapshot by creating the version's `_SUCCESS` marker
+    * LAST. A refresh killed anywhere mid-write leaves an uncommitted
+    * directory [[loadServingSnapshot]] never reads (the prior snapshot
+    * keeps serving) and the next refresh sweeps. Returns the committed
+    * snapshot version.
+    *
+    * `retain` previous committed snapshots survive each refresh
+    * (default 1 — a reader mid-probe on the prior snapshot must not
+    * have its files deleted under it; raise it if serving readers can
+    * lag more than one refresh). Single-writer, like [[compactStores]]
+    * and [[retrainIvfIndex]]: run refreshes one at a time, though the
+    * INGEST query may keep running — the source store read takes the
+    * committed prefix like any other reader.
+    */
+  def snapshotServing(spark: SparkSession, storeRoot: String,
+      servingDir: String, retain: Int = 1): Long = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val index = loadIvfIndex(spark, storeRoot)
+    val p = new Path(servingDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      VersionedStore.committedVersions(spark, servingDir, Long.MaxValue)
+    // sweep crashed refreshes: a v= directory without its root _SUCCESS
+    // is an uncommitted partial no reader ever saw
+    if (fs.exists(p))
+      for (s <- fs.listStatus(p); if s.isDirectory;
+          m <- "^v=(\\d+)$".r.findFirstMatchIn(s.getPath.getName);
+          v <- scala.util.Try(m.group(1).toLong).toOption;
+          if !committed.contains(v))
+        fs.delete(s.getPath, true)
+    val v = if (committed.isEmpty) 0L else committed.max + 1L
+    val vd = s"$servingDir/v=$v"
+    Similarity.saveQuantizedIvfIndex(index, vd)
+    // the commit point: marker creation is atomic, and readers take
+    // the newest version whose marker exists
+    fs.create(new Path(vd, "_SUCCESS"), true).close()
+    for (old <- committed.sorted.dropRight(retain))
+      fs.delete(new Path(s"$servingDir/v=$old"), true)
+    v
+  }
+
+  /** The newest committed serving snapshot under `servingDir` (written
+    * by [[snapshotServing]]), as a ready-to-serve index —
+    * [[Similarity.ivfTopK]] works unchanged over the dequantizing view,
+    * probe reads prune to the probed lists. */
+  def loadServingSnapshot(spark: SparkSession,
+      servingDir: String): IvfIndex = {
+    val committed =
+      VersionedStore.committedVersions(spark, servingDir, Long.MaxValue)
+    if (committed.isEmpty)
+      throw new IllegalStateException(
+        s"no committed serving snapshot under $servingDir — run " +
+          "snapshotServing(spark, storeRoot, servingDir) first")
+    Similarity.loadQuantizedIvfIndex(spark,
+      s"$servingDir/v=${committed.max}")
+  }
+
   /** One micro-batch, exposed for direct testing of idempotence. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       storeRoot: String, keptDir: String, embCol: String, key: String,

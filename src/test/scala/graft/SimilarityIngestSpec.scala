@@ -149,19 +149,83 @@ class SimilarityIngestSpec extends SparkTestBase {
     assert(topk(SimilarityIngest.loadIvfIndex(spark, storeRoot)) ==
       topk(reference))
 
-    // the QUICKSTART serving-snapshot composition: quantize the
-    // ingested (full-precision, canonical) store offline and serve the
+    // the serving-snapshot refresh: quantize the ingested
+    // (full-precision, canonical) store offline and serve the committed
     // snapshot. The top-k SET must survive int8 rounding; exact RANKS
     // may swap between near-tied low-cosine neighbors (the measured
     // rounding cost — SimilaritySpec's recall floor on the real
     // embeddings), so the pin is rank-free.
     val servingDir = Files.createTempDirectory("graft-sim-snap").toString
-    Similarity.saveQuantizedIvfIndex(
-      SimilarityIngest.loadIvfIndex(spark, storeRoot), servingDir)
+    val v0 = SimilarityIngest.snapshotServing(spark, storeRoot, servingDir)
+    assert(v0 == 0L)
     def neighbors(ix: Similarity.IvfIndex) =
       topk(ix).map { case (q, n, _) => (q, n) }
-    assert(neighbors(Similarity.loadQuantizedIvfIndex(spark, servingDir))
+    assert(neighbors(
+        SimilarityIngest.loadServingSnapshot(spark, servingDir))
       == neighbors(reference))
+  }
+
+  test("snapshotServing: a refresh killed mid-write leaves the prior " +
+      "snapshot serving; the next refresh sweeps and commits; retention " +
+      "prunes old snapshots") {
+    val storeRoot = Files.createTempDirectory("graft-snap-store").toString
+    val keptDir = Files.createTempDirectory("graft-snap-kept").toString
+    val servingDir = Files.createTempDirectory("graft-snap-srv").toString
+    val cents = Similarity.buildIvfIndex(batches.head.toDF("vec_id",
+        "embedding"), "embedding", "vec_id", nlist = 2).centroids
+    SimilarityIngest.processBatch(batches.head.toDF("vec_id", "embedding"),
+      0L, storeRoot, keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L,
+      Some(cents))
+    val queries = Seq((9001L, base(5)), (9002L, base(0)))
+      .toDF("vec_id", "embedding")
+    def neighbors(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopK(ix, queries, "embedding", "vec_id", k = 3,
+          nprobe = 2)
+        .select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    assert(SimilarityIngest.snapshotServing(spark, storeRoot,
+      servingDir) == 0L)
+    val served0 = neighbors(
+      SimilarityIngest.loadServingSnapshot(spark, servingDir))
+
+    // grow the store, then simulate a refresh crash: the quantized
+    // write lands but the refresh dies BEFORE creating the version's
+    // root _SUCCESS — exactly the mid-write window
+    SimilarityIngest.processBatch(batches(1).toDF("vec_id", "embedding"),
+      1L, storeRoot, keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L,
+      Some(cents))
+    Similarity.saveQuantizedIvfIndex(
+      SimilarityIngest.loadIvfIndex(spark, storeRoot), s"$servingDir/v=1")
+    // the prior snapshot keeps serving, bit-identically
+    assert(neighbors(SimilarityIngest.loadServingSnapshot(spark,
+      servingDir)) == served0)
+
+    // the next refresh sweeps the partial, commits v=1, and (retain=1)
+    // keeps v=0 around for lagging readers
+    assert(SimilarityIngest.snapshotServing(spark, storeRoot,
+      servingDir) == 1L)
+    val after = neighbors(
+      SimilarityIngest.loadServingSnapshot(spark, servingDir))
+    val full = SimilarityIngest.loadIvfIndex(spark, storeRoot)
+    assert(after == neighbors(full))
+    def versionsOn(dir: String): Set[String] =
+      new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("v=")).toSet
+    assert(versionsOn(servingDir) == Set("v=0", "v=1"))
+
+    // a third refresh prunes v=0 (only `retain` priors survive)
+    assert(SimilarityIngest.snapshotServing(spark, storeRoot,
+      servingDir) == 2L)
+    assert(versionsOn(servingDir) == Set("v=1", "v=2"))
+    assert(neighbors(SimilarityIngest.loadServingSnapshot(spark,
+      servingDir)) == after)
+
+    // an empty serving dir refuses loudly with the remedy
+    val err = intercept[IllegalStateException] {
+      SimilarityIngest.loadServingSnapshot(spark,
+        Files.createTempDirectory("graft-snap-empty").toString)
+    }
+    assert(err.getMessage.contains("snapshotServing"), err.getMessage)
   }
 
   test("the drift log flags a batch that drifts off the trained " +
