@@ -453,4 +453,120 @@ object TextOps {
           .otherwise("drop"))
       .drop("_dc")
   }
+
+  /** A trained count-based n-gram language model ([[ngramLm]]):
+    * occurrence counts for the reference corpus's n-grams and their
+    * (n−1)-gram contexts, keyed by [[ngramHash64]] in sorted parallel
+    * arrays (8+8 bytes per distinct gram — the broadcastable form), plus
+    * the smoothing vocabulary size (reference token types + 1, the +1
+    * standing for the out-of-vocabulary class). Context counts are
+    * derived FROM the n-gram counts (Σ over completions), so add-k
+    * probabilities normalize exactly.
+    */
+  final case class NgramLm(n: Int, vocabSize: Long,
+      gramKeys: Array[Long], gramCounts: Array[Long],
+      ctxKeys: Array[Long], ctxCounts: Array[Long]) extends Serializable {
+    private[operators] def gramCount(h: Long): Long = {
+      val i = java.util.Arrays.binarySearch(gramKeys, h)
+      if (i >= 0) gramCounts(i) else 0L
+    }
+    private[operators] def ctxCount(h: Long): Long = {
+      val i = java.util.Arrays.binarySearch(ctxKeys, h)
+      if (i >= 0) ctxCounts(i) else 0L
+    }
+  }
+
+  /** Per-position (n-gram hash, context hash) pairs of a text — the LM
+    * training/scoring unit: multiplicity kept, tokens lowercased and
+    * whitespace-split, documents shorter than `n` tokens contribute
+    * nothing (no whole-text fallback — an LM transition needs all n
+    * positions; this deliberately differs from the shingle kernels'
+    * short-document rule).
+    */
+  private def ngramCtxPairs(text: String, n: Int): Array[(Long, Long)] = {
+    if (text == null) return Array.empty
+    val tk = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (tk.length < n) return Array.empty
+    val out = new Array[(Long, Long)](tk.length - n + 1)
+    var i = 0
+    while (i + n <= tk.length) {
+      val ctx = tk.slice(i, i + n - 1).mkString(" ")
+      out(i) = (ngramHash64(ctx + " " + tk(i + n - 1)), ngramHash64(ctx))
+      i += 1
+    }
+    out
+  }
+
+  /** Train a count-based n-gram LM on a reference corpus — the
+    * model-based upgrade to the heuristic quality family
+    * ([[punctRatio]]/[[stopwordRatio]]/[[repetitionStats]]): score
+    * candidate documents by how plausible their token transitions are
+    * under a trusted reference (Wikipedia-class text), then threshold
+    * like any other quality signal. Three eager jobs at call time, all
+    * aggregating to TYPE-sized relations (distinct n-grams / contexts /
+    * vocabulary — map-side partial combine, never corpus-sized
+    * exchanges), collected to sorted hash arrays on the driver: the
+    * same bounded-collect contract as [[decontaminate]]'s benchmark set
+    * (16 bytes per distinct n-gram; a reference corpus is MBs-to-GBs of
+    * curated text against the 100 TB candidate side, which is where the
+    * scoring runs map-only).
+    */
+  def ngramLm(reference: DataFrame, textCol: String, n: Int = 2): NgramLm = {
+    require(n >= 2, s"an n-gram LM needs n >= 2 transitions, got $n")
+    require(reference.columns.contains(textCol),
+      s"reference is missing text column '$textCol'")
+    val pairUdf = udf((text: String) => ngramCtxPairs(text, n))
+    val pairs = reference
+      .select(explode(pairUdf(col(textCol))).as("_p"))
+      .select(col("_p._1").as("_g"), col("_p._2").as("_c"))
+      .localCheckpoint(false) // two aggregations below: shingle once
+    def counted(c: String): (Array[Long], Array[Long]) = {
+      val rows = pairs.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+        .orderBy(col(c)).collect()
+      (rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+    }
+    val (gk, gc) = counted("_g")
+    val (ck, cc) = counted("_c")
+    val vocab = reference
+      .select(explode(distinctTokens(col(textCol))).as("_t"))
+      .agg(count_distinct(col("_t"))).collect()(0).getLong(0)
+    NgramLm(n, vocab + 1, gk, gc, ck, cc)
+  }
+
+  /** Score every document by its mean log-likelihood under `model` with
+    * add-k smoothing: for each of the document's n-gram positions,
+    * `ln((count(gram) + k) / (count(context) + k·V))`, averaged;
+    * appended as `n_ngrams` (position count) and `lm_score` (null when
+    * the document has fewer than n tokens — no transitions, no
+    * evidence). Well-formed reference-like text scores high (less
+    * negative); gibberish and wrong-language text score low. Map-only
+    * over the corpus: the model broadcasts once and each document is
+    * one kernel pass with two binary searches per position.
+    */
+  def lmScore(df: DataFrame, model: NgramLm, textCol: String,
+      k: Double = 1.0): DataFrame = {
+    require(k > 0, s"add-k smoothing needs k > 0, got $k")
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val kv = k
+    val score = udf { (text: String) =>
+      val m = bc.value
+      val ps = ngramCtxPairs(text, m.n)
+      if (ps.isEmpty) (0L, null: java.lang.Double)
+      else {
+        var ll = 0.0
+        var i = 0
+        while (i < ps.length) {
+          ll += math.log((m.gramCount(ps(i)._1) + kv)
+            / (m.ctxCount(ps(i)._2) + kv * m.vocabSize))
+          i += 1
+        }
+        (ps.length.toLong, java.lang.Double.valueOf(ll / ps.length))
+      }
+    }
+    df.withColumn("_lm", score(col(textCol)))
+      .withColumn("n_ngrams", col("_lm._1"))
+      .withColumn("lm_score", col("_lm._2"))
+      .drop("_lm")
+  }
 }

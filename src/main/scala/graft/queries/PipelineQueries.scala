@@ -1367,6 +1367,50 @@ object PipelineQueries {
           n = 5, minCount = 30, marker = "<DUP>")
         .select("doc_id", "masked_text")
         .orderBy("doc_id")
+    },
+
+    // --- N-gram LM quality scoring: bigram counts trained on docs
+    //     0–99 as the trusted reference, every doc scored by mean
+    //     add-1-smoothed log-likelihood. Counts + log math are exact
+    //     set arithmetic DuckDB replays (64-bit gram hashes are
+    //     collision-free here by construction).
+    Query(
+      "q83_ngram_lm",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tk[i+1] AS w1, tk[i+2] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i
+        |        FROM tok WHERE len(tk) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM bi
+        |       WHERE doc_id < 100 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c) AS c FROM c2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT t) + 1 AS v FROM
+        |  (SELECT unnest(tk) AS t FROM tok WHERE doc_id < 100)),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    ln((coalesce(c2.c, 0) + 1.0)
+        |      / (coalesce(c1.c, 0) + 1.0 * v.v)) AS ll
+        |  FROM bi b CROSS JOIN v
+        |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  LEFT JOIN c1 ON b.w1 = c1.w1),
+        |agg AS (SELECT doc_id, count(*) AS n_ngrams, avg(ll) AS s
+        |        FROM sc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |  round(a.s, 4) AS lm_score
+        |FROM tok t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val model = TextOps.ngramLm(docs.filter(col("doc_id") < 100),
+        "text", n = 2)
+      TextOps.lmScore(docs, model, "text", k = 1.0)
+        .select(col("doc_id"), col("n_ngrams"),
+          round(col("lm_score"), 4).as("lm_score"))
+        .orderBy("doc_id")
     }
   )
 

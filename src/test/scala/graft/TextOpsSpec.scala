@@ -214,4 +214,41 @@ class TextOpsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(at(11L) == "keep")
   }
+
+  test("ngramLm/lmScore: hand-computed add-1 bigram log-likelihoods, " +
+      "OOV smoothing, and the short-doc null") {
+    // reference "a b a c": bigrams ab/ba/ac ×1; contexts a=2, b=1;
+    // vocab {a,b,c} → V = 4
+    val ref = Seq((1L, "A b  a c")).toDF("rid", "rtext") // case/ws folded
+    val m = TextOps.ngramLm(ref, "rtext", n = 2)
+    assert(m.vocabSize == 4 && m.gramKeys.length == 3
+      && m.ctxKeys.length == 2)
+    val corpus = Seq(
+      (1L, "a b"),     // seen gram, seen ctx: ln((1+1)/(2+4))
+      (2L, "a d"),     // OOV gram, seen ctx:  ln((0+1)/(2+4))
+      (3L, "d e"),     // OOV gram, OOV ctx:   ln((0+1)/(0+4))
+      (4L, "a"),       // one token: no transitions → (0, null)
+      (5L, "a b a"))   // mean of ln(2/6) and ln((1+1)/(1+4))
+      .toDF("doc_id", "text")
+    val out = TextOps.lmScore(corpus, m, "text")
+      .select("doc_id", "n_ngrams", "lm_score").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    def ~=(a: Option[Double], b: Double) =
+      a.exists(x => math.abs(x - b) < 1e-12)
+    assert(out(1L)._1 == 1L && ~=(out(1L)._2, math.log(2.0 / 6)))
+    assert(~=(out(2L)._2, math.log(1.0 / 6)))
+    assert(~=(out(3L)._2, math.log(1.0 / 4)))
+    assert(out(4L) == ((0L, None)))
+    assert(out(5L)._1 == 2L &&
+      ~=(out(5L)._2, (math.log(2.0 / 6) + math.log(2.0 / 5)) / 2))
+    // the quality signal: reference-like text outranks gibberish
+    assert(out(1L)._2.get > out(3L)._2.get)
+    // k shifts probabilities but keeps the ordering
+    val k5 = TextOps.lmScore(corpus.filter(col("doc_id") === 1), m,
+        "text", k = 0.5)
+      .select("lm_score").collect().head.getDouble(0)
+    assert(math.abs(k5 - math.log(1.5 / (2 + 0.5 * 4))) < 1e-12)
+  }
 }
