@@ -54,6 +54,55 @@ object Splits {
       schema.add(idxCol, org.apache.spark.sql.types.LongType))
   }
 
+  /** Global EXCLUSIVE running total (distributed prefix sum) of
+    * `valueCol` (LongType, nulls count 0) in `sortCols` order, appended
+    * as `outCol`: the first row gets 0, each next row the sum of all
+    * values strictly before it. The scalable scan behind
+    * [[graft.operators.TextOps.packChunks]]'s token offsets — same
+    * machinery as [[withGlobalIndex]] (range-partitioned sort, then two
+    * narrow passes over the persisted sorted RDD: per-partition totals
+    * collected to the driver — partition-count-sized — and broadcast
+    * back as per-partition base offsets), NOT a single-partition window,
+    * so it holds at 100 TB.
+    */
+  def withRunningTotal(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, outCol: String = "_cum"): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.JoinedRow
+    import org.apache.spark.sql.graftshim.DatasetShim
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = sorted.schema
+    val vi = schema.fieldIndex(valueCol)
+    require(schema(vi).dataType == org.apache.spark.sql.types.LongType,
+      s"withRunningTotal needs a bigint '$valueCol', got " +
+        schema(vi).dataType.simpleString)
+    val sortedRdd = DatasetShim.toInternalRdd(sorted).map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def valueAt(r: InternalRow): Long =
+      if (r.isNullAt(vi)) 0L else r.getLong(vi)
+    // pass 1: per-partition totals — a partition-count-sized collect
+    val partTotals = sortedRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += valueAt(r))
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = partTotals.scanLeft(0L)(_ + _) // exclusive partition bases
+    // pass 2: per-partition running sum on top of the broadcast base
+    val withCum: org.apache.spark.rdd.RDD[InternalRow] =
+      sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = bases(pid)
+        it.map { r =>
+          val out = new JoinedRow(r, InternalRow(acc))
+          acc += valueAt(r)
+          out
+        }
+      }
+    DatasetShim.internalCreateDataFrame(sorted.sparkSession, withCum,
+      schema.add(outCol, org.apache.spark.sql.types.LongType))
+  }
+
   /** P2: seeded shuffled test/dev split. Adds a `split` column with values
     * "test" (exactly `max(1, floor(n * testPercent))` rows) and "dev".
     */
@@ -105,7 +154,7 @@ object Splits {
     * across engines, partitionings and cluster sizes. Keep the three
     * samplers on THIS one definition.
     */
-  private def contentDigest(key: String, salt: String): Column =
+  private[operators] def contentDigest(key: String, salt: String): Column =
     md5(concat_ws("", lit(salt), col(key).cast("string")))
 
   /** Engine-independent deterministic exact-n sample: the n rows with the

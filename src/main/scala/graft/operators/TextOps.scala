@@ -569,4 +569,65 @@ object TextOps {
       .withColumn("lm_score", col("_lm._2"))
       .drop("_lm")
   }
+
+  /** Token-sequence packing — the step between this engine's chunk/doc
+    * output and a tokenized training shard: concatenate every unit's
+    * tokens (each followed by one `boundary` marker token) into a single
+    * deterministic stream and slice it into sequences of exactly
+    * `seqLen` tokens (the last may be short). Output:
+    * `(seq_id, n_tokens, seq)` — every sequence except the final one
+    * carries exactly `seqLen` tokens, and boundary markers preserve
+    * document edges inside packed sequences, so no training example
+    * silently spans two documents unmarked.
+    *
+    * `key` must be UNIQUE PER ROW (for [[chunkTokens]] output, combine:
+    * `concat(col("key"), lit("#"), col("chunk_id"))`). The stream order
+    * is the content-digest order (`md5(salt || key)`, the
+    * [[graft.operators.Splits.deterministicSample]] engine-portability
+    * contract) — deterministic on any engine, partitioning, or cluster
+    * size, AND a free global shuffle of training units, which packing
+    * wants anyway.
+    *
+    * Scale shape: one range-partitioned distributed sort feeds
+    * [[graft.operators.Splits.withRunningTotal]]'s two narrow passes
+    * (global token offsets WITHOUT a single-partition window — the
+    * partition-count collect is the only driver data), units explode
+    * map-side into at most `1 + len/seqLen` per-sequence pieces, and
+    * one hash aggregation on `seq_id` assembles sequences whose pieces
+    * are seqLen-bounded. Two shuffles total, both narrow.
+    */
+  def packChunks(df: DataFrame, chunkCol: String, key: String,
+      seqLen: Int, boundary: String = "<|eod|>",
+      salt: String = "graft"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(!boundary.exists(_.isWhitespace) && boundary.nonEmpty,
+      s"boundary must be one non-empty whitespace-free token, " +
+        s"got '$boundary'")
+    val tk = filter(split(trim(coalesce(col(chunkCol), lit(""))), "\\s+"),
+      t => length(t) > 0)
+    val withLen = df.select(col(key), tk.as("_tk"))
+      .withColumn("_tkb", concat(col("_tk"), array(lit(boundary))))
+      .withColumn("_len", size(col("_tkb")).cast("long"))
+      .drop("_tk")
+    val withOff = Splits.withRunningTotal(withLen,
+      Seq(Splits.contentDigest(key, salt), col(key)), "_len", "_off")
+    withOff
+      .select(col("_tkb"), col("_len"), col("_off"),
+        explode(sequence(floor(col("_off") / seqLen),
+          floor((col("_off") + col("_len") - 1) / seqLen))).as("seq_id"))
+      .select(col("seq_id"), col("_off"),
+        greatest(col("_off"), col("seq_id") * seqLen).as("_from"),
+        least(col("_off") + col("_len"),
+          (col("seq_id") + 1) * seqLen).as("_until"), col("_tkb"))
+      .select(col("seq_id"), col("_off"),
+        slice(col("_tkb"), (col("_from") - col("_off") + 1).cast("int"),
+          (col("_until") - col("_from")).cast("int")).as("_piece"),
+        (col("_until") - col("_from")).as("_nt"))
+      .groupBy(col("seq_id"))
+      .agg(sum(col("_nt")).as("n_tokens"),
+        array_sort(collect_list(struct(col("_off"), col("_piece"))))
+          .as("_ps"))
+      .select(col("seq_id"), col("n_tokens"),
+        concat_ws(" ", flatten(col("_ps._piece"))).as("seq"))
+  }
 }

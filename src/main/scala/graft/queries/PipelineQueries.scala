@@ -1411,6 +1411,43 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_ngrams"),
           round(col("lm_score"), 4).as("lm_score"))
         .orderBy("doc_id")
+    },
+
+    // --- Token-sequence packing: the whole documents table packed into
+    //     128-token training sequences with <|eod|> boundary markers in
+    //     md5-digest order (the q52 engine-portability contract) — the
+    //     oracle replays the stream slicing token for token, so every
+    //     sequence string must match exactly.
+    Query(
+      "q84_pack_sequences",
+      """WITH tok AS (
+        |  SELECT doc_id, md5('graft' || CAST(doc_id AS VARCHAR)) AS dg,
+        |    list_filter(string_split_regex(trim(coalesce(text, '')),
+        |      '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_append(tk, '<|eod|>') AS tkb,
+        |    len(tk) + 1 AS l,
+        |    coalesce(sum(len(tk) + 1) OVER (ORDER BY dg, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM tok),
+        |pieces AS (
+        |  SELECT seq_id, off,
+        |    greatest(off, seq_id * 128) AS pfrom,
+        |    least(off + l, (seq_id + 1) * 128) AS puntil, tkb
+        |  FROM (SELECT *, unnest(range(CAST(floor(off / 128) AS BIGINT),
+        |      CAST(floor((off + l - 1) / 128) AS BIGINT) + 1)) AS seq_id
+        |    FROM w)),
+        |px AS (
+        |  SELECT seq_id, off, tkb[pfrom - off + 1 : puntil - off] AS toks,
+        |    puntil - pfrom AS nt
+        |  FROM pieces)
+        |SELECT seq_id, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  string_agg(array_to_string(toks, ' '), ' ' ORDER BY off) AS seq
+        |FROM px GROUP BY seq_id ORDER BY seq_id""".stripMargin) { (s, d) =>
+      TextOps.packChunks(Tables.load(s, d, "documents"), "text", "doc_id",
+          seqLen = 128)
+        .orderBy("seq_id")
     }
   )
 

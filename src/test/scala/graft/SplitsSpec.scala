@@ -122,4 +122,30 @@ class SplitsSpec extends SparkTestBase {
     assert(testFrac > 0.15 && testFrac < 0.25, s"test frac $testFrac")
     assert(s1.collect().toSet == Splits.hashSplit(df, "image_id").collect().toSet)
   }
+
+  test("withRunningTotal: exclusive distributed prefix sum in sort " +
+      "order, nulls count zero, loud type check") {
+    import spark.implicits._
+    val df = Seq((3L, Some(10L)), (1L, Some(5L)), (4L, None),
+        (2L, Some(7L)), (5L, Some(2L)))
+      .toDF("k", "v")
+      .repartition(4) // bases must compose across partitions
+    val out = Splits.withRunningTotal(df, Seq(col("k")), "v", "_cum")
+      .select("k", "_cum").as[(Long, Long)].collect().toMap
+    // sorted by k: v = 5, 7, 10, null(0), 2 → exclusive sums
+    assert(out == Map(1L -> 0L, 2L -> 5L, 3L -> 12L, 4L -> 22L,
+      5L -> 22L))
+    val err = intercept[IllegalArgumentException] {
+      Splits.withRunningTotal(df.withColumn("v", col("v").cast("int")),
+        Seq(col("k")), "v")
+    }
+    assert(err.getMessage.contains("bigint"), err.getMessage)
+    // scale sanity: 10k rows across 32 partitions, cum(k) closed-form
+    val big = spark.range(10000).select(col("id").as("k"),
+      lit(1L).as("v"))
+    val bigOut = Splits.withRunningTotal(big, Seq(col("k")), "v")
+      .filter(col("k").isin(0L, 5000L, 9999L))
+      .select("k", "_cum").as[(Long, Long)].collect().toMap
+    assert(bigOut == Map(0L -> 0L, 5000L -> 5000L, 9999L -> 9999L))
+  }
 }

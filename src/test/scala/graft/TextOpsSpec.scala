@@ -251,4 +251,59 @@ class TextOpsSpec extends SparkTestBase {
       .select("lm_score").collect().head.getDouble(0)
     assert(math.abs(k5 - math.log(1.5 / (2 + 0.5 * 4))) < 1e-12)
   }
+
+  test("packChunks: exact seqLen slicing, boundary markers, straddling " +
+      "units, and lossless reconstruction") {
+    val units = Seq(
+      (1L, "a1 a2 a3"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7"), // longer than seqLen: must straddle
+      (3L, ""),                     // empty: contributes boundary only
+      (4L, "d1  d2"))               // multi-space: normalized
+      .toDF("uid", "chunk")
+    val seqLen = 5
+    val out = TextOps.packChunks(units, "chunk", "uid", seqLen,
+        boundary = "<eod>")
+      .orderBy("seq_id")
+      .select("seq_id", "n_tokens", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // stream = 4+8+1+3 = 16 tokens → 4 sequences: 5,5,5,1
+    assert(out.map(_._1).toSeq == (0L until 4L))
+    assert(out.map(_._2).toSeq == Seq(5L, 5L, 5L, 1L))
+    out.foreach { case (_, n, s) =>
+      assert(s.split(" ").length.toLong == n, s"token count off in '$s'")
+    }
+    // reconstruction: splitting the token stream at <eod> tokens yields
+    // exactly the original units' normalized token strings — including
+    // ONE empty group for the empty unit, whose boundary still marks it
+    val stream = out.map(_._3).mkString(" ")
+    val groups = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    stream.split(" ").foreach {
+      case "<eod>" =>
+        groups += scala.collection.mutable.ArrayBuffer.empty[String]
+      case t => groups.last += t
+    }
+    assert(groups.last.isEmpty, s"stream must end at a boundary: '$stream'")
+    val units4 = groups.dropRight(1).map(_.mkString(" ")).toSeq
+    assert(units4.sorted ==
+      Seq("", "a1 a2 a3", "b1 b2 b3 b4 b5 b6 b7", "d1 d2"),
+      s"stream was '$stream'")
+    // determinism across partitionings
+    val again = TextOps.packChunks(units.repartition(7), "chunk", "uid",
+        seqLen, boundary = "<eod>")
+      .orderBy("seq_id")
+      .select("seq_id", "n_tokens", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.toSeq == out.toSeq)
+    // composes over chunkTokens output via a per-row unique key
+    val docs = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkTokens(docs, "text", "doc_id",
+        chunkSize = 8, stride = 8)
+      .withColumn("ckey",
+        concat(col("doc_id"), lit("#"), col("chunk_id")))
+    val packed = TextOps.packChunks(chunks, "chunk", "ckey", seqLen = 10)
+    val total = packed.agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(total == 20L + 3L) // 20 tokens + one boundary per chunk
+  }
 }
