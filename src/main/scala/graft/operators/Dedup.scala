@@ -1255,9 +1255,14 @@ object Dedup {
       failOnNonConvergence: Boolean = true,
       reliableLineage: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    import graft.core.Eager._
     def pin(df: DataFrame, eager: Boolean): DataFrame =
-      if (!reliableLineage) df.localCheckpoint(eager)
-      else {
+      if (!reliableLineage) {
+        // eager goes through the GC-pinned form: the unnamed source plan
+        // must stay reachable while its materialization job reports task
+        // metrics (the accessNonExistentAccumulator race — Eager's doc)
+        if (eager) df.pinnedCheckpoint() else df.localCheckpoint(false)
+      } else {
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         if (eager) p.count()
         p

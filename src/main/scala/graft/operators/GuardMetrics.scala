@@ -8,6 +8,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
+import graft.core.Eager._
+
 /** Observability for the skew guards: the hot-bin cap of the binned join
   * family ([[Joins.rangeJoin]] etc.) and the hot-bucket caps of
   * [[Dedup.minhashNearDuplicates]] / [[Dedup.simhashNearDuplicates]] DROP
@@ -214,7 +216,7 @@ object GuardMetrics {
           "cohorts (at quadratic cost).")
       true
     }.asNondeterministic()
-    over.filter(record(col(sizeCol))).localCheckpoint(true)
+    over.filter(record(col(sizeCol))).pinnedCheckpoint()
   }
 
   /** Length-cap guard for the streaming banded joins

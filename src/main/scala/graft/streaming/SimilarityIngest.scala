@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.core.Eager._
 import graft.operators.Similarity
 import graft.operators.Similarity.IvfIndex
 
@@ -381,12 +382,12 @@ object SimilarityIngest {
   def retrainIvfIndex(spark: SparkSession, storeRoot: String,
       nlist: Int, kmeansIters: Int = 5): IvfIndex = {
     val assigned = loadAssignedStore(spark, storeRoot)
-      .localCheckpoint(true)
+      .pinnedCheckpoint()
     // the key column leads the assigned schema by construction
     // (assignTo selects it first); its name belongs to the caller
     val key = assigned.columns.head
     val cents = Similarity.kmeansCentroids(assigned, "_emb", key, nlist,
-      kmeansIters).localCheckpoint(true)
+      kmeansIters).pinnedCheckpoint()
     val famDir = s"$storeRoot/assigned"
     // the rewrite below destroys any fold target's `_folded` sidecar,
     // so folded crash leftovers must be deleted first or they would
@@ -395,7 +396,7 @@ object SimilarityIngest {
     for (v <- VersionedStore.committedVersions(spark, famDir,
         Long.MaxValue)) {
       val rows = spark.read.schema(assigned.schema)
-        .parquet(s"$famDir/v=$v").localCheckpoint(true)
+        .parquet(s"$famDir/v=$v").pinnedCheckpoint()
       VersionedStore.stagedReplace(spark, famDir, v) { staging =>
         Similarity.assignTo(cents, rows, "_emb", key)
           .write.mode("overwrite").partitionBy("_cid").parquet(staging)

@@ -71,6 +71,16 @@ class DatasetWriterSpec extends SparkTestBase {
     val bytes = model.examples(bound).collect().head
       .getAs[Array[Byte]]("example")
     assert(bytes.nonEmpty)
+
+    // W4 verbose_write side-output: one PNG per instance under
+    // <outDir>/<image_id>/<i>.png — 2 boxes → 2 files, rerun overwrites
+    // (index names, not uuids) so the count is stable
+    val dump = Files.createTempDirectory("graft-vdump").toString
+    graft.plans.InstanceMaskModel.verboseDumpMasks(bound, dump)
+    graft.plans.InstanceMaskModel.verboseDumpMasks(bound, dump)
+    val dumped = new java.io.File(dump, "img001").listFiles()
+      .map(_.getName).sorted
+    assert(dumped.toList == List("0.png", "1.png"), dumped.mkString(","))
   }
 
   test("consolidate snapshots the bound corpus to parquet and round-trips") {

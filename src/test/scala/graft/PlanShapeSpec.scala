@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
+import graft.core.Eager._
 import graft.operators.Splits
 
 /** Plan-shape regressions for the scale contract: filters reach the parquet
@@ -180,7 +181,7 @@ class PlanShapeSpec extends SparkTestBase {
     val store = graft.operators.Dedup.minhashSignatures(
         Tables.docs.filter(col("doc_id") < 500).select("doc_id", "text"),
         "text", "doc_id")
-      .localCheckpoint(true) // pin: the plan under test is the increment
+      .pinnedCheckpoint() // pin: the plan under test is the increment
     val newDocs = Tables.docs
       .filter(col("doc_id") >= 500 && col("doc_id") < 540)
       .select("doc_id", "text")
@@ -218,7 +219,7 @@ class PlanShapeSpec extends SparkTestBase {
     val store = graft.operators.Dedup.simhashSignatures(
         Tables.docs.filter(col("doc_id") < 500).select("doc_id", "text"),
         "text", "doc_id")
-      .localCheckpoint(true) // pin: the plan under test is the increment
+      .pinnedCheckpoint() // pin: the plan under test is the increment
     val newDocs = Tables.docs
       .filter(col("doc_id") >= 500 && col("doc_id") < 540)
       .select("doc_id", "text")
@@ -254,7 +255,7 @@ class PlanShapeSpec extends SparkTestBase {
     val dim = emb.select("embedding").head.getSeq[Float](0).length
     val store = Similarity.lshSignatures(
         emb.filter(col("vec_id") < 100), "embedding", "vec_id", dim)
-      .localCheckpoint(true) // pin: the plan under test is the increment
+      .pinnedCheckpoint() // pin: the plan under test is the increment
     val newDocs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val (pairs, _) = Similarity.lshNeighborPairsIncremental(newDocs,
@@ -330,7 +331,7 @@ class PlanShapeSpec extends SparkTestBase {
     // is the increment, not the store's construction
     val store = Tables.docs.select(col("doc_id").as("key"),
         (col("doc_id") % 97).as("component"))
-      .localCheckpoint(true)
+      .pinnedCheckpoint()
     val newPairs = Tables.docs.filter(col("doc_id") < 40)
       .select(col("doc_id").as("key_a"),
         (col("doc_id") + 1000000L).as("key_b"))
@@ -357,7 +358,7 @@ class PlanShapeSpec extends SparkTestBase {
     val store = graft.operators.Dedup.exactSignatures(
         Tables.docs.filter(col("doc_id") < 500).select("doc_id", "text"),
         Seq("text"), "doc_id")
-      .localCheckpoint(true) // pin: the plan under test is the increment
+      .pinnedCheckpoint() // pin: the plan under test is the increment
     val newDocs = Tables.docs
       .filter(col("doc_id") >= 500 && col("doc_id") < 540)
       .select("doc_id", "text")

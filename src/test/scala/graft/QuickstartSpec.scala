@@ -150,4 +150,131 @@ class QuickstartSpec extends SparkTestBase {
       s"keep-first union must be the one-shot set plus the " +
         s"bridged-late 104: ${k0 | k1 | k2} vs $oneShot")
   }
+
+  test("the LLM-pipeline recipe from QUICKSTART.md: crawl → " +
+      "decontaminate → span+doc dedup → quality → chunk → pack → " +
+      "TFRecord, each stage dropping exactly its plants") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextOps}
+    import graft.sources.{TFRecord, TFRecordSink}
+
+    // reference-English vocabulary both the LM reference and the good
+    // docs draw from
+    // phrase-structured prose: an n-gram LM separates text from
+    // gibberish only when transitions are PREDICTABLE — uniform random
+    // words over a vocab score exactly like OOV (both ≈ ln(1/V)), so
+    // good docs are built from fixed phrases whose within-phrase
+    // bigrams the reference has seen many times. Independent seeded
+    // draws keep doc pairs well under the 0.8 near-dup threshold.
+    val phrases = Vector(
+      "the quick brown fox", "jumps over the lazy dog",
+      "a stitch in time saves nine", "practice makes perfect every day",
+      "actions speak louder than words",
+      "the early bird catches the worm",
+      "better late than never they say",
+      "knowledge is power they claim", "time flies when having fun",
+      "every cloud has a silver lining", "the pen beats the sword",
+      "fortune favors the bold mind")
+    def goodText(seed: Int) = {
+      val rnd = new scala.util.Random(1000 + seed)
+      Seq.fill(6)(phrases(rnd.nextInt(phrases.size))).mkString(" ")
+    }
+    val reference = (1 to 12).map(i => (i.toLong, phrases.mkString(" ")))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((900L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val header = "this standard license header text is repeated on " +
+      "every single page" // 12 tokens, planted on 5 docs
+    val crawl = Seq(
+      // contaminated: embeds a benchmark 8-gram → dropped at stage 1
+      10L -> ("we quote alpha beta gamma delta epsilon zeta eta theta " +
+        "in this otherwise fine document " + goodText(0)),
+      // five docs sharing the boilerplate header, distinct bodies:
+      // the header is masked at stage 2, bodies survive
+      11L -> s"$header ${goodText(1)}",
+      12L -> s"$header ${goodText(2)}",
+      13L -> s"$header ${goodText(3)}",
+      14L -> s"$header ${goodText(4)}",
+      15L -> s"$header ${goodText(5)}",
+      // exact duplicate pair → one survivor
+      20L -> goodText(6), 21L -> goodText(6),
+      // gibberish: tokens the reference never saw → LM floor drops it
+      30L -> (1 to 24).map(i => s"zq$i").mkString(" "),
+      // too short for the token floor
+      31L -> "tiny doc",
+      // clean survivors
+      40L -> goodText(7), 41L -> goodText(8))
+      .toDF("doc_id", "text")
+
+    // 1. decontaminate
+    val clean = TextOps.decontaminate(crawl, benchmark, "text",
+        n = 8, threshold = 0.0)
+      .filter($"verdict" === "keep")
+    assert(!clean.select("doc_id").as[Long].collect().contains(10L))
+
+    // 2. span-level then doc-level dedup
+    val unmasked = Dedup.maskRepeatedSpans(clean, "text", "doc_id",
+        n = 10, minCount = 5)
+      .select($"doc_id", $"masked_text".as("text"))
+    val maskedTexts = unmasked.filter($"doc_id".isin(11L, 12L))
+      .select("text").as[String].collect()
+    assert(maskedTexts.forall(!_.contains("license")),
+      s"boilerplate survived masking: ${maskedTexts.toList}")
+    val deduped = Dedup.dropNearDuplicateClusters(
+      Dedup.dropExactDuplicates(unmasked, Seq("text"), "doc_id"),
+      "text", "doc_id", threshold = 0.8)
+    val afterDedup = deduped.select("doc_id").as[Long].collect().toSet
+    assert(afterDedup.contains(20L) && !afterDedup.contains(21L))
+    assert(Set(11L, 12L, 13L, 14L, 15L).subsetOf(afterDedup),
+      s"masked-distinct bodies must all survive dedup: $afterDedup")
+
+    // 3. quality: heuristics + LM score (floor between gibberish and
+    // the worst good doc — the spec derives it instead of hard-coding)
+    val lm = TextOps.ngramLm(reference, "text")
+    val scored = TextOps.lmScore(deduped, lm, "text")
+      .withColumn("n_tokens", TextOps.tokenCount($"text"))
+    val byDoc = scored.select("doc_id", "lm_score", "n_tokens")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NegativeInfinity else r.getDouble(1),
+          r.getInt(2))).toMap
+    val gib = byDoc(30L)._1
+    val worstGood = afterDedup.filter(d => d != 30L && d != 31L)
+      .map(d => byDoc(d)._1).min
+    assert(gib < worstGood,
+      s"LM must separate gibberish ($gib) from prose ($worstGood)")
+    val scoreFloor = (gib + worstGood) / 2
+    val kept = scored.filter($"n_tokens" >= 20 &&
+      $"lm_score" > lit(scoreFloor))
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(!keptIds.contains(30L) && !keptIds.contains(31L))
+    assert(Set(11L, 20L, 40L, 41L).subsetOf(keptIds), keptIds.toString)
+
+    // 4. chunk + pack
+    val chunks = TextOps.chunkTokens(kept, "text", "doc_id",
+        chunkSize = 16, stride = 16)
+      .withColumn("ckey", concat($"doc_id", lit("#"), $"chunk_id"))
+    val seqs = TextOps.packChunks(chunks, "chunk", "ckey", seqLen = 10)
+    val nSeqs = seqs.count()
+    val nonFinal = seqs.orderBy("seq_id").limit(nSeqs.toInt - 1)
+    assert(nonFinal.filter($"n_tokens" =!= 10).count() == 0,
+      "every non-final sequence must carry exactly seqLen tokens")
+
+    // 5. sharded TFRecords that decode
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-llm-recipe").toString
+    val encodeExample = udf((s: String) =>
+      graft.sources.TFExample.serialize(Map(
+        "text" -> graft.sources.TFExample.FeatureValue.bytes(s))))
+    val written = TFRecordSink.writeSharded(
+      seqs.select(encodeExample($"seq").as("example")), "example",
+      s"$outDir/train")
+    assert(written == nSeqs)
+    val shard = new java.io.File(s"$outDir/train").listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).head
+    val records = TFRecord.readAll(
+      java.nio.file.Files.readAllBytes(shard.toPath))
+    assert(records.nonEmpty && records.forall(_.nonEmpty))
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Eager._
 import graft.core.Tables
 import graft.operators.{Dedup, GuardMetrics, Similarity}
 
@@ -84,7 +85,7 @@ class ScaleStressSpec extends SparkTestBase {
         col("embedding")))
       .reduce(_ unionByName _)
     val queries = base.filter(col("vec_id") % 400 === 0)
-      .localCheckpoint(true)
+      .pinnedCheckpoint()
     val index = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
       nlist = 16)
     val plainDir = java.nio.file.Files
@@ -168,7 +169,7 @@ class ScaleStressSpec extends SparkTestBase {
       df, "text", "doc_id", threshold = 0.9)
 
     val (basePairs, baseSec, baseShuffle) = measured("minhash 1×") {
-      pairsOf(base).localCheckpoint(true)
+      pairsOf(base).pinnedCheckpoint()
     }
     val nBasePairs = basePairs.count()
 
@@ -194,7 +195,7 @@ class ScaleStressSpec extends SparkTestBase {
     assert(amplified.count() == nBase * Copies)
 
     val (bigPairs, bigSec, bigShuffle) = measured("minhash 10×") {
-      pairsOf(amplified).localCheckpoint(true)
+      pairsOf(amplified).pinnedCheckpoint()
     }
     // split the 10× pairs into the two closed-form populations
     val crossPlanted = bigPairs
@@ -224,7 +225,7 @@ class ScaleStressSpec extends SparkTestBase {
       s"skew guard fired on clean data: ${guard.droppedRows.value} rows")
 
     val (components, compSec, compShuffle) = measured("components 10×") {
-      Dedup.connectedComponents(bigPairs).localCheckpoint(true)
+      Dedup.connectedComponents(bigPairs).pinnedCheckpoint()
     }
     // each planted clique collapses to ONE component of exactly its 10
     // copies, labeled by its minimum key (the copy-0 id)
@@ -277,7 +278,7 @@ class ScaleStressSpec extends SparkTestBase {
             "worldwide "), col("text"))).otherwise(col("text")).as("text"))
     val (baseSpans, baseSec, baseShuffle) = measured("repeatedSpans 1×") {
       Dedup.repeatedSpans(base, "text", "doc_id", n = 5, minCount = 50)
-        .localCheckpoint(true)
+        .pinnedCheckpoint()
     }
     val nBase = baseSpans.count()
     assert(nBase > 0, "planted header produced no spans")
@@ -291,7 +292,7 @@ class ScaleStressSpec extends SparkTestBase {
     }.reduce(_ unionByName _)
     val (bigSpans, bigSec, bigShuffle) = measured("repeatedSpans 10×") {
       Dedup.repeatedSpans(amplified, "text", "doc_id",
-          n = 5, minCount = 500).localCheckpoint(true)
+          n = 5, minCount = 500).pinnedCheckpoint()
     }
     val nBig = bigSpans.count()
     assert(nBig == Copies * nBase,
@@ -346,7 +347,7 @@ class ScaleStressSpec extends SparkTestBase {
       df, "text", "doc_id", maxDistance = 3, bits = 32)
 
     val (basePairs, baseSec, baseShuffle) = measured("simhash 1×") {
-      pairsOf(base).localCheckpoint(true)
+      pairsOf(base).pinnedCheckpoint()
     }
     val baseDrops = guard.droppedRows.value
     val nBasePairs = basePairs.count()
@@ -358,7 +359,7 @@ class ScaleStressSpec extends SparkTestBase {
     }.reduce(_ unionByName _)
 
     val (bigPairs, bigSec, bigShuffle) = measured("simhash 10×") {
-      pairsOf(amplified).localCheckpoint(true)
+      pairsOf(amplified).pinnedCheckpoint()
     }
     val bigDrops = guard.droppedRows.value - baseDrops
     val nBigPairs = bigPairs.count()
@@ -393,7 +394,7 @@ class ScaleStressSpec extends SparkTestBase {
     val base = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 100000L))
     val basePairs = Dedup.minhashNearDuplicates(
-      base, "text", "doc_id", threshold = 0.9).localCheckpoint(true)
+      base, "text", "doc_id", threshold = 0.9).pinnedCheckpoint()
     val planted = plantedIds(base, basePairs, "doc_id",
       col("doc_id") % 250 === 1)
     def copy(i: Int): DataFrame =
@@ -407,16 +408,16 @@ class ScaleStressSpec extends SparkTestBase {
     // the increment's measured cost excludes building history
     val store9 = (0 until 9).map(i =>
         Dedup.minhashSignatures(copy(i), "text", "doc_id"))
-      .reduce(_ unionByName _).localCheckpoint(true)
+      .reduce(_ unionByName _).pinnedCheckpoint()
     val (incPairs, incSec, incShuffle) = measured("incremental copy 9") {
       val (pairs, _) = Dedup.minhashNearDuplicatesIncremental(
         copy(9), store9, "text", "doc_id", threshold = 0.9)
-      pairs.localCheckpoint(true)
+      pairs.pinnedCheckpoint()
     }
     val amplified = (0 until Copies).map(copy).reduce(_ unionByName _)
     val (batchPairs, batchSec, batchShuffle) = measured("batch 10×") {
       Dedup.minhashNearDuplicates(amplified, "text", "doc_id",
-        threshold = 0.9).localCheckpoint(true)
+        threshold = 0.9).pinnedCheckpoint()
     }
     def pairSet(df: DataFrame) = df
       .select("key_a", "key_b", "jaccard")
@@ -464,11 +465,11 @@ class ScaleStressSpec extends SparkTestBase {
     val smallN = 100000L
     def labelStore(n: Long) = spark.range(n)
       .select(col("id").as("key"), col("id").as("component"))
-      .localCheckpoint(true)
+      .pinnedCheckpoint()
     val ccPairs = spark.range(5000)
       .select((col("id") + 20000000L).as("key_a"),
         (col("id") * 7 % smallN).as("key_b"))
-      .localCheckpoint(true)
+      .pinnedCheckpoint()
     def runCc(store: DataFrame): Long =
       Dedup.connectedComponentsIncremental(store, ccPairs).count()
     val (cc1, _, ccBytes1) = measured("cc store 1×")(runCc(labelStore(smallN)))
@@ -484,12 +485,12 @@ class ScaleStressSpec extends SparkTestBase {
         concat(lit("document body number "), col("id") + off).as("text"))
     def digestStore(n: Long) =
       Dedup.exactSignatures(docs(n, 0), Seq("text"), "doc_id")
-        .localCheckpoint(true)
+        .pinnedCheckpoint()
     // fixed 5k batch: half duplicates of stored docs, half fresh
     val batch = docs(2500, smallN + 50000000L)
       .unionByName(docs(2500, 0)
         .withColumn("doc_id", col("doc_id") + 90000000L))
-      .localCheckpoint(true)
+      .pinnedCheckpoint()
     def runExact(store: DataFrame): Long = {
       val (kept, _) = Dedup.dropExactDuplicatesIncremental(
         batch, store, Seq("text"), "doc_id")
@@ -523,13 +524,13 @@ class ScaleStressSpec extends SparkTestBase {
           (pmod(hash(col("id") + off, lit(j)), lit(1000)) / 500.0
             - 1.0)): _*).as("emb"))
     def lshStore(n: Long) = Similarity.lshSignatures(vecs(n, 0), "emb",
-      "vec_id", dim).localCheckpoint(true)
+      "vec_id", dim).pinnedCheckpoint()
     // fixed 500-vector batch: half exact copies of stored rows (ids
     // 0-249 exist in BOTH stores), half fresh
     val embBatch = vecs(250, 70000000L)
       .unionByName(vecs(250, 0)
         .withColumn("vec_id", col("vec_id") + 80000000L))
-      .localCheckpoint(true)
+      .pinnedCheckpoint()
     // guard OFF: the flatness claim is the zero-store-shuffle shape,
     // exactly as BASELINE documents the minhash incremental (guard ON
     // buys the union-wide cap with a narrow store-sized count
@@ -569,7 +570,7 @@ class ScaleStressSpec extends SparkTestBase {
         concat_ws(" ", (1 to 12).map(j =>
           concat(lit(s"w${j}x"), col("id") + off)): _*).as("text"))
     val sigs = Dedup.minhashSignatures(docsDf(n, 0), "text", "doc_id")
-      .localCheckpoint(true)
+      .pinnedCheckpoint()
     def buildStore(root: String, width: Int): Unit =
       for (v <- 1 to width) {
         sigs.filter(col("doc_id") % width === (v - 1))
@@ -583,7 +584,7 @@ class ScaleStressSpec extends SparkTestBase {
             lit(v.toLong).as("_v"))
         delta.write.mode("overwrite").parquet(s"$root/labels/v=$v")
       }
-    val batch = docsDf(500, 10000000L).localCheckpoint(true)
+    val batch = docsDf(500, 10000000L).pinnedCheckpoint()
     def run(root: String, what: String) = measured(what) {
       DedupIngest.processBatch(batch, 1000L, root, s"$root/kept",
         "text", "doc_id", 64, 16, 3, 0.7, 42, 10000)
@@ -692,14 +693,14 @@ class ScaleStressSpec extends SparkTestBase {
     val docs = zipfDocs(5000, 10000, seed = 271828)
     val base = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 100000L))
-      .localCheckpoint(true)
+      .pinnedCheckpoint()
     val nBase = base.count()
 
     def pairsOf(df: DataFrame) = Dedup.simhashNearDuplicates(
       df, "text", "doc_id", maxDistance = 3, bits = bits)
 
     val (basePairs, baseSec, baseShuffle) = measured(s"zipf simhash$bits 1×") {
-      pairsOf(base).localCheckpoint(true)
+      pairsOf(base).pinnedCheckpoint()
     }
     def birthday(n: Long): Double =
       n.toDouble * (n - 1) / 2 * sumC / math.pow(2, bits)
@@ -726,7 +727,7 @@ class ScaleStressSpec extends SparkTestBase {
     }.reduce(_ unionByName _)
 
     val (bigPairs, bigSec, bigShuffle) = measured(s"zipf simhash$bits 10×") {
-      pairsOf(amplified).localCheckpoint(true)
+      pairsOf(amplified).pinnedCheckpoint()
     }
     val nBig = nBase * Copies
     val bigW = bigPairs.filter(col("key_b") - col("key_a") === 100000L).count()
@@ -803,7 +804,7 @@ class ScaleStressSpec extends SparkTestBase {
       df, "embedding", "vec_id", dim = dim, numBits = bits, threshold = thr)
 
     val (baseCand, baseSec, baseShuffle) = measured("lsh 1×") {
-      pairsOf(base, -1.0).localCheckpoint(true) // thr -1: ALL candidates
+      pairsOf(base, -1.0).pinnedCheckpoint() // thr -1: ALL candidates
     }
     val nBaseCand = baseCand.count()
     val basePairs = baseCand.filter(col("cosine") >= threshold)
@@ -836,7 +837,7 @@ class ScaleStressSpec extends SparkTestBase {
     assert(amplified.count() == nBig)
 
     val (bigCand, bigSec, bigShuffle) = measured("lsh 10×") {
-      pairsOf(amplified, -1.0).localCheckpoint(true)
+      pairsOf(amplified, -1.0).pinnedCheckpoint()
     }
     val nBigCand = bigCand.count()
     val bigPairs = bigCand.filter(col("cosine") >= threshold)
@@ -889,13 +890,13 @@ class ScaleStressSpec extends SparkTestBase {
     val base = Tables.load(spark, sfDir, "embeddings")
       .select("vec_id", "embedding")
     val queries = base.filter(col("vec_id").isInCollection(planted))
-      .localCheckpoint(true)
+      .pinnedCheckpoint()
 
     def topkOf(corpus: DataFrame) = Similarity.ivfTopK(
       corpus, queries, "embedding", "vec_id", k = k, nlist = 64, nprobe = 8)
 
     val (baseRes, baseSec, baseShuffle) = measured("ivf 1×") {
-      topkOf(base).localCheckpoint(true)
+      topkOf(base).pinnedCheckpoint()
     }
     // 8 of 64 probed lists over 2k rows → ~250 candidates/query ≫ k:
     // every query must fill its top-k
@@ -921,7 +922,7 @@ class ScaleStressSpec extends SparkTestBase {
     }.reduce(_ unionByName _)
 
     val (bigRes, bigSec, bigShuffle) = measured("ivf 10×") {
-      topkOf(amplified).localCheckpoint(true)
+      topkOf(amplified).pinnedCheckpoint()
     }
     val bigCounts = bigRes.groupBy("query_id").count()
     assert(bigCounts.count() == planted.size &&
