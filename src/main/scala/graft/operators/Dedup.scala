@@ -638,15 +638,22 @@ object Dedup {
     * documents with ≥ 1 span appear.
     */
   private def mergedSpanRelation(df: DataFrame, textCol: String,
-      key: String, n: Int, minCount: Long): DataFrame = {
+      key: String, n: Int, minCount: Long,
+      cacheOccurrences: Boolean): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     require(minCount >= 2,
       s"minCount must be >= 2 (1 would mark every token), got $minCount")
     val gramUdf = udf((text: String) => Kernels.ngramSpans(text, n))
-    val occ = df
+    val occ0 = df
       .select(col(key), explode(gramUdf(col(textCol))).as("_g"))
       .select(col(key), col("_g._1").as("_s"), col("_g._2").as("_e"),
         col("_g._3").as("_h"))
+    // two consumers (the count aggregate and the hit join) would each
+    // re-scan the corpus and re-run the shingle kernel; pin the narrow
+    // occurrence relation so the expensive pass happens once — the
+    // cacheShingles trade (localCheckpoint truncates lineage; pass
+    // false on spot/dynamic-allocation clusters to keep recomputability)
+    val occ = if (cacheOccurrences) occ0.localCheckpoint(false) else occ0
     val rep = occ.groupBy("_h").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount).select("_h")
     val mergeUdf = udf((ss: Seq[Int], es: Seq[Int]) =>
@@ -688,8 +695,9 @@ object Dedup {
     * ≥ `minCount` times are flagged whole.
     */
   def repeatedSpans(df: DataFrame, textCol: String, key: String,
-      n: Int = 10, minCount: Long = 5): DataFrame =
-    mergedSpanRelation(df, textCol, key, n, minCount)
+      n: Int = 10, minCount: Long = 5,
+      cacheOccurrences: Boolean = true): DataFrame =
+    mergedSpanRelation(df, textCol, key, n, minCount, cacheOccurrences)
       .select(col(key), explode(col("_spans")).as("_sp"))
       .select(col(key), col("_sp._1").as("span_start"),
         col("_sp._2").as("span_end"))
@@ -703,11 +711,14 @@ object Dedup {
     * exactly replayable by the SQL oracle). Null text → null.
     */
   def maskRepeatedSpans(df: DataFrame, textCol: String, key: String,
-      n: Int = 10, minCount: Long = 5, marker: String = ""): DataFrame = {
+      n: Int = 10, minCount: Long = 5, marker: String = "",
+      cacheOccurrences: Boolean = true): DataFrame = {
     val maskUdf = udf((text: String, ss: Seq[Int], es: Seq[Int]) =>
       Kernels.maskSpans(text,
         if (ss == null) Nil else ss, if (es == null) Nil else es, marker))
-    df.join(mergedSpanRelation(df, textCol, key, n, minCount),
+    df.join(
+        mergedSpanRelation(df, textCol, key, n, minCount,
+          cacheOccurrences),
         Seq(key), "left")
       .withColumn("masked_text",
         maskUdf(col(textCol), col("_spans._1"), col("_spans._2")))

@@ -581,7 +581,12 @@ object TextOps {
     * silently spans two documents unmarked.
     *
     * `key` must be UNIQUE PER ROW (for [[chunkTokens]] output, combine:
-    * `concat(col("key"), lit("#"), col("chunk_id"))`). The stream order
+    * `concat(col("key"), lit("#"), col("chunk_id"))`), and the caller
+    * owns choosing a `boundary` token that cannot occur in the corpus
+    * (the default's `<|...|>` framing never survives whitespace
+    * tokenization of natural text) — a colliding boundary would make
+    * document edges ambiguous to a downstream consumer, though the
+    * packing itself stays exact. The stream order
     * is the content-digest order (`md5(salt || key)`, the
     * [[graft.operators.Splits.deterministicSample]] engine-portability
     * contract) — deterministic on any engine, partitioning, or cluster

@@ -67,6 +67,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"decontaminate must tag map-side, no shuffle:\n$p")
   }
 
+  test("q84 packChunks computes global token offsets without any Window " +
+      "operator — the distributed prefix sum, not a single-partition " +
+      "cumulative sum") {
+    val p = plan("q84_pack_sequences")
+    // the naive formulation is sum(len) OVER (ORDER BY digest) — an
+    // unpartitioned window that drags the whole corpus through ONE task;
+    // the operator must never regress to it
+    assert(!p.contains("Window"),
+      s"packChunks must not plan a window:\n$p")
+    // the piece assembly is a hash aggregation on seq_id
+    assert(p.contains("Exchange hashpartitioning(seq_id"),
+      s"expected the seq_id assembly exchange:\n$p")
+  }
+
   test("q52 deterministic sample plans as TakeOrderedAndProject") {
     val p = plan("q52_det_sample")
     assert(p.contains("TakeOrderedAndProject"),
