@@ -410,6 +410,21 @@ object TextOps {
     * both sides, broadcast semi-join on the hash, re-aggregate per key —
     * one corpus-wide shuffle buys unbounded benchmark size.
     */
+  /** The benchmark's distinct n-gram hash set, sorted for binary search —
+    * the eager, bounded driver collect both decontamination forms
+    * broadcast ([[decontaminate]]'s scaladoc carries the size contract).
+    */
+  private def benchmarkNgramHashes(benchmark: DataFrame, textCol: String,
+      n: Int): Array[Long] = {
+    val hashOne = udf((g: String) => ngramHash64(g))
+    val hs = benchmark
+      .select(explode(Dedup.shinglesFast(col(textCol), n)).as("_g"))
+      .select(hashOne(col("_g")).as("_h")).distinct()
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, n: Int = 8, threshold: Double = 0.0,
       benchTextCol: String = ""): DataFrame = {
@@ -421,13 +436,8 @@ object TextOps {
       s"benchmark is missing text column '$btc'")
     require(corpus.columns.contains(textCol),
       s"corpus is missing text column '$textCol'")
-    val hashOne = udf((g: String) => ngramHash64(g))
-    val benchHashes = benchmark
-      .select(explode(Dedup.shinglesFast(col(btc), n)).as("_g"))
-      .select(hashOne(col("_g")).as("_h")).distinct()
-      .collect().map(_.getLong(0))
-    java.util.Arrays.sort(benchHashes)
-    val bc = corpus.sparkSession.sparkContext.broadcast(benchHashes)
+    val bc = corpus.sparkSession.sparkContext.broadcast(
+      benchmarkNgramHashes(benchmark, btc, n))
     val stats = udf { (text: String) =>
       val sh = Dedup.Kernels.shingleSet(text, n)
       val set = bc.value
@@ -452,6 +462,83 @@ object TextOps {
         when(col("contamination_frac") <= threshold, "keep")
           .otherwise("drop"))
       .drop("_dc")
+  }
+
+  /** SURGICAL decontamination, part 1 — the spans themselves: for every
+    * corpus document, the maximal merged [start, end) token intervals
+    * covered by any word n-gram that also occurs in the benchmark.
+    * Output: one row per span, `(key, span_start, span_end)` — the same
+    * relational span shape as [[graft.operators.Dedup.repeatedSpans]],
+    * with membership in the broadcast benchmark set replacing the
+    * corpus-wide occurrence count. Use this (and [[maskContaminated]])
+    * when eval material appears as short QUOTES inside long, otherwise
+    * clean documents — dropping the whole document ([[decontaminate]]'s
+    * verdict column) wastes the clean 99%; masking the overlapping
+    * spans keeps it. Same benchmark size contract as [[decontaminate]];
+    * same shingle edge semantics (`< n`-token documents contribute one
+    * whole-text pseudo-n-gram — a short doc that IS a short benchmark
+    * doc flags whole).
+    *
+    * Scale shape: strictly map-only — benchmark hashes broadcast once,
+    * each document is one kernel pass (binary search per n-gram
+    * position, merge of the hits), and even the span explode is narrow.
+    * No shuffle anywhere, at any corpus size.
+    */
+  def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, key: String, n: Int = 8,
+      benchTextCol: String = ""): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val btc = if (benchTextCol.isEmpty) textCol else benchTextCol
+    require(benchmark.columns.contains(btc),
+      s"benchmark is missing text column '$btc'")
+    require(corpus.columns.contains(textCol),
+      s"corpus is missing text column '$textCol'")
+    val bc = corpus.sparkSession.sparkContext.broadcast(
+      benchmarkNgramHashes(benchmark, btc, n))
+    val spansUdf = udf { (text: String) =>
+      val set = bc.value
+      Dedup.Kernels.mergeSpans(
+        Dedup.Kernels.ngramSpans(text, n).collect {
+          case (s, e, h)
+              if java.util.Arrays.binarySearch(set, h) >= 0 => (s, e)
+        }.toSeq)
+    }
+    corpus.select(col(key), explode(spansUdf(col(textCol))).as("_sp"))
+      .select(col(key), col("_sp._1").as("span_start"),
+        col("_sp._2").as("span_end"))
+  }
+
+  /** SURGICAL decontamination, part 2 — the removal transform: every
+    * corpus row comes back with a `masked_text` column, the document's
+    * tokens with all benchmark-overlapping spans dropped (replaced by
+    * `marker` once per span when non-empty). Masking semantics are
+    * exactly [[graft.operators.Dedup.maskRepeatedSpans]]'s (original
+    * case kept, always whitespace-normalized to the single-space token
+    * join, null text → null); only the span source differs. Pure
+    * per-row projection — no shuffle, no join, fuses into the scan.
+    */
+  def maskContaminated(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, n: Int = 8, marker: String = "",
+      benchTextCol: String = ""): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val btc = if (benchTextCol.isEmpty) textCol else benchTextCol
+    require(benchmark.columns.contains(btc),
+      s"benchmark is missing text column '$btc'")
+    require(corpus.columns.contains(textCol),
+      s"corpus is missing text column '$textCol'")
+    val bc = corpus.sparkSession.sparkContext.broadcast(
+      benchmarkNgramHashes(benchmark, btc, n))
+    val mk = marker
+    val maskUdf = udf { (text: String) =>
+      val set = bc.value
+      val spans = Dedup.Kernels.mergeSpans(
+        Dedup.Kernels.ngramSpans(text, n).collect {
+          case (s, e, h)
+              if java.util.Arrays.binarySearch(set, h) >= 0 => (s, e)
+        }.toSeq)
+      Dedup.Kernels.maskSpans(text, spans.map(_._1), spans.map(_._2), mk)
+    }
+    corpus.withColumn("masked_text", maskUdf(col(textCol)))
   }
 
   /** A trained count-based n-gram language model ([[ngramLm]]):

@@ -1448,6 +1448,44 @@ object PipelineQueries {
       TextOps.packChunks(Tables.load(s, d, "documents"), "text", "doc_id",
           seqLen = 128)
         .orderBy("seq_id")
+    },
+
+    // --- Surgical decontamination: q80's benchmark (docs 0–49), but
+    //     instead of a whole-doc verdict, the exact overlapping token
+    //     spans — the oracle islands-merges the covered positions like
+    //     q81's, with benchmark membership replacing the count floor.
+    Query(
+      "q85_contaminated_spans",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i AS s, i + 3 AS e,
+        |    array_to_string(tk[i+1:i+3], ' ') AS g
+        |  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i
+        |        FROM tok WHERE len(tk) >= 3)
+        |  UNION ALL
+        |  SELECT doc_id, 0 AS s, len(tk) AS e,
+        |    array_to_string(tk, ' ') AS g
+        |  FROM tok WHERE len(tk) > 0 AND len(tk) < 3),
+        |bench AS (SELECT DISTINCT g FROM occ WHERE doc_id < 50),
+        |hits AS (SELECT o.doc_id, o.s, o.e FROM occ o
+        |         JOIN bench b USING (g)),
+        |cov AS (SELECT DISTINCT doc_id, p FROM
+        |  (SELECT doc_id, s + unnest(range(e - s)) AS p FROM hits)),
+        |isl AS (SELECT doc_id, p,
+        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM cov)
+        |SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+        |  CAST(max(p) + 1 AS INT) AS span_end
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      TextOps.contaminatedSpans(docs, docs.filter(col("doc_id") < 50),
+          "text", "doc_id", n = 3)
+        .orderBy("doc_id", "span_start")
     }
   )
 

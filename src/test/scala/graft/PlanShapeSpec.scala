@@ -65,6 +65,17 @@ class PlanShapeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"),
       s"decontaminate must tag map-side, no shuffle:\n$p")
+    // the surgical forms are map-only too: spans (an explode is narrow)
+    // and the mask projection
+    val bench = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") < 10)
+    for (df <- Seq(
+        TextOps.contaminatedSpans(docs, bench, "text", "doc_id", n = 3),
+        TextOps.maskContaminated(docs, bench, "text", n = 3))) {
+      val sp = df.queryExecution.executedPlan.toString
+      assert(!sp.contains("Exchange"),
+        s"surgical decontamination must stay map-only:\n$sp")
+    }
   }
 
   test("q84 packChunks computes global token offsets without any Window " +

@@ -215,6 +215,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(at(11L) == "keep")
   }
 
+  test("contaminatedSpans/maskContaminated: surgical decontamination " +
+      "flags and removes exactly the benchmark-overlapping spans") {
+    val bench = Seq((1L, "the quick brown fox jumps")).toDF("bid", "btext")
+    val corpus = Seq(
+      // the quote sits mid-document: only its span is flagged
+      (10L, "intro words the quick brown fox jumps and a clean tail"),
+      (11L, "completely unrelated content with no overlap at all"),
+      // two disjoint quotes in one doc → two spans
+      (12L, "the quick brown pad pad pad brown fox jumps end"),
+      (13L, ""))
+      .toDF("doc_id", "text")
+    val spans = TextOps.contaminatedSpans(corpus, bench, "text",
+        "doc_id", n = 3, benchTextCol = "btext")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .toSet
+    // doc 10: 3-grams of the quote cover tokens [2, 7)
+    // doc 12: "the quick brown" [0,3) and "brown fox jumps" [6,9)
+    assert(spans == Set((10L, 2, 7), (12L, 0, 3), (12L, 6, 9)), spans)
+    val masked = TextOps.maskContaminated(corpus, bench, "text",
+        n = 3, marker = "<X>", benchTextCol = "btext")
+      .select("doc_id", "masked_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(masked(10L) == "intro words <X> and a clean tail")
+    assert(masked(11L) ==
+      "completely unrelated content with no overlap at all")
+    assert(masked(12L) == "<X> pad pad pad <X> end")
+    assert(masked(13L) == "")
+  }
+
   test("ngramLm/lmScore: hand-computed add-1 bigram log-likelihoods, " +
       "OOV smoothing, and the short-doc null") {
     // reference "a b a c": bigrams ab/ba/ac ×1; contexts a=2, b=1;
