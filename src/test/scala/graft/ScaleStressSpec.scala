@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Eager._
 import graft.core.Tables
-import graft.operators.{Dedup, GuardMetrics, Similarity}
+import graft.operators.{Dedup, GuardMetrics, Similarity, TextOps}
 
 /** Measured scaling evidence for the LLM-pipeline scale paths — the
   * "survives 100 TB" claims as a measured exponent instead of plan-shape
@@ -311,6 +311,41 @@ class ScaleStressSpec extends SparkTestBase {
         s"10×=$bigShuffle B")
     info(f"repeatedSpans scaling: 1× $nBase spans $baseSec%.2f s " +
       f"(${baseShuffle / 1e6}%.1f MB) → 10× $nBig spans $bigSec%.2f s " +
+      f"(${bigShuffle / 1e6}%.1f MB); shuffle ratio " +
+      f"${bigShuffle.toDouble / math.max(baseShuffle, 1)}%.1f×")
+  }
+
+  test("packChunks at 10×: sequences scale with the token stream, " +
+      "shuffle stays ~linear — the distributed prefix sum never " +
+      "bottlenecks on one task") {
+    assume(haveData, "sf0.1 testdata not present")
+    val base = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val (baseSeqs, baseSec, baseShuffle) = measured("packChunks 1×") {
+      TextOps.packChunks(base, "text", "doc_id", seqLen = 128)
+        .pinnedCheckpoint()
+    }
+    val nBase = baseSeqs.count()
+    assert(nBase > 0)
+    assert(baseSeqs.filter(col("n_tokens") === 128).count() >= nBase - 1,
+      "all but the final sequence must be exactly seqLen")
+    val amplified = (0 until Copies).map { i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * CopyStride))
+    }.reduce(_ unionByName _)
+    val (bigSeqs, bigSec, bigShuffle) = measured("packChunks 10×") {
+      TextOps.packChunks(amplified, "text", "doc_id", seqLen = 128)
+        .pinnedCheckpoint()
+    }
+    val nBig = bigSeqs.count()
+    // stream length is exactly ×10, so the sequence count is
+    // ceil(10·T/L) ∈ [10·ceil(T/L) − 9, 10·ceil(T/L)]
+    assert(nBig <= Copies * nBase && nBig >= Copies * nBase - (Copies - 1),
+      s"sequence count off the closed form: 1×=$nBase, 10×=$nBig")
+    assert(bigShuffle <= 15L * math.max(baseShuffle, 1L),
+      s"packChunks shuffle super-linear: 1×=$baseShuffle B, " +
+        s"10×=$bigShuffle B")
+    info(f"packChunks scaling: 1× $nBase seqs $baseSec%.2f s " +
+      f"(${baseShuffle / 1e6}%.1f MB) → 10× $nBig seqs $bigSec%.2f s " +
       f"(${bigShuffle / 1e6}%.1f MB); shuffle ratio " +
       f"${bigShuffle.toDouble / math.max(baseShuffle, 1)}%.1f×")
   }
