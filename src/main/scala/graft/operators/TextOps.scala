@@ -668,7 +668,10 @@ object TextOps {
     * silently spans two documents unmarked.
     *
     * `key` must be UNIQUE PER ROW (for [[chunkTokens]] output, combine:
-    * `concat(col("key"), lit("#"), col("chunk_id"))`), and the caller
+    * `concat(col("key"), lit("#"), col("chunk_id"))`) — duplicate keys
+    * do not corrupt the packing (offsets stay consistent) but make the
+    * order among the tied rows, and therefore the sequence contents,
+    * nondeterministic across runs — and the caller
     * owns choosing a `boundary` token that cannot occur in the corpus
     * (the default's `<|...|>` framing never survives whitespace
     * tokenization of natural text) — a colliding boundary would make

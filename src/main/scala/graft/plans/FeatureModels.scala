@@ -173,13 +173,19 @@ object InstanceMaskModel extends DataModel {
         rows.foreach { r =>
           val id = r.getString(0)
           val mask = r.getAs[Array[Byte]](1)
-          var i = 0
-          while (i < r.getInt(2)) {
-            val out = fs.create(
-              new org.apache.hadoop.fs.Path(s"$outDir/$id/$i.png"), true)
-            try out.write(mask)
-            finally out.close()
-            i += 1
+          // a row with no mask sidecar (null bytes) has nothing to
+          // dump — skipping mirrors the export path, which emits an
+          // empty mask list for it rather than failing the batch
+          if (mask != null) {
+            var i = 0
+            while (i < r.getInt(2)) {
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(s"$outDir/$id/$i.png"),
+                true)
+              try out.write(mask)
+              finally out.close()
+              i += 1
+            }
           }
         }
       }
