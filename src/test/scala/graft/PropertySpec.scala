@@ -144,4 +144,123 @@ class PropertySpec extends SparkTestBase {
       assert(sizes.max - sizes.min <= 1)
     }
   }
+
+  // ---- random text corpora for the text-pipeline laws: small shared
+  // vocabulary (forces n-gram collisions), lengths 0..18 incl. empties
+  private val wordPool = Seq("aa", "bb", "cc", "dd", "ee")
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 18)
+    ws <- Gen.listOfN(n, Gen.oneOf(wordPool))
+  } yield ws.mkString(" ")
+  private val textCorpusGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(1, 12)
+    ts <- Gen.listOfN(n, textGen)
+  } yield ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def toks(t: String): Array[String] =
+    t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** Brute-force reference for the span family: per-occurrence n-grams
+    * with the kernels' short-doc rule, islands over covered positions.
+    */
+  private def bruteGrams(t: String, n: Int): Seq[(Int, Int, String)] = {
+    val tk = toks(t)
+    if (tk.isEmpty) Nil
+    else if (tk.length < n) Seq((0, tk.length, tk.mkString(" ")))
+    else (0 to tk.length - n).map(i =>
+      (i, i + n, tk.slice(i, i + n).mkString(" ")))
+  }
+  private def islands(cov: Set[Int]): Seq[(Int, Int)] =
+    if (cov.isEmpty) Nil
+    else {
+      val s = cov.toSeq.sorted
+      s.tail.foldLeft(List((s.head, s.head + 1))) {
+        case ((cs, ce) :: rest, p) =>
+          if (p == ce) (cs, ce + 1) :: rest else (p, p + 1) :: (cs, ce) :: rest
+        case (Nil, p) => List((p, p + 1))
+      }.reverse
+    }
+
+  test("repeatedSpans ≡ brute force for arbitrary corpora; the mask " +
+      "drops exactly the covered tokens") {
+    for (corpus <- samples(textCorpusGen, 6); n <- Seq(2, 3);
+        minCount <- Seq(2, 4)) {
+      val df = corpus.toDF("doc_id", "text")
+      val counts = corpus.flatMap(d => bruteGrams(d._2, n))
+        .groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = corpus.flatMap { case (k, t) =>
+        val cov = bruteGrams(t, n)
+          .filter(g => counts(g._3) >= minCount)
+          .flatMap(g => g._1 until g._2).toSet
+        islands(cov).map { case (s, e) => (k, s, e) }
+      }.toSet
+      val got = Dedup.repeatedSpans(df, "text", "doc_id", n, minCount)
+        .as[(Long, Int, Int)].collect().toSet
+      assert(got == expected,
+        s"n=$n minCount=$minCount corpus=$corpus:\n$got\nvs\n$expected")
+      val masked = Dedup.maskRepeatedSpans(df, "text", "doc_id", n,
+          minCount)
+        .select("doc_id", "masked_text").as[(Long, String)]
+        .collect().toMap
+      for ((k, t) <- corpus) {
+        val cov = expected.collect {
+          case (`k`, s, e) => s until e }.flatten.toSet
+        val want = toks(t).zipWithIndex
+          .collect { case (w, i) if !cov(i) => w }.mkString(" ")
+        assert(masked(k) == want, s"doc $k of $corpus")
+      }
+    }
+  }
+
+  test("contaminatedSpans ≡ brute force benchmark membership for " +
+      "arbitrary corpus/benchmark splits") {
+    for (corpus <- samples(textCorpusGen, 6); n <- Seq(2, 3)) {
+      val (benchRows, corpusRows) = corpus.partition(_._1 % 3 == 0)
+      if (benchRows.nonEmpty && corpusRows.nonEmpty) {
+        val benchSet = benchRows
+          .flatMap(d => bruteGrams(d._2, n).map(_._3)).toSet
+        val expected = corpusRows.flatMap { case (k, t) =>
+          val cov = bruteGrams(t, n).filter(g => benchSet(g._3))
+            .flatMap(g => g._1 until g._2).toSet
+          islands(cov).map { case (s, e) => (k, s, e) }
+        }.toSet
+        val got = TextOps.contaminatedSpans(
+            corpusRows.toDF("doc_id", "text"),
+            benchRows.toDF("doc_id", "text"), "text", "doc_id", n)
+          .as[(Long, Int, Int)].collect().toSet
+        assert(got == expected, s"n=$n corpus=$corpus")
+      }
+    }
+  }
+
+  test("packChunks conserves the token stream: exact seqLen everywhere " +
+      "but the tail, contiguous ids, reconstruction = input multiset") {
+    for (corpus <- samples(textCorpusGen, 6); seqLen <- Seq(3, 7, 11)) {
+      val out = TextOps.packChunks(corpus.toDF("doc_id", "text"), "text",
+          "doc_id", seqLen, boundary = "<e>")
+        .orderBy("seq_id")
+        .select("seq_id", "n_tokens", "seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val totalTokens = corpus.map(d => toks(d._2).length + 1L).sum
+      assert(out.map(_._1).toSeq == (0L until out.length.toLong),
+        "sequence ids must be contiguous from 0")
+      assert(out.map(_._2).sum == totalTokens, "token conservation")
+      out.dropRight(1).foreach { case (id, nt, _) =>
+        assert(nt == seqLen, s"non-final seq $id carried $nt tokens") }
+      out.foreach { case (_, nt, s) =>
+        assert(toks(s).length.toLong == nt) }
+      // splitting the stream at boundaries recovers the units
+      val stream = out.map(_._3).mkString(" ").split(" ")
+      val groups = scala.collection.mutable.ArrayBuffer(
+        Seq.empty[String])
+      stream.foreach {
+        case "<e>" => groups += Seq.empty
+        case w => groups(groups.length - 1) :+= w
+      }
+      assert(groups.last.isEmpty)
+      assert(groups.dropRight(1).map(_.mkString(" ")).sorted.toSeq ==
+        corpus.map(d => toks(d._2).mkString(" ")).sorted,
+        s"reconstruction mismatch for $corpus")
+    }
+  }
 }
