@@ -771,4 +771,80 @@ object Similarity {
     lshNeighborPairs(corpus, embCol, key, dim, numBits, threshold, seed,
         maxBucketSize)
       .select(col("key_b").as(key)).distinct()
+
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * decontamination family ([[graft.operators.TextOps.decontaminate]]
+    * catches verbatim n-gram overlap; this catches PARAPHRASED eval
+    * material, which shares meaning but not n-grams): tag every corpus
+    * vector with its maximum EXACT cosine against a benchmark embedding
+    * set, plus a keep/drop verdict at `threshold`. Output: `corpus.*` +
+    * `max_benchmark_cosine` (null when the corpus vector is
+    * null/contains nulls/has zero norm, or the benchmark has no usable
+    * vectors — null can never match) + `verdict` ('drop' when the max
+    * cosine ≥ threshold, else 'keep').
+    *
+    * Exactness is deliberate: the benchmark side is an EVAL set —
+    * small by definition — so the corpus side affords |benchmark| dot
+    * products per row in one JVM kernel pass over the broadcast
+    * (vector, norm) array, and the result is oracle-exact with NO
+    * recall caveat (a decontamination miss is a contaminated training
+    * set; this is the one dedup-family operator where approximate is
+    * the wrong default). Strictly map-only: one eager bounded collect
+    * of the benchmark, then no join, no shuffle, fused into the corpus
+    * scan at any scale. If the "benchmark" outgrows the broadcast
+    * contract (dim × |bench| doubles), fall back to the LSH composition
+    * ([[lshNeighborPairsIncremental]] with the benchmark signatures as
+    * the store) and accept its recall floor.
+    */
+  def embeddingDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      embCol: String, key: String, threshold: Double = 0.95,
+      benchEmbCol: String = ""): DataFrame = {
+    val bec = if (benchEmbCol.isEmpty) embCol else benchEmbCol
+    require(benchmark.columns.contains(bec),
+      s"benchmark is missing embedding column '$bec'")
+    require(corpus.columns.contains(embCol),
+      s"corpus is missing embedding column '$embCol'")
+    // zero-norm/null benchmark vectors can never match anything —
+    // excluding them here keeps the kernel division-safe
+    val bench: Array[(Array[Double], Double)] = benchmark
+      .select(asDouble(col(bec)).as("_e"), norm(col(bec)).as("_n"))
+      .filter(col("_n") > 0)
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val bc = corpus.sparkSession.sparkContext.broadcast(bench)
+    val maxCos = udf((v: Seq[java.lang.Double]) => {
+      if (v == null || v.contains(null)) null
+      else {
+        val set = bc.value
+        val x = new Array[Double](v.length)
+        var i = 0
+        while (i < x.length) { x(i) = v(i); i += 1 }
+        var nn = 0.0
+        i = 0
+        while (i < x.length) { nn += x(i) * x(i); i += 1 }
+        val xn = math.sqrt(nn)
+        if (xn == 0.0 || set.isEmpty) null
+        else {
+          var best = Double.NegativeInfinity
+          var b = 0
+          while (b < set.length) {
+            val (bv, bn) = set(b)
+            val m = math.min(x.length, bv.length)
+            var d = 0.0
+            i = 0
+            while (i < m) { d += x(i) * bv(i); i += 1 }
+            val c = d / (xn * bn)
+            if (c > best) best = c
+            b += 1
+          }
+          java.lang.Double.valueOf(best)
+        }
+      }
+    }: java.lang.Double)
+    corpus
+      .withColumn("max_benchmark_cosine", maxCos(asDouble(col(embCol))))
+      .withColumn("verdict",
+        when(col("max_benchmark_cosine") >= threshold, "drop")
+          .otherwise("keep"))
+  }
 }

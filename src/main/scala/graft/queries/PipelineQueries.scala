@@ -1486,6 +1486,34 @@ object PipelineQueries {
       TextOps.contaminatedSpans(docs, docs.filter(col("doc_id") < 50),
           "text", "doc_id", n = 3)
         .orderBy("doc_id", "span_start")
+    },
+
+    // --- Semantic (embedding-space) decontamination: vectors 0–49 are
+    //     the benchmark; every corpus vector gets its max EXACT cosine
+    //     against them + a keep/drop verdict — brute force by design
+    //     (a decontamination miss is a contaminated training set), so
+    //     the oracle is exact with no recall caveat. The 50 benchmark
+    //     members flag themselves at cosine 1.0; the noise corpus sits
+    //     far below 0.95.
+    Query(
+      "q86_embedding_decon",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |b AS (SELECT v FROM e WHERE vec_id < 50),
+        |m AS (SELECT e.vec_id, max(list_cosine_similarity(e.v, b.v)) mc
+        |      FROM e, b GROUP BY e.vec_id)
+        |SELECT vec_id, round(mc, 4) AS max_benchmark_cosine,
+        |  CASE WHEN mc >= 0.95 THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.embeddingDecontaminate(emb,
+          emb.filter(col("vec_id") < 50), "embedding", "vec_id",
+          threshold = 0.95)
+        .select(col("vec_id"),
+          round(col("max_benchmark_cosine"), 4)
+            .as("max_benchmark_cosine"),
+          col("verdict"))
+        .orderBy("vec_id")
     }
   )
 

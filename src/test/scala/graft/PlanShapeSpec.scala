@@ -76,6 +76,15 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!sp.contains("Exchange"),
         s"surgical decontamination must stay map-only:\n$sp")
     }
+    // the embedding-space member (q86): broadcast bench kernel, no join,
+    // no shuffle — the corpus is TAGGED, never moved
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val ep = graft.operators.Similarity.embeddingDecontaminate(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        "embedding", "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(!ep.contains("Exchange") && !ep.contains("Join"),
+      s"embeddingDecontaminate must stay map-only:\n$ep")
   }
 
   test("q84 packChunks computes global token offsets without any Window " +

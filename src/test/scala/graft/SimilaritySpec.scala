@@ -222,6 +222,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows == Set((1L, true), (2L, false)))
   }
 
+  test("embeddingDecontaminate: exact max-cosine tagging, null/zero-norm " +
+      "edges, and the drop verdict") {
+    val bench = Seq(
+        (1L, Seq(1.0, 0.0, 0.0)),
+        (2L, Seq(0.0, 1.0, 0.0)),
+        (3L, Seq(0.0, 0.0, 0.0))) // zero-norm: excluded from the set
+      .toDF("bid", "bemb")
+    val corpus = Seq(
+        (10L, Seq(1.0, 0.0, 0.0)),   // exact bench member: cosine 1.0
+        (11L, Seq(0.6, 0.8, 0.0)),   // max vs axis-1 = 0.8 ≥ 0.75
+        (12L, Seq(0.0, 0.0, 5.0)),   // orthogonal: 0.0, keep
+        (13L, Seq(-1.0, 0.0, 0.0)),  // anti-parallel: max is 0.0 vs
+                                      // axis-1? no: cos(-x,x)=-1,
+                                      // cos vs axis-1 = 0 → max 0.0
+        (14L, Seq(0.0, 0.0, 0.0)),   // zero-norm corpus: null, keep
+        (15L, null.asInstanceOf[Seq[Double]])) // null: null, keep
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDecontaminate(corpus, bench,
+        "embedding", "vec_id", threshold = 0.75, benchEmbCol = "bemb")
+      .select("vec_id", "max_benchmark_cosine", "verdict")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getString(2)))
+      .toMap
+    def ~=(a: Option[Double], b: Double) =
+      a.exists(x => math.abs(x - b) < 1e-12)
+    assert(~=(out(10L)._1, 1.0) && out(10L)._2 == "drop")
+    assert(~=(out(11L)._1, 0.8) && out(11L)._2 == "drop")
+    assert(~=(out(12L)._1, 0.0) && out(12L)._2 == "keep")
+    assert(~=(out(13L)._1, 0.0) && out(13L)._2 == "keep")
+    assert(out(14L) == ((None, "keep")))
+    assert(out(15L) == ((None, "keep")))
+    // an all-zero-norm benchmark can never drop anything
+    val none = Similarity.embeddingDecontaminate(corpus,
+        bench.filter($"bid" === 3), "embedding", "vec_id",
+        threshold = 0.75, benchEmbCol = "bemb")
+      .select("verdict").as[String].collect()
+    assert(none.forall(_ == "keep"))
+  }
+
   test("legacy stores with zero-norm rows in real buckets cannot emit " +
       "NaN pairs (NaN >= threshold is TRUE in Spark's ordering)") {
     val hotVec = Seq.fill(8)(1.0)
