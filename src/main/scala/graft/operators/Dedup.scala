@@ -725,6 +725,151 @@ object Dedup {
       .drop("_spans")
   }
 
+  /** Persistable corpus-wide n-gram occurrence-count store — the span
+    * family's incremental state: one `(_h bigint, _c bigint)` row per
+    * distinct n-gram of `df` (per-occurrence counts, the
+    * [[repeatedSpans]] unit), ~16 bytes per distinct gram. The store
+    * relation is DELTA-VALUED: incremental updates append rows rather
+    * than rewriting (counts are additive, so a gram may carry several
+    * rows that sum to its live count) — readers always aggregate, and
+    * [[compactNgramCountStore]] folds the history back to one row per
+    * gram when the delta pile grows.
+    */
+  def ngramCountStore(df: DataFrame, textCol: String, n: Int = 10)
+      : DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val gramUdf = udf((text: String) => Kernels.ngramSpans(text, n))
+    df.select(explode(gramUdf(col(textCol))).as("_g"))
+      .select(col("_g._3").as("_h"))
+      .groupBy("_h").agg(count(lit(1)).as("_c"))
+  }
+
+  /** Fold a delta-valued count store to one row per gram. Run it
+    * offline when the appended history widens the per-increment
+    * hit-scan aggregation (same maintenance role as the versioned-store
+    * compactions). */
+  def compactNgramCountStore(store: DataFrame): DataFrame = {
+    validateNgramCountStore(store)
+    store.groupBy("_h").agg(sum(col("_c")).as("_c"))
+  }
+
+  private def validateNgramCountStore(store: DataFrame): Unit = {
+    import org.apache.spark.sql.types.LongType
+    for (c <- Seq("_h", "_c"); if !store.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"n-gram count store is missing column '$c' — expected the " +
+          "(_h, _c) relation ngramCountStore produces")
+    (store.schema("_h").dataType, store.schema("_c").dataType) match {
+      case (LongType, LongType) => ()
+      case (a, b) => throw new IllegalArgumentException(
+        "n-gram count store column types must be _h bigint, _c bigint; " +
+          s"got ${a.simpleString}, ${b.simpleString}")
+    }
+  }
+
+  /** The incremental batch's `(key, _spans)` relation plus the updated
+    * store — shared by [[repeatedSpansIncremental]] and
+    * [[maskRepeatedSpansIncremental]]. */
+  private def incrementalSpanRelation(newDocs: DataFrame,
+      store: DataFrame, textCol: String, key: String, n: Int,
+      minCount: Long, broadcastIncrement: Boolean)
+      : (DataFrame, DataFrame) = {
+    require(n > 0, s"n must be positive, got $n")
+    require(minCount >= 2,
+      s"minCount must be >= 2 (1 would mark every token), got $minCount")
+    validateNgramCountStore(store)
+    def bc(df: DataFrame) = if (broadcastIncrement) broadcast(df) else df
+    val gramUdf = udf((text: String) => Kernels.ngramSpans(text, n))
+    // batch occurrences feed the batch counts AND the hit join — one
+    // shingle pass (the cacheOccurrences rationale on the batch op)
+    val occ = newDocs
+      .select(col(key), explode(gramUdf(col(textCol))).as("_g"))
+      .select(col(key), col("_g._1").as("_s"), col("_g._2").as("_e"),
+        col("_g._3").as("_h"))
+      .localCheckpoint(false)
+    val batchCounts = occ.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false)
+    // the one store read: map-side against the broadcast batch-gram
+    // set — counts of grams the batch never mentions cannot change a
+    // batch span, so the store is never shuffled (the exact-dedup
+    // hit-scan shape); only the batch-gram HITS aggregate
+    val storeHits = store
+      .join(bc(batchCounts.select(col("_h"))), Seq("_h"), "left_semi")
+      .groupBy("_h").agg(sum(col("_c")).as("_sc"))
+    val rep = batchCounts.join(storeHits, Seq("_h"), "left")
+      .filter(col("_c") + coalesce(col("_sc"), lit(0L)) >= minCount)
+      .select("_h")
+    val mergeUdf = udf((ss: Seq[Int], es: Seq[Int]) =>
+      Kernels.mergeSpans(ss.zip(es)))
+    val spans = occ.join(bc(rep), Seq("_h"))
+      .groupBy(col(key))
+      .agg(collect_list(struct(col("_s"), col("_e"))).as("_iv"))
+      .select(col(key), mergeUdf(col("_iv._s"), col("_iv._e")).as("_spans"))
+    (spans, store.unionByName(batchCounts))
+  }
+
+  /** Incremental [[repeatedSpans]] against a persisted n-gram count
+    * store — the span-level member of the incremental dedup family:
+    * per crawl batch, the batch documents' duplicated spans under the
+    * occurrence counts of the WHOLE corpus so far (store ∪ batch,
+    * within-batch repetition included), without re-shingling or
+    * shuffling the corpus. Returns `(batch span rows, updated store)`;
+    * span rows are `(key, span_start, span_end)` exactly as the batch
+    * operator emits them, and the updated store appends the batch's
+    * count delta (compact periodically with
+    * [[compactNgramCountStore]]).
+    *
+    * PARITY: each increment's spans are EXACTLY
+    * `repeatedSpans(prefixCorpus ∪ batch) restricted to the batch's
+    * keys` — a document's spans depend only on its own text and the
+    * global counts, both of which this computes in full. The K-batch
+    * caveat is the family's usual monotonicity: a gram that crosses
+    * `minCount` at batch k does not retro-mask documents shipped in
+    * batches < k (they were processed under the prefix's counts) — the
+    * union of incremental span sets can under-flag relative to a
+    * one-shot run over everything, never over-flag. Re-run the batch
+    * operator offline when retroactive coverage matters.
+    *
+    * SCALE SHAPE per increment (`broadcastIncrement` on, the default):
+    * the batch is shingled once; the store is read ONCE, map-side,
+    * semi-joined against the broadcast batch-gram set (counts of grams
+    * the batch never mentions cannot affect a batch span, so the store
+    * is NEVER shuffled — only the batch-gram hits aggregate); the span
+    * assembly shuffles batch-sized relations only. Pass
+    * `broadcastIncrement = false` when the batch's distinct-gram set is
+    * itself too large to broadcast.
+    */
+  def repeatedSpansIncremental(newDocs: DataFrame, store: DataFrame,
+      textCol: String, key: String, n: Int = 10, minCount: Long = 5,
+      broadcastIncrement: Boolean = true): (DataFrame, DataFrame) = {
+    val (spans, updated) = incrementalSpanRelation(newDocs, store,
+      textCol, key, n, minCount, broadcastIncrement)
+    (spans.select(col(key), explode(col("_spans")).as("_sp"))
+      .select(col(key), col("_sp._1").as("span_start"),
+        col("_sp._2").as("span_end")),
+      updated)
+  }
+
+  /** The removal transform over [[repeatedSpansIncremental]]: the batch
+    * comes back with `masked_text` ([[maskRepeatedSpans]] semantics —
+    * always the whitespace-normalized join of the surviving tokens),
+    * alongside the updated count store. */
+  def maskRepeatedSpansIncremental(newDocs: DataFrame, store: DataFrame,
+      textCol: String, key: String, n: Int = 10, minCount: Long = 5,
+      marker: String = "", broadcastIncrement: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    val (spans, updated) = incrementalSpanRelation(newDocs, store,
+      textCol, key, n, minCount, broadcastIncrement)
+    val maskUdf = udf((text: String, ss: Seq[Int], es: Seq[Int]) =>
+      Kernels.maskSpans(text,
+        if (ss == null) Nil else ss, if (es == null) Nil else es, marker))
+    (newDocs.join(spans, Seq(key), "left")
+      .withColumn("masked_text",
+        maskUdf(col(textCol), col("_spans._1"), col("_spans._2")))
+      .drop("_spans"),
+      updated)
+  }
+
   /** LSH candidate pairs: minhash-band the shingles, bucket-join on compact
     * (band, bucket-long) keys, dedup candidate pairs, then verify with exact
     * Jaccard, keeping pairs ≥ threshold. Output: (key_a, key_b, jaccard)

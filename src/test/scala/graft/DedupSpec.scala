@@ -868,6 +868,87 @@ class DedupSpec extends SparkTestBase {
     assert(badType.getMessage.contains("bigint"), badType.getMessage)
   }
 
+  test("incremental repeated spans: every increment equals the prefix " +
+      "batch run restricted to the batch; store round-trips, compacts " +
+      "invisibly, validates loudly") {
+    // the header's trigram crosses minCount=4 only at batch 1 — batch 0
+    // ships unflagged (the documented monotonicity caveat), batches 1-2
+    // flag their header docs; one batch-2 doc self-flags via internal
+    // repetition alone
+    val header = "xa xb xc"
+    val batchDefs: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, s"$header alpha beta gamma"),
+        (2L, s"$header delta epsilon zeta"),
+        (3L, "eta theta iota kappa")),
+      Seq((11L, s"$header lam mu nu"),
+        (12L, s"$header xi omicron pi"),
+        (13L, "rho sigma tau upsilon")),
+      Seq((21L, s"$header phi chi psi"),
+        (22L, "ya yb yc ya yb yc ya yb yc ya yb yc end")))
+    val n = 3
+    val minCount = 4L
+    def spanSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Int)].collect().toSet
+    def maskedMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "masked_text").as[(Long, String)]
+        .collect().toMap
+
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-spanstore").toString
+    Dedup.ngramCountStore(batchDefs.head.toDF("doc_id", "text").limit(0),
+        "text", n)
+      .write.mode("overwrite").parquet(s"$storeDir/v0")
+    var storePath = s"$storeDir/v0"
+    var prefix = Seq.empty[(Long, String)]
+    for ((batch, i) <- batchDefs.zipWithIndex) {
+      val batchDF = batch.toDF("doc_id", "text")
+      val store = spark.read.parquet(storePath)
+      val (spans, updated) = Dedup.repeatedSpansIncremental(batchDF,
+        store, "text", "doc_id", n, minCount)
+      prefix ++= batch
+      val keys = batch.map(_._1).toSet
+      val expected = spanSet(
+        Dedup.repeatedSpans(prefix.toDF("doc_id", "text"), "text",
+          "doc_id", n, minCount)
+          .filter($"doc_id".isInCollection(keys)))
+      assert(spanSet(spans) == expected,
+        s"batch $i spans diverged from the prefix run")
+      // masked form agrees with the batch operator over the prefix
+      val (masked, _) = Dedup.maskRepeatedSpansIncremental(batchDF,
+        store, "text", "doc_id", n, minCount, marker = "<D>")
+      val expMasked = maskedMap(
+        Dedup.maskRepeatedSpans(prefix.toDF("doc_id", "text"), "text",
+          "doc_id", n, minCount, marker = "<D>")
+          .filter($"doc_id".isInCollection(keys)))
+      assert(maskedMap(masked) == expMasked, s"batch $i mask diverged")
+      storePath = s"$storeDir/v${i + 1}"
+      updated.write.mode("overwrite").parquet(storePath)
+    }
+    // batch 0 shipped clean; batch 1's header docs flagged [0,3);
+    // batch 2's self-repeating doc flagged by its own occurrences
+    val (s2, _) = Dedup.repeatedSpansIncremental(
+      batchDefs(2).toDF("doc_id", "text"),
+      spark.read.parquet(s"$storeDir/v2"), "text", "doc_id", n, minCount)
+    val s2set = spanSet(s2)
+    assert(s2set.contains((21L, 0, 3)) &&
+      s2set.exists { case (k, _, _) => k == 22L }, s2set.toString)
+    // compaction is invisible to the next increment
+    val raw = spark.read.parquet(storePath)
+    val compacted = Dedup.compactNgramCountStore(raw)
+    assert(compacted.count() < raw.count(), "history should fold")
+    val next = Seq((31L, s"$header omega end")).toDF("doc_id", "text")
+    assert(spanSet(Dedup.repeatedSpansIncremental(next, raw, "text",
+        "doc_id", n, minCount)._1) ==
+      spanSet(Dedup.repeatedSpansIncremental(next, compacted, "text",
+        "doc_id", n, minCount)._1))
+    // loud validation
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.repeatedSpansIncremental(next,
+        next.select($"doc_id".as("_h"), $"text"), "text", "doc_id")
+    }
+    assert(bad.getMessage.contains("_c"), bad.getMessage)
+  }
+
   test("ngramSpans/mergeSpans/maskSpans kernels: positions, multiplicity, " +
       "edges") {
     import Dedup.{Kernels => K}

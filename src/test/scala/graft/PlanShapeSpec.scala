@@ -409,6 +409,29 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("incremental repeated spans: the n-gram count store is never " +
+      "shuffled — map-side semi-join hit scan, broadcast batch joins") {
+    import org.apache.spark.sql.functions.col
+    val store = graft.operators.Dedup.ngramCountStore(
+        Tables.docs.filter(col("doc_id") < 500).select("doc_id", "text"),
+        "text", n = 3)
+      .pinnedCheckpoint() // pin: the plan under test is the increment
+    val newDocs = Tables.docs
+      .filter(col("doc_id") >= 500 && col("doc_id") < 540)
+      .select("doc_id", "text")
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val (spans, _) = graft.operators.Dedup.repeatedSpansIncremental(
+        newDocs, store, "text", "doc_id", n = 3, minCount = 5)
+      val p = spans.queryExecution.executedPlan.toString
+      // allowed shuffles: the batch's own gram count and the per-doc
+      // span assembly — the store side must only ever broadcast-join
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"store-side joins must broadcast, never shuffle the store:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"increment joins must be broadcast:\n$p")
+    }
+  }
+
   test("incremental exact dedup over a bucketed store: a non-broadcast " +
       "increment still plans no store-side shuffle") {
     import org.apache.spark.sql.functions.col

@@ -585,6 +585,36 @@ class ScaleStressSpec extends SparkTestBase {
     assert(lshBytes10 < 2 * lshBytes1,
       s"LSH-store 10× must not grow the increment's shuffle: " +
         s"$lshBytes1 -> $lshBytes10")
+
+    // the span family's member (repeatedSpansIncremental): the n-gram
+    // count store is semi-joined map-side against the broadcast
+    // batch-gram set — only batch-gram hits aggregate, so a 10× store
+    // must not grow the increment's shuffle
+    def spanDocs(count: Long, off: Long) = spark.range(count)
+      .select((col("id") + off).as("doc_id"),
+        concat_ws(" ",
+          lit("shared boilerplate header line"),
+          concat(lit("w"), col("id") + off),
+          concat(lit("v"), col("id") + off)).as("text"))
+    def countStore(n: Long) =
+      Dedup.ngramCountStore(spanDocs(n, 0), "text", n = 3)
+        .pinnedCheckpoint()
+    val spanBatch = spanDocs(500, 60000000L).pinnedCheckpoint()
+    def runSpans(store: DataFrame): Long =
+      Dedup.repeatedSpansIncremental(spanBatch, store, "text",
+        "doc_id", n = 3, minCount = 50)._1.count()
+    val spanStore1 = countStore(smallN)
+    val spanStore10 = countStore(10 * smallN)
+    val (sp1, _, spBytes1) =
+      measured("span-count store 1×")(runSpans(spanStore1))
+    val (sp10, _, spBytes10) =
+      measured("span-count store 10×")(runSpans(spanStore10))
+    // every batch doc carries the corpus-shared boilerplate header,
+    // whose count is far over minCount at both scales
+    assert(sp1 == 500 && sp10 == 500, s"spans $sp1 / $sp10")
+    assert(spBytes10 < 2 * spBytes1,
+      s"span-count-store 10× must not grow the increment's shuffle: " +
+        s"$spBytes1 -> $spBytes10")
   }
 
   test("ingest per-batch cost vs version-history width: wide label " +
