@@ -805,7 +805,32 @@ object Dedup {
       .groupBy(col(key))
       .agg(collect_list(struct(col("_s"), col("_e"))).as("_iv"))
       .select(col(key), mergeUdf(col("_iv._s"), col("_iv._e")).as("_spans"))
-    (spans, store.unionByName(batchCounts))
+    (spans, batchCounts)
+  }
+
+  /** [[maskRepeatedSpansIncremental]] with the batch's raw count DELTA
+    * as the second element instead of the unioned store — what a
+    * versioned layout persists per increment
+    * ([[graft.streaming.DedupIngest]]'s `spancounts/` family) without
+    * re-shingling the batch. */
+  private[graft] def maskRepeatedSpansIncrementalDetailed(
+      newDocs: DataFrame, store: DataFrame, textCol: String, key: String,
+      n: Int, minCount: Long, marker: String,
+      broadcastIncrement: Boolean = true): (DataFrame, DataFrame) = {
+    val (spans, delta) = incrementalSpanRelation(newDocs, store,
+      textCol, key, n, minCount, broadcastIncrement)
+    (maskWithSpans(newDocs, spans, textCol, key, marker), delta)
+  }
+
+  private def maskWithSpans(newDocs: DataFrame, spans: DataFrame,
+      textCol: String, key: String, marker: String): DataFrame = {
+    val maskUdf = udf((text: String, ss: Seq[Int], es: Seq[Int]) =>
+      Kernels.maskSpans(text,
+        if (ss == null) Nil else ss, if (es == null) Nil else es, marker))
+    newDocs.join(spans, Seq(key), "left")
+      .withColumn("masked_text",
+        maskUdf(col(textCol), col("_spans._1"), col("_spans._2")))
+      .drop("_spans")
   }
 
   /** Incremental [[repeatedSpans]] against a persisted n-gram count
@@ -842,12 +867,12 @@ object Dedup {
   def repeatedSpansIncremental(newDocs: DataFrame, store: DataFrame,
       textCol: String, key: String, n: Int = 10, minCount: Long = 5,
       broadcastIncrement: Boolean = true): (DataFrame, DataFrame) = {
-    val (spans, updated) = incrementalSpanRelation(newDocs, store,
+    val (spans, delta) = incrementalSpanRelation(newDocs, store,
       textCol, key, n, minCount, broadcastIncrement)
     (spans.select(col(key), explode(col("_spans")).as("_sp"))
       .select(col(key), col("_sp._1").as("span_start"),
         col("_sp._2").as("span_end")),
-      updated)
+      store.unionByName(delta))
   }
 
   /** The removal transform over [[repeatedSpansIncremental]]: the batch
@@ -858,16 +883,9 @@ object Dedup {
       textCol: String, key: String, n: Int = 10, minCount: Long = 5,
       marker: String = "", broadcastIncrement: Boolean = true)
       : (DataFrame, DataFrame) = {
-    val (spans, updated) = incrementalSpanRelation(newDocs, store,
-      textCol, key, n, minCount, broadcastIncrement)
-    val maskUdf = udf((text: String, ss: Seq[Int], es: Seq[Int]) =>
-      Kernels.maskSpans(text,
-        if (ss == null) Nil else ss, if (es == null) Nil else es, marker))
-    (newDocs.join(spans, Seq(key), "left")
-      .withColumn("masked_text",
-        maskUdf(col(textCol), col("_spans._1"), col("_spans._2")))
-      .drop("_spans"),
-      updated)
+    val (masked, delta) = maskRepeatedSpansIncrementalDetailed(newDocs,
+      store, textCol, key, n, minCount, marker, broadcastIncrement)
+    (masked, store.unionByName(delta))
   }
 
   /** LSH candidate pairs: minhash-band the shingles, bucket-join on compact

@@ -113,17 +113,65 @@ object DedupIngest {
         .select("key", "component")
   }
 
+  /** Configuration for the optional boilerplate-stripping stage — the
+    * [[graft.operators.Dedup.maskRepeatedSpansIncremental]] operator
+    * run per micro-batch against a `spancounts/` versioned count-store
+    * family. Knobs mirror the batch operator. */
+  final case class SpanMask(n: Int = 10, minCount: Long = 5,
+      marker: String = "")
+
+  /** The live n-gram count store from all committed deltas below
+    * `below` (delta-valued — readers aggregate; compaction folds). */
+  private[graft] def loadSpanCountStore(spark: SparkSession,
+      storeRoot: String, below: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("_h", LongType),
+      StructField("_c", LongType)))
+    val vs = committedVersions(spark, s"$storeRoot/spancounts", below)
+    if (vs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(dirs(storeRoot, "spancounts", vs): _*)
+  }
+
   /** One micro-batch, exposed for direct testing of idempotence. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       storeRoot: String, keptDir: String, textCol: String, key: String,
       numHashes: Int, bands: Int, shingleSize: Int, threshold: Double,
       seed: Long, maxBucketSize: Long,
       enforceKeyOrder: Boolean = true,
-      exactPrefilter: Boolean = false): Unit = {
+      exactPrefilter: Boolean = false,
+      spanMask: Option[SpanMask] = None): Unit = {
     val spark = batch.sparkSession
     if (enforceKeyOrder)
       VersionedStore.enforceKeyOrderGuard(batch, batchId,
         s"$storeRoot/sig", key)
+    // optional stage -1: strip corpus-repeated boilerplate spans BEFORE
+    // any dedup (the QUICKSTART pipeline order — shared headers must
+    // not glue distinct docs into near-dup pairs, and two docs
+    // differing only in boilerplate SHOULD become exact dups once it is
+    // gone). Counts accrue over the RAW text in the `spancounts/`
+    // delta family (batchId-addressed, idempotent); the masked text
+    // replaces `textCol` for every downstream stage and the kept
+    // output — which also means kept text is whitespace-normalized to
+    // the single-space token join (the mask kernel's uniform-output
+    // contract), span-free documents included.
+    val masked = spanMask match {
+      case None => batch
+      case Some(cfg) =>
+        val countStore = loadSpanCountStore(spark, storeRoot,
+          below = batchId)
+        val (m, delta) = Dedup.maskRepeatedSpansIncrementalDetailed(
+          batch, countStore, textCol, key, cfg.n, cfg.minCount,
+          cfg.marker)
+        val mm = m.drop(textCol)
+          .withColumnRenamed("masked_text", textCol)
+          .localCheckpoint(false)
+        delta.write.mode("overwrite")
+          .parquet(s"$storeRoot/spancounts/v=$batchId")
+        mm
+    }
     // optional stage 0: drop verbatim re-crawls against the digest
     // store BEFORE any shingling — exact dups are the common case in
     // re-crawl traffic and shingling them is pure waste; a dropped
@@ -132,13 +180,13 @@ object DedupIngest {
     // family is append-only fresh digests, batchId-addressed like the
     // others (idempotent under redelivery).
     val work =
-      if (!exactPrefilter) batch
+      if (!exactPrefilter) masked
       else {
-        val exactStore = loadExactStore(spark, storeRoot, batch,
+        val exactStore = loadExactStore(spark, storeRoot, masked,
           textCol, key, below = batchId)
         val (exactKept, freshSigs, _) =
           Dedup.dropExactDuplicatesIncrementalDetailed(
-            batch, exactStore, Seq(textCol), key)
+            masked, exactStore, Seq(textCol), key)
         val ek = exactKept.localCheckpoint(false)
         // the fresh signatures ARE the delta — writing them directly
         // avoids digesting the batch a second time
@@ -191,13 +239,21 @@ object DedupIngest {
     * matter. The minhash knobs mirror
     * [[Dedup.minhashNearDuplicates]].
     */
+  /** @param spanMask pass `Some(SpanMask(...))` to also strip
+    *   corpus-repeated boilerplate spans per micro-batch BEFORE dedup
+    *   (a fourth `spancounts/` store family accrues the raw-text n-gram
+    *   counts as versioned deltas; the masked text replaces `textCol`
+    *   downstream and in the kept output, whitespace-normalized).
+    *   Stage order matches the QUICKSTART pipeline: mask, then exact
+    *   prefilter, then near-dup. */
   def start(docs: DataFrame, textCol: String, key: String,
       storeRoot: String, keptDir: String, checkpointDir: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.9, seed: Long = 42,
       maxBucketSize: Long = 10000,
       enforceKeyOrder: Boolean = true,
-      exactPrefilter: Boolean = false): StreamingQuery = {
+      exactPrefilter: Boolean = false,
+      spanMask: Option[SpanMask] = None): StreamingQuery = {
     require(docs.isStreaming,
       "DedupIngest.start needs a streaming DataFrame — for batch data " +
         "use the QUICKSTART.md loop over the incremental operators")
@@ -209,7 +265,7 @@ object DedupIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storeRoot, keptDir, textCol, key,
           numHashes, bands, shingleSize, threshold, seed, maxBucketSize,
-          enforceKeyOrder, exactPrefilter)
+          enforceKeyOrder, exactPrefilter, spanMask)
       }
       .start()
   }
@@ -271,6 +327,10 @@ object DedupIngest {
       compact("exact", _.dropDuplicates()) ++
       compact("labels", df => graft.operators.AggOps.latestByKey(df,
         Seq("key"), "_v", Seq("component"))
-        .select(col("key"), col("component"), col("_v")))
+        .select(col("key"), col("component"), col("_v"))) ++
+      // counts are additive: the fold resolves deltas by summing, so
+      // the live count per gram is invariant under any fold schedule
+      compact("spancounts",
+        _.groupBy("_h").agg(sum(col("_c")).as("_c")))
   }
 }

@@ -338,6 +338,72 @@ class DedupIngestSpec extends SparkTestBase {
     }
   }
 
+  test("span-mask ingest: boilerplate strips once corpus counts cross " +
+      "minCount, masking precedes dedup (boilerplate-only diffs become " +
+      "dups), redelivery and compaction are invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeRoot = Files.createTempDirectory("graft-spanmask-store").toString
+    val keptDir = Files.createTempDirectory("graft-spanmask-kept").toString
+    val ckpt = Files.createTempDirectory("graft-spanmask-ckpt").toString
+    // 8-token header → four pure-header 5-grams per carrying doc; two
+    // carriers per batch, minCount 4: batch 0 ships UNMASKED (counts 2),
+    // batch 1 crosses the floor and masks, batch 2 masks against the
+    // accumulated counts — and doc 22, which differs from 21 ONLY by
+    // the header, becomes its exact dup after masking and drops
+    val header = "standard promo header attached to syndicated crawl mirrors"
+    def body(tag: String) = (1 to 25).map(i => s"$tag$i").mkString(" ")
+    val sb = Seq(
+      Seq((1L, s"$header ${body("aa")}"), (2L, s"$header ${body("ab")}"),
+        (3L, body("ac"))),
+      Seq((11L, s"$header ${body("ba")}"), (12L, s"$header ${body("bb")}")),
+      Seq((21L, s"$header ${body("ca")}"), (22L, body("ca"))))
+    val mask = Some(DedupIngest.SpanMask(n = 5, minCount = 4))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = DedupIngest.start(docs, "text", "doc_id", storeRoot, keptDir,
+      ckpt, threshold = 0.7, spanMask = mask)
+    try {
+      for (b <- sb) { mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def keptState(): (Map[Long, Set[Long]], Map[Long, String]) = {
+      val rows = spark.read.parquet(keptDir)
+        .select($"ingest_batch".cast("long"), $"doc_id", $"text")
+        .as[(Long, Long, String)].collect().toSeq
+      (rows.groupBy(_._1).map { case (b, r) => b -> r.map(_._2).toSet },
+        rows.map(r => r._2 -> r._3).toMap)
+    }
+    val (kept, texts) = keptState()
+    assert(kept == Map(0L -> Set(1L, 2L, 3L), 1L -> Set(11L, 12L),
+      2L -> Set(21L)), s"keep-sets: $kept")
+    // batch 0 shipped before the floor: header intact
+    assert(texts(1L).startsWith(header), texts(1L))
+    // batches 1-2 shipped stripped
+    assert(texts(11L) == body("ba") && texts(12L) == body("bb")
+      && texts(21L) == body("ca"), s"masking failed: $texts")
+
+    // redelivery idempotence with the mask stage active
+    DedupIngest.processBatch(sb(2).toDF("doc_id", "text"), 2L,
+      storeRoot, keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000,
+      spanMask = mask)
+    assert(keptState() == ((kept, texts)))
+
+    // compaction folds the count family with live counts invariant,
+    // and a post-compaction retry still reproduces the outputs
+    def liveCounts() = DedupIngest
+      .loadSpanCountStore(spark, storeRoot)
+      .groupBy("_h").sum("_c").as[(Long, Long)].collect().toMap
+    val before = liveCounts()
+    val folds = DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert(folds.exists(_.family == "spancounts"),
+      s"expected a spancounts fold in $folds")
+    assert(liveCounts() == before, "compaction changed live counts")
+    DedupIngest.processBatch(sb(2).toDF("doc_id", "text"), 2L,
+      storeRoot, keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000,
+      spanMask = mask)
+    assert(keptState() == ((kept, texts)))
+  }
+
   test("start validates its inputs loudly") {
     val notStreaming = intercept[IllegalArgumentException] {
       DedupIngest.start(batches.head.toDF("doc_id", "text"), "text",
