@@ -28,6 +28,11 @@ import graft.operators.Dedup
   *   - `exact/v=<batchId>/`  — with `exactPrefilter = true`, the
   *     batch's FRESH content digests (append-only), so verbatim
   *     re-crawls drop before any shingling
+  *   - `spancounts/v=<batchId>/` — with `spanMask = Some(...)`, the
+  *     batch's raw-text n-gram count delta (delta-valued: counts are
+  *     additive, readers aggregate, compaction folds by summing), so
+  *     corpus-repeated boilerplate spans strip from each batch BEFORE
+  *     any dedup stage
   * A version counts only once its `_SUCCESS` marker exists, so
   * half-written attempts are invisible to readers.
   *
