@@ -404,6 +404,40 @@ class DedupIngestSpec extends SparkTestBase {
     assert(keptState() == ((kept, texts)))
   }
 
+  test("surgical decontamination composes upstream of the streaming " +
+      "ingest — a pure projection, streaming-safe, benchmark collected " +
+      "once at plan time") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val storeRoot = Files.createTempDirectory("graft-decon-store").toString
+    val keptDir = Files.createTempDirectory("graft-decon-kept").toString
+    val ckpt = Files.createTempDirectory("graft-decon-ckpt").toString
+    val bench = Seq((900L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    // the QUICKSTART order, streaming form: mask benchmark-overlapping
+    // spans BEFORE the dedup loop ever sees the text
+    val docs = TextOps.maskContaminated(
+        mem.toDF().toDF("doc_id", "text"), bench, "text", n = 3,
+        marker = "<X>")
+      .drop("text").withColumnRenamed("masked_text", "text")
+    val q = DedupIngest.start(docs, "text", "doc_id", storeRoot,
+      keptDir, ckpt, threshold = 0.9)
+    try {
+      mem.addData(
+        (1L, "quoting alpha beta gamma delta here " +
+          (1 to 20).map(i => s"q$i").mkString(" ")),
+        (2L, (1 to 20).map(i => s"r$i").mkString(" ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val texts = spark.read.parquet(keptDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(texts.keySet == Set(1L, 2L))
+    assert(texts(1L).startsWith("quoting <X> here q1"),
+      s"benchmark spans must be gone before ingest: ${texts(1L)}")
+    assert(!texts(1L).contains("alpha"))
+  }
+
   test("start validates its inputs loudly") {
     val notStreaming = intercept[IllegalArgumentException] {
       DedupIngest.start(batches.head.toDF("doc_id", "text"), "text",
