@@ -779,9 +779,19 @@ object Similarity {
     * vector with its maximum EXACT cosine against a benchmark embedding
     * set, plus a keep/drop verdict at `threshold`. Output: `corpus.*` +
     * `max_benchmark_cosine` (null when the corpus vector is
-    * null/contains nulls/has zero norm, or the benchmark has no usable
-    * vectors — null can never match) + `verdict` ('drop' when the max
+    * null/contains nulls/has zero norm, has a different dimension than
+    * the benchmark vectors, or the benchmark has no usable vectors —
+    * null can never match) + `verdict` ('drop' when the max
     * cosine ≥ threshold, else 'keep').
+    *
+    * Dimensions are validated, never truncated: all benchmark vectors
+    * must share one length (checked at collect time — mixed-model
+    * benchmark embeddings are a hard error), and a corpus vector whose
+    * length differs from the benchmark's yields a null cosine rather
+    * than a partial dot product. A partial dot would systematically
+    * underestimate cosines and silently miss contamination — the one
+    * failure mode this operator exists to prevent; a null keeps the
+    * mismatch visible for the caller to audit.
     *
     * Exactness is deliberate: the benchmark side is an EVAL set —
     * small by definition — so the corpus side affords |benchmark| dot
@@ -811,6 +821,11 @@ object Similarity {
       .filter(col("_n") > 0)
       .collect()
       .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val benchDims = bench.map(_._1.length).distinct
+    require(benchDims.length <= 1,
+      s"benchmark embeddings have mixed dimensions ${benchDims.sorted.mkString(", ")}: " +
+        "all benchmark vectors must come from one embedding model")
+    val benchDim = if (bench.isEmpty) -1 else benchDims.head
     val bc = corpus.sparkSession.sparkContext.broadcast(bench)
     val maxCos = udf((v: Seq[java.lang.Double]) => {
       if (v == null || v.contains(null)) null
@@ -823,16 +838,16 @@ object Similarity {
         i = 0
         while (i < x.length) { nn += x(i) * x(i); i += 1 }
         val xn = math.sqrt(nn)
-        if (xn == 0.0 || set.isEmpty) null
+        // dimension mismatch → null, never a truncated dot product
+        if (xn == 0.0 || set.isEmpty || x.length != benchDim) null
         else {
           var best = Double.NegativeInfinity
           var b = 0
           while (b < set.length) {
             val (bv, bn) = set(b)
-            val m = math.min(x.length, bv.length)
             var d = 0.0
             i = 0
-            while (i < m) { d += x(i) * bv(i); i += 1 }
+            while (i < x.length) { d += x(i) * bv(i); i += 1 }
             val c = d / (xn * bn)
             if (c > best) best = c
             b += 1

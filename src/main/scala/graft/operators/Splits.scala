@@ -32,9 +32,18 @@ object Splits {
     * re-sorts partitions the cache already sorted. zipWithIndex's RDD
     * round-trip wins, and it stays on InternalRow (via the graftshim
     * bridge) so no per-field Row decode/re-encode happens on the way.
+    *
+    * CACHE LIFETIME: by default (`eager = false`) the sorted-rows cache
+    * is released by the ContextCleaner once the returned DataFrame
+    * becomes unreachable — fine for one-shot use, but in a loop that
+    * produces many indexed frames the caches pile up until GC notices.
+    * `eager = true` materializes the result (an eager local checkpoint)
+    * and unpersists the intermediate immediately, so repeated callers
+    * release the big sorted intermediate deterministically at the cost
+    * of one extra materialization pass.
     */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
-      idxCol: String = "_idx"): DataFrame = {
+      idxCol: String = "_idx", eager: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.JoinedRow
     import org.apache.spark.sql.graftshim.DatasetShim
@@ -50,9 +59,25 @@ object Splits {
       sortedRdd.zipWithIndex().map { case (row, i) =>
         new JoinedRow(row, InternalRow(i))
       }
-    DatasetShim.internalCreateDataFrame(sorted.sparkSession, withIdx,
-      schema.add(idxCol, org.apache.spark.sql.types.LongType))
+    val out = DatasetShim.internalCreateDataFrame(sorted.sparkSession,
+      withIdx, schema.add(idxCol, org.apache.spark.sql.types.LongType))
+    releaseOrReturn(out, sortedRdd, eager)
   }
+
+  /** Shared tail of the prefix-sum helpers: either hand back the lazy
+    * plan (the cached intermediate is ContextCleaner-released when the
+    * result becomes unreachable) or, with `eager`, pin the result with
+    * an eager checkpoint and unpersist the intermediate NOW — the
+    * deterministic-release path for repeated shard-production loops. */
+  private def releaseOrReturn(out: DataFrame,
+      cached: org.apache.spark.rdd.RDD[_], eager: Boolean): DataFrame =
+    if (!eager) out
+    else {
+      import graft.core.Eager.EagerOps
+      val pinned = out.pinnedCheckpoint()
+      cached.unpersist(blocking = false)
+      pinned
+    }
 
   /** Global EXCLUSIVE running total (distributed prefix sum) of
     * `valueCol` (LongType, nulls count 0) in `sortCols` order, appended
@@ -63,10 +88,15 @@ object Splits {
     * narrow passes over the persisted sorted RDD: per-partition totals
     * collected to the driver — partition-count-sized — and broadcast
     * back as per-partition base offsets), NOT a single-partition window,
-    * so it holds at 100 TB.
+    * so it holds at 100 TB. Same `eager` cache-lifetime contract as
+    * [[withGlobalIndex]] — [[graft.operators.TextOps.packChunks]] (the
+    * shard-production-loop caller) passes `eager = true` so each call
+    * releases its sorted intermediate instead of accumulating caches
+    * for the session lifetime.
     */
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column],
-      valueCol: String, outCol: String = "_cum"): DataFrame = {
+      valueCol: String, outCol: String = "_cum",
+      eager: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.JoinedRow
     import org.apache.spark.sql.graftshim.DatasetShim
@@ -99,8 +129,9 @@ object Splits {
           out
         }
       }
-    DatasetShim.internalCreateDataFrame(sorted.sparkSession, withCum,
-      schema.add(outCol, org.apache.spark.sql.types.LongType))
+    val out = DatasetShim.internalCreateDataFrame(sorted.sparkSession,
+      withCum, schema.add(outCol, org.apache.spark.sql.types.LongType))
+    releaseOrReturn(out, sortedRdd, eager)
   }
 
   /** P2: seeded shuffled test/dev split. Adds a `split` column with values

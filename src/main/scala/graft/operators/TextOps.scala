@@ -704,8 +704,12 @@ object TextOps {
       .withColumn("_tkb", concat(col("_tk"), array(lit(boundary))))
       .withColumn("_len", size(col("_tkb")).cast("long"))
       .drop("_tk")
+    // eager: packChunks is the repeated shard-production caller — each
+    // call must release its sorted intermediate, not leave it cached
+    // until the ContextCleaner notices (see withRunningTotal's doc)
     val withOff = Splits.withRunningTotal(withLen,
-      Seq(Splits.contentDigest(key, salt), col(key)), "_len", "_off")
+      Seq(Splits.contentDigest(key, salt), col(key)), "_len", "_off",
+      eager = true)
     withOff
       .select(col("_tkb"), col("_len"), col("_off"),
         explode(sequence(floor(col("_off") / seqLen),

@@ -167,27 +167,34 @@ object InstanceMaskModel extends DataModel {
     df.select(col("image_id"), col("mask"),
         size(coalesce(col("boxes"), array())).as("_nb"))
       .foreachPartition { (rows: Iterator[Row]) =>
+        // newInstance, not get: FileSystem.get returns the JVM-cached
+        // shared instance per scheme/authority, so setWriteChecksum
+        // would leak to every other writer using that filesystem for
+        // the rest of the executor's life — a debug artifact must not
+        // reconfigure shared state
         val fs = org.apache.hadoop.fs.FileSystem
-          .get(new java.net.URI(outDir), serConf.value)
-        fs.setWriteChecksum(false)
-        rows.foreach { r =>
-          val id = r.getString(0)
-          val mask = r.getAs[Array[Byte]](1)
-          // a row with no mask sidecar (null bytes) has nothing to
-          // dump — skipping mirrors the export path, which emits an
-          // empty mask list for it rather than failing the batch
-          if (mask != null) {
-            var i = 0
-            while (i < r.getInt(2)) {
-              val out = fs.create(
-                new org.apache.hadoop.fs.Path(s"$outDir/$id/$i.png"),
-                true)
-              try out.write(mask)
-              finally out.close()
-              i += 1
+          .newInstance(new java.net.URI(outDir), serConf.value)
+        try {
+          fs.setWriteChecksum(false)
+          rows.foreach { r =>
+            val id = r.getString(0)
+            val mask = r.getAs[Array[Byte]](1)
+            // a row with no mask sidecar (null bytes) has nothing to
+            // dump — skipping mirrors the export path, which emits an
+            // empty mask list for it rather than failing the batch
+            if (mask != null) {
+              var i = 0
+              while (i < r.getInt(2)) {
+                val out = fs.create(
+                  new org.apache.hadoop.fs.Path(s"$outDir/$id/$i.png"),
+                  true)
+                try out.write(mask)
+                finally out.close()
+                i += 1
+              }
             }
           }
-        }
+        } finally fs.close()
       }
   }
 }

@@ -132,17 +132,22 @@ object CorpusBinder {
       spark.sparkContext.hadoopConfiguration)
     all.select("path", "content").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
+        // private instance (newInstance + close), not the JVM-shared
+        // FileSystem.get one: setWriteChecksum must not leak to other
+        // writers in the executor — see Sinks.withFs
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(
           new java.net.URI(destDir), serConf.value)
-        fs.setWriteChecksum(false)
-        rows.foreach { r =>
-          val name = r.getString(0).split('/').last
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(destDir, name), true)
-          try out.write(r.getAs[Array[Byte]](1))
-          finally out.close()
-          copied.add(1)
-        }
+        try {
+          fs.setWriteChecksum(false)
+          rows.foreach { r =>
+            val name = r.getString(0).split('/').last
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(destDir, name), true)
+            try out.write(r.getAs[Array[Byte]](1))
+            finally out.close()
+            copied.add(1)
+          }
+        } finally fs.close()
     }
     copied.value
   }

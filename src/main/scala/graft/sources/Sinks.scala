@@ -28,14 +28,21 @@ object Sinks {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  /** FileSystem handle with CRC sidecar files disabled (the Hadoop local FS
-    * otherwise litters every write with .name.crc files).
+  /** Run `f` against a PRIVATE FileSystem handle with CRC sidecar files
+    * disabled (the Hadoop local FS otherwise litters every write with
+    * .name.crc files), closed afterwards. `FileSystem.newInstance`, not
+    * `get`: `get` returns the JVM-cached shared instance per
+    * scheme/authority, so `setWriteChecksum(false)` on it would leak to
+    * every other writer in the process for the rest of the JVM's life —
+    * the checksum opt-out must stay scoped to graft's own sinks.
     */
-  private[sources] def fsFor(uri: String,
-      conf: Configuration = hadoopConf()): FileSystem = {
-    val fs = FileSystem.get(new java.net.URI(uri), conf)
-    fs.setWriteChecksum(false)
-    fs
+  private[sources] def withFs[A](uri: String,
+      conf: Configuration = hadoopConf())(f: FileSystem => A): A = {
+    val fs = FileSystem.newInstance(new java.net.URI(uri), conf)
+    try {
+      fs.setWriteChecksum(false)
+      f(fs)
+    } finally fs.close()
   }
 
   /** Write a small text file (driver-side sidecars: manifests, label maps,
@@ -63,14 +70,15 @@ object TFRecordSink {
       // files ONCE on the driver, so tasks never have to delete a committed
       // file (a delete-then-rename in a task would let a killed speculative
       // attempt destroy a finished shard without replacing it).
-      val driverFs = Sinks.fsFor(dir)
-      val dirPath = new Path(dir)
-      if (driverFs.exists(dirPath)) {
-        driverFs.listStatus(dirPath).map(_.getPath).foreach { p =>
-          val name = p.getName
-          if ((name.startsWith(s"$prefix-") && name.endsWith(".tfrecord"))
-              || (name.startsWith(s".$prefix-") && name.endsWith(".tmp")))
-            driverFs.delete(p, false)
+      Sinks.withFs(dir) { driverFs =>
+        val dirPath = new Path(dir)
+        if (driverFs.exists(dirPath)) {
+          driverFs.listStatus(dirPath).map(_.getPath).foreach { p =>
+            val name = p.getName
+            if ((name.startsWith(s"$prefix-") && name.endsWith(".tfrecord"))
+                || (name.startsWith(s".$prefix-") && name.endsWith(".tmp")))
+              driverFs.delete(p, false)
+          }
         }
       }
       // executor-side FS needs the session's Hadoop conf (s3a creds etc.)
@@ -79,19 +87,20 @@ object TFRecordSink {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
           val ctx = TaskContext.get()
           val shard = ctx.partitionId()
-          val fs = Sinks.fsFor(dir, serConf.value)
-          // write-to-temp + rename, FIRST attempt wins: rename refuses an
-          // existing destination, so a committed shard is never deleted;
-          // the losing attempt just discards its temp file
-          val finalPath = new Path(dir, f"$prefix-$shard%05d.tfrecord")
-          val tmpPath = new Path(dir,
-            f".$prefix-$shard%05d.tfrecord.${ctx.taskAttemptId()}%d.tmp")
-          val out = fs.create(tmpPath, true)
-          try rows.foreach(r =>
-            TFRecord.writeRecord(out, r.getAs[Array[Byte]](0)))
-          finally out.close()
-          if (!fs.rename(tmpPath, finalPath)) {
-            fs.delete(tmpPath, false)
+          Sinks.withFs(dir, serConf.value) { fs =>
+            // write-to-temp + rename, FIRST attempt wins: rename refuses
+            // an existing destination, so a committed shard is never
+            // deleted; the losing attempt just discards its temp file
+            val finalPath = new Path(dir, f"$prefix-$shard%05d.tfrecord")
+            val tmpPath = new Path(dir,
+              f".$prefix-$shard%05d.tfrecord.${ctx.taskAttemptId()}%d.tmp")
+            val out = fs.create(tmpPath, true)
+            try rows.foreach(r =>
+              TFRecord.writeRecord(out, r.getAs[Array[Byte]](0)))
+            finally out.close()
+            if (!fs.rename(tmpPath, finalPath)) {
+              fs.delete(tmpPath, false)
+            }
           }
           ()
       }
@@ -100,12 +109,12 @@ object TFRecordSink {
     } finally payload.unpersist()
   }
 
-  private[sources] def writeText(path: String, content: String): Unit = {
-    val fs = Sinks.fsFor(path)
-    val out = fs.create(new Path(path), true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private[sources] def writeText(path: String, content: String): Unit =
+    Sinks.withFs(path) { fs =>
+      val out = fs.create(new Path(path), true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
 }
 
 /** NumPy `.npy` writer (format spec v1.0, public NumPy docs) for the
@@ -136,12 +145,12 @@ object NpyWriter {
     out.toByteArray
   }
 
-  def write(path: String, values: Array[Float], shape: Seq[Int]): Unit = {
-    val fs = Sinks.fsFor(path)
-    val out = fs.create(new Path(path), true)
-    try out.write(float32(values, shape))
-    finally out.close()
-  }
+  def write(path: String, values: Array[Float], shape: Seq[Int]): Unit =
+    Sinks.withFs(path) { fs =>
+      val out = fs.create(new Path(path), true)
+      try out.write(float32(values, shape))
+      finally out.close()
+    }
 }
 
 /** TF Object Detection label-map text proto (SURVEY.md W6,

@@ -121,9 +121,14 @@ object DedupIngest {
   /** Configuration for the optional boilerplate-stripping stage — the
     * [[graft.operators.Dedup.maskRepeatedSpansIncremental]] operator
     * run per micro-batch against a `spancounts/` versioned count-store
-    * family. Knobs mirror the batch operator. */
+    * family. Knobs mirror the batch operator, including
+    * `broadcastIncrement`: the default broadcasts each batch's distinct
+    * n-gram set into the store scan (exchange-free), but a batch whose
+    * distinct-gram set exceeds the broadcast limit needs `false` to
+    * route the increment through a shuffled join instead of failing the
+    * stream. */
   final case class SpanMask(n: Int = 10, minCount: Long = 5,
-      marker: String = "")
+      marker: String = "", broadcastIncrement: Boolean = true)
 
   /** The live n-gram count store from all committed deltas below
     * `below` (delta-valued — readers aggregate; compaction folds). */
@@ -169,7 +174,7 @@ object DedupIngest {
           below = batchId)
         val (m, delta) = Dedup.maskRepeatedSpansIncrementalDetailed(
           batch, countStore, textCol, key, cfg.n, cfg.minCount,
-          cfg.marker)
+          cfg.marker, cfg.broadcastIncrement)
         val mm = m.drop(textCol)
           .withColumnRenamed("masked_text", textCol)
           .localCheckpoint(false)

@@ -263,6 +263,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(none.forall(_ == "keep"))
   }
 
+  test("embeddingDecontaminate validates dimensions instead of " +
+      "truncating: mixed-dim benchmark is a hard error, a corpus row " +
+      "of the wrong dim gets a null cosine, never a partial dot") {
+    // mixed-dimension benchmark (embeddings from two different models)
+    // must fail loudly at collect time
+    val mixedBench = Seq(
+        (1L, Seq(1.0, 0.0, 0.0)),
+        (2L, Seq(0.0, 1.0)))
+      .toDF("bid", "bemb")
+    val corpus = Seq(
+        (10L, Seq(1.0, 0.0, 0.0)),
+        // 2-dim corpus row vs a 3-dim benchmark: a truncated dot would
+        // score cos((1,0),(1,0,0)) = 1.0 and DROP it for the wrong
+        // reason — worse, a long corpus vector whose prefix matches
+        // would silently KEEP contaminated rows. Must be null/keep
+        // with the mismatch visible.
+        (11L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.embeddingDecontaminate(corpus, mixedBench,
+        "embedding", "vec_id", benchEmbCol = "bemb")
+    }
+    assert(err.getMessage.contains("mixed dimensions"))
+    val out = Similarity.embeddingDecontaminate(corpus,
+        mixedBench.filter($"bid" === 1), "embedding", "vec_id",
+        threshold = 0.75, benchEmbCol = "bemb")
+      .select("vec_id", "max_benchmark_cosine", "verdict")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getString(2)))
+      .toMap
+    assert(out(10L) == ((Some(1.0), "drop")))
+    assert(out(11L) == ((None, "keep")))
+  }
+
   test("legacy stores with zero-norm rows in real buckets cannot emit " +
       "NaN pairs (NaN >= threshold is TRUE in Spark's ordering)") {
     val hotVec = Seq.fill(8)(1.0)
