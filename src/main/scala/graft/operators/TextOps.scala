@@ -405,10 +405,10 @@ object TextOps {
     * EAGERLY at call time, and the collect is bounded by the
     * benchmark's n-gram-type count (an eval set is MBs against a corpus
     * of TBs; ~10⁷ n-grams ≈ 80 MB of longs is the practical ceiling).
-    * For a "benchmark" too big for that contract, compose the relational
-    * form instead: explode [[graft.operators.Dedup.shinglesFast]] on
-    * both sides, broadcast semi-join on the hash, re-aggregate per key —
-    * one corpus-wide shuffle buys unbounded benchmark size.
+    * For a "benchmark" too big for that contract, use
+    * [[decontaminateRelational]] — the same output through a hash join
+    * (one corpus-wide shuffle buys unbounded benchmark size, nothing
+    * collects to the driver).
     */
   /** The benchmark's distinct n-gram hash set, sorted for binary search —
     * the eager, bounded driver collect both decontamination forms
@@ -462,6 +462,80 @@ object TextOps {
         when(col("contamination_frac") <= threshold, "keep")
           .otherwise("drop"))
       .drop("_dc")
+  }
+
+  /** RELATIONAL benchmark decontamination — identical output contract
+    * to [[decontaminate]] (same columns, same values, parity-tested),
+    * for the benchmark that OUTGROWS the broadcast contract: nothing is
+    * ever collected to the driver; the benchmark's distinct n-gram
+    * hashes stay a relation and the corpus's per-document hit counts
+    * come from a hash join instead of a broadcast binary search.
+    *
+    * `key` must be unique per row (it is the re-aggregation identity —
+    * duplicate keys would merge documents' counts).
+    *
+    * Scale shape — one corpus-wide shuffle buys unbounded benchmark
+    * size: the corpus explodes to (key, gram-hash) rows (narrow;
+    * per-document distinct already, courtesy of the shingle kernel's
+    * set semantics) and hash-joins the benchmark's distinct-hash
+    * relation — THE corpus-wide exchange (16-byte rows: key + hash,
+    * never the text). The per-key hit count re-aggregates with map-side
+    * partial combine (the exchange after it carries contaminated-doc
+    * counts, not grams), and `doc_ngrams` is computed INLINE on the
+    * corpus row (`size(shingles)`), not via the join — so the hits
+    * relation stays SPARSE (only contaminated documents appear), which
+    * is what makes the final verdict-attach join broadcastable:
+    * contamination against an eval benchmark is rare by construction,
+    * so the default `broadcastStats = true` hints it and the corpus
+    * text is never shuffled at all. Pass `broadcastStats = false` for
+    * the pathological corpus where contaminated documents themselves
+    * outgrow a broadcast (the attach then becomes the one shuffle that
+    * touches corpus rows). Prefer [[decontaminate]] whenever the
+    * benchmark fits its documented driver contract — map-only beats
+    * one shuffle.
+    */
+  def decontaminateRelational(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, key: String, n: Int = 8, threshold: Double = 0.0,
+      benchTextCol: String = "", broadcastStats: Boolean = true)
+      : DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0,1], got $threshold")
+    val btc = if (benchTextCol.isEmpty) textCol else benchTextCol
+    require(benchmark.columns.contains(btc),
+      s"benchmark is missing text column '$btc'")
+    require(corpus.columns.contains(textCol),
+      s"corpus is missing text column '$textCol'")
+    require(corpus.columns.contains(key),
+      s"corpus is missing key column '$key'")
+    val hashOne = udf((g: String) => ngramHash64(g))
+    val benchGrams = benchmark
+      .select(explode(Dedup.shinglesFast(col(btc), n)).as("_g"))
+      .select(hashOne(col("_g")).as("_h")).distinct()
+    val corpusGrams = corpus
+      .select(col(key), explode(Dedup.shinglesFast(col(textCol), n))
+        .as("_g"))
+      .select(col(key), hashOne(col("_g")).as("_h"))
+    val hits = corpusGrams.join(benchGrams, Seq("_h"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("contaminated_ngrams"))
+    val stats = if (broadcastStats) broadcast(hits) else hits
+    corpus
+      .withColumn("doc_ngrams",
+        size(Dedup.shinglesFast(col(textCol), n)).cast("long"))
+      .join(stats, Seq(key), "left")
+      .withColumn("contaminated_ngrams",
+        coalesce(col("contaminated_ngrams"), lit(0L)))
+      .withColumn("contamination_frac",
+        when(col("doc_ngrams") === 0, lit(0.0))
+          .otherwise(col("contaminated_ngrams").cast("double")
+            / col("doc_ngrams")))
+      .withColumn("verdict",
+        when(col("contamination_frac") <= threshold, "keep")
+          .otherwise("drop"))
+      .select((corpus.columns.map(col) ++ Seq(col("doc_ngrams"),
+        col("contaminated_ngrams"), col("contamination_frac"),
+        col("verdict"))): _*)
   }
 
   /** SURGICAL decontamination, part 1 — the spans themselves: for every
@@ -598,16 +672,39 @@ object TextOps {
     * (16 bytes per distinct n-gram; a reference corpus is MBs-to-GBs of
     * curated text against the 100 TB candidate side, which is where the
     * scoring runs map-only).
+    *
+    * FAIL-FAST SIZE GUARD: before anything collects, one cheap
+    * approx-distinct aggregation estimates the model's type count; an
+    * estimate above `maxTypes` (default 2×10⁷ ≈ 650 MB of driver
+    * arrays at the 16-bytes-per-type worst case) raises a clear error
+    * pointing at [[ngramLmRelations]]/[[lmScoreRelational]] instead of
+    * letting an oversized reference corpus OOM the driver mid-collect.
     */
-  def ngramLm(reference: DataFrame, textCol: String, n: Int = 2): NgramLm = {
+  def ngramLm(reference: DataFrame, textCol: String, n: Int = 2,
+      maxTypes: Long = 20000000L): NgramLm = {
     require(n >= 2, s"an n-gram LM needs n >= 2 transitions, got $n")
     require(reference.columns.contains(textCol),
       s"reference is missing text column '$textCol'")
+    require(maxTypes > 0, s"maxTypes must be positive, got $maxTypes")
     val pairUdf = udf((text: String) => ngramCtxPairs(text, n))
     val pairs = reference
       .select(explode(pairUdf(col(textCol))).as("_p"))
       .select(col("_p._1").as("_g"), col("_p._2").as("_c"))
-      .localCheckpoint(false) // two aggregations below: shingle once
+      .localCheckpoint(false) // three aggregations below: shingle once
+    // the guard job doubles as the checkpoint materializer: an
+    // HLL-sketch aggregation (type-sized partials, no collect of the
+    // types themselves) runs BEFORE any driver-sized allocation
+    val est = pairs.agg(
+      approx_count_distinct(col("_g")).as("_eg"),
+      approx_count_distinct(col("_c")).as("_ec")).head()
+    val estTypes = math.max(est.getLong(0), est.getLong(1))
+    if (estTypes > maxTypes)
+      throw new IllegalArgumentException(
+        s"ngramLm: reference corpus has ~$estTypes distinct " +
+          s"$n-gram/context types, above the driver-collect cap " +
+          s"maxTypes=$maxTypes — use ngramLmRelations + " +
+          "lmScoreRelational (the join-based form, nothing collects), " +
+          "or raise maxTypes if the driver heap genuinely affords it")
     def counted(c: String): (Array[Long], Array[Long]) = {
       val rows = pairs.groupBy(col(c)).agg(count(lit(1)).as("_n"))
         .orderBy(col(c)).collect()
@@ -655,6 +752,106 @@ object TextOps {
       .withColumn("n_ngrams", col("_lm._1"))
       .withColumn("lm_score", col("_lm._2"))
       .drop("_lm")
+  }
+
+  /** The RELATIONAL n-gram LM — [[NgramLm]]'s counts kept as DataFrames
+    * (`(_h: bigint, _count: bigint)` each) instead of driver arrays,
+    * for the reference corpus that outgrows [[ngramLm]]'s
+    * bounded-collect contract. Only `vocabSize` (one long) ever reaches
+    * the driver. Lazy: the count relations materialize when a consumer
+    * first runs; persist them (or write them out) between repeated
+    * scoring calls.
+    */
+  final case class NgramLmRelations(n: Int, vocabSize: Long,
+      gramCounts: DataFrame, ctxCounts: DataFrame)
+
+  /** Train the relational form of [[ngramLm]]: same pair explosion,
+    * same counts, but the type-sized aggregations stay distributed —
+    * no size cap, no driver collect (beyond the vocabulary-size
+    * scalar). Pair with [[lmScoreRelational]].
+    */
+  def ngramLmRelations(reference: DataFrame, textCol: String,
+      n: Int = 2): NgramLmRelations = {
+    require(n >= 2, s"an n-gram LM needs n >= 2 transitions, got $n")
+    require(reference.columns.contains(textCol),
+      s"reference is missing text column '$textCol'")
+    val pairUdf = udf((text: String) => ngramCtxPairs(text, n))
+    val pairs = reference
+      .select(explode(pairUdf(col(textCol))).as("_p"))
+      .select(col("_p._1").as("_g"), col("_p._2").as("_c"))
+      .localCheckpoint(false) // two count consumers: shingle once
+    val gramCounts = pairs.groupBy(col("_g").as("_h"))
+      .agg(count(lit(1)).as("_count"))
+    val ctxCounts = pairs.groupBy(col("_c").as("_h"))
+      .agg(count(lit(1)).as("_count"))
+    val vocab = reference
+      .select(explode(distinctTokens(col(textCol))).as("_t"))
+      .agg(count_distinct(col("_t"))).collect()(0).getLong(0)
+    NgramLmRelations(n, vocab + 1, gramCounts, ctxCounts)
+  }
+
+  /** The score RELATION under a [[NgramLmRelations]] model:
+    * `(key, n_ngrams, lm_score)`, one row per document that has ≥ 1
+    * n-gram position (short documents simply don't appear — attach-side
+    * `coalesce` gives them `n_ngrams = 0`, `lm_score` null, exactly
+    * [[lmScore]]'s contract). Identical math to [[lmScore]]: per
+    * position `ln((count(gram) + k) / (count(context) + k·V))`,
+    * averaged per document.
+    *
+    * Scale shape — nothing collects, nothing broadcasts by contract:
+    * documents explode to (key, gram-hash, context-hash) position rows
+    * (narrow), then two hash joins against the type-sized count
+    * relations (each a position-rows exchange of 24-byte hash tuples —
+    * never the text; when a count relation fits the broadcast threshold
+    * AQE broadcasts it and that exchange disappears), then one per-key
+    * aggregation with map-side partial combine. Use this form directly
+    * when downstream only needs scores keyed by document — it never
+    * touches the corpus rows themselves.
+    */
+  def lmScoresRelational(df: DataFrame, model: NgramLmRelations,
+      textCol: String, key: String, k: Double = 1.0): DataFrame = {
+    require(k > 0, s"add-k smoothing needs k > 0, got $k")
+    require(df.columns.contains(textCol),
+      s"df is missing text column '$textCol'")
+    require(df.columns.contains(key), s"df is missing key column '$key'")
+    val pairUdf = udf((text: String) => ngramCtxPairs(text, model.n))
+    val pos = df
+      .select(col(key), explode(pairUdf(col(textCol))).as("_p"))
+      .select(col(key), col("_p._1").as("_gh"), col("_p._2").as("_ch"))
+    val g = model.gramCounts
+      .select(col("_h").as("_gh"), col("_count").as("_gc"))
+    val c = model.ctxCounts
+      .select(col("_h").as("_ch"), col("_count").as("_cc"))
+    // both counts land on ONE row per position, so the per-position
+    // term is the same double-precision ln(ratio) the broadcast kernel
+    // (and the DuckDB oracle) computes — not a ln(a)−ln(b) split
+    pos.join(g, Seq("_gh"), "left").join(c, Seq("_ch"), "left")
+      .select(col(key),
+        log((coalesce(col("_gc"), lit(0L)) + k)
+          / (coalesce(col("_cc"), lit(0L)) + k * model.vocabSize))
+          .as("_ll"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_ngrams"), avg(col("_ll")).as("lm_score"))
+  }
+
+  /** [[lmScore]]'s exact output contract (`df.*` + `n_ngrams` +
+    * `lm_score`) through the relational path: [[lmScoresRelational]]'s
+    * score relation attached back to the corpus rows. The attach join
+    * is the one step that touches corpus rows — the score relation is
+    * DENSE (one row per scoreable document), so at full corpus scale it
+    * exceeds any broadcast threshold and the attach becomes a
+    * corpus-wide shuffle; that is the honest price of the unbounded
+    * model. Prefer [[lmScoresRelational]] when a keyed score relation
+    * is enough, and [[lmScore]] when the model fits its driver
+    * contract (map-only, no shuffle at all).
+    */
+  def lmScoreRelational(df: DataFrame, model: NgramLmRelations,
+      textCol: String, key: String, k: Double = 1.0): DataFrame = {
+    val scores = lmScoresRelational(df, model, textCol, key, k)
+    df.join(scores, Seq(key), "left")
+      .withColumn("n_ngrams", coalesce(col("n_ngrams"), lit(0L)))
+      .select((df.columns.map(col) ++
+        Seq(col("n_ngrams"), col("lm_score"))): _*)
   }
 
   /** Token-sequence packing — the step between this engine's chunk/doc

@@ -1514,6 +1514,91 @@ object PipelineQueries {
             .as("max_benchmark_cosine"),
           col("verdict"))
         .orderBy("vec_id")
+    },
+
+    // --- q80 through the RELATIONAL path: same fixture, same oracle —
+    //     the unbounded-benchmark form (hash join instead of a driver
+    //     collect + broadcast) must produce byte-identical output.
+    Query(
+      "q87_decon_relational",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE
+        |    WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |    WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(len(tk) - 2),
+        |      i -> array_to_string(tk[i+1:i+3], ' ')) END) AS sh
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+        |          WHERE doc_id < 50),
+        |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |hits AS (SELECT e.doc_id, count(*) AS c
+        |         FROM ex e JOIN bench b USING (g) GROUP BY e.doc_id),
+        |fr AS (
+        |  SELECT s.doc_id, CAST(len(sh) AS BIGINT) AS doc_ngrams,
+        |    CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+        |    CASE WHEN len(sh) = 0 THEN 0.0
+        |         ELSE coalesce(h.c, 0)::DOUBLE / len(sh) END AS f
+        |  FROM sh s LEFT JOIN hits h USING (doc_id))
+        |SELECT doc_id, doc_ngrams, contaminated_ngrams,
+        |  round(f, 4) AS contamination_frac,
+        |  CASE WHEN f <= 0.1 THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM fr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      TextOps.decontaminateRelational(docs,
+          docs.filter(col("doc_id") < 50), "text", "doc_id",
+          n = 3, threshold = 0.1)
+        .select(col("doc_id"), col("doc_ngrams"),
+          col("contaminated_ngrams"),
+          round(col("contamination_frac"), 4).as("contamination_frac"),
+          col("verdict"))
+        .orderBy("doc_id")
+    },
+
+    // --- q83 through the RELATIONAL path: same reference (docs 0–99),
+    //     same oracle — counts stay DataFrames, scores come from two
+    //     hash joins; only the vocabulary size touches the driver.
+    Query(
+      "q88_lm_relational",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tk[i+1] AS w1, tk[i+2] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i
+        |        FROM tok WHERE len(tk) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM bi
+        |       WHERE doc_id < 100 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c) AS c FROM c2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT t) + 1 AS v FROM
+        |  (SELECT unnest(tk) AS t FROM tok WHERE doc_id < 100)),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    ln((coalesce(c2.c, 0) + 1.0)
+        |      / (coalesce(c1.c, 0) + 1.0 * v.v)) AS ll
+        |  FROM bi b CROSS JOIN v
+        |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  LEFT JOIN c1 ON b.w1 = c1.w1),
+        |agg AS (SELECT doc_id, count(*) AS n_ngrams, avg(ll) AS s
+        |        FROM sc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |  round(a.s, 4) AS lm_score
+        |FROM tok t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val model = TextOps.ngramLmRelations(
+        docs.filter(col("doc_id") < 100), "text", n = 2)
+      TextOps.lmScoreRelational(docs, model, "text", "doc_id", k = 1.0)
+        .select(col("doc_id"), col("n_ngrams"),
+          round(col("lm_score"), 4).as("lm_score"))
+        .orderBy("doc_id")
     }
   )
 

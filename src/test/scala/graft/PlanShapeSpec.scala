@@ -87,6 +87,62 @@ class PlanShapeSpec extends SparkTestBase {
       s"embeddingDecontaminate must stay map-only:\n$ep")
   }
 
+  test("q87 decontaminateRelational: the corpus text never rides an " +
+      "Exchange — the gram join carries 16-byte hash rows, the hit " +
+      "count partial-aggregates, and the sparse stats attach broadcasts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextOps
+    val docs = Tables.docs
+    // the shape under test is the BIG-benchmark one: broadcast threshold
+    // off so the gram join really shuffles (a small bench would
+    // auto-broadcast and prove nothing), AQE off for a static plan
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val out = TextOps.decontaminateRelational(docs,
+        docs.filter(col("doc_id") < 10), "text", "doc_id",
+        n = 3, threshold = 0.1)
+      val plan = out.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      // allowed exchanges: corpus grams by hash, bench grams by hash
+      // (the distinct), hit counts by key — NEVER a corpus row
+      assert(shuffles.nonEmpty && shuffles.size <= 3,
+        s"expected the 3 hash-sized exchanges, got ${shuffles.size}:\n$plan")
+      for (e <- shuffles)
+        assert(!e.output.exists(_.name == "text"),
+          s"corpus text must never shuffle:\n$plan")
+      // the verdict attach rides the explicit broadcast hint even with
+      // the threshold disabled — corpus rows stay put
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"stats attach must broadcast:\n$plan")
+    }
+  }
+
+  test("q88 lmScoresRelational: score relation computed without the " +
+      "corpus text ever riding an Exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextOps
+    val docs = Tables.docs
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val model = TextOps.ngramLmRelations(
+        docs.filter(col("doc_id") < 100), "text", n = 2)
+      val scores = TextOps.lmScoresRelational(docs, model, "text",
+        "doc_id")
+      val plan = scores.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      for (e <- shuffles)
+        assert(!e.output.exists(_.name == "text"),
+          s"corpus text must never shuffle in the score relation:\n$plan")
+      // position rows are (key, gram-hash, ctx-hash) tuples: two count
+      // joins + the per-key aggregation + the model's own type-sized
+      // counts — bounded, and all hash-sized
+      assert(shuffles.nonEmpty && shuffles.size <= 6,
+        s"unexpected exchange count ${shuffles.size}:\n$plan")
+    }
+  }
+
   test("q84 packChunks computes global token offsets without any Window " +
       "operator — the distributed prefix sum, not a single-partition " +
       "cumulative sum") {

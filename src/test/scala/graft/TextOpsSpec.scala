@@ -215,6 +215,88 @@ class TextOpsSpec extends SparkTestBase {
     assert(at(11L) == "keep")
   }
 
+  test("decontaminateRelational: identical output to the broadcast form " +
+      "on every edge (null/empty/short docs), under both stats-attach " +
+      "strategies, same column contract") {
+    val bench = Seq((1L, "the quick brown fox jumps")).toDF("bid", "btext")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),
+      (11L, "a the quick brown fox here"),
+      (12L, "completely different words here"),
+      (13L, "the quick"),
+      (14L, ""),
+      (15L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "doc_ngrams", "contaminated_ngrams",
+        "contamination_frac", "verdict")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    val broadcastForm = TextOps.decontaminate(corpus, bench, "text",
+      n = 3, threshold = 0.4, benchTextCol = "btext")
+    val want = rows(broadcastForm)
+    for (bs <- Seq(true, false)) {
+      val rel = TextOps.decontaminateRelational(corpus, bench, "text",
+        "doc_id", n = 3, threshold = 0.4, benchTextCol = "btext",
+        broadcastStats = bs)
+      assert(rows(rel) == want, s"broadcastStats=$bs diverged")
+      assert(rel.columns.toSeq == broadcastForm.columns.toSeq)
+    }
+  }
+
+  test("ngramLmRelations/lmScoreRelational: parity with the " +
+      "driver-array form — OOV smoothing, short-doc null, custom k — " +
+      "and the sparse score relation") {
+    val ref = Seq((1L, "A b  a c")).toDF("rid", "rtext")
+    val corpus = Seq(
+      (1L, "a b"), (2L, "a d"), (3L, "d e"), (4L, "a"), (5L, "a b a"))
+      .toDF("doc_id", "text")
+    val arr = TextOps.ngramLm(ref, "rtext", n = 2)
+    val rel = TextOps.ngramLmRelations(ref, "rtext", n = 2)
+    assert(rel.vocabSize == arr.vocabSize)
+    assert(rel.gramCounts.count() == arr.gramKeys.length &&
+      rel.ctxCounts.count() == arr.ctxKeys.length)
+    for (k <- Seq(1.0, 0.5)) {
+      def scored(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "n_ngrams", "lm_score").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toMap
+      val want = scored(TextOps.lmScore(corpus, arr, "text", k))
+      val got = scored(
+        TextOps.lmScoreRelational(corpus, rel, "text", "doc_id", k))
+      assert(got.keySet == want.keySet)
+      for ((id, (n, s)) <- want) {
+        assert(got(id)._1 == n, s"k=$k doc $id n_ngrams")
+        (s, got(id)._2) match {
+          case (None, None) =>
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-12, s"k=$k doc $id score")
+          case other => fail(s"k=$k doc $id null mismatch: $other")
+        }
+      }
+    }
+    // the bare score relation is SPARSE: the transition-less doc 4 does
+    // not appear at all (that is what keeps downstream joins cheap)
+    val sparse = TextOps.lmScoresRelational(corpus, rel, "text",
+        "doc_id").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sparse == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("ngramLm fails fast on an oversized reference — clear error " +
+      "before any driver-sized collect, pointing at the relational form") {
+    val ref = Seq((1L, "a b c d e f g h")).toDF("rid", "rtext")
+    val err = intercept[IllegalArgumentException] {
+      TextOps.ngramLm(ref, "rtext", n = 2, maxTypes = 2L)
+    }
+    assert(err.getMessage.contains("lmScoreRelational"),
+      s"guard message must route to the relational form: ${err.getMessage}")
+    // at the default cap the same reference trains fine
+    assert(TextOps.ngramLm(ref, "rtext", n = 2).gramKeys.length == 7)
+  }
+
   test("contaminatedSpans/maskContaminated: surgical decontamination " +
       "flags and removes exactly the benchmark-overlapping spans") {
     val bench = Seq((1L, "the quick brown fox jumps")).toDF("bid", "btext")
