@@ -91,6 +91,8 @@ object TextOps {
     * the argmax (ties broken by language order). Returns a language code or
     * "und" when no stopwords hit (null text included, matching the Column
     * formulation where every null comparison falls through to "und").
+    * The zero-training fallback — for real multilingual corpus prep
+    * train [[charLangModel]] and score with [[langIdTrained]].
     *
     * One JVM kernel pass (distinct-token HashSet, then |words| membership
     * probes per language) instead of per-language `array_intersect` HOF
@@ -832,6 +834,162 @@ object TextOps {
           .as("_ll"))
       .groupBy(col(key))
       .agg(count(lit(1)).as("n_ngrams"), avg(col("_ll")).as("lm_score"))
+  }
+
+  /** Per-position character n-gram hashes of lower(trim(text)) — the
+    * trained language-ID unit: multiplicity kept, trim strips SPACE
+    * characters only and lowercasing is Locale.ROOT (mirroring Catalyst
+    * `lower(trim(...))` and DuckDB's `lower(trim(...))` for the
+    * cross-engine oracle; positions count UTF-16 units, so supplementary
+    * -plane text diverges from DuckDB's codepoint slicing — ASCII/BMP
+    * is exact). Text shorter than `n` characters after trimming
+    * contributes nothing.
+    */
+  private[operators] def charNgramHashes(text: String,
+      n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    if (e - b < n) return Array.empty
+    val s = text.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+    if (s.length < n) return Array.empty
+    val out = new Array[Long](s.length - n + 1)
+    var i = 0
+    while (i + n <= s.length) {
+      out(i) = ngramHash64(s.substring(i, i + n))
+      i += 1
+    }
+    out
+  }
+
+  /** A trained character-n-gram language classifier ([[charLangModel]]):
+    * per-language multinomial gram counts in sorted parallel hash
+    * arrays (language codes sorted ascending — the deterministic
+    * argmax tie-break order), per-language occurrence totals, and the
+    * shared smoothing vocabulary (distinct gram types across ALL
+    * languages + 1 for the out-of-vocabulary class).
+    */
+  final case class CharLangModel(n: Int, vocabSize: Long,
+      langs: Array[String], totals: Array[Long],
+      gramKeys: Array[Array[Long]], gramCounts: Array[Array[Long]])
+    extends Serializable
+
+  /** Train the model-based upgrade to the [[langId]] stopword heuristic:
+    * the classic char-n-gram language identifier (public-knowledge
+    * technique — per-language add-k multinomials over character
+    * n-grams, argmax log-likelihood), trained from any labeled
+    * DataFrame of `(text, language-code)` examples. Same
+    * bounded-collect contract and fail-fast `maxTypes` guard as
+    * [[ngramLm]]: char-gram type counts are small (≈ alphabet³), so
+    * even hundreds of languages stay MBs on the driver. A language
+    * whose training text yields no grams (shorter than `n`) is absent
+    * from the model and can never be predicted.
+    */
+  def charLangModel(labeled: DataFrame, textCol: String,
+      langCol: String, n: Int = 3,
+      maxTypes: Long = 20000000L): CharLangModel = {
+    require(n > 0, s"n must be positive, got $n")
+    require(labeled.columns.contains(textCol),
+      s"labeled is missing text column '$textCol'")
+    require(labeled.columns.contains(langCol),
+      s"labeled is missing language column '$langCol'")
+    val gramsUdf = udf((t: String) => charNgramHashes(t, n))
+    val pairs = labeled
+      .select(col(langCol).cast("string").as("_l"),
+        explode(gramsUdf(col(textCol))).as("_h"))
+      .localCheckpoint(false) // guard + count consumers: extract once
+    val est = pairs.agg(approx_count_distinct(col("_h"))).head().getLong(0)
+    if (est > maxTypes)
+      throw new IllegalArgumentException(
+        s"charLangModel: training corpus has ~$est distinct char " +
+          s"$n-gram types, above the driver-collect cap " +
+          s"maxTypes=$maxTypes — raise the cap or shrink n")
+    // (lang, gram) counts, language-major sorted: each language's slice
+    // arrives hash-sorted and ready for binary search
+    val rows = pairs.groupBy(col("_l"), col("_h"))
+      .agg(count(lit(1)).as("_c"))
+      .orderBy(col("_l"), col("_h")).collect()
+    val langs = scala.collection.mutable.ArrayBuffer[String]()
+    val keys = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+    val counts = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+    val totals = scala.collection.mutable.ArrayBuffer[Long]()
+    val allTypes = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < rows.length) {
+      val lang = rows(i).getString(0)
+      var j = i
+      while (j < rows.length && rows(j).getString(0) == lang) j += 1
+      val ks = new Array[Long](j - i)
+      val cs = new Array[Long](j - i)
+      var t = 0L
+      var p = i
+      while (p < j) {
+        ks(p - i) = rows(p).getLong(1)
+        cs(p - i) = rows(p).getLong(2)
+        t += cs(p - i)
+        allTypes.add(ks(p - i))
+        p += 1
+      }
+      langs += lang; keys += ks; counts += cs; totals += t
+      i = j
+    }
+    CharLangModel(n, allTypes.size().toLong + 1, langs.toArray,
+      totals.toArray, keys.toArray, counts.toArray)
+  }
+
+  /** Classify every document under `model`: appends `lang` (the argmax
+    * language code — ties break to the ascending-first code,
+    * deterministically; "und" when the text yields no char n-grams),
+    * `lang_score` (the winner's mean per-gram log-likelihood,
+    * `ln((count + k) / (total + k·V))` averaged — null for "und") and
+    * `n_cgrams` (gram occurrence count). Map-only over the corpus: the
+    * model broadcasts once, each document is one kernel pass with
+    * |langs| binary searches per gram. The stopword [[langId]] remains
+    * the zero-training fallback.
+    */
+  def langIdTrained(df: DataFrame, model: CharLangModel,
+      textCol: String, k: Double = 1.0): DataFrame = {
+    require(k > 0, s"add-k smoothing needs k > 0, got $k")
+    require(df.columns.contains(textCol),
+      s"df is missing text column '$textCol'")
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val kv = k
+    val kernel = udf { (text: String) =>
+      val m = bc.value
+      val gs = charNgramHashes(text, m.n)
+      if (gs.isEmpty || m.langs.isEmpty)
+        ("und", null: java.lang.Double, 0L)
+      else {
+        var bestIdx = -1
+        var bestLl = 0.0
+        var li = 0
+        while (li < m.langs.length) {
+          val keys = m.gramKeys(li)
+          val cnts = m.gramCounts(li)
+          val denom = m.totals(li) + kv * m.vocabSize
+          var ll = 0.0
+          var i = 0
+          while (i < gs.length) {
+            val j = java.util.Arrays.binarySearch(keys, gs(i))
+            val c = if (j >= 0) cnts(j) else 0L
+            ll += math.log((c + kv) / denom)
+            i += 1
+          }
+          // strictly greater: the first (ascending) code wins exact ties
+          if (bestIdx < 0 || ll > bestLl) { bestLl = ll; bestIdx = li }
+          li += 1
+        }
+        (m.langs(bestIdx), java.lang.Double.valueOf(bestLl / gs.length),
+          gs.length.toLong)
+      }
+    }
+    df.withColumn("_li", kernel(col(textCol)))
+      .withColumn("lang", col("_li._1"))
+      .withColumn("lang_score", col("_li._2"))
+      .withColumn("n_cgrams", col("_li._3"))
+      .drop("_li")
   }
 
   /** [[lmScore]]'s exact output contract (`df.*` + `n_ngrams` +

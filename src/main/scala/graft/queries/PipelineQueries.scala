@@ -1599,6 +1599,66 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_ngrams"),
           round(col("lm_score"), 4).as("lm_score"))
         .orderBy("doc_id")
+    },
+
+    // --- TRAINED language-ID: per-language char-3-gram multinomials,
+    //     argmax add-1 log-likelihood. Two in-engine "languages" built
+    //     from the table itself — 'en' trains on docs 0–49 forward,
+    //     'rv' on the same docs REVERSED (same gram totals by
+    //     construction, so an all-OOV doc ties exactly and must break
+    //     to 'en' deterministically in both engines). Counts + ln math
+    //     replay exactly in DuckDB like q83's.
+    Query(
+      "q89_langid_trained",
+      """WITH src AS (SELECT doc_id,
+        |    lower(trim(coalesce(text, ''))) AS s FROM documents),
+        |train AS (
+        |  SELECT 'en' AS lang, s FROM src WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT 'rv' AS lang, reverse(s) AS s FROM src
+        |  WHERE doc_id < 50),
+        |tg AS (SELECT lang, s[i+1:i+3] AS g
+        |       FROM (SELECT lang, s, unnest(range(len(s) - 2)) AS i
+        |             FROM train WHERE len(s) >= 3)),
+        |c AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY lang, g),
+        |tot AS (SELECT lang, sum(c) AS t FROM c GROUP BY lang),
+        |v AS (SELECT count(DISTINCT g) + 1 AS v FROM tg),
+        |dg AS (SELECT doc_id, s[i+1:i+3] AS g
+        |       FROM (SELECT doc_id, s, unnest(range(len(s) - 2)) AS i
+        |             FROM src WHERE len(s) >= 3)),
+        |sc AS (SELECT d.doc_id, l.lang,
+        |         sum(ln((coalesce(c.c, 0) + 1.0)
+        |           / (tot.t + 1.0 * v.v))) AS ll,
+        |         count(*) AS ng
+        |       FROM dg d
+        |       CROSS JOIN (SELECT DISTINCT lang FROM train) l
+        |       JOIN tot ON tot.lang = l.lang
+        |       CROSS JOIN v
+        |       LEFT JOIN c ON c.lang = l.lang AND c.g = d.g
+        |       GROUP BY d.doc_id, l.lang),
+        |best AS (SELECT doc_id, lang, ll / ng AS sc, ng,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY ll DESC, lang ASC) AS rn
+        |         FROM sc)
+        |SELECT s2.doc_id, coalesce(b.lang, 'und') AS lang,
+        |  round(b.sc, 4) AS lang_score,
+        |  CAST(coalesce(b.ng, 0) AS BIGINT) AS n_cgrams
+        |FROM src s2 LEFT JOIN best b
+        |  ON b.doc_id = s2.doc_id AND b.rn = 1
+        |ORDER BY s2.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val src = docs.select(col("doc_id"),
+        lower(trim(coalesce(col("text"), lit("")))).as("s"))
+      val train = src.filter(col("doc_id") < 50)
+        .select(lit("en").as("lang"), col("s"))
+        .unionByName(src.filter(col("doc_id") < 50)
+          .select(lit("rv").as("lang"), reverse(col("s")).as("s")))
+      val model = TextOps.charLangModel(train, "s", "lang", n = 3)
+      TextOps.langIdTrained(src, model, "s", k = 1.0)
+        .select(col("doc_id"), col("lang"),
+          round(col("lang_score"), 4).as("lang_score"),
+          col("n_cgrams"))
+        .orderBy("doc_id")
     }
   )
 

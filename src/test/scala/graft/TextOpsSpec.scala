@@ -363,6 +363,71 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(k5 - math.log(1.5 / (2 + 0.5 * 4))) < 1e-12)
   }
 
+  test("charLangModel/langIdTrained: mixed-language fixture classifies " +
+      "by char-trigram likelihood, exact hand math, deterministic " +
+      "tie-break, und for gramless docs") {
+    // three tiny "languages" with disjoint character inventories
+    val labeled = Seq(
+      ("en", "the cat sat on the mat and the dog ran to the man"),
+      ("de", "der hund und die katze und der mann und die frau"),
+      ("xx", "zq qz zzq qqz zqz qzq zzqq qqzz"))
+      .toDF("lang", "ttext")
+    val m = TextOps.charLangModel(labeled, "ttext", "lang", n = 3)
+    // language codes arrive sorted ascending — the tie-break order
+    assert(m.langs.toSeq == Seq("de", "en", "xx"))
+    assert(m.vocabSize > 1 && m.totals.forall(_ > 0))
+    val corpus = Seq(
+      (1L, "the cat and the dog sat"),    // english-ish
+      (2L, "der mann und die katze"),     // german-ish
+      (3L, "zq zzq qqz"),                 // xx-ish
+      (4L, "ab"),                         // < n chars: und
+      (5L, ""),                           // empty: und
+      (6L, null.asInstanceOf[String]))    // null: und
+      .toDF("doc_id", "text")
+    val out = TextOps.langIdTrained(corpus, m, "text")
+      .select("doc_id", "lang", "lang_score", "n_cgrams").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3)))
+      .toMap
+    assert(out(1L)._1 == "en" && out(2L)._1 == "de" && out(3L)._1 == "xx")
+    assert(out(4L) == (("und", None, 0L)))
+    assert(out(5L) == (("und", None, 0L)))
+    assert(out(6L) == (("und", None, 0L)))
+    // hand math on one doc: score = mean over grams of
+    // ln((count(gram) + 1) / (total + V)) for the winning language
+    val doc = "the"
+    val grams = Seq("the")
+    val li = m.langs.indexOf("en")
+    val expected = grams.map { g =>
+      val h = TextOps.ngramHash64(g)
+      val j = java.util.Arrays.binarySearch(m.gramKeys(li), h)
+      val c = if (j >= 0) m.gramCounts(li)(j) else 0L
+      math.log((c + 1.0) / (m.totals(li) + 1.0 * m.vocabSize))
+    }.sum / grams.length
+    val got = TextOps.langIdTrained(
+        Seq((1L, doc)).toDF("doc_id", "text"), m, "text")
+      .select("lang", "lang_score").collect().head
+    assert(got.getString(0) == "en")
+    assert(math.abs(got.getDouble(1) - expected) < 1e-12)
+    // deterministic tie-break: a model whose two languages trained on
+    // identical text scores every doc identically — the ascending-first
+    // code must win, always
+    val tied = TextOps.charLangModel(
+      Seq(("bb", "same text"), ("aa", "same text")).toDF("lang", "t"),
+      "t", "lang")
+    val tiedOut = TextOps.langIdTrained(
+        Seq((1L, "anything here"), (2L, "same text")).toDF("doc_id", "t"),
+        tied, "t")
+      .select("lang").collect().map(_.getString(0))
+    assert(tiedOut.forall(_ == "aa"), tiedOut.toSeq)
+    // the fail-fast cap mirrors ngramLm's
+    val err = intercept[IllegalArgumentException] {
+      TextOps.charLangModel(labeled, "ttext", "lang", n = 3, maxTypes = 2L)
+    }
+    assert(err.getMessage.contains("maxTypes"))
+  }
+
   test("packChunks: exact seqLen slicing, boundary markers, straddling " +
       "units, and lossless reconstruction") {
     val units = Seq(
