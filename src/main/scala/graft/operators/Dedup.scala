@@ -1201,12 +1201,32 @@ object Dedup {
   def simhashNearDuplicates(df: DataFrame, textCol: String, key: String,
       maxDistance: Int = 3, maxBucketSize: Long = 5000,
       bits: Int = 64): DataFrame = {
+    requireBits(bits)
+    hammingNearDuplicates(
+      df.select(col(key), simhash(col(textCol), bits).as("_h")),
+      key, maxDistance, maxBucketSize, bits, "simhash")
+  }
+
+  /** The banded hamming-join core behind [[simhashNearDuplicates]],
+    * public for ANY `(key, _h)` fingerprint relation with hamming-space
+    * near-dup semantics — text simhash, perceptual image hashes
+    * ([[Multimodal.perceptualHashes]]), any future 64/32-bit
+    * locality-preserving fingerprint. Bands each fingerprint into four
+    * `bits/4`-bit chunks (two hashes within hamming ≤ 3 must share a
+    * chunk — pigeonhole), bucket-joins per (band, chunk) under the
+    * skew-guard cap, verifies exact hamming distance codegen-side
+    * BEFORE the dedup shuffle. Output: `(key_a, key_b, hamming)`,
+    * `key_a < key_b`. Null fingerprints never pair (SQL join-key
+    * semantics). Never all-pairs at any corpus size.
+    */
+  def hammingNearDuplicates(hashed: DataFrame, key: String,
+      maxDistance: Int = 3, maxBucketSize: Long = 5000,
+      bits: Int = 64, guardLabel: String = "hamming"): DataFrame = {
     // pigeonhole bound of 4 banded chunks: only distances <= 3 are
     // guaranteed a shared chunk — larger values would silently lose recall
     require(maxDistance <= 3,
       s"maxDistance $maxDistance exceeds the 4-band pigeonhole bound (3)")
     requireBits(bits)
-    val hashed = df.select(col(key), simhash(col(textCol), bits).as("_h"))
     val banded0 = hashed.select(col(key), col("_h"),
       posexplode(bandChunks(col("_h"), bits)))
       .select(col(key), col("_h"), col("pos").as("_band"),
@@ -1219,7 +1239,7 @@ object Dedup {
     // minhashNearDuplicates guard note). maxBucketSize <= 0 → guard off.
     // drops are counted in GuardMetrics' accumulators (+ one warn line)
     val banded = GuardMetrics.capCohorts(banded0,
-      Seq(col("_band"), col("_chunk")), maxBucketSize, "simhash")
+      Seq(col("_band"), col("_chunk")), maxBucketSize, guardLabel)
     val l = banded.select(col(key).as("key_a"), col("_h").as("_h_a"),
       col("_band"), col("_chunk"))
     val r = banded.select(col(key).as("key_b"), col("_h").as("_h_b"),
@@ -1306,11 +1326,27 @@ object Dedup {
   def simhashNearDuplicatesIncremental(newDocs: DataFrame,
       store: DataFrame, textCol: String, key: String,
       maxDistance: Int = 3,
+      maxBucketSize: Long = 5000, bits: Int = 64): (DataFrame, DataFrame) =
+    simhashNearDuplicatesIncrementalFromSigs(
+      simhashSignatures(newDocs, textCol, key, bits), store, key,
+      maxDistance, maxBucketSize, bits)
+
+  /** [[simhashNearDuplicatesIncremental]] for a caller that already
+    * holds the batch's `(key, _h)` fingerprints — the composition point
+    * for NON-text fingerprints with hamming semantics (e.g. perceptual
+    * image hashes from [[Multimodal.perceptualHashes]]): any such
+    * relation plays the batch against its own persisted store with
+    * identical incremental semantics.
+    */
+  def simhashNearDuplicatesIncrementalFromSigs(newSigs: DataFrame,
+      store: DataFrame, key: String,
+      maxDistance: Int = 3,
       maxBucketSize: Long = 5000, bits: Int = 64): (DataFrame, DataFrame) = {
     require(maxDistance <= 3,
       s"maxDistance $maxDistance exceeds the 4-band pigeonhole bound (3)")
     requireBits(bits)
     validateSimhashStore(store, key)
+    validateSimhashStore(newSigs, key)
     // width-mismatch tripwire: banding 64-bit batch fingerprints
     // against a 32-bit store does not error — chunks 2-3 of every
     // stored fingerprint are zero, cross-width pairs essentially never
@@ -1329,7 +1365,6 @@ object Dedup {
             "— pass bits = 32 for a store built before the widening, " +
             "or rebuild the store at 64 bits")
     }
-    val newSigs = simhashSignatures(newDocs, textCol, key, bits)
     val all = store.select(col(key), col("_h"))
       .withColumn("_new", lit(false))
       .unionByName(newSigs.withColumn("_new", lit(true)))

@@ -152,6 +152,137 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Area-average grayscale downsample of an H×W×3 BGR image to a
+    * `gw`×`gh` luma grid (ITU-R BT.601 weights, the standard perceptual
+    * luma) — the shared front half of [[dhash64]]/[[ahash64]]. Cells
+    * partition the pixel box proportionally; images smaller than the
+    * grid reuse clamped ≥ 1-pixel cells, so any decodable image hashes.
+    */
+  private[graft] def grayGrid(w: Int, h: Int, bgr: Array[Byte],
+      gw: Int, gh: Int): Array[Double] = {
+    val out = new Array[Double](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = math.min((gy.toLong * h / gh).toInt, h - 1)
+      val y1 = math.max(((gy + 1).toLong * h / gh).toInt, y0 + 1)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = math.min((gx.toLong * w / gw).toInt, w - 1)
+        val x1 = math.max(((gx + 1).toLong * w / gw).toInt, x0 + 1)
+        var sum = 0.0
+        var cnt = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val i = (y * w + x) * 3
+            sum += 0.114 * (bgr(i) & 0xff) + 0.587 * (bgr(i + 1) & 0xff) +
+              0.299 * (bgr(i + 2) & 0xff)
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * gw + gx) = if (cnt == 0) 0.0 else sum / cnt
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash (dHash, the public perceptual-hash
+    * technique): 9×8 luma grid, bit (row·8 + col) set when
+    * `grid(row)(col) > grid(row)(col + 1)`. Robust to global
+    * brightness/contrast shifts (only gradients survive); a small local
+    * edit moves ≤ 2 grid cells and so ≤ 4 bits.
+    */
+  private[graft] def dhash64(w: Int, h: Int,
+      bgr: Array[Byte]): Long = {
+    val g = grayGrid(w, h, bgr, 9, 8)
+    var hash = 0L
+    var row = 0
+    while (row < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(row * 9 + c) > g(row * 9 + c + 1))
+          hash |= 1L << (row * 8 + c)
+        c += 1
+      }
+      row += 1
+    }
+    hash
+  }
+
+  /** 64-bit average hash (aHash): 8×8 luma grid, bit set when the cell
+    * exceeds the grid mean. Simpler and slightly less edit-robust than
+    * [[dhash64]]; kept for parity with common pipelines.
+    */
+  private[graft] def ahash64(w: Int, h: Int,
+      bgr: Array[Byte]): Long = {
+    val g = grayGrid(w, h, bgr, 8, 8)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += g(i); i += 1 }
+    mean /= 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (g(i) > mean) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Perceptual 64-bit fingerprints for an encoded-image binary column:
+    * decode for real ([[graft.sources.ImageCodec]] — PNG/JPEG/BMP/GIF)
+    * and hash with dHash (default) or aHash. Returns the `(keyCol, _h)`
+    * relation every hamming-space dedup consumer takes —
+    * [[Dedup.hammingNearDuplicates]] for batch pairs,
+    * [[Dedup.simhashNearDuplicatesIncrementalFromSigs]] against a
+    * persisted store, [[Dedup.simhashSignatures]]-compatible by schema.
+    * Undecodable/null payloads yield a null `_h` and never pair. Same
+    * `mapPartitions` batch shape as [[decodeImage]]; map-only, fuses
+    * into the scan.
+    */
+  def perceptualHashes(df: DataFrame, bytesCol: String, keyCol: String,
+      method: String = "dhash"): DataFrame = {
+    require(method == "dhash" || method == "ahash",
+      s"method must be 'dhash' or 'ahash', got '$method'")
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    val useD = method == "dhash"
+    val outSchema = StructType(Seq(df.schema(keyCol),
+      StructField("_h", LongType)))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val dec = graft.sources.ImageCodec.decodeBgr(
+          if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx))
+        val h = dec.map { case (w, ht, px) =>
+          Long.box(if (useD) dhash64(w, ht, px) else ahash64(w, ht, px))
+        }.orNull
+        Row(r.get(keyIdx), h)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Near-duplicate image pairs — the multimodal member of the dedup
+    * family: perceptual fingerprints ([[perceptualHashes]]) through the
+    * banded hamming join ([[Dedup.hammingNearDuplicates]]) — four
+    * 16-bit bands, bucket join under the skew cap, exact hamming
+    * verification. Output `(key_a, key_b, hamming)`, `key_a < key_b`.
+    * Never all-pairs: candidates only form inside shared band buckets,
+    * the same scale shape as text simhash. For incremental ingest,
+    * persist the hash relation and use
+    * [[Dedup.simhashNearDuplicatesIncrementalFromSigs]].
+    */
+  def imageNearDuplicates(df: DataFrame, bytesCol: String,
+      keyCol: String, maxDistance: Int = 3, maxBucketSize: Long = 5000,
+      method: String = "dhash"): DataFrame =
+    Dedup.hammingNearDuplicates(
+      perceptualHashes(df, bytesCol, keyCol, method), keyCol,
+      maxDistance, maxBucketSize, bits = 64, guardLabel = "imagehash")
+
   /** Frame sampling plumbing for video-like payloads: pick `k` evenly spaced
     * frame indices out of `frameCount` (deterministic; the decode of each
     * frame is the stub above). Pure column math.

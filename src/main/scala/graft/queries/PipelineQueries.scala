@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{AggOps, Dedup, Joins, Similarity, SkewOps, Splits, TextOps}
+import graft.operators.{AggOps, Dedup, Joins, Multimodal, Similarity, SkewOps, Splits, TextOps}
 
 /** LLM-training-data pipeline operators (dedup / similarity / text
   * analysis) exercised on the `documents` and `embeddings` tables.
@@ -1659,6 +1659,41 @@ object PipelineQueries {
           round(col("lang_score"), 4).as("lang_score"),
           col("n_cgrams"))
         .orderBy("doc_id")
+    },
+
+    // --- Perceptual image dedup over a REAL binary fixture: 100 pairs
+    //     of deterministic 32×32 PNGs (even doc_id = base pattern, odd
+    //     = the same pattern with a sub-cell brightness edit), encoded
+    //     and decoded through the actual JDK codec, dHashed, banded
+    //     hamming join. Exactly the 100 planted pairs survive — but the
+    //     hash math has no DuckDB analogue, so this rides the rows-only
+    //     check like the other hash-family queries.
+    Query.noOracle("q90_image_neardup") { (s, d) =>
+      val mk = udf { (id: Long) =>
+        val g = (id / 2).toInt
+        val tweak = id % 2 == 1
+        val w = 32; val h = 32
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v0 = scala.util.hashing.MurmurHash3
+              .productHash((g, x / 4, y / 4)) & 0xff
+            val v = if (tweak && x < 2 && y < 2) (v0 + 96) & 0xff else v0
+            val i = (y * w + x) * 3
+            px(i) = v.toByte; px(i + 1) = v.toByte; px(i + 2) = v.toByte
+            x += 1
+          }
+          y += 1
+        }
+        graft.sources.ImageCodec.encodePng(w, h, px)
+      }
+      val imgs = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), mk(col("doc_id")).as("img"))
+      Multimodal.imageNearDuplicates(imgs, "img", "doc_id")
+        .orderBy("key_a", "key_b")
     }
   )
 

@@ -212,4 +212,91 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(0) == ((200, 100)))
     assert(out(1) == ((100, 50))) // already fits: unchanged
   }
+
+  /** Deterministic 32×32 grayscale "photo": 4×4 pseudo-random luma
+    * blocks keyed by (group, block); `tweak` brightens the top-left
+    * 2×2 pixels — a sub-cell edit a perceptual hash must shrug off.
+    */
+  private def blockyPng(group: Int, tweak: Boolean): Array[Byte] = {
+    val w = 32; val h = 32
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v0 = scala.util.hashing.MurmurHash3
+        .productHash((group, x / 4, y / 4)) & 0xff
+      val v = if (tweak && x < 2 && y < 2) (v0 + 96) & 0xff else v0
+      val i = (y * w + x) * 3
+      px(i) = v.toByte; px(i + 1) = v.toByte; px(i + 2) = v.toByte
+    }
+    ImageCodec.encodePng(w, h, px)
+  }
+
+  test("perceptual image dedup end-to-end: planted near-identical PNGs " +
+      "pair, distinct images never do, undecodable payloads never pair, " +
+      "and the incremental store path matches the batch run") {
+    // 10 groups × (base, tweaked near-dup); one corrupt, one null payload
+    val imgs = ((0 until 10).flatMap { g =>
+      Seq((2L * g, blockyPng(g, tweak = false)),
+        (2L * g + 1, blockyPng(g, tweak = true)))
+    } ++ Seq((100L, Array[Byte](9, 9, 9)),
+      (101L, null.asInstanceOf[Array[Byte]])))
+      .toDF("img_id", "img")
+    val pairs = Multimodal.imageNearDuplicates(imgs, "img", "img_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // exactly the 10 planted pairs; every cross-group candidate fails
+    // hamming verification, bad payloads (null _h) never join
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      (0 until 10).map(g => (2L * g, 2L * g + 1)).toSet, pairs.toSeq)
+    assert(pairs.forall(_._3 <= 3))
+    // hash relation contract: one row per input, null _h for the bad two
+    val hs = Multimodal.perceptualHashes(imgs, "img", "img_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hs.size == 22 && hs(100L).isEmpty && hs(101L).isEmpty)
+    assert(hs.filterKeys(_ < 100).forall(_._2.nonEmpty))
+    // incremental: first 5 groups persisted as the store, the rest (and
+    // the junk) arrive as a batch — cross+new pairs must equal the
+    // batch pairs touching the new keys
+    val storeSigs = Multimodal.perceptualHashes(
+      imgs.filter($"img_id" < 10), "img", "img_id")
+    val newSigs = Multimodal.perceptualHashes(
+      imgs.filter($"img_id" >= 10), "img", "img_id")
+    val (incPairs, updated) =
+      graft.operators.Dedup.simhashNearDuplicatesIncrementalFromSigs(
+        newSigs, storeSigs, "img_id")
+    val got = incPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (5 until 10).map(g => (2L * g, 2L * g + 1)).toSet, got)
+    assert(updated.count() == 22)
+  }
+
+  test("perceptual hash kernels: brightness/contrast invariance of " +
+      "dHash, exact-copy stability, and structural sensitivity") {
+    val w = 32; val h = 32
+    def pix(f: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        val i = (y * w + x) * 3
+        px(i) = v.toByte; px(i + 1) = v.toByte; px(i + 2) = v.toByte
+      }
+      px
+    }
+    // luma kept in [0, 192) so the +40 brightness shift below never
+    // clips (clipping would genuinely flatten gradients)
+    def lum(g: Int)(x: Int, y: Int) = (scala.util.hashing.MurmurHash3
+      .productHash((g, x / 4, y / 4)) & 0xff) * 3 / 4
+    val base = pix(lum(1))
+    // global brightness shift: every gradient sign survives → same dhash
+    val brighter = pix((x, y) => lum(1)(x, y) + 40)
+    assert(Multimodal.dhash64(w, h, base) ==
+      Multimodal.dhash64(w, h, brighter))
+    // exact copy: both hashes identical
+    assert(Multimodal.ahash64(w, h, base) ==
+      Multimodal.ahash64(w, h, base.clone()))
+    // a structurally different image lands far away in hamming space
+    val other = pix(lum(2))
+    val d = java.lang.Long.bitCount(
+      Multimodal.dhash64(w, h, base) ^ Multimodal.dhash64(w, h, other))
+    assert(d > 10, s"distinct images too close: $d")
+  }
 }
