@@ -1084,4 +1084,236 @@ object TextOps {
       .select(col("seq_id"), col("n_tokens"),
         concat_ws(" ", flatten(col("_ps._piece"))).as("seq"))
   }
+
+  // --------------------------------------------------------------------
+  // Subword (BPE) tokenization — train + encode + decode
+  // --------------------------------------------------------------------
+
+  /** A trained byte-level BPE tokenizer ([[bpeTrain]]): token ids
+    * 0–255 are raw UTF-8 bytes (the lossless OOV fallback — ANY text
+    * encodes), id `256 + r` is the r-th learned merge. `merges(r)` is
+    * the (left-id, right-id) pair that merge fuses; pairs may reference
+    * earlier merged ids. Training is deterministic (best pair by count,
+    * ties by ascending pair ids), so the same corpus always yields the
+    * same vocabulary regardless of partitioning.
+    */
+  final case class BpeModel(merges: Array[(Int, Int)])
+      extends Serializable {
+    /** merge pair → rank (lower merges first at encode time) */
+    @transient lazy val rank: java.util.HashMap[Long, Int] = {
+      val m = new java.util.HashMap[Long, Int](merges.length * 2)
+      var i = 0
+      while (i < merges.length) {
+        m.put((merges(i)._1.toLong << 32) | merges(i)._2.toLong, i)
+        i += 1
+      }
+      m
+    }
+    def vocabSize: Int = 256 + merges.length
+  }
+
+  /** UTF-8 byte ids of one word with the GPT-2-style leading-space
+    * convention: every word (including the first) is encoded as
+    * `" " + word`, so word boundaries live INSIDE the byte stream and
+    * merges can learn cross-boundary units like `" the"`. Decode strips
+    * the leading space of the reassembled text.
+    */
+  private def wordBytes(w: String): Array[Int] = {
+    val bs = (" " + w).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Int](bs.length)
+    var i = 0
+    while (i < bs.length) { out(i) = bs(i) & 0xff; i += 1 }
+    out
+  }
+
+  /** Greedy left-to-right replacement of every occurrence of `(a, b)`
+    * in `s` by `id` — the merge step shared by training and encoding
+    * (identical application order keeps encode segmentation faithful to
+    * the training segmentation).
+    */
+  private def applyMerge(s: Array[Int], a: Int, b: Int,
+      id: Int): Array[Int] = {
+    val out = new Array[Int](s.length)
+    var o = 0
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out(o) = id; o += 1; i += 2
+      } else {
+        out(o) = s(i); o += 1; i += 1
+      }
+    }
+    java.util.Arrays.copyOf(out, o)
+  }
+
+  /** Train a byte-level BPE vocabulary on a corpus — the step that
+    * turns [[packChunks]]'s whitespace-token shards into real
+    * token-ID training shards. Classic Sennrich-style algorithm
+    * (public-knowledge technique): the DISTRIBUTED job is one word
+    * count over the corpus (explode + hash aggregation with map-side
+    * combine — the only corpus-sized work); the iterative merge
+    * learning then runs on the collected word-frequency table, which is
+    * TYPE-sized (the same bounded-collect contract as [[ngramLm]],
+    * guarded by `maxWordTypes` with a fail-fast count BEFORE the
+    * collect). Each round counts adjacent symbol-pair frequencies
+    * weighted by word count and fuses the most frequent pair (ties
+    * break to the ascending pair — determinism independent of
+    * partitioning); learning stops early when no pair occurs twice.
+    * Words are raw whitespace tokens of the trimmed text (case
+    * preserved — subword vocabularies are case-sensitive).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int = 1000,
+      maxWordTypes: Long = 10000000L): BpeModel = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(df.columns.contains(textCol),
+      s"df is missing text column '$textCol'")
+    val words = df.select(explode(
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+")).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false) // count guard + collect: aggregate once
+    val types = words.count()
+    if (types > maxWordTypes)
+      throw new IllegalArgumentException(
+        s"bpeTrain: corpus has $types distinct word types, above the " +
+          s"driver-collect cap maxWordTypes=$maxWordTypes — raise the " +
+          "cap if the driver heap affords it (16+ bytes per type)")
+    var seqs: Array[(Array[Int], Long)] = words.collect()
+      .map(r => (wordBytes(r.getString(0)), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      // count adjacent pairs, weighted by word frequency
+      val counts = new java.util.HashMap[Long, Long]()
+      for ((s, c) <- seqs) {
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i).toLong << 32) | s(i + 1).toLong
+          counts.merge(k, c, java.lang.Long.sum(_, _))
+          i += 1
+        }
+      }
+      // argmax by count, ties to the ascending (left, right) pair —
+      // fully deterministic regardless of hash-map iteration order
+      var bestKey = -1L
+      var bestCount = 1L // a pair must occur at least twice to be worth a merge
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > bestCount ||
+            (e.getValue == bestCount && bestKey >= 0 &&
+              java.lang.Long.compareUnsigned(e.getKey, bestKey) < 0)) {
+          bestKey = e.getKey
+          bestCount = e.getValue
+        }
+      }
+      if (bestKey < 0 && bestCount == 1L) exhausted = true
+      else if (bestKey >= 0) {
+        val a = (bestKey >>> 32).toInt
+        val b = (bestKey & 0xffffffffL).toInt
+        val id = 256 + merges.length
+        merges += ((a, b))
+        seqs = seqs.map { case (s, c) => (applyMerge(s, a, b, id), c) }
+        m += 1
+      } else exhausted = true
+    }
+    BpeModel(merges.toArray)
+  }
+
+  /** Encode one word's byte ids under the merge ranks: repeatedly apply
+    * the LOWEST-ranked merge present (all its occurrences at once,
+    * left-to-right) until none applies — the GPT-2 encode loop, which
+    * reproduces the training-time segmentation exactly.
+    */
+  private def encodeWord(bytes: Array[Int],
+      rank: java.util.HashMap[Long, Int],
+      merges: Array[(Int, Int)]): Array[Int] = {
+    var s = bytes
+    var done = false
+    while (!done && s.length >= 2) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i + 1 < s.length) {
+        // getOrDefault, NOT get: get's null unboxes to rank 0 — the
+        // first merge — for every absent pair
+        val r = rank.getOrDefault(
+          (s(i).toLong << 32) | s(i + 1).toLong, Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(best)
+        s = applyMerge(s, a, b, 256 + best)
+      }
+    }
+    s
+  }
+
+  /** Tokenize a text column to BPE ids: appends `outCol`
+    * (`array<int>`; null text → null, token-less text → empty).
+    * Strictly map-only — the merge table broadcasts once; each row is
+    * one kernel pass with a per-task word memo (real corpora repeat
+    * words constantly, so most words hit the cache). Whitespace is
+    * normalized to single spaces by the leading-space byte convention
+    * (see [[wordBytes]]); [[bpeDecode]] of the ids returns exactly the
+    * single-space token join, the same normalization contract as
+    * [[packChunks]]/`maskRepeatedSpans`. Compose with [[packChunks]]
+    * for ID shards: `concat_ws(" ", token_ids)` is a packable chunk
+    * column whose "tokens" are the ids.
+    */
+  def bpeEncode(df: DataFrame, model: BpeModel, textCol: String,
+      outCol: String = "token_ids"): DataFrame = {
+    require(df.columns.contains(textCol),
+      s"df is missing text column '$textCol'")
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    // a concrete function OBJECT (not a lambda) so the word memo is
+    // allocated once per deserialized task closure and shared across
+    // that task's rows — each task gets its own instance, so no
+    // cross-thread sharing
+    val f = new (String => Array[Int]) with Serializable {
+      @transient private lazy val cache =
+        new java.util.HashMap[String, Array[Int]]()
+      def apply(text: String): Array[Int] = {
+        if (text == null) return null
+        val m = bc.value
+        val words = text.trim.split("\\s+").filter(_.nonEmpty)
+        val out = scala.collection.mutable.ArrayBuffer[Int]()
+        var i = 0
+        while (i < words.length) {
+          var ids = cache.get(words(i))
+          if (ids == null) {
+            ids = encodeWord(wordBytes(words(i)), m.rank, m.merges)
+            if (cache.size < 100000) cache.put(words(i), ids)
+          }
+          out ++= ids
+          i += 1
+        }
+        out.toArray
+      }
+    }
+    val kernel = udf(f)
+    df.withColumn(outCol, kernel(col(textCol)))
+  }
+
+  /** Decode BPE ids back to text: merged ids expand recursively to
+    * their byte sequences, bytes decode as UTF-8, and the leading space
+    * of the reassembled stream is stripped. Lossless up to the
+    * documented whitespace normalization: for any text,
+    * `bpeDecode(encode(text)) == text.trim.split("\\s+").mkString(" ")`.
+    */
+  def bpeDecode(ids: Seq[Int], model: BpeModel): String = {
+    val bytes = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def expand(id: Int): Unit =
+      if (id < 256) bytes += id.toByte
+      else {
+        val (a, b) = model.merges(id - 256)
+        expand(a); expand(b)
+      }
+    ids.foreach(expand)
+    val s = new String(bytes.toArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (s.startsWith(" ")) s.substring(1) else s
+  }
 }

@@ -1694,6 +1694,23 @@ object PipelineQueries {
         .select(col("doc_id"), mk(col("doc_id")).as("img"))
       Multimodal.imageNearDuplicates(imgs, "img", "doc_id")
         .orderBy("key_a", "key_b")
+    },
+
+    // --- Subword (BPE) tokenize + pack: vocabulary trained on docs
+    //     0–99 (deterministic merges — ties break ascending), every doc
+    //     encoded to token IDs map-only, IDs packed into 256-token
+    //     training sequences. The merge loop has no SQL analogue
+    //     (documented in COVERAGE.md), so this rides the rows-only
+    //     check; determinism is pinned by TextOpsSpec instead.
+    Query.noOracle("q91_bpe_pack") { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val model = TextOps.bpeTrain(docs.filter(col("doc_id") < 100),
+        "text", numMerges = 200)
+      val encoded = TextOps.bpeEncode(docs, model, "text")
+        .withColumn("ids_str", concat_ws(" ", col("token_ids")))
+      TextOps.packChunks(encoded, "ids_str", "doc_id", seqLen = 256,
+          boundary = "-1")
+        .orderBy("seq_id")
     }
   )
 

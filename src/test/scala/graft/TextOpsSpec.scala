@@ -428,6 +428,101 @@ class TextOpsSpec extends SparkTestBase {
     assert(err.getMessage.contains("maxTypes"))
   }
 
+  test("BPE: round-trip losslessness (whitespace-normalized), OOV " +
+      "byte fallback, compression of frequent words, merge-order " +
+      "determinism under repartitioning, and the size guard") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish"),
+      (3L, "the the the cat cat"),
+      (4L, "a mat for the cat"))
+      .toDF("doc_id", "text")
+    val model = TextOps.bpeTrain(corpus, "text", numMerges = 50)
+    assert(model.merges.nonEmpty && model.vocabSize == 256 +
+      model.merges.length)
+    // round-trip: decode(encode(x)) is the single-space token join
+    val texts = Seq(
+      "the cat sat on the mat",
+      "  weird   spacing\tand\nnewlines  ",
+      "unseen words zqzq never trained",
+      "unicode héllo wörld — em-dash …", // OOV multi-byte chars
+      "")
+    val enc = TextOps.bpeEncode(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), model, "text")
+      .select("doc_id", "token_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val want = t.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(TextOps.bpeDecode(enc(i.toLong), model) == want,
+        s"round-trip broke for '$t'")
+    }
+    assert(enc(4L).isEmpty) // token-less text → empty ids
+    // null text → null ids
+    val nullEnc = TextOps.bpeEncode(
+        Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        model, "text")
+      .select("token_ids").collect().head
+    assert(nullEnc.isNullAt(0))
+    // compression: " the" (4 bytes with the leading-space convention)
+    // appears 9 times in training — it must encode to ONE id, while an
+    // unseen word stays byte-per-byte
+    val decodedLens = Seq("the", "zqzq").map { w =>
+      val ids = TextOps.bpeEncode(Seq((1L, w)).toDF("id", "t"), model, "t")
+        .select("token_ids").collect().head.getSeq[Int](0)
+      w -> ids.length
+    }.toMap
+    assert(decodedLens("the") == 1, s"'the' not fused: $decodedLens")
+    assert(decodedLens("zqzq") == 5, // " zqzq" = 5 raw bytes
+      s"OOV word must stay byte-level: $decodedLens")
+    // determinism: retraining on a differently-partitioned corpus
+    // yields the identical merge sequence
+    val model2 = TextOps.bpeTrain(corpus.repartition(7), "text",
+      numMerges = 50)
+    assert(model2.merges.toSeq == model.merges.toSeq)
+    // guard fails fast with a clear message
+    val err = intercept[IllegalArgumentException] {
+      TextOps.bpeTrain(corpus, "text", numMerges = 5, maxWordTypes = 2L)
+    }
+    assert(err.getMessage.contains("maxWordTypes"))
+  }
+
+  test("BPE ids compose with packChunks: concat_ws ids are a packable " +
+      "chunk column and the packed stream reassembles to the ids") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish and the cat slept"),
+      (3L, "a mat for the cat"))
+      .toDF("doc_id", "text")
+    val model = TextOps.bpeTrain(corpus, "text", numMerges = 30)
+    val encoded = TextOps.bpeEncode(corpus, model, "text")
+      .withColumn("ids_str", concat_ws(" ", col("token_ids")))
+    val packed = TextOps.packChunks(encoded, "ids_str", "doc_id",
+      seqLen = 8, boundary = "-1")
+    val seqs = packed.orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every sequence except the last is exactly seqLen "tokens" (ids)
+    assert(seqs.dropRight(1).forall(_._2 == 8))
+    assert(seqs.forall(s => s._3.split(" ").length == s._2))
+    // the full stream, boundaries removed, is a permutation-free
+    // concatenation: splitting on -1 recovers each doc's exact ids in
+    // digest order
+    val stream = seqs.map(_._3).mkString(" ").split(" ").map(_.toInt)
+    val docsBack = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+    var cur = scala.collection.mutable.ArrayBuffer[Int]()
+    for (t <- stream)
+      if (t == -1) { docsBack += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[Int]() }
+      else cur += t
+    assert(cur.isEmpty, "stream must end on a boundary")
+    val want = encoded.select("token_ids").collect()
+      .map(_.getSeq[Int](0).toSeq).toSet
+    assert(docsBack.toSet == want)
+    // and each recovered id sequence decodes to its document
+    val texts = corpus.collect().map(r => r.getString(1)).toSet
+    assert(docsBack.map(ids => TextOps.bpeDecode(ids, model)).toSet ==
+      texts)
+  }
+
   test("packChunks: exact seqLen slicing, boundary markers, straddling " +
       "units, and lossless reconstruction") {
     val units = Seq(
