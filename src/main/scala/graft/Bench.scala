@@ -22,24 +22,37 @@ import graft.core.GraftSession
   */
 object Bench {
 
-  /** Calibration anchor: a pinned two-part workload (parquet scan+agg and a
-    * forced shuffle join) timed in this JVM before the timed passes, so a
-    * cross-round reader can separate container drift from code deltas. The
-    * workload deliberately touches NO graft code — raw `spark.read.parquet`
-    * plus built-in aggregates only — so its cost moves only with the
-    * container (CPU/IO/scheduler) and the data directory, never with the
-    * engine under test. Min-of-`runs` after one discarded warm-up, same
-    * methodology as the query timings. The merge hint on the join pins a
-    * sort-merge plan (exchange + sort on both sides) so AQE cannot quietly
-    * swap in a broadcast join and collapse the thing being measured.
+  /** Calibration anchor: a pinned workload timed in this JVM before the
+    * timed passes, so a cross-round reader can separate container drift
+    * from code deltas. The workload deliberately touches NO graft code —
+    * raw `spark.read.parquet` plus built-in aggregates only — so its cost
+    * moves only with the container (CPU/IO/scheduler) and the data
+    * directory, never with the engine under test. Min-of-`runs` after one
+    * discarded warm-up, same methodology as the query timings. The merge
+    * hint on the join pins a sort-merge plan (exchange + sort on both
+    * sides) so AQE cannot quietly swap in a broadcast join and collapse
+    * the thing being measured.
+    *
+    * TWO SHAPES, because ambient drift is not one number (the round-16
+    * anchor moved 23% while the suite stayed flat — throughput drift
+    * over-predicted what latency-bound queries should feel):
+    *   - `scan` + `join` (reported summed as `total`): THROUGHPUT —
+    *     data-proportional CPU/IO, the right anchor for scan/agg/join
+    *     queries whose cost is dominated by rows processed;
+    *   - `sched`: LATENCY — 50 pinned single-task jobs
+    *     (`spark.range(0,1,1,1).count()` each), measuring per-job fixed
+    *     cost (planning, scheduling, task launch, result fetch), the
+    *     right anchor for multi-job iterative queries (q51/q71-class)
+    *     and sub-200 ms queries dominated by fixed costs.
     *
     * Reading rule (also in BASELINE.md): before judging per-query deltas
-    * between rounds, compute `ratio = calibration_total(now) /
-    * calibration_total(then)`; per-query deltas within `ratio` ± the
-    * query's `spread` are ambient drift, not code.
+    * between rounds, compute the ratio of the calibration component
+    * MATCHING THE QUERY'S SHAPE (throughput-bound → `total`,
+    * latency/scheduler-bound → `sched`); per-query deltas within that
+    * ratio ± the query's `spread` are ambient drift, not code.
     */
   private def calibrate(spark: org.apache.spark.sql.SparkSession,
-                        sfDir: String, runs: Int): (Double, Double) = {
+                        sfDir: String, runs: Int): (Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     def scanAgg(): Unit =
       spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -55,11 +68,20 @@ object Bench {
       l.join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
         .groupBy("o_custkey").agg(sum("l_quantity")).count()
     }
+    // 50 sequential single-task jobs: each pays full per-job fixed cost
+    // (catalyst plan, DAG submit, one task launch, result fetch) and
+    // almost zero data cost — the latency mirror of the two
+    // throughput parts. Sequential on purpose: overlap would hide
+    // exactly the scheduler serialization being measured.
+    def schedLatency(): Unit = {
+      var i = 0
+      while (i < 50) { spark.range(0L, 1L, 1L, 1).count(); i += 1 }
+    }
     // each timed pass executes the workload 3× so the anchor lands near
     // ~2 s total at sf0.1 — large against the ±0.1 s scheduler jitter of
     // a single sub-second pass, which would otherwise be 15%+ of the
-    // reading. Only the cross-round RATIO of calibration totals is ever
-    // consumed, so the 3× inflation cancels.
+    // reading. Only the cross-round RATIO of calibration components is
+    // ever consumed, so the 3× inflation cancels.
     def minOf(f: () => Unit): Double = {
       f() // discarded warm-up: JIT + parquet footer cache, like the suite
       (1 to runs).map { _ =>
@@ -68,7 +90,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    (minOf(() => scanAgg()), minOf(() => shuffleJoin()))
+    (minOf(() => scanAgg()), minOf(() => shuffleJoin()),
+      minOf(() => schedLatency()))
   }
 
   def main(args: Array[String]): Unit = {
@@ -89,9 +112,9 @@ object Bench {
     // can't contaminate it) but AFTER the warm-up (so it measures the same
     // steady-state JVM the queries run in); best-effort — a missing table
     // must not fail the bench, it just reports -1
-    val (calScan, calJoin) =
+    val (calScan, calJoin, calSched) =
       try calibrate(spark, sfDir, runs)
-      catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0) }
+      catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0, -1.0) }
     // all successful run times per query; a query that never succeeds
     // reports -1 rather than masquerading as a fast time-to-failure
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -156,9 +179,12 @@ object Bench {
     // failure counts incomparable; failures are reported as their own count
     val failed = results.count(_._2.isEmpty)
     val total = results.flatMap(_._2.minOption).sum
+    // `total` stays scan+join (the THROUGHPUT anchor, ratio-comparable
+    // with every prior round); `sched` is its own component, never
+    // folded in — the reading rule picks per query shape
     val calTotal = if (calScan < 0 || calJoin < 0) -1.0 else calScan + calJoin
     val calibration =
-      s"""{"scan":${fmt(calScan)},"join":${fmt(calJoin)},"total":${fmt(calTotal)}}"""
+      s"""{"scan":${fmt(calScan)},"join":${fmt(calJoin)},"sched":${fmt(calSched)},"total":${fmt(calTotal)}}"""
     val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"sf":"$sfDir","calibration":$calibration,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)}"""
     println(s"""{$head,"queries":$qsShort}""")
     // the full record (long names + per-query spread) lives on disk where
