@@ -33,6 +33,10 @@ import graft.operators.Dedup
   *     additive, readers aggregate, compaction folds by summing), so
   *     corpus-repeated boilerplate spans strip from each batch BEFORE
   *     any dedup stage
+  *   - `tombstones/v=<n>/` — deleted keys ([[deleteKeys]]; own version
+  *     counter). Readers anti-join them; compaction physically removes
+  *     tombstoned rows from the folds it touches and keeps the
+  *     tombstone rows themselves.
   * A version counts only once its `_SUCCESS` marker exists, so
   * half-written attempts are invisible to readers.
   *
@@ -82,8 +86,10 @@ object DedupIngest {
     val empty = Dedup.minhashSignatures(batchLike.limit(0), textCol, key)
     val vs = committedVersions(spark, s"$storeRoot/sig", below)
     if (vs.isEmpty) empty
-    else spark.read.schema(empty.schema)
-      .parquet(dirs(storeRoot, "sig", vs): _*)
+    else VersionedStore.antiTombstones(
+      spark.read.schema(empty.schema)
+        .parquet(dirs(storeRoot, "sig", vs): _*),
+      key, spark, storeRoot)
   }
 
   /** The live exact-digest store (the optional prefilter family) from
@@ -96,8 +102,10 @@ object DedupIngest {
       key)
     val vs = committedVersions(spark, s"$storeRoot/exact", below)
     if (vs.isEmpty) empty
-    else spark.read.schema(empty.schema)
-      .parquet(dirs(storeRoot, "exact", vs): _*)
+    else VersionedStore.antiTombstones(
+      spark.read.schema(empty.schema)
+        .parquet(dirs(storeRoot, "exact", vs): _*),
+      key, spark, storeRoot)
   }
 
   /** The live label store: latest-version-per-key over all committed
@@ -110,12 +118,13 @@ object DedupIngest {
         lit(0L).as("_v"))
     val vs = committedVersions(spark, s"$storeRoot/labels", below)
     if (vs.isEmpty) empty.select("key", "component")
-    else
+    else VersionedStore.antiTombstones(
       graft.operators.AggOps.latestByKey(
         spark.read.schema(empty.schema)
           .parquet(dirs(storeRoot, "labels", vs): _*),
         Seq("key"), "_v", Seq("component"))
-        .select("key", "component")
+        .select("key", "component"),
+      "key", spark, storeRoot)
   }
 
   /** Configuration for the optional boilerplate-stripping stage — the
@@ -328,19 +337,63 @@ object DedupIngest {
     * Returns the folds performed, with the parquet bytes each rewrote
     * — the observability hook for sizing `sizeRatio`.
     */
+  /** TOMBSTONE a set of documents — the takedown/relicensing path: the
+    * keys land as a versioned delta in a `tombstones/` family
+    * ([[VersionedStore.writeTombstones]] — its own monotone version
+    * counter; the single column's NAME must be the ingest's key column,
+    * it is recorded in the parquet and drives every later anti-join).
+    * Effective immediately for every store reader (`sig`/`exact`/
+    * `labels` anti-join the committed tombstones) WITHOUT rewriting
+    * anything; [[compactStores]] then physically removes the rows as
+    * folds touch them, keeping the tombstone rows themselves (unfolded
+    * versions may still carry the key; the family is O(deleted keys)).
+    * Run with the ingest query STOPPED, like compaction.
+    *
+    * Documented semantics, deliberate: (1) deleting a cluster's
+    * representative does not resurrect its previously-dropped
+    * near-dups — takedown removes THIS document, not history; other
+    * rows' `component` labels may keep referencing the deleted key as
+    * an opaque cluster id. (2) After deletion the store no longer
+    * RECOGNIZES the content — a verbatim re-crawl re-ingests fresh
+    * (use an explicit blocklist upstream if re-ingest must stay
+    * barred). (3) The `spancounts` family is NOT keyed by document and
+    * keeps its counts — retracting them would need the deleted text's
+    * gram multiset; boilerplate statistics legitimately include
+    * deleted documents' history. (4) The key-order guard is
+    * unaffected: deleted keys do not free key space — `_keyrange`
+    * sidecars survive, so new batches must still exceed the
+    * all-time max key.
+    */
+  def deleteKeys(spark: SparkSession, storeRoot: String,
+      keys: DataFrame): Long =
+    VersionedStore.writeTombstones(spark, storeRoot, keys)
+
   def compactStores(spark: SparkSession, storeRoot: String,
       sizeRatio: Double = 4.0): Seq[Fold] = {
     def compact(family: String, resolve: DataFrame => DataFrame) =
       VersionedStore.compactFamily(spark, storeRoot, family, sizeRatio,
         resolve)
-    compact("sig", _.dropDuplicates()) ++
-      compact("exact", _.dropDuplicates()) ++
-      compact("labels", df => graft.operators.AggOps.latestByKey(df,
-        Seq("key"), "_v", Seq("component"))
-        .select(col("key"), col("component"), col("_v"))) ++
+    // tombstones load lazily ONCE; the keyed families' folds apply them
+    // (physical removal), the tombstone family itself folds LAST so its
+    // directories are stable while the other folds read them
+    def anti(df: DataFrame, keyCol: Option[String]): DataFrame =
+      VersionedStore.tombstones(spark, storeRoot) match {
+        case None => df
+        case Some(t) =>
+          val tt = keyCol.map(t.toDF(_)).getOrElse(t)
+          df.join(tt, Seq(tt.columns.head), "left_anti")
+      }
+    compact("sig", df => anti(df.dropDuplicates(), None)) ++
+      compact("exact", df => anti(df.dropDuplicates(), None)) ++
+      compact("labels", df => anti(
+        graft.operators.AggOps.latestByKey(df,
+          Seq("key"), "_v", Seq("component"))
+          .select(col("key"), col("component"), col("_v")),
+        Some("key"))) ++
       // counts are additive: the fold resolves deltas by summing, so
       // the live count per gram is invariant under any fold schedule
       compact("spancounts",
-        _.groupBy("_h").agg(sum(col("_c")).as("_c")))
+        _.groupBy("_h").agg(sum(col("_c")).as("_c"))) ++
+      compact("tombstones", _.dropDuplicates())
   }
 }

@@ -72,8 +72,10 @@ object SimilarityIngest {
     val vs = VersionedStore.committedVersions(spark, s"$storeRoot/lsh",
       below)
     if (vs.isEmpty) empty
-    else spark.read.schema(empty.schema)
-      .parquet(VersionedStore.dirs(storeRoot, "lsh", vs): _*)
+    else VersionedStore.antiTombstones(
+      spark.read.schema(empty.schema)
+        .parquet(VersionedStore.dirs(storeRoot, "lsh", vs): _*),
+      key, spark, storeRoot)
   }
 
   /** The live assigned relation (IVF inverted lists) from all committed
@@ -94,10 +96,14 @@ object SimilarityIngest {
           "the ingest has not yet kept any rows with an IVF stage " +
           "active")
     val first = spark.read.parquet(s"$storeRoot/assigned/v=${vs.head}")
-    vs.tail
+    val all = vs.tail
       .map(v => spark.read.schema(first.schema)
         .parquet(s"$storeRoot/assigned/v=$v"))
       .foldLeft(first)(_.unionByName(_))
+    // the key column leads the assigned schema by construction; the
+    // tombstone column carries the same caller-owned name
+    VersionedStore.antiTombstones(all, all.columns.head, spark,
+      storeRoot)
   }
 
   /** The per-batch drift log: one row per committed batch
@@ -422,12 +428,39 @@ object SimilarityIngest {
     * assigned merge keeps its `_cid` partitioning so probe pruning
     * survives compaction); the drift log is a log — rows are carried
     * unchanged. */
+  /** TOMBSTONE a set of vectors — the embedding-side [[DedupIngest
+    * .deleteKeys]] (whose scaladoc carries the semantics: effective
+    * immediately via reader anti-joins, physically removed as
+    * compaction folds touch the rows, key space never freed, the store
+    * stops RECOGNIZING deleted content). The single key column's name
+    * must be the ingest's key column. Served top-k reflects the
+    * deletion on the next [[snapshotServing]] (the live
+    * [[loadIvfIndex]] reflects it immediately). Run with the ingest
+    * query STOPPED.
+    */
+  def deleteKeys(spark: SparkSession, storeRoot: String,
+      keys: DataFrame): Long =
+    VersionedStore.writeTombstones(spark, storeRoot, keys)
+
   def compactStores(spark: SparkSession, storeRoot: String,
-      sizeRatio: Double = 4.0): Seq[Fold] =
+      sizeRatio: Double = 4.0): Seq[Fold] = {
+    // folds physically drop tombstoned rows (reader parity is already
+    // guaranteed by the anti-joins; this reclaims the bytes); the
+    // tombstone family folds last so its directories are stable while
+    // the other folds read them
+    def anti(df: DataFrame): DataFrame =
+      VersionedStore.tombstones(spark, storeRoot) match {
+        case None => df
+        case Some(t) => df.join(t, Seq(t.columns.head), "left_anti")
+      }
     VersionedStore.compactFamily(spark, storeRoot, "lsh", sizeRatio,
-      _.dropDuplicates()) ++
+      df => anti(df.dropDuplicates())) ++
       VersionedStore.compactFamily(spark, storeRoot, "assigned",
-        sizeRatio, _.dropDuplicates(), partitionBy = Seq("_cid")) ++
+        sizeRatio, df => anti(df.dropDuplicates()),
+        partitionBy = Seq("_cid")) ++
       VersionedStore.compactFamily(spark, storeRoot, "drift", sizeRatio,
-        identity)
+        identity) ++
+      VersionedStore.compactFamily(spark, storeRoot, "tombstones",
+        sizeRatio, _.dropDuplicates())
+  }
 }

@@ -169,6 +169,64 @@ private[streaming] object VersionedStore {
     }
   }
 
+  /** TOMBSTONE family — deletion support for the append-only stores:
+    * `tombstones/v=<n>/` holds single-column key deltas with their OWN
+    * monotone version counter (deletes are out-of-band maintenance, not
+    * micro-batches, so batchId addressing does not apply — and a
+    * version id colliding with a future batchId would be harmless
+    * anyway: the family is only ever read in full). The tombstone
+    * column NAME is the store's key column name (recorded in the
+    * parquet itself — no side configuration). Readers anti-join;
+    * compaction applies tombstones to the folded data but RETAINS the
+    * tombstone rows, because unfolded versions may still carry the key
+    * — the family is O(deleted keys) and compacts by dropDuplicates.
+    * Run deletes with the ingest query STOPPED (the same rule as
+    * compaction): a tombstone landing between a batch's first attempt
+    * and its redelivery would make the retry see a different store.
+    */
+  def writeTombstones(spark: SparkSession, storeRoot: String,
+      keys: DataFrame): Long = {
+    require(keys.columns.length == 1,
+      s"tombstones take ONE key column, got ${keys.columns.length} " +
+        s"(${keys.columns.mkString(", ")})")
+    val famDir = s"$storeRoot/tombstones"
+    val v = committedVersions(spark, famDir, Long.MaxValue)
+      .lastOption.getOrElse(-1L) + 1L
+    // coalesce(1): a takedown list is metadata-sized; one file per delta
+    keys.dropDuplicates().coalesce(1)
+      .write.mode("overwrite").parquet(s"$famDir/v=$v")
+    v
+  }
+
+  /** All committed tombstone keys, distinct — None when the store has
+    * never seen a delete (the zero-overhead common case: readers skip
+    * the anti-join entirely). */
+  def tombstones(spark: SparkSession,
+      storeRoot: String): Option[DataFrame] = {
+    val famDir = s"$storeRoot/tombstones"
+    val vs = committedVersions(spark, famDir, Long.MaxValue)
+    if (vs.isEmpty) None
+    else {
+      val first = spark.read.parquet(s"$famDir/v=${vs.head}")
+      Some(vs.tail
+        .map(v => spark.read.schema(first.schema).parquet(s"$famDir/v=$v"))
+        .foldLeft(first)(_.unionByName(_))
+        .dropDuplicates())
+    }
+  }
+
+  /** Filter a store relation through the committed tombstones:
+    * left-anti on `keyCol` (the tombstone column is renamed to it, so a
+    * family whose internal key name differs — the label store's `key` —
+    * still applies cleanly). No committed tombstones → the relation
+    * unchanged, zero plan overhead. */
+  def antiTombstones(df: DataFrame, keyCol: String, spark: SparkSession,
+      storeRoot: String): DataFrame =
+    tombstones(spark, storeRoot) match {
+      case None => df
+      case Some(t) => df.join(t.toDF(keyCol), Seq(keyCol), "left_anti")
+    }
+
   // adjacent-run grouping: push versions oldest -> newest, cascading
   // a merge whenever the newest tier is within sizeRatio of the one
   // below it; cascades let accumulated small tiers climb into the

@@ -453,4 +453,86 @@ class DedupIngestSpec extends SparkTestBase {
     }
     assert(missingCol.getMessage.contains("'text'"), missingCol.getMessage)
   }
+
+  test("tombstones: deleteKeys removes documents from every keyed " +
+      "reader immediately, deleted content re-ingests fresh, redelivery " +
+      "stays idempotent, compaction applies tombstones physically while " +
+      "keeping them, and the key-order guard still holds the all-time " +
+      "max key") {
+    val storeRoot = Files.createTempDirectory("graft-tomb-store").toString
+    val keptDir = Files.createTempDirectory("graft-tomb-kept").toString
+    def run(rows: Seq[(Long, String)], id: Long) =
+      DedupIngest.processBatch(rows.toDF("doc_id", "text"), id, storeRoot,
+        keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000)
+    def keptByBatch(): Map[Long, Set[Long]] =
+      spark.read.parquet(keptDir)
+        .select($"ingest_batch".cast("long"), $"doc_id")
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (b, r) => b -> r.map(_._2).toSet }
+    def sigKeys(): Set[Long] = DedupIngest.loadSignatureStore(spark,
+        storeRoot, Seq((0L, "x")).toDF("doc_id", "text"), "text",
+        "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    def labels(): Map[Long, Long] = DedupIngest.loadLabelStore(spark,
+        storeRoot, Seq((0L, "x")).toDF("doc_id", "text"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+
+    run(Seq((1L, A), (2L, B),
+      (3L, "standalone report on glacier monitoring equipment")), 0L)
+    run(Seq((11L, A), (12L, bNear),
+      (13L, "second standalone piece about harbor dredging works")), 1L)
+    assert(keptByBatch() == Map(0L -> Set(1L, 2L, 3L), 1L -> Set(13L)))
+
+    // tombstone the whole B cluster: the kept representative 2 AND its
+    // dropped near-twin 12 (deleting only the representative would
+    // leave 12's signature recognizing the content)
+    DedupIngest.deleteKeys(spark, storeRoot,
+      Seq(2L, 12L).toDF("doc_id"))
+    // immediate reader effect, no rewrite: signatures and labels drop
+    // the deleted keys, everything else intact
+    assert(sigKeys() == Set(1L, 3L, 11L, 13L), sigKeys())
+    val l1 = labels()
+    assert(!l1.contains(2L) && !l1.contains(12L) && l1(11L) == 1L, l1)
+
+    // the store no longer RECOGNIZES deleted content: a verbatim
+    // re-crawl of B re-ingests fresh, while A (undeleted) still drops
+    run(Seq((21L, A), (22L, B)), 2L)
+    assert(keptByBatch()(2L) == Set(22L), keptByBatch())
+
+    // deletion never frees key space: the guard still holds the
+    // all-time max (a reused key must fail even though 12 is deleted)
+    val guardErr = intercept[IllegalStateException] {
+      run(Seq((12L, "reused key after deletion must still fail")), 3L)
+    }
+    assert(guardErr.getMessage.contains("key-order"), guardErr.getMessage)
+
+    // delete-then-redeliver parity: the newest batch retried with its
+    // own id against the tombstoned store reproduces its outputs
+    val beforeRetry = (keptByBatch(), sigKeys(), labels())
+    run(Seq((21L, A), (22L, B)), 2L)
+    assert((keptByBatch(), sigKeys(), labels()) == beforeRetry)
+
+    // compaction applies tombstones PHYSICALLY to the folds it touches
+    // (readers were already exact; this reclaims the bytes) and keeps
+    // the tombstone family for the unfolded tail
+    DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert((keptByBatch(), sigKeys(), labels()) == beforeRetry,
+      "compaction must be invisible to readers")
+    // raw, anti-join-free read of what is on disk: the deleted keys are
+    // gone from the folded history (only the untouched max version
+    // could still carry a tombstoned key — none does here)
+    val rawSig = new java.io.File(s"$storeRoot/sig").listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.toString)
+      .flatMap(d => spark.read.parquet(d).select("doc_id")
+        .as[Long].collect())
+      .toSet
+    assert(!rawSig.contains(2L) && !rawSig.contains(12L), rawSig)
+    assert(new java.io.File(s"$storeRoot/tombstones").listFiles()
+      .exists(_.getName.startsWith("v=")),
+      "tombstone family must survive compaction")
+    // and a post-compaction retry still works against the folded store
+    run(Seq((21L, A), (22L, B)), 2L)
+    assert(keptByBatch()(2L) == Set(22L))
+  }
 }

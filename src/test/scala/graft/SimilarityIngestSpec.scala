@@ -515,4 +515,73 @@ class SimilarityIngestSpec extends SparkTestBase {
       keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L, None,
       enforceKeyOrder = false)
   }
+
+  test("tombstones: deleted vectors vanish from the LSH and assigned " +
+      "stores, served top-k excludes them, deleted content re-ingests " +
+      "fresh, redelivery stays idempotent, and compaction applies the " +
+      "tombstones physically") {
+    val storeRoot = Files.createTempDirectory("graft-sim-tomb").toString
+    val keptDir = Files.createTempDirectory("graft-sim-tomb-k").toString
+    val cents = Similarity.buildIvfIndex(batches.head.toDF("vec_id",
+        "embedding"), "embedding", "vec_id", nlist = 2).centroids
+    def run(b: Seq[(Long, Seq[Double])], id: Long) =
+      SimilarityIngest.processBatch(b.toDF("vec_id", "embedding"), id,
+        storeRoot, keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L,
+        Some(cents))
+    def keptByBatch(): Map[Long, Set[Long]] =
+      spark.read.parquet(keptDir)
+        .select($"ingest_batch".cast("long"), $"vec_id")
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (b, r) => b -> r.map(_._2).toSet }
+    batches.zipWithIndex.foreach { case (b, i) => run(b, i.toLong) }
+    assert(keptByBatch() == expectedKept)
+
+    // delete the axis-2 cluster: kept vector 3 and its dropped exact
+    // twin 202 (same rationale as the dedup-side test)
+    SimilarityIngest.deleteKeys(spark, storeRoot,
+      Seq(3L, 202L).toDF("vec_id"))
+    def lshKeys(): Set[Long] = SimilarityIngest.loadLshStore(spark,
+        storeRoot, fullCorpus, "embedding", "vec_id", dim, 4, 42L)
+      .select("vec_id").as[Long].collect().toSet
+    def assignedKeys(): Set[Long] = SimilarityIngest
+      .loadAssignedStore(spark, storeRoot)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!lshKeys().contains(3L) && !lshKeys().contains(202L))
+    assert(!assignedKeys().contains(3L), assignedKeys())
+
+    // serving reflects the deletion: a query at base(2) no longer
+    // returns the deleted vector
+    val q = Seq((9001L, base(2))).toDF("vec_id", "embedding")
+    def neighbors(): Set[Long] = Similarity.ivfTopK(
+        SimilarityIngest.loadIvfIndex(spark, storeRoot), q, "embedding",
+        "vec_id", k = 3, nprobe = 2)
+      .select($"neighbor_id".cast("long")).as[Long].collect().toSet
+    assert(!neighbors().contains(3L) && !neighbors().contains(202L))
+
+    // the store no longer recognizes the deleted content: an exact
+    // base(2) vector under a fresh key is KEPT and serves
+    run(Seq((301L, base(2))), 3L)
+    assert(keptByBatch()(3L) == Set(301L), keptByBatch())
+    assert(neighbors().contains(301L))
+
+    // delete-then-redeliver parity
+    val before = (keptByBatch(), lshKeys(), assignedKeys())
+    run(Seq((301L, base(2))), 3L)
+    assert((keptByBatch(), lshKeys(), assignedKeys()) == before)
+
+    // compaction applies tombstones physically and serving still
+    // excludes the deleted keys
+    SimilarityIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert((keptByBatch(), lshKeys(), assignedKeys()) == before,
+      "compaction must be invisible to readers")
+    val rawAssigned = new java.io.File(s"$storeRoot/assigned")
+      .listFiles().filter(_.getName.startsWith("v=")).map(_.toString)
+      .flatMap(d => spark.read.parquet(d).select("vec_id")
+        .as[Long].collect())
+      .toSet
+    assert(!rawAssigned.contains(3L) && !rawAssigned.contains(202L),
+      rawAssigned)
+    assert(!neighbors().contains(3L) && neighbors().contains(301L))
+  }
 }
