@@ -772,6 +772,77 @@ object Similarity {
         maxBucketSize)
       .select(col("key_b").as(key)).distinct()
 
+  /** CLUSTER-scoped semantic near-duplicate pairs — the SemDeDup-family
+    * alternative (public technique: k-means the embedding space, then
+    * search for duplicates only WITHIN each cluster) to the sign-bit
+    * LSH of [[lshNeighborPairs]]: k-means with `nlist` clusters bounds
+    * the candidate set, exact cosine verifies inside each cluster.
+    * Output: (key_a, key_b, cosine), key_a < key_b — the
+    * [[lshNeighborPairs]] contract, so either feeds the same drop-list
+    * / connected-components downstream.
+    *
+    * When to prefer which: LSH's recall is a function of `numBits` vs
+    * the threshold (hyperplane cuts lose near-pairs probabilistically,
+    * mitigated by band ORing); the cluster scope instead loses exactly
+    * the pairs that straddle a k-means boundary — rare for the
+    * SEMANTIC-level duplicates this targets (copies land in the same
+    * cluster almost surely; the spec pins a measured recall floor), and
+    * recall is tuned by `nlist` (fewer, larger clusters → higher recall,
+    * more pair work — `nlist ≈ corpus/expected-cluster-size`). Pair
+    * cost is Σ|cluster|² instead of Σ|bucket|²; the same
+    * `maxClusterSize` cohort guard (GuardMetrics tag "semdedup") keeps
+    * a degenerate cluster from going quadratic, with the drop-only-
+    * warns caveat [[embeddingDedupDropList]] documents.
+    *
+    * `kmeansIters = 0` keeps the hash-sampled deterministic centroids
+    * (bit-stable output, the oracle-ability contract); `> 0` runs Lloyd
+    * rounds for real cluster structure — better recall, deterministic
+    * only to FP addition reordering ([[kmeansCentroids]]'s caveat).
+    * Null and zero-norm vectors never pair.
+    *
+    * Scale shape: centroid training is [[kmeansCentroids]]'s map-only
+    * loop (driver holds nlist × dim doubles); assignment is one
+    * broadcast-join argmin; the pair join shuffles on `_cid` once. No
+    * all-pairs stage anywhere.
+    */
+  def clusterNearDuplicatePairs(corpus: DataFrame, embCol: String,
+      key: String, nlist: Int, threshold: Double = 0.95,
+      kmeansIters: Int = 2, maxClusterSize: Long = 10000): DataFrame = {
+    require(nlist > 0, s"nlist must be > 0, got $nlist")
+    require(maxClusterSize <= 0 || maxClusterSize > 1,
+      "maxClusterSize must be > 1 (or <= 0 to skip the skew guard)")
+    val usable = corpus
+      .select(col(key), asDouble(col(embCol)).as("_uemb"))
+      .withColumn("_un", norm(col("_uemb")))
+      .filter(col("_un") > 0)
+      .select(col(key), col("_uemb"))
+    val cents = kmeansCentroids(usable, "_uemb", key, nlist, kmeansIters)
+    val assigned = GuardMetrics.capCohorts(
+      assignTo(cents, usable, "_uemb", key),
+      Seq(col("_cid")), maxClusterSize, "semdedup")
+    val a = assigned.select(col(key).as("key_a"),
+      col("_emb").as("_emb_a"), col("_n").as("_n_a"), col("_cid"))
+    val b = assigned.select(col(key).as("key_b"),
+      col("_emb").as("_emb_b"), col("_n").as("_n_b"), col("_cid"))
+    a.join(b, Seq("_cid"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        (dot(col("_emb_a"), col("_emb_b"))
+          / (col("_n_a") * col("_n_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("key_a", "key_b")
+  }
+
+  /** [[clusterNearDuplicatePairs]] collapsed to the "drop the larger
+    * key" survivor set — [[embeddingDedupDropList]]'s greedy contract
+    * through the cluster-scoped path. */
+  def clusterDedupDropList(corpus: DataFrame, embCol: String,
+      key: String, nlist: Int, threshold: Double = 0.95,
+      kmeansIters: Int = 2, maxClusterSize: Long = 10000): DataFrame =
+    clusterNearDuplicatePairs(corpus, embCol, key, nlist, threshold,
+        kmeansIters, maxClusterSize)
+      .select(col("key_b").as(key)).distinct()
+
   /** SEMANTIC decontamination — the embedding-space member of the
     * decontamination family ([[graft.operators.TextOps.decontaminate]]
     * catches verbatim n-gram overlap; this catches PARAPHRASED eval

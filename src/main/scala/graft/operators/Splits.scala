@@ -236,6 +236,67 @@ object Splits {
       .limit(n)
   }
 
+  /** TEMPERATURE-weighted domain mixture sample — the standard
+    * multilingual/data-mixing reweighting (public technique, the
+    * `p_d ∝ n_d^τ` rule of the multilingual-pretraining lineage):
+    * draw `n` rows total across the distinct values of `domainCol`
+    * (languages, sources, topic clusters), with each domain's share
+    * proportional to its natural size raised to `tau`. `tau = 1`
+    * reproduces natural proportions, `tau = 0` splits uniformly across
+    * domains, `0 < tau < 1` upweights the tail domains a head-heavy
+    * corpus would otherwise drown — the knob a training mixture tunes.
+    *
+    * Exact deterministic contract (engine-replayable, like the other
+    * samplers): per-domain quotas are largest-remainder (Hamilton)
+    * allocations of `n` over `w_d = n_d^tau / Σ n_e^tau` — floor every
+    * ideal share, then +1 to the largest remainders (ties break to the
+    * ascending domain string) — each capped at the domain's own row
+    * count; within a domain the quota picks the smallest
+    * md5(salt || key) digests ([[stratifiedSample]]'s order). A domain
+    * hitting its cap is NOT redistributed (one-pass allocation keeps
+    * the quota function engine-replayable; the result is then simply
+    * `< n` rows total, every undersized domain taken whole). Rows with
+    * a null domain are excluded.
+    *
+    * Scale shape: one type-sized driver collect (the per-domain counts
+    * — the label-dictionary contract), quotas broadcast back, and ONE
+    * hash-partitioned window sort per domain (exactly
+    * [[stratifiedSample]]'s single shuffle; domains fill in parallel).
+    */
+  def temperatureSample(df: DataFrame, domainCol: String, n: Int,
+      tau: Double, key: String, salt: String = "graft"): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    require(tau >= 0.0, s"tau must be >= 0, got $tau")
+    val rows = df.filter(col(domainCol).isNotNull)
+    val counts = rows
+      .groupBy(col(domainCol).cast("string").as("_dom"))
+      .agg(count(lit(1)).as("_nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty) return rows.limit(0)
+    val wRaw = counts.map { case (_, nd) => math.pow(nd.toDouble, tau) }
+    val tot = wRaw.sum
+    val ideal = wRaw.map(w => n * w / tot)
+    val base = ideal.map(math.floor(_).toLong)
+    val leftover = math.max(0L, n - base.sum).toInt
+    val bonus = counts.indices
+      .sortBy(i => (-(ideal(i) - base(i)), counts(i)._1))
+      .take(leftover).toSet
+    val quotas = counts.indices.map { i =>
+      (counts(i)._1,
+        math.min(counts(i)._2, base(i) + (if (bonus(i)) 1L else 0L)))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(quotas.toDF("_dom", "_quota"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(contentDigest(key, salt), col(key))
+    rows.withColumn("_rk", row_number().over(w))
+      .join(qdf, col(domainCol).cast("string") === col("_dom"))
+      .filter(col("_rk") <= col("_quota"))
+      .drop("_rk", "_dom", "_quota")
+  }
+
   /** Scale path: shuffle-free split assignment from a content hash of the
     * key — approximate proportions, fully parallel, stable across runs and
     * cluster sizes. Buckets: (name, cumulative-fraction-exclusive-upper).

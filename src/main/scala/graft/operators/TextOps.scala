@@ -540,6 +540,81 @@ object TextOps {
         col("verdict"))): _*)
   }
 
+  /** CONTAMINATION REPORT — the reverse view of [[decontaminate]]: per
+    * BENCHMARK document, how much of it has leaked into the training
+    * corpus. Decontamination answers "which corpus docs must go";
+    * this answers the eval owner's question — "which of my eval items
+    * are burned, and how badly" — so a compromised item can be retired
+    * or reweighted even when the corpus itself cannot be re-filtered
+    * (models already trained on it).
+    *
+    * Output: `benchmark.*` plus `bench_ngrams` (distinct word n-grams
+    * in the item), `leaked_ngrams` (of those, how many occur anywhere
+    * in the corpus), `leak_frac` (their ratio; 0.0 for token-less
+    * docs), `leaking_docs` (distinct corpus documents sharing at least
+    * one n-gram with the item), `verdict` ('clean' when
+    * `leaked_ngrams == 0`, else 'leaked').
+    *
+    * Scale shape — the relational posture of
+    * [[decontaminateRelational]], because here the BIG side (the
+    * corpus) is the probe: both sides explode to (key, 64-bit
+    * gram-hash) rows (per-document distinct via the shingle kernel's
+    * set semantics), the hash join on `_h` is the one corpus-wide
+    * exchange (16-byte rows, never the text), and the per-item stats
+    * re-aggregate by benchmark key with map-side partial combine.
+    * `bench_ngrams` is computed inline on the benchmark row, so the
+    * stats relation stays sparse — leaked items only — and the final
+    * attach join broadcasts by default (`broadcastStats = false` for a
+    * benchmark too large even for that). The two distinct-counts share
+    * one aggregation (Spark's expand, a 2× on the already-joined —
+    * i.e. leaked-only — rows, not on the corpus).
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, corpusKey: String, benchKey: String, n: Int = 8,
+      benchTextCol: String = "", broadcastStats: Boolean = true)
+      : DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val btc = if (benchTextCol.isEmpty) textCol else benchTextCol
+    require(benchmark.columns.contains(btc),
+      s"benchmark is missing text column '$btc'")
+    require(benchmark.columns.contains(benchKey),
+      s"benchmark is missing key column '$benchKey'")
+    require(corpus.columns.contains(textCol),
+      s"corpus is missing text column '$textCol'")
+    require(corpus.columns.contains(corpusKey),
+      s"corpus is missing key column '$corpusKey'")
+    val hashOne = udf((g: String) => ngramHash64(g))
+    val benchGrams = benchmark
+      .select(col(benchKey),
+        explode(Dedup.shinglesFast(col(btc), n)).as("_g"))
+      .select(col(benchKey), hashOne(col("_g")).as("_h"))
+    val corpusGrams = corpus
+      .select(col(corpusKey).as("_ck"),
+        explode(Dedup.shinglesFast(col(textCol), n)).as("_g"))
+      .select(col("_ck"), hashOne(col("_g")).as("_h"))
+    val stats0 = benchGrams.join(corpusGrams, Seq("_h"))
+      .groupBy(col(benchKey))
+      .agg(countDistinct(col("_h")).as("leaked_ngrams"),
+        countDistinct(col("_ck")).as("leaking_docs"))
+    val stats = if (broadcastStats) broadcast(stats0) else stats0
+    benchmark
+      .withColumn("bench_ngrams",
+        size(Dedup.shinglesFast(col(btc), n)).cast("long"))
+      .join(stats, Seq(benchKey), "left")
+      .withColumn("leaked_ngrams",
+        coalesce(col("leaked_ngrams"), lit(0L)))
+      .withColumn("leaking_docs", coalesce(col("leaking_docs"), lit(0L)))
+      .withColumn("leak_frac",
+        when(col("bench_ngrams") === 0, lit(0.0))
+          .otherwise(col("leaked_ngrams").cast("double")
+            / col("bench_ngrams")))
+      .withColumn("verdict",
+        when(col("leaked_ngrams") === 0, "clean").otherwise("leaked"))
+      .select((benchmark.columns.map(col) ++ Seq(col("bench_ngrams"),
+        col("leaked_ngrams"), col("leak_frac"), col("leaking_docs"),
+        col("verdict"))): _*)
+  }
+
   /** SURGICAL decontamination, part 1 — the spans themselves: for every
     * corpus document, the maximal merged [start, end) token intervals
     * covered by any word n-gram that also occurs in the benchmark.

@@ -1711,6 +1711,108 @@ object PipelineQueries {
       TextOps.packChunks(encoded, "ids_str", "doc_id", seqLen = 256,
           boundary = "-1")
         .orderBy("seq_id")
+    },
+
+    // --- Contamination REPORT (the reverse view of q80/q87): per
+    //     benchmark item (docs 0–49), how much of it leaked into the
+    //     disjoint corpus (docs 50+) — leaked-gram counts, fraction,
+    //     and the number of distinct leaking corpus docs. Exact
+    //     count+string math, DuckDB-replayable like q87's.
+    Query(
+      "q92_contamination_report",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE
+        |    WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |    WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(len(tk) - 2),
+        |      i -> array_to_string(tk[i+1:i+3], ' ')) END) AS sh
+        |  FROM tok),
+        |bx AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id < 50),
+        |cx AS (SELECT doc_id AS cid, unnest(sh) AS g FROM sh
+        |       WHERE doc_id >= 50),
+        |st AS (SELECT b.doc_id, count(DISTINCT b.g) AS leaked,
+        |              count(DISTINCT c.cid) AS ldocs
+        |       FROM bx b JOIN cx c USING (g) GROUP BY b.doc_id),
+        |fr AS (
+        |  SELECT s.doc_id, CAST(len(sh) AS BIGINT) AS bench_ngrams,
+        |    CAST(coalesce(st.leaked, 0) AS BIGINT) AS leaked_ngrams,
+        |    CASE WHEN len(sh) = 0 THEN 0.0
+        |         ELSE coalesce(st.leaked, 0)::DOUBLE / len(sh) END AS f,
+        |    CAST(coalesce(st.ldocs, 0) AS BIGINT) AS leaking_docs
+        |  FROM sh s LEFT JOIN st USING (doc_id) WHERE s.doc_id < 50)
+        |SELECT doc_id, bench_ngrams, leaked_ngrams,
+        |  round(f, 4) AS leak_frac, leaking_docs,
+        |  CASE WHEN leaked_ngrams = 0 THEN 'clean' ELSE 'leaked'
+        |  END AS verdict
+        |FROM fr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      TextOps.contaminationReport(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50).select("doc_id", "text"),
+          "text", "doc_id", "doc_id", n = 3)
+        .select(col("doc_id"), col("bench_ngrams"),
+          col("leaked_ngrams"), round(col("leak_frac"), 4)
+            .as("leak_frac"),
+          col("leaking_docs"), col("verdict"))
+        .orderBy("doc_id")
+    },
+
+    // --- Temperature-weighted domain mixture sample: 100 docs across
+    //     the language domains at tau=0.5 — largest-remainder
+    //     n_d^0.5 quotas, digest order within each language. The
+    //     whole allocation (pow/floor/remainder-rank) replays in SQL,
+    //     so the exact row set is oracle-checked like q52/q53.
+    Query(
+      "q93_temperature_sample",
+      """WITH c AS (SELECT lang AS dom, count(*) AS nd FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
+        |t AS (SELECT sum(pow(nd, 0.5)) AS tot FROM c),
+        |i AS (SELECT dom, nd, 100 * pow(nd, 0.5) / t.tot AS ideal
+        |      FROM c CROSS JOIN t),
+        |b AS (SELECT dom, nd, CAST(floor(ideal) AS BIGINT) AS base,
+        |             ideal - floor(ideal) AS rem FROM i),
+        |l AS (SELECT 100 - sum(base) AS leftover FROM b),
+        |r AS (SELECT dom, nd, base,
+        |             row_number() OVER (ORDER BY rem DESC, dom) AS rk
+        |      FROM b),
+        |q AS (SELECT dom, least(nd, base + CASE WHEN rk <= l.leftover
+        |             THEN 1 ELSE 0 END) AS quota FROM r CROSS JOIN l)
+        |SELECT doc_id, lang FROM documents d JOIN q ON d.lang = q.dom
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id)
+        |  <= q.quota
+        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      Splits.temperatureSample(Tables.load(s, d, "documents"),
+          "lang", n = 100, tau = 0.5, key = "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    },
+
+    // --- Cluster-scoped (SemDeDup-style) embedding near-dup: 50
+    //     planted near-copies recovered through k-means scoping +
+    //     exact in-cluster cosine. kmeansIters=0 keeps the
+    //     hash-sampled deterministic centroids (bit-stable rows);
+    //     the k-means math has no DuckDB analogue, so this rides the
+    //     rows-only check — the recall floor vs exact cosinePairs is
+    //     pinned in SimilaritySpec instead.
+    Query.noOracle("q94_cluster_neardup") { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(1.001f) + lit(0.0004f)).as("embedding"))
+      Similarity.clusterNearDuplicatePairs(
+          emb.select("vec_id", "embedding").unionByName(planted),
+          "embedding", "vec_id", nlist = 16, threshold = 0.99,
+          kmeansIters = 0)
+        .select(col("key_a"), col("key_b"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("key_a", "key_b")
     }
   )
 

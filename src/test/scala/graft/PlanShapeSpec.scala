@@ -143,6 +143,35 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q92 contaminationReport: neither side's text ever rides an " +
+      "Exchange — only gram-hash rows and the sparse per-item stats") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextOps
+    val docs = Tables.docs
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val out = TextOps.contaminationReport(
+        docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50), "text", "doc_id", "doc_id",
+        n = 3)
+      val plan = out.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      // allowed exchanges: corpus grams by hash, bench grams by hash,
+      // and the two-phase distinct aggregation on the bench key — all
+      // 16-byte-class rows; a text column on any of them means a
+      // 100 TB side is being moved to be counted
+      assert(shuffles.nonEmpty && shuffles.size <= 4,
+        s"unexpected exchange count ${shuffles.size}:\n$plan")
+      for (e <- shuffles)
+        assert(!e.output.exists(_.name == "text"),
+          s"document text must never shuffle:\n$plan")
+      // the stats attach rides the explicit broadcast hint
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"stats attach must broadcast:\n$plan")
+    }
+  }
+
   test("q84 packChunks computes global token offsets without any Window " +
       "operator — the distributed prefix sum, not a single-partition " +
       "cumulative sum") {

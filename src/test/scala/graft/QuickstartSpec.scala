@@ -277,4 +277,65 @@ class QuickstartSpec extends SparkTestBase {
       java.nio.file.Files.readAllBytes(shard.toPath))
     assert(records.nonEmpty && records.forall(_.nonEmpty))
   }
+
+  test("the QUICKSTART recipe's oversized-benchmark path: the " +
+      "relational decontamination and LM forms slot into the chain " +
+      "with identical decisions to the broadcast forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+
+    val phrases = Vector(
+      "the quick brown fox", "jumps over the lazy dog",
+      "a stitch in time saves nine", "practice makes perfect every day",
+      "actions speak louder than words",
+      "the early bird catches the worm")
+    def goodText(seed: Int) = {
+      val rnd = new scala.util.Random(1000 + seed)
+      Seq.fill(6)(phrases(rnd.nextInt(phrases.size))).mkString(" ")
+    }
+    val reference = (1 to 6).map(i => (i.toLong, phrases.mkString(" ")))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((900L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val crawl = Seq(
+      10L -> ("we quote alpha beta gamma delta epsilon zeta eta theta " +
+        "in this otherwise fine document " + goodText(0)),
+      30L -> (1 to 24).map(i => s"zq$i").mkString(" "), // gibberish
+      40L -> goodText(7), 41L -> goodText(8))
+      .toDF("doc_id", "text")
+
+    // stage 1 through the relational form: same keep set
+    def keepSet(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"verdict" === "keep").select("doc_id").as[Long]
+        .collect().toSet
+    val keptB = keepSet(TextOps.decontaminate(crawl, benchmark, "text",
+      n = 8, threshold = 0.0))
+    val keptR = keepSet(TextOps.decontaminateRelational(crawl, benchmark,
+      "text", "doc_id", n = 8, threshold = 0.0))
+    assert(keptR == keptB && keptR == Set(30L, 40L, 41L))
+    val clean = crawl.filter($"doc_id".isin(keptR.toSeq: _*))
+
+    // stage 3 through the relational form: identical scores, and the
+    // LM floor still separates gibberish from prose
+    val scoresB = TextOps.lmScore(clean,
+        TextOps.ngramLm(reference, "text"), "text")
+      .select("doc_id", "lm_score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    val scoresR = TextOps.lmScoreRelational(clean,
+        TextOps.ngramLmRelations(reference, "text"), "text", "doc_id")
+      .select("doc_id", "lm_score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(scoresR.keySet == scoresB.keySet)
+    for ((k, vB) <- scoresB) {
+      val vR = scoresR(k)
+      assert((vB.isNaN && vR.isNaN) || math.abs(vB - vR) < 1e-9,
+        s"doc $k: relational $vR vs broadcast $vB")
+    }
+    assert(scoresR(30L) < math.min(scoresR(40L), scoresR(41L)),
+      "the relational LM must still separate gibberish from prose")
+  }
 }

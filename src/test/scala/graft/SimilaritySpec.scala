@@ -170,6 +170,105 @@ class SimilaritySpec extends SparkTestBase {
       f"LSH recall $recall%.3f under the 0.9 floor")
   }
 
+  test("clusterNearDuplicatePairs: exactly the planted copies on a " +
+      "clustered fixture, drop list keeps the smaller keys, nulls and " +
+      "zero-norm never pair, cluster-skew guard counts its drops") {
+    // 3 semantic clusters on axes e0/e1/e2, 10 members each (±0.3
+    // jitter along e3..e7 — within-cluster non-copy cosine ≤ 1/1.09 ≈
+    // .917, cross-cluster ≤ .083), plus a scaled exact copy of 2
+    // members per cluster (cosine 1.0). threshold .95 ⇒ ground truth
+    // is exactly the 6 copy pairs.
+    def vec(axis: Int, jit: Int, sign: Double,
+        scale: Double = 1.0): Seq[Double] = {
+      val v = Array.fill(8)(0.0)
+      v(axis) = 1.0; v(3 + jit) = sign * 0.3
+      v.map(_ * scale).toSeq
+    }
+    val members = for {
+      a <- 0 to 2; j <- 0 to 4; s <- Seq(1.0, -1.0)
+    } yield ((a * 100 + j * 2 + (if (s > 0) 0 else 1)).toLong,
+      vec(a, j, s))
+    val copies = for { a <- 0 to 2; j <- 0 to 1 }
+      yield ((1000 + a * 100 + j).toLong, vec(a, j, 1.0, scale = 1.1))
+    val junk = Seq((9001L, null.asInstanceOf[Seq[Double]]),
+      (9002L, Seq.fill(8)(0.0)))
+    val corpus = (members ++ copies ++ junk).toDF("vec_id", "embedding")
+    val expected = (for { a <- 0 to 2; j <- 0 to 1 }
+      yield ((a * 100 + j * 2).toLong, (1000 + a * 100 + j).toLong)).toSet
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    // exact ground truth agrees with the construction (junk excluded:
+    // a zero-norm pair's cosine is 0/0 = NaN, which Spark ORDERS above
+    // every double — cosinePairs would pass it; the operator's own
+    // _n > 0 filter is what the junk rows exercise below)
+    assert(pairSet(Similarity.cosinePairs(
+      (members ++ copies).toDF("vec_id", "embedding"), "embedding",
+      "vec_id", threshold = 0.95)) == expected)
+    val pairs = Similarity.clusterNearDuplicatePairs(corpus, "embedding",
+      "vec_id", nlist = 3, threshold = 0.95, kmeansIters = 2)
+    // copies co-assign by construction (same direction ⇒ same argmax
+    // centroid), so the cluster scope loses nothing here — recall 1.0
+    // whatever granularity k-means settled on
+    assert(pairSet(pairs) == expected, pairSet(pairs).toString)
+    val cos = pairs.select("cosine").as[Double].collect()
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-9))
+    // drop list: the larger key of every pair = the 6 copy keys
+    val drops = Similarity.clusterDedupDropList(corpus, "embedding",
+        "vec_id", nlist = 3, threshold = 0.95, kmeansIters = 2)
+      .as[Long].collect().toSet
+    assert(drops == expected.map(_._2), drops.toString)
+    // deterministic under iters=0 (hash-sampled centroids, no FP-order
+    // sensitivity) and under repartitioning
+    val d0 = pairSet(Similarity.clusterNearDuplicatePairs(corpus,
+      "embedding", "vec_id", nlist = 3, threshold = 0.95,
+      kmeansIters = 0))
+    val d0again = pairSet(Similarity.clusterNearDuplicatePairs(
+      corpus.repartition(7), "embedding", "vec_id", nlist = 3,
+      threshold = 0.95, kmeansIters = 0))
+    assert(d0 == d0again && d0 == expected)
+    // skew guard: an over-cap cluster emits nothing and the drops are
+    // attributed under the "semdedup" tag
+    val ctr = graft.operators.GuardMetrics.of(spark.sparkContext,
+      "semdedup")
+    ctr.reset()
+    Similarity.clusterNearDuplicatePairs(corpus, "embedding", "vec_id",
+      nlist = 3, threshold = 0.95, kmeansIters = 2,
+      maxClusterSize = 2).count()
+    assert(ctr.droppedRows.value > 0,
+      "over-cap clusters must count their dropped rows")
+  }
+
+  test("clusterNearDuplicatePairs recall vs the exact baseline on the " +
+      "real embeddings fixture (pinned floor, mirrors the LSH pin)") {
+    // same planted-copy construction as the LSH recall test: copies are
+    // near-identical to their originals, so they land in the SAME
+    // k-means cell almost surely — the straddle loss the scaladoc
+    // documents applies to borderline pairs, not to copies
+    val base = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").filter(col("vec_id") < 200)
+      .select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.001f) + lit(0.0004f)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    val truth = pairSet(Similarity.cosinePairs(corpus, "embedding",
+      "vec_id", threshold = 0.99))
+    assert(truth.size == 30)
+    val got = pairSet(Similarity.clusterNearDuplicatePairs(corpus,
+      "embedding", "vec_id", nlist = 8, threshold = 0.99,
+      kmeansIters = 2))
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"planted pairs: ${truth.size}, cluster-scope recall $recall%.3f")
+    assert(recall >= 0.9,
+      f"cluster-scoped recall $recall%.3f under the 0.9 floor")
+    // precision is exact by construction: every emitted pair passed the
+    // exact cosine verify, so no non-truth pair can appear
+    assert(got.subsetOf(truth), (got -- truth).toString)
+  }
+
   test("LSH bucket-skew guard: a degenerate bucket is dropped with " +
       "attributed metrics in the batch op, the incremental enforces " +
       "the same union-wide cap store-shuffle-free, and zero-norm " +

@@ -112,6 +112,56 @@ class SplitsSpec extends SparkTestBase {
     assert(wins > 25, s"weight-9 item won only $wins/40 draws") // E[wins]=36
   }
 
+  test("temperatureSample: largest-remainder n_d^tau quotas, digest " +
+      "order within domains, caps, tau endpoints, null exclusion") {
+    // domains: a×8, b×2, c×4, plus 2 null-domain rows (excluded)
+    val df = ((1 to 8).map(i => (i.toLong, "a")) ++
+      (11 to 12).map(i => (i.toLong, "b")) ++
+      (21 to 24).map(i => (i.toLong, "c")) ++
+      Seq((91L, null.asInstanceOf[String]), (92L, null.asInstanceOf[String])))
+      .toDF("id", "dom")
+    def domCounts(out: org.apache.spark.sql.DataFrame) =
+      out.groupBy("dom").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // tau=0.5, n=7: weights √8:√2:√4 → ideals 3.17/1.59/2.24 →
+    // bases 3/1/2, leftover 1 → largest remainder (b, .59) gets it
+    val t = Splits.temperatureSample(df, "dom", n = 7, tau = 0.5,
+      key = "id")
+    assert(domCounts(t) == Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+    // within-domain selection is the digest order: per domain the pick
+    // equals stratifiedSample at that domain's quota
+    for ((d, q) <- Seq(("a", 3), ("b", 2), ("c", 2))) {
+      val want = Splits.stratifiedSample(df.filter($"dom" === d), "dom",
+        q, "id").select("id").as[Long].collect().toSet
+      val got = t.filter($"dom" === d).select("id").as[Long]
+        .collect().toSet
+      assert(got == want, s"domain $d: $got != $want")
+    }
+    // deterministic under repartitioning
+    val again = Splits.temperatureSample(df.repartition(9), "dom", 7,
+      0.5, "id")
+    assert(t.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+
+    // tau=1: natural proportions, 7·(8/14, 2/14, 4/14) = 4/1/2 exactly
+    assert(domCounts(Splits.temperatureSample(df, "dom", 7, 1.0, "id"))
+      == Map("a" -> 4L, "b" -> 1L, "c" -> 2L))
+    // tau=0: uniform thirds, equal remainders tie-break to 'a'
+    assert(domCounts(Splits.temperatureSample(df, "dom", 7, 0.0, "id"))
+      == Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+    // quotas cap at the domain size, capped share is NOT redistributed:
+    // tau=0, n=12 → ideal 4 each, b caps at 2 → 10 rows total
+    val capped = Splits.temperatureSample(df, "dom", 12, 0.0, "id")
+    assert(domCounts(capped) == Map("a" -> 4L, "b" -> 2L, "c" -> 4L))
+    // n >= total non-null rows → every non-null row, never a null
+    val all = Splits.temperatureSample(df, "dom", 100, 0.7, "id")
+    assert(domCounts(all) == Map("a" -> 8L, "b" -> 2L, "c" -> 4L))
+    // n=0 → empty, schema preserved
+    val empty = Splits.temperatureSample(df, "dom", 0, 0.5, "id")
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "dom"))
+  }
+
   test("hashSplit: deterministic, shuffle-free, roughly proportional") {
     val df = ids(2000)
     val s1 = Splits.hashSplit(df, "image_id")

@@ -246,6 +246,48 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("contaminationReport: per-benchmark-item leak stats — exact " +
+      "fractions, distinct leaking-doc counts, shingle edges, clean " +
+      "items, both attach strategies") {
+    val bench = Seq(
+      (1L, "the quick brown fox jumps"), // all 3 grams leak via 10+11
+      (2L, "completely unrelated benchmark item"), // clean
+      (3L, "xx yy"),  // < n tokens: whole-text shingle, matches doc 13
+      (4L, ""),       // gramless
+      (5L, null.asInstanceOf[String]))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),
+      (11L, "a the quick brown fox here"), // shares 2 of b1's grams
+      (12L, "some other words entirely"),
+      (13L, "xx yy"))
+      .toDF("doc_id", "text")
+    def rows(bs: Boolean) = TextOps.contaminationReport(corpus, bench,
+        "text", "doc_id", "bid", n = 3, benchTextCol = "btext",
+        broadcastStats = bs)
+      .select("bid", "bench_ngrams", "leaked_ngrams", "leak_frac",
+        "leaking_docs", "verdict")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getString(5))))
+      .toMap
+    for (bs <- Seq(true, false)) {
+      val out = rows(bs)
+      // b1: grams {tqb, qbf, bfj}; tqb+qbf occur in docs 10 and 11,
+      // bfj only in 10 → 3/3 leaked, 2 distinct leaking docs
+      assert(out(1L) == ((3L, 3L, 1.0, 2L, "leaked")), out(1L))
+      assert(out(2L) == ((2L, 0L, 0.0, 0L, "clean")), out(2L))
+      assert(out(3L) == ((1L, 1L, 1.0, 1L, "leaked")), out(3L))
+      assert(out(4L) == ((0L, 0L, 0.0, 0L, "clean")), out(4L))
+      assert(out(5L) == ((0L, 0L, 0.0, 0L, "clean")), out(5L))
+    }
+    // column contract: benchmark.* preserved, stats appended
+    val cols = TextOps.contaminationReport(corpus, bench, "text",
+      "doc_id", "bid", n = 3, benchTextCol = "btext").columns.toSeq
+    assert(cols == Seq("bid", "btext", "bench_ngrams", "leaked_ngrams",
+      "leak_frac", "leaking_docs", "verdict"), cols)
+  }
+
   test("ngramLmRelations/lmScoreRelational: parity with the " +
       "driver-array form — OOV smoothing, short-doc null, custom k — " +
       "and the sparse score relation") {
