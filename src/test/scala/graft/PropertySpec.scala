@@ -233,6 +233,77 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("contaminationReport ≡ brute-force per-benchmark-item leak " +
+      "stats for arbitrary corpus/benchmark splits") {
+    for (corpus <- samples(textCorpusGen, 6); n <- Seq(2, 3)) {
+      val (benchRows, corpusRows) = corpus.partition(_._1 % 3 == 0)
+      if (benchRows.nonEmpty && corpusRows.nonEmpty) {
+        val corpusSets = corpusRows
+          .map { case (k, t) => k -> bruteGrams(t, n).map(_._3).toSet }
+        val expected = benchRows.map { case (b, t) =>
+          val bg = bruteGrams(t, n).map(_._3).toSet
+          val leaked = bg.count(g => corpusSets.exists(_._2(g)))
+          val ldocs = corpusSets.count(_._2.exists(bg))
+          val frac = if (bg.isEmpty) 0.0 else leaked.toDouble / bg.size
+          (b, (bg.size.toLong, leaked.toLong, frac, ldocs.toLong,
+            if (leaked == 0) "clean" else "leaked"))
+        }.toMap
+        val got = TextOps.contaminationReport(
+            corpusRows.toDF("doc_id", "text"),
+            benchRows.toDF("doc_id", "text"), "text", "doc_id",
+            "doc_id", n)
+          .select("doc_id", "bench_ngrams", "leaked_ngrams",
+            "leak_frac", "leaking_docs", "verdict")
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getLong(4), r.getString(5))))
+          .toMap
+        assert(got == expected, s"n=$n corpus=$corpus")
+      }
+    }
+  }
+
+  test("temperatureSample ≡ brute-force Hamilton quotas + digest pick " +
+      "for arbitrary domain distributions, n, tau") {
+    val distGen: Gen[Seq[Int]] = for {
+      d <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(d, Gen.choose(1, 8))
+    } yield sizes
+    val caseGen = Gen.zip(distGen, Gen.choose(0, 20),
+      Gen.oneOf(0.0, 0.3, 0.5, 1.0, 1.7))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    samples(caseGen, 10).foreach { case (sizes, n, tau) =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, d) =>
+        (0 until sz).map(i => ((d * 100 + i).toLong, s"dom$d"))
+      }
+      val df = rows.toDF("id", "dom")
+      // independent quota reimplementation (sorted-domain sum order)
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val w = counts.map { case (_, nd) => math.pow(nd.toDouble, tau) }
+      val tot = w.sum
+      val ideal = w.map(x => n * x / tot)
+      val base = ideal.map(math.floor(_).toLong)
+      val bonus = counts.indices
+        .sortBy(i => (-(ideal(i) - base(i)), counts(i)._1))
+        .take(math.max(0L, n - base.sum).toInt).toSet
+      val quota = counts.indices.map(i => counts(i)._1 ->
+        math.min(counts(i)._2,
+          base(i) + (if (bonus(i)) 1L else 0L))).toMap
+      // expected keys: per domain, the quota smallest md5 digests
+      val expected = rows.groupBy(_._2).flatMap { case (d, rs) =>
+        rs.map(_._1).sortBy(k => (md5hex(s"graft$k"), k))
+          .take(quota(d).toInt)
+      }.toSet
+      val got = Splits.temperatureSample(df, "dom", n, tau, "id")
+        .select("id").as[Long].collect().toSet
+      assert(got == expected, s"sizes=$sizes n=$n tau=$tau " +
+        s"quota=$quota got=$got expected=$expected")
+    }
+  }
+
   test("packChunks conserves the token stream: exact seqLen everywhere " +
       "but the tail, contiguous ids, reconstruction = input multiset") {
     for (corpus <- samples(textCorpusGen, 6); seqLen <- Seq(3, 7, 11)) {
