@@ -172,6 +172,41 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q93 temperatureSample: one per-domain window exchange, quota " +
+      "attach broadcasts — corpus rows shuffle exactly once") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val out = Splits.temperatureSample(Tables.docs, "lang", 50, 0.5,
+        "doc_id")
+      val plan = out.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1,
+        s"expected only the per-domain window exchange, got " +
+          s"${shuffles.size}:\n$plan")
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"the type-sized quota map must broadcast:\n$plan")
+    }
+  }
+
+  test("q94 cluster-scoped dedup never plans an all-pairs join — the " +
+      "pairing keys on the cluster id; the only unconditioned join is " +
+      "the deliberate row × nlist centroid expansion, broadcast") {
+    val p = plan("q94_cluster_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"cluster-scoped dedup must never go cartesian:\n$p")
+    // assignTo's argmin is join(broadcast(centroids)) — an
+    // unconditioned join by construction, safe because the build side
+    // is nlist rows; it must stay a BROADCAST nested loop, never a
+    // shuffled cartesian of corpus rows
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"the centroid expansion must broadcast its nlist side:\n$p")
+    // the candidate pairing is an equi-join on _cid — the Σ|cluster|²
+    // bound the operator promises
+    assert(p.contains("Join [_cid"),
+      s"pairing must key on the cluster id:\n$p")
+  }
+
   test("q84 packChunks computes global token offsets without any Window " +
       "operator — the distributed prefix sum, not a single-partition " +
       "cumulative sum") {
