@@ -615,6 +615,39 @@ class ScaleStressSpec extends SparkTestBase {
     assert(spBytes10 < 2 * spBytes1,
       s"span-count-store 10× must not grow the increment's shuffle: " +
         s"$spBytes1 -> $spBytes10")
+
+    // the fingerprint-family member (simhashNearDuplicatesIncremental-
+    // FromSigs, the per-batch op ImageDedupIngest rides over
+    // perceptual hashes): guard OFF broadcasts the new batch's banding
+    // — the 64-bit fingerprint store is scanned map-side, never
+    // shuffled, so a 10× store must not grow the increment's shuffle
+    def hashStore(n: Long) = spark.range(n)
+      .select(col("id").as("img_id"), xxhash64(col("id")).as("_h"))
+      .pinnedCheckpoint()
+    // fixed 500-fingerprint batch: half exact copies of stored
+    // fingerprints (hamming 0), half fresh
+    val hashBatch = spark.range(250)
+      .select((col("id") + 70000000L).as("img_id"),
+        xxhash64(col("id")).as("_h"))
+      .unionByName(spark.range(250)
+        .select((col("id") + 80000000L).as("img_id"),
+          xxhash64(col("id") + 40000000L).as("_h")))
+      .pinnedCheckpoint()
+    def runHash(store: DataFrame): Long =
+      Dedup.simhashNearDuplicatesIncrementalFromSigs(hashBatch, store,
+        "img_id", maxDistance = 3, maxBucketSize = -1)._1.count()
+    val hashStore1 = hashStore(smallN)
+    val hashStore10 = hashStore(10 * smallN)
+    val (h1, _, hBytes1) =
+      measured("fingerprint store 1×")(runHash(hashStore1))
+    val (h10, _, hBytes10) =
+      measured("fingerprint store 10×")(runHash(hashStore10))
+    // the 250 copied fingerprints match their stored originals at
+    // hamming 0 at BOTH scales (plus any band-coincident extras)
+    assert(h1 >= 250 && h10 >= 250, s"pairs $h1 / $h10")
+    assert(hBytes10 < 2 * hBytes1,
+      s"fingerprint-store 10× must not grow the increment's shuffle: " +
+        s"$hBytes1 -> $hBytes10")
   }
 
   test("ingest per-batch cost vs version-history width: wide label " +
