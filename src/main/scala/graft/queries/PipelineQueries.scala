@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{AggOps, Dedup, Joins, Multimodal, Similarity, SkewOps, Splits, TextOps}
+import graft.operators.{AggOps, Dedup, Joins, Multimodal, QualityModel, Similarity, SkewOps, Splits, TextOps}
 
 /** LLM-training-data pipeline operators (dedup / similarity / text
   * analysis) exercised on the `documents` and `embeddings` tables.
@@ -1813,6 +1813,31 @@ object PipelineQueries {
         .select(col("key_a"), col("key_b"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("key_a", "key_b")
+    },
+
+    // --- Trained quality classifier (the discriminative member of the
+    //     quality family): hashed-BoW logistic regression trained
+    //     in-query — positives are real documents, negatives a
+    //     deterministic disjoint-vocabulary gibberish twin per doc —
+    //     then every document scored map-only. L-BFGS training has no
+    //     SQL analogue (and is FP-reorder sensitive), so this rides
+    //     the rows-only check; the accuracy/parity floors live in
+    //     QualityModelSpec.
+    Query.noOracle("q95_quality_score") { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val pos = docs.filter(col("doc_id") < 200)
+        .select(col("text"), lit(1).as("label"))
+      val neg = docs.filter(col("doc_id") < 200)
+        .select(concat_ws(" ", (0 until 12).map(j =>
+            concat(lit("zx"), pmod(col("doc_id") * 31 + j, lit(997))))
+            : _*).as("text"),
+          lit(0).as("label"))
+      val clf = QualityModel.train(pos.unionByName(neg), "text",
+        "label", numFeatures = 1 << 14, maxIter = 20)
+      QualityModel.score(docs, clf, "text")
+        .select(col("doc_id"), round(col("quality_prob"), 4)
+          .as("quality_prob"))
+        .orderBy("doc_id")
     }
   )
 
