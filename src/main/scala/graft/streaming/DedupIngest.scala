@@ -362,7 +362,11 @@ object DedupIngest {
     * deleted documents' history. (4) The key-order guard is
     * unaffected: deleted keys do not free key space — `_keyrange`
     * sidecars survive, so new batches must still exceed the
-    * all-time max key.
+    * all-time max key. (5) Scope is the STORES: the kept output under
+    * `keptDir` is downstream pipeline data, not store state — a full
+    * takedown also filters it (anti-join the same key list, e.g.
+    * rewrite the affected `ingest_batch=` partitions), which this
+    * method deliberately does not reach into.
     */
   def deleteKeys(spark: SparkSession, storeRoot: String,
       keys: DataFrame): Long =
