@@ -1341,7 +1341,8 @@ object Dedup {
   def simhashNearDuplicatesIncrementalFromSigs(newSigs: DataFrame,
       store: DataFrame, key: String,
       maxDistance: Int = 3,
-      maxBucketSize: Long = 5000, bits: Int = 64): (DataFrame, DataFrame) = {
+      maxBucketSize: Long = 5000, bits: Int = 64,
+      checkStoreWidth: Boolean = true): (DataFrame, DataFrame) = {
     require(maxDistance <= 3,
       s"maxDistance $maxDistance exceeds the 4-band pigeonhole bound (3)")
     requireBits(bits)
@@ -1354,16 +1355,21 @@ object Dedup {
     // true 32-bit store has every `_h` in [0, 2³²); a genuine 64-bit
     // fingerprint lands there with probability 2⁻³², so a bounded
     // sample is decisive (one cheap first-partition read, not a scan).
-    if (bits == 64) {
-      val sample = store.select(col("_h")).limit(1000)
-        .collect().map(_.getLong(0))
+    if (bits == 64 && checkStoreWidth) {
+      // nulls excluded: a store persisted from this function's own
+      // `updated` relation may carry null fingerprints (undecodable
+      // payloads upstream), and the primitive getter would NPE on them
+      val sample = store.select(col("_h")).filter(col("_h").isNotNull)
+        .limit(1000).collect().map(_.getLong(0))
       if (sample.nonEmpty &&
           sample.forall(h => h >= 0L && h < (1L << 32)))
         throw new IllegalArgumentException(
           "simhash store appears to be 32-bit wide (every sampled " +
             "fingerprint fits in 32 bits) but bits = 64 was requested " +
             "— pass bits = 32 for a store built before the widening, " +
-            "or rebuild the store at 64 bits")
+            "rebuild the store at 64 bits, or pass checkStoreWidth = " +
+            "false for a fingerprint family that is legitimately " +
+            "low-entropy (perceptual hashes of flat images)")
     }
     val all = store.select(col(key), col("_h"))
       .withColumn("_new", lit(false))

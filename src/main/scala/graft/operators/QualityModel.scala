@@ -85,6 +85,17 @@ object QualityModel {
       textCol: String): DataFrame = {
     require(df.columns.contains(textCol),
       s"frame is missing text column '$textCol'")
+    // fail loud on collisions instead of silently clobbering (or, for
+    // quality_prob, emitting the name twice — which would make every
+    // downstream reference ambiguous): the re-score-after-retrain flow
+    // should drop the stale column first
+    val reserved =
+      Seq("quality_prob", "_toks", "_feat", "_raw", "_prob", "_pred")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"frame already carries ${clash.mkString(", ")} — drop or " +
+        "rename before scoring (score appends quality_prob and uses " +
+        "the _-prefixed names internally)")
     clf.model
       .setFeaturesCol("_feat")
       .setPredictionCol("_pred").setRawPredictionCol("_raw")

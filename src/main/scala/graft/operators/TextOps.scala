@@ -975,12 +975,18 @@ object TextOps {
       .select(col(langCol).cast("string").as("_l"),
         explode(gramsUdf(col(textCol))).as("_h"))
       .localCheckpoint(false) // guard + count consumers: extract once
-    val est = pairs.agg(approx_count_distinct(col("_h"))).head().getLong(0)
+    // guard on distinct (language, gram) PAIRS — what the collect below
+    // actually materializes: guarding union gram types alone would pass
+    // while the per-language rows still OOM the driver |languages|×
+    val est = pairs
+      .agg(approx_count_distinct(struct(col("_l"), col("_h"))))
+      .head().getLong(0)
     if (est > maxTypes)
       throw new IllegalArgumentException(
-        s"charLangModel: training corpus has ~$est distinct char " +
-          s"$n-gram types, above the driver-collect cap " +
-          s"maxTypes=$maxTypes — raise the cap or shrink n")
+        s"charLangModel: training corpus has ~$est distinct " +
+          s"(language, char-$n-gram) type rows, above the " +
+          s"driver-collect cap maxTypes=$maxTypes — raise the cap or " +
+          s"shrink n")
     // (lang, gram) counts, language-major sorted: each language's slice
     // arrives hash-sorted and ready for binary search
     val rows = pairs.groupBy(col("_l"), col("_h"))
@@ -1380,12 +1386,22 @@ object TextOps {
     */
   def bpeDecode(ids: Seq[Int], model: BpeModel): String = {
     val bytes = new scala.collection.mutable.ArrayBuffer[Byte]()
-    def expand(id: Int): Unit =
-      if (id < 256) bytes += id.toByte
-      else {
-        val (a, b) = model.merges(id - 256)
-        expand(a); expand(b)
+    // explicit work stack, not recursion: a long-run-dominated corpus
+    // builds merge chains one link per merge (merge r references merge
+    // r-1), so a recursive expand would go ~numMerges frames deep and
+    // overflow the thread stack at GPT-2-class vocabulary sizes
+    val stack = new scala.collection.mutable.ArrayDeque[Int]()
+    def expand(id: Int): Unit = {
+      stack.prepend(id)
+      while (stack.nonEmpty) {
+        val cur = stack.removeHead()
+        if (cur < 256) bytes += cur.toByte
+        else {
+          val (a, b) = model.merges(cur - 256)
+          stack.prepend(b); stack.prepend(a)
+        }
       }
+    }
     ids.foreach(expand)
     val s = new String(bytes.toArray,
       java.nio.charset.StandardCharsets.UTF_8)

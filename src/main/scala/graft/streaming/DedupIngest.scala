@@ -289,6 +289,41 @@ object DedupIngest {
       .start()
   }
 
+  /** TOMBSTONE a set of documents — the takedown/relicensing path: the
+    * keys land as a versioned delta in a `tombstones/` family
+    * ([[VersionedStore.writeTombstones]] — its own monotone version
+    * counter; the single column's NAME must be the ingest's key column,
+    * it is recorded in the parquet and drives every later anti-join).
+    * Effective immediately for every store reader (`sig`/`exact`/
+    * `labels` anti-join the committed tombstones) WITHOUT rewriting
+    * anything; [[compactStores]] then physically removes the rows as
+    * folds touch them, keeping the tombstone rows themselves (unfolded
+    * versions may still carry the key; the family is O(deleted keys)).
+    * Run with the ingest query STOPPED, like compaction.
+    *
+    * Documented semantics, deliberate: (1) deleting a cluster's
+    * representative does not resurrect its previously-dropped
+    * near-dups — takedown removes THIS document, not history; other
+    * rows' `component` labels may keep referencing the deleted key as
+    * an opaque cluster id. (2) After deletion the store no longer
+    * RECOGNIZES the content — a verbatim re-crawl re-ingests fresh
+    * (use an explicit blocklist upstream if re-ingest must stay
+    * barred). (3) The `spancounts` family is NOT keyed by document and
+    * keeps its counts — retracting them would need the deleted text's
+    * gram multiset; boilerplate statistics legitimately include
+    * deleted documents' history. (4) The key-order guard is
+    * unaffected: deleted keys do not free key space — `_keyrange`
+    * sidecars survive, so new batches must still exceed the
+    * all-time max key. (5) Scope is the STORES: the kept output under
+    * `keptDir` is downstream pipeline data, not store state — a full
+    * takedown also filters it (anti-join the same key list, e.g.
+    * rewrite the affected `ingest_batch=` partitions), which this
+    * method deliberately does not reach into.
+    */
+  def deleteKeys(spark: SparkSession, storeRoot: String,
+      keys: DataFrame): Long =
+    VersionedStore.writeTombstones(spark, storeRoot, keys)
+
   /** Collapse the version history (signatures unioned, labels resolved
     * latest-per-key) under a SIZE-TIERED policy. Run with the ingest
     * query STOPPED — compaction rewrites directories a running batch
@@ -337,56 +372,20 @@ object DedupIngest {
     * Returns the folds performed, with the parquet bytes each rewrote
     * — the observability hook for sizing `sizeRatio`.
     */
-  /** TOMBSTONE a set of documents — the takedown/relicensing path: the
-    * keys land as a versioned delta in a `tombstones/` family
-    * ([[VersionedStore.writeTombstones]] — its own monotone version
-    * counter; the single column's NAME must be the ingest's key column,
-    * it is recorded in the parquet and drives every later anti-join).
-    * Effective immediately for every store reader (`sig`/`exact`/
-    * `labels` anti-join the committed tombstones) WITHOUT rewriting
-    * anything; [[compactStores]] then physically removes the rows as
-    * folds touch them, keeping the tombstone rows themselves (unfolded
-    * versions may still carry the key; the family is O(deleted keys)).
-    * Run with the ingest query STOPPED, like compaction.
-    *
-    * Documented semantics, deliberate: (1) deleting a cluster's
-    * representative does not resurrect its previously-dropped
-    * near-dups — takedown removes THIS document, not history; other
-    * rows' `component` labels may keep referencing the deleted key as
-    * an opaque cluster id. (2) After deletion the store no longer
-    * RECOGNIZES the content — a verbatim re-crawl re-ingests fresh
-    * (use an explicit blocklist upstream if re-ingest must stay
-    * barred). (3) The `spancounts` family is NOT keyed by document and
-    * keeps its counts — retracting them would need the deleted text's
-    * gram multiset; boilerplate statistics legitimately include
-    * deleted documents' history. (4) The key-order guard is
-    * unaffected: deleted keys do not free key space — `_keyrange`
-    * sidecars survive, so new batches must still exceed the
-    * all-time max key. (5) Scope is the STORES: the kept output under
-    * `keptDir` is downstream pipeline data, not store state — a full
-    * takedown also filters it (anti-join the same key list, e.g.
-    * rewrite the affected `ingest_batch=` partitions), which this
-    * method deliberately does not reach into.
-    */
-  def deleteKeys(spark: SparkSession, storeRoot: String,
-      keys: DataFrame): Long =
-    VersionedStore.writeTombstones(spark, storeRoot, keys)
-
   def compactStores(spark: SparkSession, storeRoot: String,
       sizeRatio: Double = 4.0): Seq[Fold] = {
     def compact(family: String, resolve: DataFrame => DataFrame) =
       VersionedStore.compactFamily(spark, storeRoot, family, sizeRatio,
         resolve)
-    // tombstones load lazily ONCE; the keyed families' folds apply them
-    // (physical removal), the tombstone family itself folds LAST so its
-    // directories are stable while the other folds read them
+    // tombstones are resolved ONCE here (one family listing + marker
+    // probe, not one per folded family — driver metadata round-trips
+    // are the read-path cost on an object store); the keyed families'
+    // folds apply them (physical removal), the tombstone family itself
+    // folds LAST so its directories are stable while the other folds
+    // read them
+    val tomb = VersionedStore.tombstones(spark, storeRoot)
     def anti(df: DataFrame, keyCol: Option[String]): DataFrame =
-      VersionedStore.tombstones(spark, storeRoot) match {
-        case None => df
-        case Some(t) =>
-          val tt = keyCol.map(t.toDF(_)).getOrElse(t)
-          df.join(tt, Seq(tt.columns.head), "left_anti")
-      }
+      VersionedStore.applyTombstones(df, tomb, keyCol)
     compact("sig", df => anti(df.dropDuplicates(), None)) ++
       compact("exact", df => anti(df.dropDuplicates(), None)) ++
       compact("labels", df => anti(

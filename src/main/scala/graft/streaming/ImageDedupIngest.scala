@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -77,12 +78,43 @@ object ImageDedupIngest {
       key, spark, storeRoot)
   }
 
+  /** The store records its hash method in a `phash/_method` marker and
+    * every batch verifies it: dHash and aHash values for the same image
+    * are unrelated bit patterns, so restarting the ingest with the
+    * other method would not error — every historical duplicate would
+    * silently re-ingest as kept (the same silent-miss class as the
+    * simhash width mismatch, closed the same way: a loud tripwire).
+    */
+  private def enforceMethodMarker(spark: SparkSession, storeRoot: String,
+      method: String): Unit = {
+    val marker = new Path(s"$storeRoot/phash/_method")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      if (recorded != method)
+        throw new IllegalStateException(
+          s"this fingerprint store was built with method='$recorded' " +
+            s"but the ingest was started with method='$method' — " +
+            "cross-method hamming pairs essentially never verify, so " +
+            "every historical duplicate would silently re-ingest; " +
+            "restart with the recorded method or rebuild the store")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(method.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** One micro-batch, exposed for direct testing of idempotence. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       storeRoot: String, keptDir: String, bytesCol: String, key: String,
       maxDistance: Int, maxBucketSize: Long, method: String,
       enforceKeyOrder: Boolean = true): Unit = {
     val spark = batch.sparkSession
+    enforceMethodMarker(spark, storeRoot, method)
     if (enforceKeyOrder)
       VersionedStore.enforceKeyOrderGuard(batch, batchId,
         s"$storeRoot/phash", key)
@@ -94,8 +126,14 @@ object ImageDedupIngest {
     val sigs = Multimodal.perceptualHashes(batch, bytesCol, key, method)
       .filter(col("_h").isNotNull)
       .localCheckpoint(false)
+    // checkStoreWidth = false: the 32-bit-width tripwire is a text-
+    // simhash heuristic (uniform fingerprints), but perceptual hashes
+    // are legitimately low-entropy — a crawl stretch of solid-color
+    // placeholders hashes to 0L (no gradient sets no bit) and would
+    // false-trip it, wedging the stream
     val (pairs, _) = Dedup.simhashNearDuplicatesIncrementalFromSigs(
-      sigs, store, key, maxDistance, maxBucketSize)
+      sigs, store, key, maxDistance, maxBucketSize,
+      checkStoreWidth = false)
     // keep-first: every pair's canonical key_b is the later key under
     // the monotone contract (see object doc)
     val kept = batch.join(
@@ -158,11 +196,9 @@ object ImageDedupIngest {
     * ingest query STOPPED. */
   def compactStores(spark: SparkSession, storeRoot: String,
       sizeRatio: Double = 4.0): Seq[Fold] = {
+    val tomb = VersionedStore.tombstones(spark, storeRoot)
     def anti(df: DataFrame): DataFrame =
-      VersionedStore.tombstones(spark, storeRoot) match {
-        case None => df
-        case Some(t) => df.join(t, Seq(t.columns.head), "left_anti")
-      }
+      VersionedStore.applyTombstones(df, tomb, None)
     VersionedStore.compactFamily(spark, storeRoot, "phash", sizeRatio,
       df => anti(df.dropDuplicates())) ++
       VersionedStore.compactFamily(spark, storeRoot, "tombstones",

@@ -446,13 +446,11 @@ object SimilarityIngest {
       sizeRatio: Double = 4.0): Seq[Fold] = {
     // folds physically drop tombstoned rows (reader parity is already
     // guaranteed by the anti-joins; this reclaims the bytes); the
-    // tombstone family folds last so its directories are stable while
-    // the other folds read them
+    // tombstone set resolves ONCE, and its family folds last so its
+    // directories are stable while the other folds read them
+    val tomb = VersionedStore.tombstones(spark, storeRoot)
     def anti(df: DataFrame): DataFrame =
-      VersionedStore.tombstones(spark, storeRoot) match {
-        case None => df
-        case Some(t) => df.join(t, Seq(t.columns.head), "left_anti")
-      }
+      VersionedStore.applyTombstones(df, tomb, None)
     VersionedStore.compactFamily(spark, storeRoot, "lsh", sizeRatio,
       df => anti(df.dropDuplicates())) ++
       VersionedStore.compactFamily(spark, storeRoot, "assigned",

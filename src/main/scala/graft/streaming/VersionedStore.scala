@@ -222,9 +222,21 @@ private[streaming] object VersionedStore {
     * unchanged, zero plan overhead. */
   def antiTombstones(df: DataFrame, keyCol: String, spark: SparkSession,
       storeRoot: String): DataFrame =
-    tombstones(spark, storeRoot) match {
+    applyTombstones(df, tombstones(spark, storeRoot), Some(keyCol))
+
+  /** [[antiTombstones]] over an ALREADY-RESOLVED tombstone relation —
+    * for callers applying one tombstone set to several families
+    * (compaction), so the family listing + marker probes run once, not
+    * once per family. `keyCol = None` joins on the tombstone column's
+    * own recorded name; `Some(c)` renames it (the label store's
+    * internal `key`). */
+  def applyTombstones(df: DataFrame, tomb: Option[DataFrame],
+      keyCol: Option[String]): DataFrame =
+    tomb match {
       case None => df
-      case Some(t) => df.join(t.toDF(keyCol), Seq(keyCol), "left_anti")
+      case Some(t) =>
+        val tt = keyCol.map(t.toDF(_)).getOrElse(t)
+        df.join(tt, Seq(tt.columns.head), "left_anti")
     }
 
   // adjacent-run grouping: push versions oldest -> newest, cascading

@@ -150,4 +150,43 @@ class ImageDedupIngestSpec extends SparkTestBase {
       .exists(_.getName.startsWith("v=")),
       "tombstone family must survive compaction")
   }
+
+  test("hash-method tripwire: restarting over a dhash-built store with " +
+      "ahash fails loud instead of silently missing every historical " +
+      "duplicate; solid-color (zero-fingerprint) stores never trip " +
+      "the 32-bit width check") {
+    val storeRoot = Files.createTempDirectory("graft-img-meth").toString
+    val keptDir = Files.createTempDirectory("graft-img-meth-k").toString
+    // a batch of SOLID-COLOR images: dHash legitimately all-zero
+    // fingerprints (no gradient sets no bit) — the store the text-side
+    // width heuristic would have false-tripped on
+    def solidPng(v: Int): Array[Byte] = {
+      val w = 8; val h = 8
+      val px = Array.fill(w * h * 3)(v.toByte)
+      ImageCodec.encodePng(w, h, px)
+    }
+    ImageDedupIngest.processBatch(
+      Seq(1L -> solidPng(40), 2L -> solidPng(200))
+        .toDF("img_id", "img"),
+      0L, storeRoot, keptDir, "img", "img_id", maxDistance = 3,
+      maxBucketSize = 5000, method = "dhash")
+    // the next batch banding against the all-zero store must work, not
+    // throw the 32-bit tripwire (and the two solids ARE hamming-0 dups
+    // of each other, so the later key dropped in batch 0 already)
+    assert(keptByBatch(keptDir)(0L) == Set(1L))
+    ImageDedupIngest.processBatch(
+      Seq(11L -> solidPng(90)).toDF("img_id", "img"),
+      1L, storeRoot, keptDir, "img", "img_id", maxDistance = 3,
+      maxBucketSize = 5000, method = "dhash")
+    assert(!keptByBatch(keptDir).contains(1L),
+      "the solid re-crawl must drop against the zero-fingerprint store")
+    // method switch fails loud
+    val err = intercept[IllegalStateException] {
+      ImageDedupIngest.processBatch(
+        Seq(21L -> solidPng(10)).toDF("img_id", "img"),
+        2L, storeRoot, keptDir, "img", "img_id", maxDistance = 3,
+        maxBucketSize = 5000, method = "ahash")
+    }
+    assert(err.getMessage.contains("method='dhash'"), err.getMessage)
+  }
 }

@@ -73,5 +73,13 @@ class QualityModelSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"quality scoring must stay map-only:\n$plan")
+
+    // re-scoring an already-scored frame fails loud (a duplicate
+    // quality_prob column would make downstream references ambiguous)
+    val reScore = intercept[IllegalArgumentException] {
+      QualityModel.score(scored, clf, "text")
+    }
+    assert(reScore.getMessage.contains("quality_prob"),
+      reScore.getMessage)
   }
 }

@@ -529,6 +529,19 @@ class TextOpsSpec extends SparkTestBase {
     assert(err.getMessage.contains("maxWordTypes"))
   }
 
+  test("bpeDecode handles GPT-2-class-deep merge chains without stack " +
+      "overflow (merge r referencing merge r-1, 50k links)") {
+    // 'a' = byte 97; merge r fuses (prior chain id, 97) — decoding the
+    // last id expands a 50k-link left-leaning chain, which a recursive
+    // expand would blow the thread stack on
+    val depth = 50000
+    val merges = Array.tabulate(depth)(r =>
+      (if (r == 0) 97 else 256 + r - 1, 97))
+    val model = TextOps.BpeModel(merges)
+    val out = TextOps.bpeDecode(Seq(256 + depth - 1), model)
+    assert(out == "a" * (depth + 1))
+  }
+
   test("BPE ids compose with packChunks: concat_ws ids are a packable " +
       "chunk column and the packed stream reassembles to the ids") {
     val corpus = Seq(
