@@ -725,6 +725,86 @@ object Dedup {
       .drop("_spans")
   }
 
+  /** CORPUS-LEVEL LINE DEDUPLICATION — the classic C4/CCNet curation
+    * step between whole-document dedup and the statistical span family:
+    * an EXACT line (delimiter-bounded, trim-compared) occurring more
+    * than once ANYWHERE in the corpus survives only at its FIRST
+    * occurrence — the lexicographically smallest `(key, position)` —
+    * and every other occurrence is dropped from its document. Document
+    * dedup misses shared navigation/footer lines; [[repeatedSpans]]
+    * needs `minCount` statistical support and token-window alignment;
+    * this is the exact-match, ≥2-occurrence, keep-one variant the
+    * public pipelines run (C4 dropped repeated spans corpus-wide
+    * keep-first; CCNet dedups exact lines across shards).
+    *
+    * Semantics: line identity is the TRIMMED line; the rebuilt text
+    * keeps the original untrimmed line (so two occurrences differing
+    * only in surrounding whitespace collapse, and the survivor keeps
+    * its own padding). Lines shorter than `minChars` AFTER trimming are
+    * EXEMPT — always kept, never counted: ubiquitous short lines
+    * ("Home", "") carry no signal and would cross-link unrelated
+    * documents. Within-document repeats fall out of the same rule
+    * (first position wins). `delim` is a literal (regex-quoted for the
+    * split) and empty trailing lines are preserved (split limit −1), so
+    * an untouched document round-trips byte-exact. Null text passes
+    * through (null `text_deduped`, zero counts). `key` must be unique
+    * per row and orderable — it is the keep-first identity.
+    *
+    * Output: `df.*` + `text_deduped` (surviving lines re-joined with
+    * `delim`), `kept_lines`, `removed_lines`.
+    *
+    * Scale shape — relational throughout, nothing collected: the corpus
+    * explodes to (key, pos, line-hash) narrow rows — the TEXT never
+    * rides an exchange; `xxhash64(trim(line))` is computed in the same
+    * projection as the split (collisions 2⁻⁶⁴ per pair, the
+    * decontamination family's accepted posture). The canonical-
+    * occurrence aggregation (`min(struct(key, pos))`, map-side partial
+    * combine) keeps ONLY hashes seen ≥2 times, so the occurrence join
+    * back and the per-document removal lists stay SPARSE — documents
+    * that actually lose a line. The attach broadcasts by default
+    * (duplicated lines are the exception in a curated crawl); pass
+    * `broadcastRemovals = false` when boilerplate is pervasive enough
+    * that the removal relation outgrows a broadcast (the attach then
+    * becomes the one shuffle touching corpus rows). The rebuild is
+    * codegen'd HOFs (indexed `filter` over the split array), no UDF.
+    */
+  def dedupLines(df: DataFrame, textCol: String, key: String,
+      minChars: Int = 10, delim: String = "\n",
+      broadcastRemovals: Boolean = true): DataFrame = {
+    require(df.columns.contains(textCol),
+      s"frame is missing text column '$textCol'")
+    require(df.columns.contains(key),
+      s"frame is missing key column '$key'")
+    require(minChars >= 0, s"minChars must be >= 0, got $minChars")
+    require(delim.nonEmpty, "delim must be non-empty")
+    val lines = split(col(textCol),
+      java.util.regex.Pattern.quote(delim), -1)
+    val occ = df
+      .select(col(key), posexplode(lines).as(Seq("_p", "_l")))
+      .where(length(trim(col("_l"))) >= minChars)
+      .select(col(key), col("_p"), xxhash64(trim(col("_l"))).as("_h"))
+    val canon = occ.groupBy(col("_h"))
+      .agg(min(struct(col(key), col("_p"))).as("_first"),
+        count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(col("_h"), col("_first"))
+    val removals = occ.join(canon, Seq("_h"))
+      .where(struct(col(key), col("_p")) =!= col("_first"))
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(col("_p"))).as("_rm"))
+    val rm = if (broadcastRemovals) broadcast(removals) else removals
+    df.join(rm, Seq(key), "left")
+      .withColumn("_rm", coalesce(col("_rm"), typedLit(Seq.empty[Int])))
+      .withColumn("_kept", filter(lines,
+        (_: Column, i: Column) => !array_contains(col("_rm"), i)))
+      .withColumn("text_deduped", array_join(col("_kept"), delim))
+      .withColumn("kept_lines",
+        coalesce(size(col("_kept")).cast("long"), lit(0L)))
+      .withColumn("removed_lines", size(col("_rm")).cast("long"))
+      .select(df.columns.map(col) ++ Seq(col("text_deduped"),
+        col("kept_lines"), col("removed_lines")): _*)
+  }
+
   /** Persistable corpus-wide n-gram occurrence-count store — the span
     * family's incremental state: one `(_h bigint, _c bigint)` row per
     * distinct n-gram of `df` (per-occurrence counts, the

@@ -1838,6 +1838,64 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("quality_prob"), 4)
           .as("quality_prob"))
         .orderBy("doc_id")
+    },
+
+    // --- C4/CCNet-style corpus-level line dedup: multi-line docs planted
+    //     in-query (line 1 = the doc's own text, line 2 = the text of doc
+    //     id%50 — repeated across ~10 docs and, for ids < 50, within the
+    //     doc itself — line 3 = a universal footer, trim-padded on even
+    //     ids to exercise trim identity, line 4 = a short exempt line).
+    //     Exact keep-first-by-(key,pos) semantics replayed line-for-line
+    //     by the oracle — a full cross-engine string check like q82's.
+    Query(
+      "q96_line_dedup",
+      """WITH aug AS (
+        |  SELECT a.doc_id,
+        |    a.text || chr(10) || b.text || chr(10) ||
+        |    CASE WHEN a.doc_id % 2 = 0
+        |      THEN '  standard site footer all rights reserved  '
+        |      ELSE 'standard site footer all rights reserved' END
+        |    || chr(10) || 'ok' AS text
+        |  FROM documents a JOIN documents b ON a.doc_id % 50 = b.doc_id),
+        |spl AS (SELECT doc_id, string_split(text, chr(10)) AS ln
+        |        FROM aug),
+        |l AS (SELECT doc_id, j AS p, ln[j+1] AS line
+        |      FROM (SELECT doc_id, ln, unnest(range(len(ln))) AS j
+        |            FROM spl)),
+        |cand AS (SELECT doc_id, p, trim(line) AS tl FROM l
+        |         WHERE len(trim(line)) >= 10),
+        |firsts AS (SELECT tl, min(doc_id * 1000 + p) AS fk
+        |           FROM cand GROUP BY tl HAVING count(*) > 1),
+        |rm AS (SELECT c.doc_id, c.p FROM cand c
+        |       JOIN firsts f ON c.tl = f.tl
+        |       WHERE c.doc_id * 1000 + c.p <> f.fk),
+        |kept AS (SELECT l.doc_id, l.p, l.line FROM l LEFT JOIN rm
+        |         ON l.doc_id = rm.doc_id AND l.p = rm.p
+        |         WHERE rm.p IS NULL),
+        |agg AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY p) AS text_deduped,
+        |    count(*) AS kept_lines
+        |  FROM kept GROUP BY doc_id),
+        |rmc AS (SELECT doc_id, count(*) AS removed_lines FROM rm
+        |        GROUP BY doc_id)
+        |SELECT a.doc_id, a.text_deduped, a.kept_lines,
+        |  coalesce(r.removed_lines, 0) AS removed_lines
+        |FROM agg a LEFT JOIN rmc r USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val base = docs.select(col("doc_id").as("_bid"),
+        col("text").as("_btext"))
+      val corpus = docs
+        .join(base, docs("doc_id") % 50 === base("_bid"))
+        .select(col("doc_id"), concat_ws("\n", col("text"),
+          col("_btext"),
+          when(col("doc_id") % 2 === 0,
+            lit("  standard site footer all rights reserved  "))
+            .otherwise(lit("standard site footer all rights reserved")),
+          lit("ok")).as("text"))
+      Dedup.dedupLines(corpus, "text", "doc_id", minChars = 10)
+        .select("doc_id", "text_deduped", "kept_lines", "removed_lines")
+        .orderBy("doc_id")
     }
   )
 

@@ -1012,4 +1012,71 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.repeatedSpans(corpus, "text", "doc_id",
       n = 3, minCount = 6).isEmpty)
   }
+
+  test("dedupLines: corpus-wide keep-first exact-line dedup — trim " +
+      "identity, minChars exemption, within-doc repeats, byte-exact " +
+      "round-trip for untouched docs, null text, custom delimiter, " +
+      "broadcast and shuffle attach parity, repartition determinism") {
+    val corpus = Seq(
+      // doc 1 owns the footer (first occurrence) and a unique line
+      (1L, "unique first line of document one\nshared footer line here"),
+      // doc 2 repeats the footer with PADDING (trim-identical) and
+      // repeats its own body line within itself
+      (2L, "body line of document two\n  shared footer line here  \n" +
+        "body line of document two"),
+      // doc 3 repeats the footer verbatim and carries short exempt
+      // lines that also appear elsewhere
+      (3L, "ok\nshared footer line here\nok"),
+      // doc 4: untouched — must round-trip byte-exact incl. the
+      // trailing empty line and internal blank line
+      (4L, "nothing here repeats\n\nnot even this one\n"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(corpus, "text", "doc_id", minChars = 4)
+      .select("doc_id", "text_deduped", "kept_lines", "removed_lines")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: first occurrence of the footer survives
+    assert(out(1L) == (("unique first line of document one\n" +
+      "shared footer line here", 2L, 0L)))
+    // doc 2: padded footer removed (trim identity), second body line
+    // removed (within-doc repeat, first position wins)
+    assert(out(2L) == (("body line of document two", 1L, 2L)))
+    // doc 3: footer removed; the "ok" lines are exempt (< minChars) and
+    // both survive even though repeated corpus-wide
+    assert(out(3L) == (("ok\nok", 2L, 1L)))
+    // doc 4: byte-exact round-trip (blank + trailing empty preserved)
+    assert(out(4L) == (("nothing here repeats\n\nnot even this one\n",
+      4L, 0L)))
+    // null text passes through
+    assert(out(5L) == ((null, 0L, 0L)))
+
+    // shuffle-attach parity and repartition determinism
+    val viaShuffle = Dedup.dedupLines(corpus.repartition(7), "text",
+        "doc_id", minChars = 4, broadcastRemovals = false)
+      .select("doc_id", "text_deduped", "kept_lines", "removed_lines")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(viaShuffle == out)
+
+    // custom delimiter is treated literally (regex metachar)
+    val dotted = Seq(
+      (1L, "alpha beta gamma.shared sentence here"),
+      (2L, "shared sentence here.delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val dout = Dedup.dedupLines(dotted, "text", "doc_id",
+        minChars = 4, delim = ".")
+      .select("doc_id", "text_deduped")
+      .as[(Long, String)].collect().toMap
+    assert(dout(1L) == "alpha beta gamma.shared sentence here")
+    assert(dout(2L) == "delta epsilon zeta")
+
+    // validation fails loud
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLines(corpus, "nope", "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLines(corpus, "text", "doc_id", delim = "")
+    }
+  }
 }

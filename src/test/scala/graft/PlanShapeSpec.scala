@@ -118,6 +118,33 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q96 dedupLines: the corpus text never rides an Exchange — " +
+      "occurrence rows are (key, pos, hash), and the sparse removal " +
+      "lists attach via broadcast") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Dedup
+    val docs = Tables.docs
+    // broadcast threshold off so nothing auto-broadcasts (the explicit
+    // hint must carry the attach), AQE off for a static plan
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val out = Dedup.dedupLines(docs, "text", "doc_id", minChars = 10)
+      val plan = out.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      // allowed exchanges: canonical-occurrence agg by line hash, the
+      // occurrence join's probe side by hash, removal lists by key —
+      // NEVER a corpus row
+      assert(shuffles.nonEmpty && shuffles.size <= 4,
+        s"expected hash/key-sized exchanges only, got " +
+          s"${shuffles.size}:\n$plan")
+      for (e <- shuffles)
+        assert(!e.output.exists(_.name == "text"),
+          s"corpus text must never shuffle:\n$plan")
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"removal attach must broadcast:\n$plan")
+    }
+  }
+
   test("q88 lmScoresRelational: score relation computed without the " +
       "corpus text ever riding an Exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
