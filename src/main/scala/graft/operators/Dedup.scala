@@ -761,22 +761,38 @@ object Dedup {
     * occurrence aggregation (`min(struct(key, pos))`, map-side partial
     * combine) keeps ONLY hashes seen ≥2 times, so the occurrence join
     * back and the per-document removal lists stay SPARSE — documents
-    * that actually lose a line. The attach broadcasts by default
-    * (duplicated lines are the exception in a curated crawl); pass
-    * `broadcastRemovals = false` when boilerplate is pervasive enough
-    * that the removal relation outgrows a broadcast (the attach then
-    * becomes the one shuffle touching corpus rows). The rebuild is
-    * codegen'd HOFs (indexed `filter` over the split array), no UDF.
+    * that actually lose a line. The attach strategy is
+    * `broadcastRemovals`: `None` (the default) adds NO hint — the
+    * planner (AQE, from the removal relation's ACTUAL size at runtime)
+    * broadcasts when it fits and shuffles when it doesn't, the safe
+    * posture for the operator's motivating C4/CCNet use case where
+    * boilerplate is pervasive and the removal relation is corpus-dense
+    * (a forced broadcast there is a driver-OOM); `Some(true)` forces
+    * the broadcast (curated corpora — guarantees corpus rows never
+    * ride an exchange); `Some(false)` forces a shuffled join (the
+    * attach is then the one shuffle touching corpus rows). The rebuild
+    * is codegen'd HOFs (indexed `filter` over the split array), no UDF.
     */
   def dedupLines(df: DataFrame, textCol: String, key: String,
       minChars: Int = 10, delim: String = "\n",
-      broadcastRemovals: Boolean = true): DataFrame = {
+      broadcastRemovals: Option[Boolean] = None): DataFrame = {
     require(df.columns.contains(textCol),
       s"frame is missing text column '$textCol'")
     require(df.columns.contains(key),
       s"frame is missing key column '$key'")
     require(minChars >= 0, s"minChars must be >= 0, got $minChars")
     require(delim.nonEmpty, "delim must be non-empty")
+    // fail loud on collisions with the appended outputs / internal
+    // working names (the QualityModel.score posture) — a frame already
+    // carrying one of these would otherwise die with an obscure
+    // ambiguous-column error or silently misbehave
+    val reserved = Seq("text_deduped", "kept_lines", "removed_lines",
+      "_rm", "_kept", "_p", "_l", "_h", "_first", "_n")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"frame already carries ${clash.mkString(", ")} — drop or " +
+        "rename before dedupLines (it appends text_deduped/kept_lines/" +
+        "removed_lines and uses the _-prefixed names internally)")
     val lines = split(col(textCol),
       java.util.regex.Pattern.quote(delim), -1)
     val occ = df
@@ -792,7 +808,11 @@ object Dedup {
       .where(struct(col(key), col("_p")) =!= col("_first"))
       .groupBy(col(key))
       .agg(sort_array(collect_list(col("_p"))).as("_rm"))
-    val rm = if (broadcastRemovals) broadcast(removals) else removals
+    val rm = broadcastRemovals match {
+      case Some(true)  => broadcast(removals)
+      case Some(false) => removals.hint("shuffle_hash")
+      case None        => removals // AQE sizes the attach at runtime
+    }
     df.join(rm, Seq(key), "left")
       .withColumn("_rm", coalesce(col("_rm"), typedLit(Seq.empty[Int])))
       .withColumn("_kept", filter(lines,

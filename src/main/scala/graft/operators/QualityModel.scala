@@ -96,7 +96,12 @@ object QualityModel {
       s"frame already carries ${clash.mkString(", ")} — drop or " +
         "rename before scoring (score appends quality_prob and uses " +
         "the _-prefixed names internally)")
-    clf.model
+    // score on a COPY: setting the column Params on the caller's model
+    // would mutate shared state (concurrent score calls racing on Param
+    // values, and the mutation persisting on the caller's object) —
+    // copy(ParamMap.empty) clones the model so scoring is side-effect-
+    // free and thread-safe
+    clf.model.copy(org.apache.spark.ml.param.ParamMap.empty)
       .setFeaturesCol("_feat")
       .setPredictionCol("_pred").setRawPredictionCol("_raw")
       .setProbabilityCol("_prob")

@@ -89,23 +89,35 @@ object ImageDedupIngest {
       method: String): Unit = {
     val marker = new Path(s"$storeRoot/phash/_method")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val recorded =
+    val recorded =
+      if (!fs.exists(marker)) ""
+      else {
+        val in = fs.open(marker)
         try new String(
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
         finally in.close()
-      if (recorded != method)
-        throw new IllegalStateException(
-          s"this fingerprint store was built with method='$recorded' " +
-            s"but the ingest was started with method='$method' — " +
-            "cross-method hamming pairs essentially never verify, so " +
-            "every historical duplicate would silently re-ingest; " +
-            "restart with the recorded method or rebuild the store")
-    } else {
-      val out = fs.create(marker, true)
+      }
+    // an empty/blank marker is a crash mid-write, not a method — treat
+    // it as absent and rewrite rather than mismatching every method
+    // string and permanently wedging the ingest
+    if (recorded.isEmpty) {
+      // write-temp-then-rename (the TFRecord sink's commit pattern) so
+      // a crash never leaves a truncated marker visible at the final
+      // path; rename-over needs the destination absent
+      val tmp = new Path(s"$storeRoot/phash/._method.tmp")
+      val out = fs.create(tmp, true)
       try out.write(method.getBytes("UTF-8")) finally out.close()
-    }
+      fs.delete(marker, false)
+      if (!fs.rename(tmp, marker))
+        throw new java.io.IOException(
+          s"could not commit method marker $tmp -> $marker")
+    } else if (recorded != method)
+      throw new IllegalStateException(
+        s"this fingerprint store was built with method='$recorded' " +
+          s"but the ingest was started with method='$method' — " +
+          "cross-method hamming pairs essentially never verify, so " +
+          "every historical duplicate would silently re-ingest; " +
+          "restart with the recorded method or rebuild the store")
   }
 
   /** One micro-batch, exposed for direct testing of idempotence. */

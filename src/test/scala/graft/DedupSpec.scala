@@ -1053,7 +1053,7 @@ class DedupSpec extends SparkTestBase {
 
     // shuffle-attach parity and repartition determinism
     val viaShuffle = Dedup.dedupLines(corpus.repartition(7), "text",
-        "doc_id", minChars = 4, broadcastRemovals = false)
+        "doc_id", minChars = 4, broadcastRemovals = Some(false))
       .select("doc_id", "text_deduped", "kept_lines", "removed_lines")
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
@@ -1077,6 +1077,17 @@ class DedupSpec extends SparkTestBase {
     }
     intercept[IllegalArgumentException] {
       Dedup.dedupLines(corpus, "text", "doc_id", delim = "")
+    }
+    // reserved output/internal names fail loud, not with an obscure
+    // ambiguous-column error downstream
+    val carrying = intercept[IllegalArgumentException] {
+      Dedup.dedupLines(
+        corpus.withColumn("text_deduped", $"text"), "text", "doc_id")
+    }
+    assert(carrying.getMessage.contains("text_deduped"))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLines(corpus.withColumn("_rm", $"doc_id"), "text",
+        "doc_id")
     }
   }
 }

@@ -188,5 +188,24 @@ class ImageDedupIngestSpec extends SparkTestBase {
         maxBucketSize = 5000, method = "ahash")
     }
     assert(err.getMessage.contains("method='dhash'"), err.getMessage)
+
+    // a crash mid-marker-write leaves an empty file: treated as absent
+    // and rewritten, NOT mismatched against every method string
+    val marker = new java.io.File(s"$storeRoot/phash/_method")
+    assert(marker.isFile)
+    new java.io.FileOutputStream(marker).close() // truncate to empty
+    ImageDedupIngest.processBatch(
+      Seq(31L -> solidPng(60)).toDF("img_id", "img"),
+      3L, storeRoot, keptDir, "img", "img_id", maxDistance = 3,
+      maxBucketSize = 5000, method = "dhash")
+    assert(scala.io.Source.fromFile(marker).mkString.trim == "dhash",
+      "empty (crash-truncated) marker must be rewritten")
+    // and the rewritten marker still trips on a method switch
+    intercept[IllegalStateException] {
+      ImageDedupIngest.processBatch(
+        Seq(41L -> solidPng(15)).toDF("img_id", "img"),
+        4L, storeRoot, keptDir, "img", "img_id", maxDistance = 3,
+        maxBucketSize = 5000, method = "ahash")
+    }
   }
 }

@@ -118,9 +118,9 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("q96 dedupLines: the corpus text never rides an Exchange — " +
-      "occurrence rows are (key, pos, hash), and the sparse removal " +
-      "lists attach via broadcast") {
+  test("q96 dedupLines: the corpus text never rides an Exchange when " +
+      "the removal attach is forced to broadcast — occurrence rows " +
+      "are (key, pos, hash)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.operators.Dedup
     val docs = Tables.docs
@@ -128,7 +128,8 @@ class PlanShapeSpec extends SparkTestBase {
     // hint must carry the attach), AQE off for a static plan
     withConf("spark.sql.adaptive.enabled" -> "false",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val out = Dedup.dedupLines(docs, "text", "doc_id", minChars = 10)
+      val out = Dedup.dedupLines(docs, "text", "doc_id", minChars = 10,
+        broadcastRemovals = Some(true))
       val plan = out.queryExecution.executedPlan
       val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
       // allowed exchanges: canonical-occurrence agg by line hash, the
@@ -142,6 +143,31 @@ class PlanShapeSpec extends SparkTestBase {
           s"corpus text must never shuffle:\n$plan")
       assert(plan.toString.contains("BroadcastHashJoin"),
         s"removal attach must broadcast:\n$plan")
+    }
+  }
+
+  test("q96 dedupLines default: no hint on the removal attach — the " +
+      "planner sizes it (broadcast when it fits, shuffle when the " +
+      "crawl is boilerplate-dense), so the dense-removals driver-OOM " +
+      "of a forced broadcast cannot happen by default") {
+    import graft.operators.Dedup
+    val docs = Tables.docs
+    // with the threshold disabled and no hint, the attach must NOT
+    // broadcast — proof the default carries no forced-broadcast hint
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val out = Dedup.dedupLines(docs, "text", "doc_id", minChars = 10)
+      val plan = out.queryExecution.executedPlan
+      assert(!plan.toString.contains("BroadcastHashJoin"),
+        s"default must leave the attach strategy to the planner:\n$plan")
+    }
+    // and with a normal threshold the planner broadcasts the sparse
+    // relation on its own — same stats-sized decision AQE makes live
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val out = Dedup.dedupLines(docs, "text", "doc_id", minChars = 10)
+      val plan = out.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"planner should broadcast the sparse removal relation:\n$plan")
     }
   }
 

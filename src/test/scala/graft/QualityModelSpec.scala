@@ -81,5 +81,26 @@ class QualityModelSpec extends SparkTestBase {
     }
     assert(reScore.getMessage.contains("quality_prob"),
       reScore.getMessage)
+
+    // score() never mutates the caller's model: the internal column
+    // Params are set on a copy, so the shared model's Param state is
+    // untouched after every score call above (featuresCol is "_feat"
+    // from TRAINING; the score-only names must never appear)
+    assert(clf.model.getOrDefault(clf.model.probabilityCol) != "_prob" &&
+      clf.model.getOrDefault(clf.model.predictionCol) != "_pred" &&
+      clf.model.getOrDefault(clf.model.rawPredictionCol) != "_raw",
+      "score must set its column names on a copy, not the shared model")
+    // and concurrent scoring over the same classifier is stable
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val concurrent = Await.result(
+      Future.sequence((1 to 4).toList.map(_ => Future {
+        QualityModel.score(heldOut, clf, "text")
+          .select("doc_id", "quality_prob").as[(Long, Double)]
+          .collect().toMap
+      })), 5.minutes)
+    assert(concurrent.forall(_ == orig),
+      "concurrent score calls must agree with the serial result")
   }
 }
