@@ -776,6 +776,25 @@ object Dedup {
   def dedupLines(df: DataFrame, textCol: String, key: String,
       minChars: Int = 10, delim: String = "\n",
       broadcastRemovals: Option[Boolean] = None): DataFrame = {
+    lineDedupGuards(df, textCol, key, minChars, delim)
+    val occ = lineOccurrences(df, textCol, key, minChars, delim)
+    val canon = occ.groupBy(col("_h"))
+      .agg(min(struct(col(key), col("_p"))).as("_first"),
+        count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(col("_h"), col("_first"))
+    val removals = occ.join(canon, Seq("_h"))
+      .where(struct(col(key), col("_p")) =!= col("_first"))
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(col("_p"))).as("_rm"))
+    attachLineRemovals(df, textCol, key, removals, delim,
+      broadcastRemovals)
+  }
+
+  /** Shared validation for the line-dedup family ([[dedupLines]],
+    * [[dedupLinesIncremental]], [[lineCountStore]]). */
+  private def lineDedupGuards(df: DataFrame, textCol: String,
+      key: String, minChars: Int, delim: String): Unit = {
     require(df.columns.contains(textCol),
       s"frame is missing text column '$textCol'")
     require(df.columns.contains(key),
@@ -793,26 +812,34 @@ object Dedup {
       s"frame already carries ${clash.mkString(", ")} — drop or " +
         "rename before dedupLines (it appends text_deduped/kept_lines/" +
         "removed_lines and uses the _-prefixed names internally)")
-    val lines = split(col(textCol),
-      java.util.regex.Pattern.quote(delim), -1)
-    val occ = df
-      .select(col(key), posexplode(lines).as(Seq("_p", "_l")))
+  }
+
+  /** The split expression all line ops share: literal delimiter,
+    * trailing empties preserved so untouched docs round-trip. */
+  private def lineSplit(textCol: String, delim: String): Column =
+    split(col(textCol), java.util.regex.Pattern.quote(delim), -1)
+
+  /** The `(key, _p, _h)` occurrence relation — position and trimmed-
+    * line hash per countable line; the text never leaves the
+    * projection. */
+  private def lineOccurrences(df: DataFrame, textCol: String,
+      key: String, minChars: Int, delim: String): DataFrame =
+    df.select(col(key),
+        posexplode(lineSplit(textCol, delim)).as(Seq("_p", "_l")))
       .where(length(trim(col("_l"))) >= minChars)
       .select(col(key), col("_p"), xxhash64(trim(col("_l"))).as("_h"))
-    val canon = occ.groupBy(col("_h"))
-      .agg(min(struct(col(key), col("_p"))).as("_first"),
-        count(lit(1)).as("_n"))
-      .where(col("_n") > 1)
-      .select(col("_h"), col("_first"))
-    val removals = occ.join(canon, Seq("_h"))
-      .where(struct(col(key), col("_p")) =!= col("_first"))
-      .groupBy(col(key))
-      .agg(sort_array(collect_list(col("_p"))).as("_rm"))
+
+  /** The rebuild tail: left-join the sparse `(key, _rm)` removal lists
+    * and drop the listed positions with codegen'd HOFs. */
+  private def attachLineRemovals(df: DataFrame, textCol: String,
+      key: String, removals: DataFrame, delim: String,
+      broadcastRemovals: Option[Boolean]): DataFrame = {
     val rm = broadcastRemovals match {
       case Some(true)  => broadcast(removals)
       case Some(false) => removals.hint("shuffle_hash")
       case None        => removals // AQE sizes the attach at runtime
     }
+    val lines = lineSplit(textCol, delim)
     df.join(rm, Seq(key), "left")
       .withColumn("_rm", coalesce(col("_rm"), typedLit(Seq.empty[Int])))
       .withColumn("_kept", filter(lines,
@@ -823,6 +850,91 @@ object Dedup {
       .withColumn("removed_lines", size(col("_rm")).cast("long"))
       .select(df.columns.map(col) ++ Seq(col("text_deduped"),
         col("kept_lines"), col("removed_lines")): _*)
+  }
+
+  /** Persistable corpus-wide line-hash count store — [[dedupLines]]'s
+    * incremental state, the exact shape of [[ngramCountStore]] with
+    * trimmed lines (≥ `minChars`) as the unit instead of n-grams: one
+    * `(_h bigint, _c bigint)` row per distinct line hash, ~16 bytes
+    * each. DELTA-VALUED like its sibling — counts are additive, readers
+    * aggregate, [[compactNgramCountStore]] folds (the relation is
+    * schema-identical, the same fold applies). Membership (any row) is
+    * what [[dedupLinesIncremental]] consumes; the counts cost nothing
+    * extra and keep corpus-frequency analyses possible.
+    */
+  def lineCountStore(df: DataFrame, textCol: String,
+      minChars: Int = 10, delim: String = "\n"): DataFrame = {
+    require(df.columns.contains(textCol),
+      s"frame is missing text column '$textCol'")
+    require(minChars >= 0, s"minChars must be >= 0, got $minChars")
+    require(delim.nonEmpty, "delim must be non-empty")
+    df.select(posexplode(lineSplit(textCol, delim)).as(Seq("_p", "_l")))
+      .where(length(trim(col("_l"))) >= minChars)
+      .select(xxhash64(trim(col("_l"))).as("_h"))
+      .groupBy("_h").agg(count(lit(1)).as("_c"))
+  }
+
+  /** Incremental [[dedupLines]] — line-dedup a NEW batch of documents
+    * keep-first against a growing crawl's history without re-running
+    * over the corpus: an occurrence in `newDocs` is removed when its
+    * trimmed-line hash already exists in `store` (kept by some earlier
+    * increment) OR when it is not the batch's own first occurrence
+    * (`min(struct(key, pos))` — within-batch keep-first, the batch
+    * operator's rule). Under the ingest contract that keys are
+    * monotonically increasing across increments, running increments in
+    * order reproduces EXACTLY the lines a single [[dedupLines]] run
+    * over the concatenated corpus keeps (parity pinned in DedupSpec).
+    *
+    * `store` is the `(_h, _c)` relation [[lineCountStore]] produces
+    * (delta-valued; pass the union of all prior deltas — readers need
+    * membership, so unaggregated deltas are fine). Returns the result
+    * frame (the [[dedupLines]] output shape) AND the batch's own count
+    * delta to append to the store — computed from the same single
+    * occurrence pass, so the batch text is split exactly once.
+    *
+    * Scale shape: the batch explodes to `(key, pos, hash)` narrow rows
+    * (text never rides an exchange); the store is read ONCE, map-side
+    * against the broadcast batch-hash set (`broadcastIncrement`, the
+    * [[maskRepeatedSpansIncremental]] escape hatch: `false` routes a
+    * huge batch through a shuffled semi-join instead of failing) — line
+    * hashes the batch never mentions cannot remove a batch line, so the
+    * STORE never shuffles regardless of how large history grows. The
+    * removal attach follows [[dedupLines]]' `broadcastRemovals`
+    * contract.
+    */
+  def dedupLinesIncremental(newDocs: DataFrame, store: DataFrame,
+      textCol: String, key: String, minChars: Int = 10,
+      delim: String = "\n", broadcastIncrement: Boolean = true,
+      broadcastRemovals: Option[Boolean] = None)
+      : (DataFrame, DataFrame) = {
+    lineDedupGuards(newDocs, textCol, key, minChars, delim)
+    validateNgramCountStore(store)
+    def bc(df: DataFrame) = if (broadcastIncrement) broadcast(df) else df
+    // one split pass: the occurrence relation feeds the canonical-
+    // occurrence aggregation (whose counts ARE the store delta), the
+    // store membership scan, and the removal join
+    val occ = lineOccurrences(newDocs, textCol, key, minChars, delim)
+      .localCheckpoint(false)
+    val agg = occ.groupBy(col("_h"))
+      .agg(min(struct(col(key), col("_p"))).as("_first"),
+        count(lit(1)).as("_c"))
+      .localCheckpoint(false)
+    val delta = agg.select(col("_h"), col("_c"))
+    // map-only store scan against the broadcast batch-hash set; the
+    // distinct collapses the store's delta multiplicity to membership
+    val storeHits = store
+      .join(bc(agg.select(col("_h"))), Seq("_h"), "left_semi")
+      .select(col("_h")).distinct()
+      .withColumn("_hit", lit(true))
+    val removals = occ
+      .join(agg.select(col("_h"), col("_first")), Seq("_h"))
+      .join(storeHits, Seq("_h"), "left")
+      .where(col("_hit").isNotNull ||
+        struct(col(key), col("_p")) =!= col("_first"))
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(col("_p"))).as("_rm"))
+    (attachLineRemovals(newDocs, textCol, key, removals, delim,
+      broadcastRemovals), delta)
   }
 
   /** Persistable corpus-wide n-gram occurrence-count store — the span

@@ -33,6 +33,11 @@ import graft.operators.Dedup
   *     additive, readers aggregate, compaction folds by summing), so
   *     corpus-repeated boilerplate spans strip from each batch BEFORE
   *     any dedup stage
+  *   - `linecounts/v=<batchId>/` — with `lineDedup = Some(...)`, the
+  *     batch's trimmed-line-hash count delta (same delta-valued shape
+  *     as `spancounts`), so each batch exact-line-dedups keep-first
+  *     against every line the crawl has already kept (the C4/CCNet
+  *     step, incremental form of [[graft.operators.Dedup.dedupLines]])
   *   - `tombstones/v=<n>/` — deleted keys ([[deleteKeys]]; own version
   *     counter). Readers anti-join them; compaction physically removes
   *     tombstoned rows from the folds it touches and keeps the
@@ -139,20 +144,45 @@ object DedupIngest {
   final case class SpanMask(n: Int = 10, minCount: Long = 5,
       marker: String = "", broadcastIncrement: Boolean = true)
 
-  /** The live n-gram count store from all committed deltas below
-    * `below` (delta-valued — readers aggregate; compaction folds). */
-  private[graft] def loadSpanCountStore(spark: SparkSession,
-      storeRoot: String, below: Long = Long.MaxValue): DataFrame = {
+  /** Configuration for the optional C4/CCNet-style exact-line dedup
+    * stage — [[graft.operators.Dedup.dedupLinesIncremental]] run per
+    * micro-batch against a `linecounts/` versioned count-store family,
+    * so a growing crawl line-dedups against everything ingested so far
+    * without a corpus re-run. Knobs mirror the batch operator;
+    * `broadcastIncrement` is the usual escape hatch (the batch's
+    * distinct line-hash set rides a broadcast into the store scan —
+    * `false` reroutes through a shuffled semi-join when a batch is too
+    * wide for it). */
+  final case class LineDedup(minChars: Int = 10, delim: String = "\n",
+      broadcastIncrement: Boolean = true)
+
+  /** The live count store of `family` from all committed deltas below
+    * `below` (delta-valued `(_h, _c)` — readers aggregate or take
+    * membership; compaction folds by summing). */
+  private def loadCountStore(spark: SparkSession, storeRoot: String,
+      family: String, below: Long): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("_h", LongType),
       StructField("_c", LongType)))
-    val vs = committedVersions(spark, s"$storeRoot/spancounts", below)
+    val vs = committedVersions(spark, s"$storeRoot/$family", below)
     if (vs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema)
-      .parquet(dirs(storeRoot, "spancounts", vs): _*)
+      .parquet(dirs(storeRoot, family, vs): _*)
   }
+
+  /** The live n-gram count store ([[SpanMask]]'s `spancounts/`
+    * family). */
+  private[graft] def loadSpanCountStore(spark: SparkSession,
+      storeRoot: String, below: Long = Long.MaxValue): DataFrame =
+    loadCountStore(spark, storeRoot, "spancounts", below)
+
+  /** The live line-hash count store ([[LineDedup]]'s `linecounts/`
+    * family). */
+  private[graft] def loadLineCountStore(spark: SparkSession,
+      storeRoot: String, below: Long = Long.MaxValue): DataFrame =
+    loadCountStore(spark, storeRoot, "linecounts", below)
 
   /** One micro-batch, exposed for direct testing of idempotence. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
@@ -161,11 +191,33 @@ object DedupIngest {
       seed: Long, maxBucketSize: Long,
       enforceKeyOrder: Boolean = true,
       exactPrefilter: Boolean = false,
-      spanMask: Option[SpanMask] = None): Unit = {
+      spanMask: Option[SpanMask] = None,
+      lineDedup: Option[LineDedup] = None): Unit = {
     val spark = batch.sparkSession
     if (enforceKeyOrder)
       VersionedStore.enforceKeyOrderGuard(batch, batchId,
         s"$storeRoot/sig", key)
+    // optional stage -2: C4/CCNet exact-line dedup against the growing
+    // crawl's line history. MUST precede the span mask — the mask
+    // kernel's uniform-output contract whitespace-normalizes text to a
+    // single-space join, which would erase the very line structure this
+    // stage keys on. Counts accrue in the `linecounts/` delta family
+    // (batchId-addressed, idempotent); the line-deduped text replaces
+    // `textCol` for every downstream stage and the kept output.
+    val lined = lineDedup match {
+      case None => batch
+      case Some(cfg) =>
+        val lineStore = loadLineCountStore(spark, storeRoot,
+          below = batchId)
+        val (res, delta) = Dedup.dedupLinesIncremental(batch, lineStore,
+          textCol, key, cfg.minChars, cfg.delim, cfg.broadcastIncrement)
+        val r = res.drop(textCol, "kept_lines", "removed_lines")
+          .withColumnRenamed("text_deduped", textCol)
+          .localCheckpoint(false)
+        delta.write.mode("overwrite")
+          .parquet(s"$storeRoot/linecounts/v=$batchId")
+        r
+    }
     // optional stage -1: strip corpus-repeated boilerplate spans BEFORE
     // any dedup (the QUICKSTART pipeline order — shared headers must
     // not glue distinct docs into near-dup pairs, and two docs
@@ -177,12 +229,12 @@ object DedupIngest {
     // the single-space token join (the mask kernel's uniform-output
     // contract), span-free documents included.
     val masked = spanMask match {
-      case None => batch
+      case None => lined
       case Some(cfg) =>
         val countStore = loadSpanCountStore(spark, storeRoot,
           below = batchId)
         val (m, delta) = Dedup.maskRepeatedSpansIncrementalDetailed(
-          batch, countStore, textCol, key, cfg.n, cfg.minCount,
+          lined, countStore, textCol, key, cfg.n, cfg.minCount,
           cfg.marker, cfg.broadcastIncrement)
         val mm = m.drop(textCol)
           .withColumnRenamed("masked_text", textCol)
@@ -264,7 +316,14 @@ object DedupIngest {
     *   counts as versioned deltas; the masked text replaces `textCol`
     *   downstream and in the kept output, whitespace-normalized).
     *   Stage order matches the QUICKSTART pipeline: mask, then exact
-    *   prefilter, then near-dup. */
+    *   prefilter, then near-dup.
+    * @param lineDedup pass `Some(LineDedup(...))` to exact-line-dedup
+    *   each micro-batch keep-first against the crawl's accumulated
+    *   line history (a `linecounts/` store family accrues trimmed-line
+    *   hash counts as versioned deltas; the line-deduped text replaces
+    *   `textCol` downstream and in the kept output). Runs FIRST —
+    *   before the span mask, whose kernel whitespace-normalizes text
+    *   and would erase the line structure. */
   def start(docs: DataFrame, textCol: String, key: String,
       storeRoot: String, keptDir: String, checkpointDir: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
@@ -272,7 +331,8 @@ object DedupIngest {
       maxBucketSize: Long = 10000,
       enforceKeyOrder: Boolean = true,
       exactPrefilter: Boolean = false,
-      spanMask: Option[SpanMask] = None): StreamingQuery = {
+      spanMask: Option[SpanMask] = None,
+      lineDedup: Option[LineDedup] = None): StreamingQuery = {
     require(docs.isStreaming,
       "DedupIngest.start needs a streaming DataFrame — for batch data " +
         "use the QUICKSTART.md loop over the incremental operators")
@@ -284,7 +344,7 @@ object DedupIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storeRoot, keptDir, textCol, key,
           numHashes, bands, shingleSize, threshold, seed, maxBucketSize,
-          enforceKeyOrder, exactPrefilter, spanMask)
+          enforceKeyOrder, exactPrefilter, spanMask, lineDedup)
       }
       .start()
   }
@@ -308,10 +368,11 @@ object DedupIngest {
     * an opaque cluster id. (2) After deletion the store no longer
     * RECOGNIZES the content — a verbatim re-crawl re-ingests fresh
     * (use an explicit blocklist upstream if re-ingest must stay
-    * barred). (3) The `spancounts` family is NOT keyed by document and
-    * keeps its counts — retracting them would need the deleted text's
-    * gram multiset; boilerplate statistics legitimately include
-    * deleted documents' history. (4) The key-order guard is
+    * barred). (3) The `spancounts` and `linecounts` families are NOT
+    * keyed by document and keep their counts — retracting them would
+    * need the deleted text's gram/line multiset; boilerplate statistics
+    * legitimately include deleted documents' history. (4) The key-order
+    * guard is
     * unaffected: deleted keys do not free key space — `_keyrange`
     * sidecars survive, so new batches must still exceed the
     * all-time max key. (5) Scope is the STORES: the kept output under
@@ -394,8 +455,11 @@ object DedupIngest {
           .select(col("key"), col("component"), col("_v")),
         Some("key"))) ++
       // counts are additive: the fold resolves deltas by summing, so
-      // the live count per gram is invariant under any fold schedule
+      // the live count per gram/line is invariant under any fold
+      // schedule
       compact("spancounts",
+        _.groupBy("_h").agg(sum(col("_c")).as("_c"))) ++
+      compact("linecounts",
         _.groupBy("_h").agg(sum(col("_c")).as("_c"))) ++
       compact("tombstones", _.dropDuplicates())
   }

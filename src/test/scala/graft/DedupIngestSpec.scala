@@ -404,6 +404,79 @@ class DedupIngestSpec extends SparkTestBase {
     assert(keptState() == ((kept, texts)))
   }
 
+  test("line-dedup ingest: each batch exact-line-dedups keep-first " +
+      "against the crawl's line history, kept text matches one batch " +
+      "dedupLines run over the concatenation, redelivery and " +
+      "compaction are invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeRoot = Files.createTempDirectory("graft-linededup-store").toString
+    val keptDir = Files.createTempDirectory("graft-linededup-kept").toString
+    val ckpt = Files.createTempDirectory("graft-linededup-ckpt").toString
+    val footer = "standard syndicated footer notice"
+    val sb = Seq(
+      // batch 0: doc 1 owns the footer; doc 2's copy is a within-batch
+      // repeat and strips immediately
+      Seq((1L, s"alpha unique body line one\n$footer"),
+        (2L, s"beta unique body line two\n$footer")),
+      // batch 1: the footer arrives FIRST in the doc — history (not
+      // batch position) removes it
+      Seq((11L, s"$footer\ngamma unique body line eleven")),
+      Seq((21L, s"delta unique body line twentyone\n$footer"),
+        (22L, "epsilon untouched body line22")))
+    val cfg = Some(DedupIngest.LineDedup())
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = DedupIngest.start(docs, "text", "doc_id", storeRoot, keptDir,
+      ckpt, lineDedup = cfg)
+    try {
+      for (b <- sb) { mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def keptState(): (Map[Long, Set[Long]], Map[Long, String]) = {
+      val rows = spark.read.parquet(keptDir)
+        .select($"ingest_batch".cast("long"), $"doc_id", $"text")
+        .as[(Long, Long, String)].collect().toSeq
+      (rows.groupBy(_._1).map { case (b, r) => b -> r.map(_._2).toSet },
+        rows.map(r => r._2 -> r._3).toMap)
+    }
+    val (kept, texts) = keptState()
+    assert(kept == Map(0L -> Set(1L, 2L), 1L -> Set(11L),
+      2L -> Set(21L, 22L)), s"keep-sets: $kept")
+    // the ingest's kept text IS what batch dedupLines keeps over the
+    // concatenated corpus — the increment-vs-batch parity, end to end
+    // through the stream
+    val batchRun = graft.operators.Dedup.dedupLines(
+      sb.flatten.toDF("doc_id", "text"), "text", "doc_id")
+      .select($"doc_id", $"text_deduped").as[(Long, String)]
+      .collect().toMap
+    assert(texts == batchRun, s"stream $texts\nvs batch $batchRun")
+    assert(texts(1L) == s"alpha unique body line one\n$footer")
+    assert(texts(11L) == "gamma unique body line eleven")
+
+    // redelivery idempotence with the line stage active
+    DedupIngest.processBatch(sb(2).toDF("doc_id", "text"), 2L,
+      storeRoot, keptDir, "text", "doc_id", 64, 16, 3, 0.9, 42, 10000,
+      lineDedup = cfg)
+    assert(keptState() == ((kept, texts)))
+
+    // compaction folds the linecounts family with live counts
+    // invariant, and a post-compaction retry still reproduces
+    def liveCounts() = DedupIngest
+      .loadLineCountStore(spark, storeRoot)
+      .groupBy("_h").sum("_c").as[(Long, Long)].collect().toMap
+    val before = liveCounts()
+    assert(before.values.sum == 9,
+      s"9 countable line occurrences crossed the stream: $before")
+    val folds = DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert(folds.exists(_.family == "linecounts"),
+      s"expected a linecounts fold in $folds")
+    assert(liveCounts() == before, "compaction changed live counts")
+    DedupIngest.processBatch(sb(2).toDF("doc_id", "text"), 2L,
+      storeRoot, keptDir, "text", "doc_id", 64, 16, 3, 0.9, 42, 10000,
+      lineDedup = cfg)
+    assert(keptState() == ((kept, texts)))
+  }
+
   test("surgical decontamination composes upstream of the streaming " +
       "ingest — a pure projection, streaming-safe, benchmark collected " +
       "once at plan time") {

@@ -1090,4 +1090,75 @@ class DedupSpec extends SparkTestBase {
         "doc_id")
     }
   }
+
+  test("dedupLinesIncremental: running monotone-key increments against " +
+      "the accumulating line-count store keeps EXACTLY the lines one " +
+      "batch dedupLines run over the concatenated corpus keeps — " +
+      "including trim identity, minChars exemption, within-increment " +
+      "repeats, null text, and store-membership removal of an " +
+      "increment's own first occurrence") {
+    val footer = "shared footer line here"
+    val increments = Seq(
+      Seq((1L, s"unique first line of document one\n$footer"),
+        (2L, s"body line of document two\n  $footer  \n" +
+          "body line of document two"),
+        (3L, null.asInstanceOf[String])),
+      // increment 2: footer known from history (removed even as this
+      // batch's first occurrence), one fresh within-batch dup pair,
+      // short exempt lines always kept
+      Seq((11L, s"$footer\nfresh boilerplate of round two"),
+        (12L, "ok\nfresh boilerplate of round two\nok\nown line twelve")),
+      // increment 3: hits history from BOTH earlier increments and an
+      // untouched doc that must round-trip byte-exact
+      Seq((21L, s"fresh boilerplate of round two\n$footer\nnew in three"),
+        (22L, "nothing here repeats\n\nnot even this one\n")))
+    val full = increments.flatten.toDF("doc_id", "text")
+    val batch = Dedup.dedupLines(full, "text", "doc_id", minChars = 4)
+      .select("doc_id", "text_deduped", "kept_lines", "removed_lines")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    var store = Dedup.lineCountStore(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text")
+    val incremental = scala.collection.mutable.Map[Long, (String, Long, Long)]()
+    for (inc <- increments) {
+      val (res, delta) = Dedup.dedupLinesIncremental(
+        inc.toDF("doc_id", "text"), store, "text", "doc_id",
+        minChars = 4)
+      incremental ++= res
+        .select("doc_id", "text_deduped", "kept_lines", "removed_lines")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4)))
+      // delta-valued store: append, never rewrite (readers take
+      // membership, so the unaggregated union is fine)
+      store = store.union(delta).localCheckpoint(false)
+    }
+    assert(incremental.toMap == batch,
+      s"increment-vs-batch parity broke:\n inc=$incremental\n b=$batch")
+    // the accumulated store IS the batch corpus' line-count relation
+    val live = store.groupBy("_h").agg(sum($"_c").as("_c"))
+      .as[(Long, Long)].collect().toMap
+    val fromBatch = Dedup.lineCountStore(full, "text", minChars = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(live == fromBatch, "store counts diverged from batch counts")
+
+    // shuffled-increment escape hatch agrees
+    val (resShuf, _) = Dedup.dedupLinesIncremental(
+      increments(2).toDF("doc_id", "text"),
+      store.limit(0).union(
+        Dedup.lineCountStore(increments.take(2).flatten
+          .toDF("doc_id", "text"), "text", minChars = 4)),
+      "text", "doc_id", minChars = 4, broadcastIncrement = false,
+      broadcastRemovals = Some(false))
+    assert(resShuf.select("doc_id", "text_deduped", "kept_lines",
+        "removed_lines")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap ==
+      batch.view.filterKeys(Set(21L, 22L)).toMap)
+
+    // malformed store fails loud
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLinesIncremental(full, full, "text", "doc_id")
+    }
+  }
 }

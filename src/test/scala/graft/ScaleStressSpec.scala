@@ -648,6 +648,34 @@ class ScaleStressSpec extends SparkTestBase {
     assert(hBytes10 < 2 * hBytes1,
       s"fingerprint-store 10× must not grow the increment's shuffle: " +
         s"$hBytes1 -> $hBytes10")
+
+    // the line-dedup member (dedupLinesIncremental, the per-batch op
+    // DedupIngest's LineDedup stage rides): the line-hash count store
+    // is semi-joined map-side against the broadcast batch-hash set —
+    // only batch-line HITS reach the membership distinct, so a 10×
+    // store must not grow the increment's shuffle
+    def lineDocs(count: Long, off: Long) = spark.range(count)
+      .select((col("id") + off).as("doc_id"),
+        concat(lit("standard syndicated footer notice\n"),
+          lit("unique body line number "), col("id") + off).as("text"))
+    def lineStore(n: Long) =
+      Dedup.lineCountStore(lineDocs(n, 0), "text").pinnedCheckpoint()
+    val lineBatch = lineDocs(500, 60000000L).pinnedCheckpoint()
+    def runLines(store: DataFrame): Long =
+      Dedup.dedupLinesIncremental(lineBatch, store, "text", "doc_id")
+        ._1.agg(sum(col("removed_lines"))).first().getLong(0)
+    val lineStore1 = lineStore(smallN)
+    val lineStore10 = lineStore(10 * smallN)
+    val (l1, _, lBytes1) =
+      measured("line-count store 1×")(runLines(lineStore1))
+    val (l10, _, lBytes10) =
+      measured("line-count store 10×")(runLines(lineStore10))
+    // every batch doc loses exactly its footer line against the store
+    // at both scales; the fresh body lines all survive
+    assert(l1 == 500 && l10 == 500, s"removed $l1 / $l10")
+    assert(lBytes10 < 2 * lBytes1,
+      s"line-count-store 10× must not grow the increment's shuffle: " +
+        s"$lBytes1 -> $lBytes10")
   }
 
   test("ingest per-batch cost vs version-history width: wide label " +
