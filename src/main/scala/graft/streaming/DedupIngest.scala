@@ -357,9 +357,12 @@ object DedupIngest {
     * Effective immediately for every store reader (`sig`/`exact`/
     * `labels` anti-join the committed tombstones) WITHOUT rewriting
     * anything; [[compactStores]] then physically removes the rows as
-    * folds touch them, keeping the tombstone rows themselves (unfolded
-    * versions may still carry the key; the family is O(deleted keys)).
-    * Run with the ingest query STOPPED, like compaction.
+    * folds touch them, keeping each tombstone delta only while some
+    * version could still carry its keys and RETIRING it once every such
+    * version has been rewritten with it applied
+    * ([[VersionedStore.retireTombstones]] — the family is O(live
+    * deleted keys), not O(all deletes ever)). Run with the ingest query
+    * STOPPED, like compaction.
     *
     * Documented semantics, deliberate: (1) deleting a cluster's
     * representative does not resurrect its previously-dropped
@@ -383,7 +386,11 @@ object DedupIngest {
     */
   def deleteKeys(spark: SparkSession, storeRoot: String,
       keys: DataFrame): Long =
-    VersionedStore.writeTombstones(spark, storeRoot, keys)
+    VersionedStore.writeTombstones(spark, storeRoot, keys, keyedFamilies)
+
+  /** The families whose rows are keyed by document — the ones
+    * tombstones apply to, and the ones retirement must see rewritten. */
+  private val keyedFamilies = Seq("sig", "exact", "labels")
 
   /** Collapse the version history (signatures unioned, labels resolved
     * latest-per-key) under a SIZE-TIERED policy. Run with the ingest
@@ -435,32 +442,39 @@ object DedupIngest {
     */
   def compactStores(spark: SparkSession, storeRoot: String,
       sizeRatio: Double = 4.0): Seq[Fold] = {
-    def compact(family: String, resolve: DataFrame => DataFrame) =
-      VersionedStore.compactFamily(spark, storeRoot, family, sizeRatio,
-        resolve)
     // tombstones are resolved ONCE here (one family listing + marker
     // probe, not one per folded family — driver metadata round-trips
     // are the read-path cost on an object store); the keyed families'
-    // folds apply them (physical removal), the tombstone family itself
-    // folds LAST so its directories are stable while the other folds
-    // read them
-    val tomb = VersionedStore.tombstones(spark, storeRoot)
+    // folds apply them (physical removal) and record the applied floor,
+    // then fully-applied markers retire, and the tombstone family
+    // itself folds LAST so its directories are stable while the other
+    // folds read them
+    val (tomb, floor) = VersionedStore.tombstonesAndFloor(spark,
+      storeRoot)
+    def compact(family: String, resolve: DataFrame => DataFrame,
+        keyed: Boolean = false) =
+      VersionedStore.compactFamily(spark, storeRoot, family, sizeRatio,
+        resolve, tombFloor = if (keyed) Some(floor) else None)
     def anti(df: DataFrame, keyCol: Option[String]): DataFrame =
       VersionedStore.applyTombstones(df, tomb, keyCol)
-    compact("sig", df => anti(df.dropDuplicates(), None)) ++
-      compact("exact", df => anti(df.dropDuplicates(), None)) ++
+    val folds =
+      compact("sig", df => anti(df.dropDuplicates(), None),
+        keyed = true) ++
+      compact("exact", df => anti(df.dropDuplicates(), None),
+        keyed = true) ++
       compact("labels", df => anti(
         graft.operators.AggOps.latestByKey(df,
           Seq("key"), "_v", Seq("component"))
           .select(col("key"), col("component"), col("_v")),
-        Some("key"))) ++
+        Some("key")), keyed = true) ++
       // counts are additive: the fold resolves deltas by summing, so
       // the live count per gram/line is invariant under any fold
       // schedule
       compact("spancounts",
         _.groupBy("_h").agg(sum(col("_c")).as("_c"))) ++
       compact("linecounts",
-        _.groupBy("_h").agg(sum(col("_c")).as("_c"))) ++
-      compact("tombstones", _.dropDuplicates())
+        _.groupBy("_h").agg(sum(col("_c")).as("_c")))
+    VersionedStore.retireTombstones(spark, storeRoot, keyedFamilies)
+    folds ++ compact("tombstones", _.dropDuplicates())
   }
 }

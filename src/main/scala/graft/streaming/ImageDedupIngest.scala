@@ -199,7 +199,7 @@ object ImageDedupIngest {
     * fresh). Run with the ingest query STOPPED. */
   def deleteKeys(spark: SparkSession, storeRoot: String,
       keys: DataFrame): Long =
-    VersionedStore.writeTombstones(spark, storeRoot, keys)
+    VersionedStore.writeTombstones(spark, storeRoot, keys, Seq("phash"))
 
   /** Collapse the fingerprint-store version history under the shared
     * size-tiered crash-safe policy ([[DedupIngest.compactStores]]'s
@@ -208,12 +208,14 @@ object ImageDedupIngest {
     * ingest query STOPPED. */
   def compactStores(spark: SparkSession, storeRoot: String,
       sizeRatio: Double = 4.0): Seq[Fold] = {
-    val tomb = VersionedStore.tombstones(spark, storeRoot)
+    val (tomb, floor) = VersionedStore.tombstonesAndFloor(spark,
+      storeRoot)
     def anti(df: DataFrame): DataFrame =
       VersionedStore.applyTombstones(df, tomb, None)
-    VersionedStore.compactFamily(spark, storeRoot, "phash", sizeRatio,
-      df => anti(df.dropDuplicates())) ++
-      VersionedStore.compactFamily(spark, storeRoot, "tombstones",
-        sizeRatio, _.dropDuplicates())
+    val folds = VersionedStore.compactFamily(spark, storeRoot, "phash",
+      sizeRatio, df => anti(df.dropDuplicates()), tombFloor = Some(floor))
+    VersionedStore.retireTombstones(spark, storeRoot, Seq("phash"))
+    folds ++ VersionedStore.compactFamily(spark, storeRoot, "tombstones",
+      sizeRatio, _.dropDuplicates())
   }
 }

@@ -440,25 +440,33 @@ object SimilarityIngest {
     */
   def deleteKeys(spark: SparkSession, storeRoot: String,
       keys: DataFrame): Long =
-    VersionedStore.writeTombstones(spark, storeRoot, keys)
+    VersionedStore.writeTombstones(spark, storeRoot, keys, keyedFamilies)
+
+  /** The families whose rows are keyed by vector id — the ones
+    * tombstones apply to, and the ones retirement must see rewritten. */
+  private val keyedFamilies = Seq("lsh", "assigned")
 
   def compactStores(spark: SparkSession, storeRoot: String,
       sizeRatio: Double = 4.0): Seq[Fold] = {
     // folds physically drop tombstoned rows (reader parity is already
-    // guaranteed by the anti-joins; this reclaims the bytes); the
-    // tombstone set resolves ONCE, and its family folds last so its
-    // directories are stable while the other folds read them
-    val tomb = VersionedStore.tombstones(spark, storeRoot)
+    // guaranteed by the anti-joins; this reclaims the bytes) and record
+    // the applied floor; fully-applied markers then retire, and the
+    // tombstone family folds last so its directories are stable while
+    // the other folds read them. The tombstone set resolves ONCE.
+    val (tomb, floor) = VersionedStore.tombstonesAndFloor(spark,
+      storeRoot)
     def anti(df: DataFrame): DataFrame =
       VersionedStore.applyTombstones(df, tomb, None)
-    VersionedStore.compactFamily(spark, storeRoot, "lsh", sizeRatio,
-      df => anti(df.dropDuplicates())) ++
+    val folds = VersionedStore.compactFamily(spark, storeRoot, "lsh",
+      sizeRatio, df => anti(df.dropDuplicates()),
+      tombFloor = Some(floor)) ++
       VersionedStore.compactFamily(spark, storeRoot, "assigned",
         sizeRatio, df => anti(df.dropDuplicates()),
-        partitionBy = Seq("_cid")) ++
+        partitionBy = Seq("_cid"), tombFloor = Some(floor)) ++
       VersionedStore.compactFamily(spark, storeRoot, "drift", sizeRatio,
-        identity) ++
-      VersionedStore.compactFamily(spark, storeRoot, "tombstones",
-        sizeRatio, _.dropDuplicates())
+        identity)
+    VersionedStore.retireTombstones(spark, storeRoot, keyedFamilies)
+    folds ++ VersionedStore.compactFamily(spark, storeRoot, "tombstones",
+      sizeRatio, _.dropDuplicates())
   }
 }

@@ -123,6 +123,45 @@ private[streaming] object VersionedStore {
   def dirs(root: String, family: String, vs: Seq[Long]): Seq[String] =
     vs.map(v => s"$root/$family/v=$v")
 
+  /** Whether a version dir holds readable data: some file outside
+    * hidden (`_`/`.`) segments — `_SUCCESS`-only empty deltas and
+    * sidecar dirs don't count (no schema to infer, nothing to merge). */
+  private def hasData(fs: FileSystem, base: Path): Boolean =
+    if (!fs.exists(base)) false
+    else {
+      val it = fs.listFiles(base, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val rel = it.next().getPath.toUri.getPath
+          .stripPrefix(base.toUri.getPath).split('/')
+        // Spark's hidden-path rule: _ and . prefixes hide a segment
+        // UNLESS it is a partition dir (contains '='), so `_cid=0`
+        // partition directories still count as data
+        found = rel.filter(_.nonEmpty).forall(s =>
+          !(s.startsWith("_") || s.startsWith(".")) || s.contains("="))
+      }
+      found
+    }
+
+  /** One-long sidecar files (`_cutoff` on tombstone deltas,
+    * `_tombfloor` on fold targets). Always written inside a staging
+    * directory before its atomic commit, so a reader never sees a
+    * truncated value — but parse defensively anyway: unreadable means
+    * absent, and every consumer treats absent as "cannot vouch". */
+  private def writeLongSidecar(fs: FileSystem, p: Path, v: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readLongSidecar(fs: FileSystem, p: Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try scala.util.Try(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong).toOption
+      finally in.close()
+    }
+
   /** Write the key-order guard's one-row range sidecar for a just-
     * committed version (underscore-prefixed — invisible to the
     * version's data readers). Written AFTER the data commit: a crash
@@ -178,40 +217,126 @@ private[streaming] object VersionedStore {
     * column NAME is the store's key column name (recorded in the
     * parquet itself — no side configuration). Readers anti-join;
     * compaction applies tombstones to the folded data but RETAINS the
-    * tombstone rows, because unfolded versions may still carry the key
-    * — the family is O(deleted keys) and compacts by dropDuplicates.
-    * Run deletes with the ingest query STOPPED (the same rule as
-    * compaction): a tombstone landing between a batch's first attempt
-    * and its redelivery would make the retry see a different store.
+    * tombstone rows while any unfolded version may still carry the key,
+    * then RETIRES a delta ([[retireTombstones]]) once every version
+    * that could carry its keys has provably been rewritten with it
+    * applied — the family is O(live deleted keys) and compacts by
+    * dropDuplicates. Run deletes with the ingest query STOPPED (the
+    * same rule as compaction): a tombstone landing between a batch's
+    * first attempt and its redelivery would make the retry see a
+    * different store.
+    *
+    * Each delta records a `_cutoff` sidecar — the max committed version
+    * id over the store's KEYED families at delete time. Under the
+    * monotone-key contract, versions committed after the delete carry
+    * only keys above every key the delta can name, so retirement can
+    * clear them by id alone.
     */
   def writeTombstones(spark: SparkSession, storeRoot: String,
-      keys: DataFrame): Long = {
+      keys: DataFrame, keyedFamilies: Seq[String]): Long = {
     require(keys.columns.length == 1,
       s"tombstones take ONE key column, got ${keys.columns.length} " +
         s"(${keys.columns.mkString(", ")})")
     val famDir = s"$storeRoot/tombstones"
+    val fs = new Path(famDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = committedVersions(spark, famDir, Long.MaxValue)
       .lastOption.getOrElse(-1L) + 1L
-    // coalesce(1): a takedown list is metadata-sized; one file per delta
-    keys.dropDuplicates().coalesce(1)
-      .write.mode("overwrite").parquet(s"$famDir/v=$v")
+    val cutoff = keyedFamilies
+      .flatMap(f =>
+        committedVersions(spark, s"$storeRoot/$f", Long.MaxValue)
+          .lastOption)
+      .foldLeft(-1L)(math.max)
+    // staged so the delta and its cutoff sidecar appear atomically
+    // (coalesce(1): a takedown list is metadata-sized; one file each)
+    stagedReplace(spark, famDir, v) { staging =>
+      keys.dropDuplicates().coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      writeLongSidecar(fs, new Path(staging, "_cutoff"), cutoff)
+    }
     v
   }
 
   /** All committed tombstone keys, distinct — None when the store has
-    * never seen a delete (the zero-overhead common case: readers skip
-    * the anti-join entirely). */
+    * never seen a delete, or every delta has been retired (the
+    * zero-overhead common cases: readers skip the anti-join entirely).
+    * Retired deltas are empty committed husks, skipped here. */
   def tombstones(spark: SparkSession,
-      storeRoot: String): Option[DataFrame] = {
+      storeRoot: String): Option[DataFrame] =
+    tombstonesAndFloor(spark, storeRoot)._1
+
+  /** [[tombstones]] PLUS the applied-floor a fold resolving them may
+    * record (`max committed tombstone version + 1` — "every tombstone
+    * delta below this has been physically applied here"): one family
+    * listing serves both, for the compaction paths that need the pair. */
+  def tombstonesAndFloor(spark: SparkSession,
+      storeRoot: String): (Option[DataFrame], Long) = {
     val famDir = s"$storeRoot/tombstones"
+    val fs = new Path(famDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = committedVersions(spark, famDir, Long.MaxValue)
-    if (vs.isEmpty) None
+    val dataDirs = vs.map(v => s"$famDir/v=$v")
+      .filter(d => hasData(fs, new Path(d)))
+    val tomb =
+      if (dataDirs.isEmpty) None
+      else {
+        val first = spark.read.parquet(dataDirs.head)
+        Some(dataDirs.tail
+          .map(d => spark.read.schema(first.schema).parquet(d))
+          .foldLeft(first)(_.unionByName(_))
+          .dropDuplicates())
+      }
+    (tomb, vs.lastOption.map(_ + 1L).getOrElse(0L))
+  }
+
+  /** Retire tombstone deltas whose deletions have been FULLY applied,
+    * so the marker no longer taxes every reader's anti-join: delta
+    * `v_t` retires when, in every keyed family, each committed version
+    * either carries a `_tombfloor` above `v_t` (a fold target rewritten
+    * with the delta applied) or is a raw delta committed after the
+    * delete (id above the delta's `_cutoff` — which, under the
+    * monotone-key contract the whole incremental family rides, cannot
+    * carry any key the delta names). Conservative everywhere: a missing
+    * or unreadable sidecar never vouches, so pre-sidecar deltas simply
+    * never retire.
+    *
+    * A retired delta is replaced by an empty committed husk (staged,
+    * crash-safe) rather than deleted: the family's version counter must
+    * stay monotone, because `_tombfloor` values already recorded on
+    * fold targets would falsely vouch for a reused id. Husks read as
+    * nothing ([[tombstones]] skips them) and fold away under the
+    * family's normal tiered compaction. Returns the retired ids. */
+  def retireTombstones(spark: SparkSession, storeRoot: String,
+      keyedFamilies: Seq[String]): Seq[Long] = {
+    val famDir = s"$storeRoot/tombstones"
+    val fs = new Path(famDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombVs = committedVersions(spark, famDir, Long.MaxValue)
+    if (tombVs.isEmpty) Seq.empty
     else {
-      val first = spark.read.parquet(s"$famDir/v=${vs.head}")
-      Some(vs.tail
-        .map(v => spark.read.schema(first.schema).parquet(s"$famDir/v=$v"))
-        .foldLeft(first)(_.unionByName(_))
-        .dropDuplicates())
+      // each keyed family listed once; floors probed per version
+      val perFam = keyedFamilies.map { f =>
+        committedVersions(spark, s"$storeRoot/$f", Long.MaxValue).map {
+          v => v -> readLongSidecar(fs,
+            new Path(s"$storeRoot/$f/v=$v/_tombfloor"))
+        }
+      }
+      val retired = tombVs.filter { vt =>
+        val dir = new Path(s"$famDir/v=$vt")
+        hasData(fs, dir) &&
+          readLongSidecar(fs, new Path(dir, "_cutoff")).exists(cut =>
+            perFam.forall(_.forall { case (v, floor) =>
+              floor.exists(_ > vt) || (v > cut && floor.isEmpty)
+            }))
+      }
+      retired.foreach { vt =>
+        stagedReplace(spark, famDir, vt) { staging =>
+          val s = new Path(staging)
+          fs.mkdirs(s)
+          fs.create(new Path(s, "_SUCCESS"), true).close()
+        }
+      }
+      retired
     }
   }
 
@@ -321,11 +446,19 @@ private[streaming] object VersionedStore {
     * argument lives on [[DedupIngest.compactStores]], which (like
     * [[SimilarityIngest.compactStores]]) is this per family. Only
     * versions STRICTLY BELOW the family's max are ever folded (the max
-    * must survive for `foreachBatch` retry reads). */
+    * must survive for `foreachBatch` retry reads).
+    *
+    * `tombFloor = Some(f)` records an `_tombfloor` sidecar on every
+    * fold target this call commits: "all tombstone deltas with version
+    * < f have been physically applied here" — the caller's `resolve`
+    * must actually apply them ([[applyTombstones]]). The sidecar is
+    * what [[retireTombstones]] reads to prove a delete has reached
+    * every old version. Pass it only for KEYED families. */
   def compactFamily(spark: SparkSession, storeRoot: String,
       family: String, sizeRatio: Double,
       resolve: DataFrame => DataFrame,
-      partitionBy: Seq[String] = Nil): Seq[Fold] = {
+      partitionBy: Seq[String] = Nil,
+      tombFloor: Option[Long] = None): Seq[Fold] = {
     require(sizeRatio >= 1.0, s"sizeRatio must be >= 1, got $sizeRatio")
     val fs = new Path(storeRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -343,28 +476,6 @@ private[streaming] object VersionedStore {
     val vs = if (all.isEmpty) all else all.filter(_ < all.max)
     val sized = vs.map(v =>
       v -> fs.getContentSummary(new Path(s"$famDir/v=$v")).getLength)
-    // a version dir counts as holding data only when some file sits
-    // outside hidden (_ or .) segments — `_SUCCESS`-only empty deltas
-    // and `_keyrange/` sidecars don't; such dirs can't be read (no
-    // schema to infer) and contribute nothing to a merge
-    def hasData(dir: String): Boolean = {
-      val base = new Path(dir)
-      if (!fs.exists(base)) false
-      else {
-        val it = fs.listFiles(base, true)
-        var found = false
-        while (!found && it.hasNext) {
-          val rel = it.next().getPath.toUri.getPath
-            .stripPrefix(base.toUri.getPath).split('/')
-          // Spark's hidden-path rule: _ and . prefixes hide a segment
-          // UNLESS it is a partition dir (contains '='), so `_cid=0`
-          // partition directories still count as data
-          found = rel.filter(_.nonEmpty).forall(s =>
-            !(s.startsWith("_") || s.startsWith(".")) || s.contains("="))
-        }
-        found
-      }
-    }
     for ((group, _) <- tiers(sized, sizeRatio); if group.size > 1) yield {
       val vInto = group.max
       val staging = new Path(s"$famDir/.compact-v=$vInto")
@@ -374,7 +485,8 @@ private[streaming] object VersionedStore {
       // discovery (the v=N level itself parses as a conflicting
       // partition), and per-dir reads keep each version's own
       // partition-column inference
-      val readable = dirs(storeRoot, family, group).filter(hasData)
+      val readable = dirs(storeRoot, family, group)
+        .filter(d => hasData(fs, new Path(d)))
       fs.delete(staging, true)
       if (readable.isEmpty) {
         // every source was an empty delta — the merge is the same
@@ -402,6 +514,17 @@ private[streaming] object VersionedStore {
             max(col("maxKey")).as("maxKey"))
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(staging, "_keyrange").toString)
+      // keyed-family fold targets record which tombstone deltas their
+      // resolve applied — retirement's evidence
+      tombFloor.foreach(f =>
+        writeLongSidecar(fs, new Path(staging, "_tombfloor"), f))
+      // tombstone-family folds carry the sources' data cutoffs through
+      // (max is conservative: keys from any source live only in
+      // versions at or below their own cutoff, which is at most this)
+      val srcCutoffs = group.flatMap(v =>
+        readLongSidecar(fs, new Path(s"$famDir/v=$v/_cutoff")))
+      if (srcCutoffs.nonEmpty)
+        writeLongSidecar(fs, new Path(staging, "_cutoff"), srcCutoffs.max)
       // record the folded sources INSIDE the staging dir before the
       // commit: once the rename lands, readers exclude any source the
       // crash window left undeleted (their rows live here now), and

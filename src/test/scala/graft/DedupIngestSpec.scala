@@ -529,9 +529,9 @@ class DedupIngestSpec extends SparkTestBase {
 
   test("tombstones: deleteKeys removes documents from every keyed " +
       "reader immediately, deleted content re-ingests fresh, redelivery " +
-      "stays idempotent, compaction applies tombstones physically while " +
-      "keeping them, and the key-order guard still holds the all-time " +
-      "max key") {
+      "stays idempotent, compaction applies tombstones physically and " +
+      "retires fully-applied markers (but never sooner), and the " +
+      "key-order guard still holds the all-time max key") {
     val storeRoot = Files.createTempDirectory("graft-tomb-store").toString
     val keptDir = Files.createTempDirectory("graft-tomb-kept").toString
     def run(rows: Seq[(Long, String)], id: Long) =
@@ -567,6 +567,25 @@ class DedupIngestSpec extends SparkTestBase {
     val l1 = labels()
     assert(!l1.contains(2L) && !l1.contains(12L) && l1(11L) == 1L, l1)
 
+    // the live tombstone marker bytes on disk, raw
+    def tombstoneDataFiles(): Int = {
+      val fam = new java.io.File(s"$storeRoot/tombstones")
+      if (!fam.exists()) 0
+      else fam.listFiles().filter(_.getName.startsWith("v="))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(tombstoneDataFiles() > 0, "delete must write a marker")
+    // NEGATIVE retirement case: compacting now folds nothing (only one
+    // version sits below no other), so pre-delete store versions remain
+    // unrewritten and the marker MUST survive — retiring it here would
+    // resurrect the deleted keys from the raw v=0/v=1 deltas
+    DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert(tombstoneDataFiles() > 0,
+      "marker must survive while unrewritten pre-delete versions exist")
+    assert(sigKeys() == Set(1L, 3L, 11L, 13L), sigKeys())
+
     // the store no longer RECOGNIZES deleted content: a verbatim
     // re-crawl of B re-ingests fresh, while A (undeleted) still drops
     run(Seq((21L, A), (22L, B)), 2L)
@@ -601,11 +620,27 @@ class DedupIngestSpec extends SparkTestBase {
         .as[Long].collect())
       .toSet
     assert(!rawSig.contains(2L) && !rawSig.contains(12L), rawSig)
+    // RETIREMENT: the fold rewrote every version the delete could touch
+    // (fold target carries the applied floor; the post-delete raw delta
+    // is cleared by the delta's cutoff under the monotone-key
+    // contract), so the marker is dead weight — it retires to an empty
+    // committed husk. The version dir survives (the counter must stay
+    // monotone) but no marker bytes tax readers' anti-joins anymore.
+    assert(tombstoneDataFiles() == 0,
+      "fully-applied tombstones must retire at compaction")
     assert(new java.io.File(s"$storeRoot/tombstones").listFiles()
       .exists(_.getName.startsWith("v=")),
-      "tombstone family must survive compaction")
+      "retirement keeps the version counter (empty husk, not deletion)")
+    assert((keptByBatch(), sigKeys(), labels()) == beforeRetry,
+      "retirement must be invisible to readers")
     // and a post-compaction retry still works against the folded store
     run(Seq((21L, A), (22L, B)), 2L)
     assert(keptByBatch()(2L) == Set(22L))
+    // a later delete reuses nothing: the husk holds the counter, so the
+    // next marker gets a fresh version id no stale floor can vouch for
+    DedupIngest.deleteKeys(spark, storeRoot, Seq(13L).toDF("doc_id"))
+    assert(sigKeys() == Set(1L, 3L, 11L, 21L, 22L), sigKeys())
+    assert(new java.io.File(s"$storeRoot/tombstones/v=1").exists(),
+      "post-retirement delete must take version 1, not reuse 0")
   }
 }
