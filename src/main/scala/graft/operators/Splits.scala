@@ -188,6 +188,83 @@ object Splits {
   private[operators] def contentDigest(key: String, salt: String): Column =
     md5(concat_ws("", lit(salt), col(key).cast("string")))
 
+  /** The digest's first 13 hex chars as a long — 52 uniform bits whose
+    * numeric order is a prefix-coarsening of the full digest's
+    * lexicographic order (fixed-width lowercase hex sorts like the
+    * 128-bit value), which is what makes a numeric threshold on it an
+    * EXACT pre-filter for digest-ordered top-k: every row it drops has a
+    * strictly larger prefix — hence a strictly larger digest — than at
+    * least `quota` surviving rows. */
+  private def digestPrefix(key: String, salt: String): Column =
+    conv(substring(contentDigest(key, salt), 1, 13), 16, 10).cast("long")
+
+  /** The inflated per-domain prefix threshold: digests are uniform, so
+    * the `quota` smallest of `nd` rows sit near prefix
+    * `quota/nd · 2^52`; inflating by `margin` standard deviations of the
+    * binomial survivor count (+16 for tiny quotas) makes undershoot a
+    * ~`margin`-sigma event — and undershoot only costs the fallback
+    * sort, never exactness. Degenerates to no filtering (max threshold)
+    * when the domain is smaller than its inflated quota. */
+  private def digestThreshold(quota: Long, nd: Long,
+      margin: Double): Long = {
+    val max52 = (1L << 52) - 1
+    val need = quota + margin * math.sqrt(quota.toDouble) + 16.0
+    if (nd <= 0 || need >= nd) max52
+    else math.min(max52.toDouble,
+      math.ceil(need / nd * (1L << 52).toDouble)).toLong
+  }
+
+  /** Shared exact top-`quota`-per-domain kernel for the samplers:
+    * broadcast-join `(domain, quota, threshold)`, pre-filter each
+    * domain to prefix ≤ threshold, verify per-domain survivor counts
+    * (one aggregation over the already-filtered sliver), widen any
+    * undershooting domain back to its full window, and only then run
+    * the exact digest-ordered window. The window's input is always the
+    * filtered relation — the full-corpus sort this replaces is the
+    * difference between sampling 100 rows from 10^9 and sorting 10^9.
+    * Domains are matched on their string cast, null-safely (a null
+    * domain is a domain). */
+  private def exactTopQuota(rows: DataFrame, domain: Column,
+      quotas: Seq[(String, Long, Long)], key: String,
+      salt: String): DataFrame = {
+    if (quotas.isEmpty) return rows.limit(0)
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(quotas.toDF("_dom", "_quota", "_thr"))
+    val joined = rows.join(qdf, domain.cast("string") <=> col("_dom"))
+    val pre = digestPrefix(key, salt) <= col("_thr")
+    // the survivor check reads only the filtered sliver; a domain whose
+    // sliver undershoots its quota (≈margin-sigma rare, or a margin
+    // forced down in tests) widens back to its full window. Short = the
+    // quota domains NOT confirmed ok — a domain with zero survivors has
+    // no aggregation group at all, so the confirmed set is the only
+    // side the sliver can answer
+    val okDoms = joined.filter(pre)
+      .groupBy(col("_dom"), col("_quota"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= col("_quota"))
+      .select(col("_dom")).collect().map(_.getString(0)).toSet
+    val short = quotas.collect {
+      case (d, q, _) if q > 0 && !okDoms.contains(d) => d
+    }
+    val keep =
+      if (short.isEmpty) pre
+      else {
+        val shortSet = short.toSet
+        val widen = if (shortSet.contains(null))
+          col("_dom").isNull or col("_dom").isin(
+            shortSet.filter(_ != null).toSeq: _*)
+        else col("_dom").isin(shortSet.toSeq: _*)
+        pre or widen
+      }
+    val w = Window.partitionBy(domain)
+      .orderBy(contentDigest(key, salt), col(key))
+    joined.filter(keep)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("_quota"))
+      .drop("_rk", "_dom", "_quota", "_thr")
+  }
+
   /** Engine-independent deterministic exact-n sample: the n rows with the
     * smallest md5(salt || key) digest. Same result on any engine, any
     * partitioning, any cluster size — unlike seeded `rand`, whose draw
@@ -202,18 +279,38 @@ object Splits {
 
   /** Exact per-stratum deterministic sample: up to `perStratum` rows from
     * each distinct value of `stratumCol`, chosen by the same md5 content
-    * digest as [[deterministicSample]]. One hash-partitioned sort per
-    * stratum (a single shuffle); strata are processed fully in parallel.
-    * The workhorse for class-balanced training subsets at corpus scale.
+    * digest as [[deterministicSample]]. The workhorse for class-balanced
+    * training subsets at corpus scale.
+    *
+    * Scale shape — the window never sees the corpus: a digest-threshold
+    * pre-filter (see [[digestPrefix]]) cuts each stratum to
+    * ~`perStratum` + slack rows BEFORE the hash-partitioned window sort,
+    * so picking 100 rows per class out of 10^9 sorts hundreds, not
+    * billions. Costs one stratum-count aggregation (the collect is
+    * label-dictionary-sized — the same contract as
+    * [[temperatureSample]]'s quota collect) plus one survivor-count
+    * check; exactness is unconditional because any stratum the
+    * (≈6-sigma-inflated) threshold undershoots falls back to its full
+    * window. Null strata sample like any other stratum value.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, perStratum: Int,
-      key: String, salt: String = "graft"): DataFrame = {
+      key: String, salt: String = "graft"): DataFrame =
+    stratifiedSampleImpl(df, stratumCol, perStratum, key, salt,
+      margin = 6.0)
+
+  private[graft] def stratifiedSampleImpl(df: DataFrame,
+      stratumCol: String, perStratum: Int, key: String, salt: String,
+      margin: Double): DataFrame = {
     require(perStratum > 0, "perStratum must be > 0")
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(contentDigest(key, salt), col(key))
-    df.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= perStratum)
-      .drop("_rk")
+    val counts = df
+      .groupBy(col(stratumCol).cast("string").as("_dom"))
+      .agg(count(lit(1)).as("_nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val quotas = counts.map { case (d, nd) =>
+      (d, math.min(nd, perStratum.toLong),
+        digestThreshold(perStratum.toLong, nd, margin))
+    }
+    exactTopQuota(df, col(stratumCol), quotas.toSeq, key, salt)
   }
 
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–Spirakis
@@ -259,12 +356,19 @@ object Splits {
     * a null domain are excluded.
     *
     * Scale shape: one type-sized driver collect (the per-domain counts
-    * — the label-dictionary contract), quotas broadcast back, and ONE
-    * hash-partitioned window sort per domain (exactly
-    * [[stratifiedSample]]'s single shuffle; domains fill in parallel).
+    * — the label-dictionary contract), quotas broadcast back, the
+    * digest-threshold pre-filter (see [[digestPrefix]]; exactness-safe,
+    * undershoot falls back per domain), and ONE hash-partitioned window
+    * sort per domain over the filtered sliver — the window never sorts
+    * the corpus, only ~quota + slack rows per domain.
     */
   def temperatureSample(df: DataFrame, domainCol: String, n: Int,
-      tau: Double, key: String, salt: String = "graft"): DataFrame = {
+      tau: Double, key: String, salt: String = "graft"): DataFrame =
+    temperatureSampleImpl(df, domainCol, n, tau, key, salt, margin = 6.0)
+
+  private[graft] def temperatureSampleImpl(df: DataFrame,
+      domainCol: String, n: Int, tau: Double, key: String, salt: String,
+      margin: Double): DataFrame = {
     require(n >= 0, s"n must be >= 0, got $n")
     require(tau >= 0.0, s"tau must be >= 0, got $tau")
     val rows = df.filter(col(domainCol).isNotNull)
@@ -283,18 +387,11 @@ object Splits {
       .sortBy(i => (-(ideal(i) - base(i)), counts(i)._1))
       .take(leftover).toSet
     val quotas = counts.indices.map { i =>
-      (counts(i)._1,
-        math.min(counts(i)._2, base(i) + (if (bonus(i)) 1L else 0L)))
+      val q = math.min(counts(i)._2,
+        base(i) + (if (bonus(i)) 1L else 0L))
+      (counts(i)._1, q, digestThreshold(q, counts(i)._2, margin))
     }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val qdf = broadcast(quotas.toDF("_dom", "_quota"))
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(contentDigest(key, salt), col(key))
-    rows.withColumn("_rk", row_number().over(w))
-      .join(qdf, col(domainCol).cast("string") === col("_dom"))
-      .filter(col("_rk") <= col("_quota"))
-      .drop("_rk", "_dom", "_quota")
+    exactTopQuota(rows, col(domainCol), quotas, key, salt)
   }
 
   /** Scale path: shuffle-free split assignment from a content hash of the

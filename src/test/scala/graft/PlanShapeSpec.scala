@@ -226,8 +226,11 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q93 temperatureSample: one per-domain window exchange, quota " +
-      "attach broadcasts — corpus rows shuffle exactly once") {
+      "attach broadcasts, and the window's input is the digest-" +
+      "threshold sliver — corpus rows shuffle once, and only the " +
+      "~quota survivors reach the sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val out = Splits.temperatureSample(Tables.docs, "lang", 50, 0.5,
         "doc_id")
@@ -238,6 +241,14 @@ class PlanShapeSpec extends SparkTestBase {
           s"${shuffles.size}:\n$plan")
       assert(plan.toString.contains("BroadcastHashJoin"),
         s"the type-sized quota map must broadcast:\n$plan")
+      // the full-corpus sort is gone: below the window sits the digest-
+      // prefix threshold filter, so the per-domain sort ranks only the
+      // pre-filtered sliver (~quota + slack rows per domain)
+      val win = plan.collect { case w: WindowExec => w }
+      assert(win.nonEmpty, s"expected a WindowExec:\n$plan")
+      assert(win.head.child.toString.contains("conv(substring("),
+        "the window input must be the threshold-filtered relation:\n" +
+          win.head.child)
     }
   }
 

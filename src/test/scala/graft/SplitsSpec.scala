@@ -162,6 +162,35 @@ class SplitsSpec extends SparkTestBase {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "dom"))
   }
 
+  test("digest-threshold pre-filter: forced-undershoot margins fall " +
+      "back to the full window and reproduce the default result " +
+      "exactly, null strata included") {
+    val df = ((1 to 300).map(i => (i.toLong, Seq("a", "b", "c")(i % 3)))
+      ++ Seq((1001L, null.asInstanceOf[String]),
+        (1002L, null.asInstanceOf[String]),
+        (1003L, null.asInstanceOf[String])))
+      .toDF("image_id", "stratum")
+    def keys(out: org.apache.spark.sql.DataFrame): Set[Long] =
+      out.select("image_id").as[Long].collect().toSet
+    val want = keys(Splits.stratifiedSample(df, "stratum", 2, "image_id"))
+    // null stratum is a stratum: 2 of the 3 null rows are in the sample
+    assert(want.count(_ > 1000L) == 2, want)
+    // margin so low every threshold drops every row → every stratum
+    // takes the widen path — the result must not change
+    assert(keys(Splits.stratifiedSampleImpl(df, "stratum", 2,
+      "image_id", "graft", margin = -1000.0)) == want)
+    // margin near the expectation: strata undershoot or survive on
+    // their own digest draw — whichever mix lands must stay exact
+    assert(keys(Splits.stratifiedSampleImpl(df, "stratum", 2,
+      "image_id", "graft", margin = -12.0)) == want)
+
+    val nonNull = df.filter($"stratum".isNotNull)
+    val wantT = keys(Splits.temperatureSample(nonNull, "stratum", 5,
+      0.5, "image_id"))
+    assert(keys(Splits.temperatureSampleImpl(nonNull, "stratum", 5, 0.5,
+      "image_id", "graft", margin = -1000.0)) == wantT)
+  }
+
   test("hashSplit: deterministic, shuffle-free, roughly proportional") {
     val df = ids(2000)
     val s1 = Splits.hashSplit(df, "image_id")
