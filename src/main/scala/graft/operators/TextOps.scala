@@ -1177,8 +1177,19 @@ object TextOps {
     * earlier merged ids. Training is deterministic (best pair by count,
     * ties by ascending pair ids), so the same corpus always yields the
     * same vocabulary regardless of partitioning.
+    *
+    * `pretokenize` is part of the model, not an encode-time flag:
+    * segmentation is only faithful to training when both sides fragment
+    * text identically, so [[bpeEncode]] reads the mode from here and a
+    * train/encode mismatch is unrepresentable. `"whitespace"` treats
+    * each whitespace-delimited word as one merge domain; `"gpt2"`
+    * additionally splits each word by the public GPT-2 pre-tokenizer
+    * classes (see [[gpt2Fragments]]), so merges never fuse letters with
+    * punctuation or digits — the segmentation real subword vocabularies
+    * use.
     */
-  final case class BpeModel(merges: Array[(Int, Int)])
+  final case class BpeModel(merges: Array[(Int, Int)],
+      pretokenize: String = "whitespace")
       extends Serializable {
     /** merge pair → rank (lower merges first at encode time) */
     @transient lazy val rank: java.util.HashMap[Long, Int] = {
@@ -1199,13 +1210,75 @@ object TextOps {
     * merges can learn cross-boundary units like `" the"`. Decode strips
     * the leading space of the reassembled text.
     */
-  private def wordBytes(w: String): Array[Int] = {
-    val bs = (" " + w).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def wordBytes(w: String): Array[Int] = fragBytes(w, lead = true)
+
+  /** UTF-8 byte ids of one pre-token fragment: the word-initial fragment
+    * carries the leading space (see [[wordBytes]]); a mid-word fragment
+    * is raw bytes, so fragments of one word concatenate back to the word
+    * on decode with no seam — [[bpeDecode]] needs no mode awareness.
+    */
+  private def fragBytes(frag: String, lead: Boolean): Array[Int] = {
+    val s = if (lead) " " + frag else frag
+    val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = new Array[Int](bs.length)
     var i = 0
     while (i < bs.length) { out(i) = bs(i) & 0xff; i += 1 }
     out
   }
+
+  /** The recognized [[BpeModel.pretokenize]] modes. */
+  private val pretokenizeModes = Set("whitespace", "gpt2")
+
+  // The public GPT-2 pre-tokenizer pattern (from the released gpt-2
+  // encoder, public knowledge): contractions, letter runs, digit runs,
+  // punctuation runs — each ` ?`-prefixed in the original. Under this
+  // codebase's whitespace-normalized leading-space convention every
+  // word is preceded by exactly one space, so the space handling
+  // reduces to position: word-INITIAL fragments match as if after a
+  // space (contractions excluded — in the original the space forces
+  // the ` ?[^\s\p{L}\p{N}]+` branch), mid-word fragments use the full
+  // alternation. \s never occurs inside a whitespace-split word, so
+  // the original's trailing `\s+` branches are unreachable here.
+  private val gpt2Mid = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+")
+  private val gpt2Head = java.util.regex.Pattern.compile(
+    "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+")
+
+  /** GPT-2 pre-token fragments of one whitespace-delimited word, in
+    * order; concatenating them yields the word back. Each fragment is a
+    * separate BPE merge domain — merges never cross a fragment edge, so
+    * `"don't."` learns units for `don`, `'t`, `.` independently instead
+    * of a `n't.` blob.
+    */
+  private[graft] def gpt2Fragments(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < w.length) {
+      val m = (if (i == 0) gpt2Head else gpt2Mid).matcher(w)
+      m.region(i, w.length)
+      if (m.lookingAt()) { out += m.group(); i = m.end() }
+      else { // unreachable: the punct class accepts any non-space char
+        out += w.substring(i, i + 1); i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** A word's pre-token fragments paired with their word-initial flag,
+    * under the model's mode — the single fragmentation authority shared
+    * by training and encoding.
+    */
+  private def preTokens(w: String,
+      pretokenize: String): Array[(String, Boolean)] =
+    pretokenize match {
+      case "whitespace" => Array((w, true))
+      case "gpt2" =>
+        val fs = gpt2Fragments(w)
+        Array.tabulate(fs.length)(i => (fs(i), i == 0))
+      case other => throw new IllegalArgumentException(
+        s"unknown pretokenize mode '$other' — expected one of " +
+          pretokenizeModes.toSeq.sorted.mkString(", "))
+    }
 
   /** Greedy left-to-right replacement of every occurrence of `(a, b)`
     * in `s` by `id` — the merge step shared by training and encoding
@@ -1242,16 +1315,43 @@ object TextOps {
     * partitioning); learning stops early when no pair occurs twice.
     * Words are raw whitespace tokens of the trimmed text (case
     * preserved — subword vocabularies are case-sensitive).
+    *
+    * `pretokenize = "gpt2"` further splits each word by the public
+    * GPT-2 pre-tokenizer classes before counting (the merge domains
+    * become (fragment, word-initial) pairs — see [[gpt2Fragments]]);
+    * the whitespace path is unchanged and stays pure-codegen. The mode
+    * is baked into the returned model so [[bpeEncode]] always fragments
+    * the same way.
     */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int = 1000,
-      maxWordTypes: Long = 10000000L): BpeModel = {
+      maxWordTypes: Long = 10000000L,
+      pretokenize: String = "whitespace"): BpeModel = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(df.columns.contains(textCol),
       s"df is missing text column '$textCol'")
-    val words = df.select(explode(
+    require(pretokenizeModes.contains(pretokenize),
+      s"unknown pretokenize mode '$pretokenize' — expected one of " +
+        pretokenizeModes.toSeq.sorted.mkString(", "))
+    val rawWords = df.select(explode(
         split(trim(coalesce(col(textCol), lit(""))), "\\s+")).as("_w"))
       .filter(length(col("_w")) > 0)
-      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    // the merge domains: whitespace words (always word-initial), or
+    // their GPT-2 fragments tagged with the word-initial flag — the
+    // flag is part of the TYPE (a word-initial "the" carries the
+    // leading-space byte, a mid-word one does not)
+    val domains = pretokenize match {
+      case "whitespace" =>
+        rawWords.select(col("_w").as("_f"), lit(true).as("_lead"))
+      case _ =>
+        val frag = udf((w: String) => {
+          val fs = gpt2Fragments(w)
+          fs.indices.map(i => (fs(i), i == 0))
+        })
+        rawWords.select(explode(frag(col("_w"))).as("_fl"))
+          .select(col("_fl._1").as("_f"), col("_fl._2").as("_lead"))
+    }
+    val words = domains
+      .groupBy(col("_f"), col("_lead")).agg(count(lit(1)).as("_c"))
       .localCheckpoint(false) // count guard + collect: aggregate once
     val types = words.count()
     if (types > maxWordTypes)
@@ -1260,7 +1360,8 @@ object TextOps {
           s"driver-collect cap maxWordTypes=$maxWordTypes — raise the " +
           "cap if the driver heap affords it (16+ bytes per type)")
     var seqs: Array[(Array[Int], Long)] = words.collect()
-      .map(r => (wordBytes(r.getString(0)), r.getLong(1)))
+      .map(r => (fragBytes(r.getString(0), r.getBoolean(1)),
+        r.getLong(2)))
     val merges = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     var m = 0
     var exhausted = false
@@ -1299,7 +1400,7 @@ object TextOps {
         m += 1
       } else exhausted = true
     }
-    BpeModel(merges.toArray)
+    BpeModel(merges.toArray, pretokenize)
   }
 
   /** Encode one word's byte ids under the merge ranks: repeatedly apply
@@ -1340,7 +1441,11 @@ object TextOps {
     * normalized to single spaces by the leading-space byte convention
     * (see [[wordBytes]]); [[bpeDecode]] of the ids returns exactly the
     * single-space token join, the same normalization contract as
-    * [[packChunks]]/`maskRepeatedSpans`. Compose with [[packChunks]]
+    * [[packChunks]]/`maskRepeatedSpans` — under BOTH pretokenize modes
+    * (the mode travels with the model; a `"gpt2"` model fragments each
+    * word exactly as training did, and mid-word fragments carry no
+    * space byte so decode reassembles the word seamlessly). Compose
+    * with [[packChunks]]
     * for ID shards: `concat_ws(" ", token_ids)` is a packable chunk
     * column whose "tokens" are the ids.
     */
@@ -1363,9 +1468,15 @@ object TextOps {
         val out = scala.collection.mutable.ArrayBuffer[Int]()
         var i = 0
         while (i < words.length) {
+          // the memo key is the whole word: fragmentation is a pure
+          // function of the word under the model's (fixed) mode, so
+          // caching the concatenated fragment encodings is sound
           var ids = cache.get(words(i))
           if (ids == null) {
-            ids = encodeWord(wordBytes(words(i)), m.rank, m.merges)
+            ids = preTokens(words(i), m.pretokenize).flatMap {
+              case (f, lead) =>
+                encodeWord(fragBytes(f, lead), m.rank, m.merges)
+            }
             if (cache.size < 100000) cache.put(words(i), ids)
           }
           out ++= ids

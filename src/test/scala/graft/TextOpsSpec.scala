@@ -529,6 +529,78 @@ class TextOpsSpec extends SparkTestBase {
     assert(err.getMessage.contains("maxWordTypes"))
   }
 
+  test("BPE gpt2 pretokenization: fragment classes, merges never cross " +
+      "a class edge, round-trip under both modes, determinism, and the " +
+      "mode travels with the model") {
+    // fragment kernel: contractions mid-word only (word-initial is
+    // post-space under the leading-space convention), letter / digit /
+    // punctuation runs, fragments concatenate back to the word
+    def frags(w: String) = TextOps.gpt2Fragments(w).toSeq
+    assert(frags("don't.") == Seq("don", "'t", "."))
+    assert(frags("we'll") == Seq("we", "'ll"))
+    assert(frags("'tis") == Seq("'", "tis"))
+    assert(frags("abc123!?x") == Seq("abc", "123", "!?", "x"))
+    assert(frags("x-'s") == Seq("x", "-'", "s")) // greedy punct eats the quote
+    assert(frags("héllo…42") == Seq("héllo", "…", "42"))
+    for (w <- Seq("don't.", "'tis", "abc123!?x", "héllo…42"))
+      assert(frags(w).mkString("") == w, s"fragments must tile '$w'")
+
+    val corpus = Seq(
+      (1L, "the cat. the cat. the cat. the cat."),
+      (2L, "don't stop, don't stop, don't stop"),
+      (3L, "the cat won't don't can't"))
+      .toDF("doc_id", "text")
+    val ws = TextOps.bpeTrain(corpus, "text", numMerges = 60)
+    val g2 = TextOps.bpeTrain(corpus, "text", numMerges = 60,
+      pretokenize = "gpt2")
+    assert(ws.pretokenize == "whitespace" && g2.pretokenize == "gpt2")
+    assert(TextOps.BpeModel(Array((97, 98))).pretokenize == "whitespace")
+    // merge-domain isolation: expanding every learned gpt2 merge yields
+    // a unit that never mixes letters with punctuation/digits — except
+    // inside a contraction fragment, which IS a mixed pre-token ("'t")
+    // — while the whitespace model (trained on "cat."-heavy text) does
+    // learn a genuinely mixed unit
+    val contractions = Seq("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+    def mixed(m: TextOps.BpeModel): Seq[String] =
+      m.merges.indices.map(r => TextOps.bpeDecode(Seq(256 + r), m))
+        .filter(u => u.exists(_.isLetter) &&
+          u.exists(c => !c.isLetter && c != ' ') &&
+          !contractions.exists(_.startsWith(u)))
+    assert(mixed(g2).isEmpty,
+      s"gpt2 merges crossed a class edge: ${mixed(g2)}")
+    assert(mixed(ws).nonEmpty,
+      "whitespace mode should fuse across punctuation on this corpus")
+    // round-trip: both modes decode to the single-space token join,
+    // contractions and OOV unicode included
+    val texts = Seq(
+      "don't stop the cat.",
+      "'tis  odd\tspacing won't hurt",
+      "unseen zq'zq!! héllo…")
+    for (model <- Seq(ws, g2); (t, i) <- texts.zipWithIndex) {
+      val enc = TextOps.bpeEncode(
+          Seq((i.toLong, t)).toDF("doc_id", "text"), model, "text")
+        .select("token_ids").collect().head.getSeq[Int](0)
+      val want = t.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(TextOps.bpeDecode(enc, model) == want,
+        s"round-trip broke for '$t' under ${model.pretokenize}")
+    }
+    // determinism: gpt2 training is partition-independent too
+    val g2b = TextOps.bpeTrain(corpus.repartition(7), "text",
+      numMerges = 60, pretokenize = "gpt2")
+    assert(g2b.merges.toSeq == g2.merges.toSeq)
+    // unknown mode fails fast, train-side and (via a forged model)
+    // encode-side
+    val err = intercept[IllegalArgumentException] {
+      TextOps.bpeTrain(corpus, "text", pretokenize = "bytes")
+    }
+    assert(err.getMessage.contains("pretokenize"))
+    val forged = TextOps.BpeModel(g2.merges, "bytes")
+    val thrown = intercept[Exception] {
+      TextOps.bpeEncode(corpus, forged, "text").collect()
+    }
+    assert(thrown.getMessage != null)
+  }
+
   test("bpeDecode handles GPT-2-class-deep merge chains without stack " +
       "overflow (merge r referencing merge r-1, 50k links)") {
     // 'a' = byte 97; merge r fuses (prior chain id, 97) — decoding the
