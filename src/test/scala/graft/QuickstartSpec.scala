@@ -152,11 +152,11 @@ class QuickstartSpec extends SparkTestBase {
   }
 
   test("the LLM-pipeline recipe from QUICKSTART.md: crawl → " +
-      "decontaminate → span+doc dedup → quality → chunk → pack → " +
+      "decontaminate → dedup text+images → quality → BPE → pack → " +
       "TFRecord, each stage dropping exactly its plants") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    import graft.operators.{Dedup, TextOps}
+    import graft.operators.{Dedup, Multimodal, TextOps}
     import graft.sources.{TFRecord, TFRecordSink}
 
     // reference-English vocabulary both the LM reference and the good
@@ -230,6 +230,35 @@ class QuickstartSpec extends SparkTestBase {
     assert(Set(11L, 12L, 13L, 14L, 15L).subsetOf(afterDedup),
       s"masked-distinct bodies must all survive dedup: $afterDedup")
 
+    // 2b. image payloads: perceptual near-dup pair planted (same blocky
+    // "photo", sub-cell brightness tweak), one distinct image, one
+    // undecodable payload — keep-first drops only the later twin
+    def blockyPng(group: Int, tweak: Boolean): Array[Byte] = {
+      val w = 32; val h = 32
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v0 = scala.util.hashing.MurmurHash3
+          .productHash((group, x / 4, y / 4)) & 0xff
+        val v = if (tweak && x < 2 && y < 2) (v0 + 96) & 0xff else v0
+        val i = (y * w + x) * 3
+        px(i) = v.toByte; px(i + 1) = v.toByte; px(i + 2) = v.toByte
+      }
+      graft.sources.ImageCodec.encodePng(w, h, px)
+    }
+    val images = Seq(
+      1L -> blockyPng(7, tweak = false),
+      2L -> blockyPng(7, tweak = true), // near-dup of 1 → dropped
+      3L -> blockyPng(8, tweak = false),
+      4L -> "not an image".getBytes("UTF-8")) // undecodable → kept
+      .toDF("img_id", "img")
+    val imgPairs = Multimodal.imageNearDuplicates(images, "img",
+      "img_id", maxDistance = 3)
+    val imgDrops = Dedup.connectedComponents(imgPairs)
+      .filter($"key" =!= $"component").select($"key".as("img_id"))
+    val imagesKept = images.join(imgDrops, Seq("img_id"), "left_anti")
+    assert(imagesKept.select("img_id").as[Long].collect().toSet ==
+      Set(1L, 3L, 4L))
+
     // 3. quality: heuristics + LM score (floor between gibberish and
     // the worst good doc — the spec derives it instead of hard-coding)
     val lm = TextOps.ngramLm(reference, "text")
@@ -251,17 +280,44 @@ class QuickstartSpec extends SparkTestBase {
     assert(!keptIds.contains(30L) && !keptIds.contains(31L))
     assert(Set(11L, 20L, 40L, 41L).subsetOf(keptIds), keptIds.toString)
 
-    // 4. chunk + pack
-    val chunks = TextOps.chunkTokens(kept, "text", "doc_id",
-        chunkSize = 16, stride = 16)
+    // 4. tokenize: gpt2-pretokenized byte-level BPE trained on the
+    // survivors, encoded map-only to an id stream
+    val bpe = TextOps.bpeTrain(kept, "text", numMerges = 200,
+      pretokenize = "gpt2")
+    assert(bpe.pretokenize == "gpt2")
+    val ids = TextOps.bpeEncode(kept, bpe, "text")
+      .withColumn("ids_str", concat_ws(" ", $"token_ids"))
+
+    // 5. chunk + pack the ID stream ("-1" edge marker can't collide
+    // with non-negative ids)
+    // chunkSize holds every fixture doc's id count, so chunks are 1:1
+    // with docs and the boundary-split stream reconstructs documents
+    // (multi-chunk splitting is pinned by the chunkTokens/packChunks
+    // specs and q60/q84)
+    val chunks = TextOps.chunkTokens(ids, "ids_str", "doc_id",
+        chunkSize = 4096, stride = 4096)
       .withColumn("ckey", concat($"doc_id", lit("#"), $"chunk_id"))
-    val seqs = TextOps.packChunks(chunks, "chunk", "ckey", seqLen = 10)
+    val seqs = TextOps.packChunks(chunks, "chunk", "ckey", seqLen = 10,
+      boundary = "-1")
     val nSeqs = seqs.count()
     val nonFinal = seqs.orderBy("seq_id").limit(nSeqs.toInt - 1)
     assert(nonFinal.filter($"n_tokens" =!= 10).count() == 0,
       "every non-final sequence must carry exactly seqLen tokens")
+    // the packed stream, split on the edge marker, decodes back to
+    // EXACTLY the surviving documents (whitespace-normalized)
+    val stream = seqs.orderBy("seq_id").select("seq").as[String]
+      .collect().mkString(" ").split(" ").map(_.toInt)
+    val docsBack = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+    var cur = scala.collection.mutable.ArrayBuffer[Int]()
+    for (t <- stream)
+      if (t == -1) { docsBack += cur.toSeq; cur.clear() } else cur += t
+    assert(cur.isEmpty, "the packed stream must end on a boundary")
+    val wantTexts = kept.select("text").as[String].collect()
+      .map(_.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")).toSet
+    assert(docsBack.map(s => TextOps.bpeDecode(s, bpe)).toSet ==
+      wantTexts, "packed ids must decode to the surviving docs")
 
-    // 5. sharded TFRecords that decode
+    // 6. sharded TFRecords that decode
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-llm-recipe").toString
     val encodeExample = udf((s: String) =>
