@@ -227,6 +227,16 @@ object Splits {
   private def exactTopQuota(rows: DataFrame, domain: Column,
       quotas: Seq[(String, Long, Long)], key: String,
       salt: String): DataFrame = {
+    // same loud reserved-name contract as QualityModel.score /
+    // dedupLines: a pre-existing internal column would be silently
+    // clobbered (_rk) or make the quota join ambiguous (_dom/_quota/
+    // _thr) — fail with the fix spelled out instead
+    val clash = Seq("_dom", "_quota", "_thr", "_rk")
+      .filter(rows.columns.contains)
+    require(clash.isEmpty,
+      s"frame already carries ${clash.mkString(", ")} — drop or " +
+        "rename before sampling (the exact samplers use these " +
+        "_-prefixed names internally)")
     if (quotas.isEmpty) return rows.limit(0)
     val spark = rows.sparkSession
     import spark.implicits._

@@ -678,6 +678,43 @@ class ScaleStressSpec extends SparkTestBase {
         s"$lBytes1 -> $lBytes10")
   }
 
+  test("exact samplers at 10×: the digest-threshold pre-filter keeps " +
+      "the window shuffle quota-sized — sample cost tracks the quota, " +
+      "not the corpus") {
+    import graft.operators.Splits
+    // the claim the round-18 pre-filter makes, measured: the per-domain
+    // window sorts only the ~quota+slack threshold survivors, so a 10×
+    // corpus must not grow the sampler's shuffle. (The pre-filter scans
+    // are map-only; the count aggregation's partials are
+    // partitions×domains-sized — both flat.) Before the pre-filter the
+    // window exchange was corpus-sized and this ratio was ~10×.
+    val domains = 20
+    def corpus(n: Long) = spark.range(n)
+      .select(col("id").as("image_id"),
+        concat(lit("d"), pmod(col("id"), lit(domains))).as("dom"))
+      .pinnedCheckpoint()
+    val c1 = corpus(100000L)
+    val c10 = corpus(1000000L)
+    def runStrat(c: DataFrame): Long =
+      Splits.stratifiedSample(c, "dom", 50, "image_id").count()
+    val (n1, _, b1) = measured("stratified 1×")(runStrat(c1))
+    val (n10, _, b10) = measured("stratified 10×")(runStrat(c10))
+    assert(n1 == domains * 50L && n10 == domains * 50L, s"$n1 / $n10")
+    assert(b10 < 2 * b1,
+      s"10× corpus must not grow the sampler's shuffle: $b1 -> $b10")
+    // temperatureSample rides the same exactTopQuota kernel
+    // (PlanShapeSpec pins its sliver-fed window); one scale point
+    // confirms the measured flatness transfers
+    def runTemp(c: DataFrame): Long =
+      Splits.temperatureSample(c, "dom", 1000, 0.7, "image_id").count()
+    val (t1, _, tb1) = measured("temperature 1×")(runTemp(c1))
+    val (t10, _, tb10) = measured("temperature 10×")(runTemp(c10))
+    assert(t1 == 1000L && t10 == 1000L, s"$t1 / $t10")
+    assert(tb10 < 2 * tb1,
+      s"10× corpus must not grow temperatureSample's shuffle: " +
+        s"$tb1 -> $tb10")
+  }
+
   test("ingest per-batch cost vs version-history width: wide label " +
       "history taxes every batch; compaction returns it to the floor") {
     import graft.streaming.DedupIngest

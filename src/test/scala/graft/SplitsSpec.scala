@@ -189,6 +189,13 @@ class SplitsSpec extends SparkTestBase {
       0.5, "image_id"))
     assert(keys(Splits.temperatureSampleImpl(nonNull, "stratum", 5, 0.5,
       "image_id", "graft", margin = -1000.0)) == wantT)
+
+    // reserved internal names fail loud, not silently clobbered
+    val err = intercept[IllegalArgumentException] {
+      Splits.stratifiedSample(df.withColumn("_rk", lit(1)), "stratum",
+        2, "image_id")
+    }
+    assert(err.getMessage.contains("_rk"), err.getMessage)
   }
 
   test("hashSplit: deterministic, shuffle-free, roughly proportional") {
