@@ -152,9 +152,18 @@ object DedupIngest {
     * `broadcastIncrement` is the usual escape hatch (the batch's
     * distinct line-hash set rides a broadcast into the store scan —
     * `false` reroutes through a shuffled semi-join when a batch is too
-    * wide for it). */
+    * wide for it).
+    *
+    * `dropEmptied` (default true) drops a document whose EVERY countable
+    * line was removed as duplicate (whitespace-empty remainder with at
+    * least one removal) — without it, a verbatim re-crawl loses all its
+    * lines HERE and reaches the exact/near-dup stages as empty text with
+    * an empty shingle set, shipping as an empty husk the downstream
+    * stages would otherwise have dropped as a duplicate. Documents that
+    * ARRIVE empty (no removal evidence) still flow, mirroring the
+    * undecodable-image posture. */
   final case class LineDedup(minChars: Int = 10, delim: String = "\n",
-      broadcastIncrement: Boolean = true)
+      broadcastIncrement: Boolean = true, dropEmptied: Boolean = true)
 
   /** The live count store of `family` from all committed deltas below
     * `below` (delta-valued `(_h, _c)` — readers aggregate or take
@@ -211,7 +220,16 @@ object DedupIngest {
           below = batchId)
         val (res, delta) = Dedup.dedupLinesIncremental(batch, lineStore,
           textCol, key, cfg.minChars, cfg.delim, cfg.broadcastIncrement)
-        val r = res.drop(textCol, "kept_lines", "removed_lines")
+        // fully-emptied docs (all countable lines were duplicates) are
+        // dropped HERE: emptied text has no shingles, so the dedup
+        // stages below could never catch the verbatim re-crawl it came
+        // from — see the LineDedup scaladoc
+        val survived =
+          if (cfg.dropEmptied)
+            res.filter(!(col("removed_lines") > 0 &&
+              length(trim(col("text_deduped"))) === 0))
+          else res
+        val r = survived.drop(textCol, "kept_lines", "removed_lines")
           .withColumnRenamed("text_deduped", textCol)
           .localCheckpoint(false)
         delta.write.mode("overwrite")

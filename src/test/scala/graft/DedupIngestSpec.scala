@@ -643,4 +643,86 @@ class DedupIngestSpec extends SparkTestBase {
     assert(new java.io.File(s"$storeRoot/tombstones/v=1").exists(),
       "post-retirement delete must take version 1, not reuse 0")
   }
+
+  test("all optional stages composed (line dedup + span mask + exact " +
+      "prefilter + near-dup): verbatim re-crawls drop instead of " +
+      "shipping as line-emptied husks, each stage fires on its plant, " +
+      "redelivery and compaction stay invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeRoot = Files.createTempDirectory("graft-composed-store").toString
+    val keptDir = Files.createTempDirectory("graft-composed-kept").toString
+    val ckpt = Files.createTempDirectory("graft-composed-ckpt").toString
+    val footer = "standard syndicated footer notice"
+    val span = "promo header tokens one two" // one 5-gram at n=5
+    def body(tag: String) = (1 to 25).map(i => s"$tag$i").mkString(" ")
+    val shorts = "hey\nyo\nsup" // every line under minChars: line-exempt
+    val sb = Seq(
+      Seq(1L -> s"${body("aa")}\n$footer", // keeps footer (first)
+        2L -> s"${body("ab")}\n$footer",   // loses footer in-batch
+        3L -> s"$span ${body("ac")}",      // span count 2 < 4: intact
+        4L -> s"$span ${body("ad")}",
+        5L -> shorts),
+      Seq(11L -> s"$footer\n${body("ba")}", // footer stripped via history
+        13L -> s"$span ${body("bc")}",      // accumulated 4: masked
+        14L -> s"$span ${body("bd")}",
+        // verbatim re-crawl of doc 2: BOTH its lines hit the line
+        // store, the remainder is empty — dropEmptied drops it here
+        // (downstream could never catch a shingle-less husk)
+        15L -> s"${body("ab")}\n$footer",
+        // near-dup of doc 3's stored signature (its body without the
+        // span): 3-gram jaccard ≈ 0.82 over the 0.7 threshold
+        16L -> body("ac"),
+        // verbatim re-crawl of the line-exempt shorts doc: the line
+        // stage passes it through, the EXACT prefilter digests the
+        // normalized text and drops it against doc 5's stored digest
+        17L -> shorts),
+      Seq(21L -> s"${body("ca")}\n$footer", // footer stripped
+        22L -> s"$span ${body("cb")}"))     // masked, kept
+    val lineCfg = Some(DedupIngest.LineDedup())
+    val maskCfg = Some(DedupIngest.SpanMask(n = 5, minCount = 4))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = DedupIngest.start(docs, "text", "doc_id", storeRoot, keptDir,
+      ckpt, threshold = 0.7, exactPrefilter = true, spanMask = maskCfg,
+      lineDedup = lineCfg)
+    try {
+      for (b <- sb) { mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def keptState(): (Map[Long, Set[Long]], Map[Long, String]) = {
+      val rows = spark.read.parquet(keptDir)
+        .select($"ingest_batch".cast("long"), $"doc_id", $"text")
+        .as[(Long, Long, String)].collect().toSeq
+      (rows.groupBy(_._1).map { case (b, r) => b -> r.map(_._2).toSet },
+        rows.map(r => r._2 -> r._3).toMap)
+    }
+    val (kept, texts) = keptState()
+    assert(kept == Map(0L -> Set(1L, 2L, 3L, 4L, 5L),
+      1L -> Set(11L, 13L, 14L), 2L -> Set(21L, 22L)), s"keep-sets: $kept")
+    // stage evidence in the shipped text (the span kernel's uniform
+    // single-space normalization applies everywhere)
+    assert(texts(1L) == s"${body("aa")} $footer", texts(1L))
+    assert(texts(2L) == body("ab"), texts(2L))   // footer line stripped
+    assert(texts(11L) == body("ba"), texts(11L))
+    assert(texts(13L) == body("bc") && texts(22L) == body("cb"),
+      "span must mask once the accumulated count crosses minCount")
+    assert(texts(5L) == "hey yo sup", texts(5L))
+
+    // redelivery idempotence with every stage active
+    DedupIngest.processBatch(sb(1).toDF("doc_id", "text"), 1L,
+      storeRoot, keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000,
+      exactPrefilter = true, spanMask = maskCfg, lineDedup = lineCfg)
+    assert(keptState() == ((kept, texts)))
+
+    // compaction folds every accruing family at once, invisibly
+    val folds = DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    for (f <- Seq("sig", "exact", "linecounts", "spancounts"))
+      assert(folds.exists(_.family == f), s"expected a $f fold: $folds")
+    assert(keptState() == ((kept, texts)),
+      "compaction must be invisible to readers")
+    DedupIngest.processBatch(sb(2).toDF("doc_id", "text"), 2L,
+      storeRoot, keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000,
+      exactPrefilter = true, spanMask = maskCfg, lineDedup = lineCfg)
+    assert(keptState() == ((kept, texts)))
+  }
 }
