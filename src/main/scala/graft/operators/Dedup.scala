@@ -804,9 +804,13 @@ object Dedup {
     // fail loud on collisions with the appended outputs / internal
     // working names (the QualityModel.score posture) — a frame already
     // carrying one of these would otherwise die with an obscure
-    // ambiguous-column error or silently misbehave
+    // ambiguous-column error or silently misbehave. Only the names that
+    // actually ride the CALLER'S frame are reserved: the output trio
+    // plus the rebuild's _rm/_kept withColumns; the occurrence-side
+    // names (_p/_l/_h/_first/_n) live in fresh select lineages that
+    // never see df's other columns, so they cannot collide
     val reserved = Seq("text_deduped", "kept_lines", "removed_lines",
-      "_rm", "_kept", "_p", "_l", "_h", "_first", "_n")
+      "_rm", "_kept")
     val clash = df.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"frame already carries ${clash.mkString(", ")} — drop or " +

@@ -216,12 +216,21 @@ object Splits {
 
   /** Shared exact top-`quota`-per-domain kernel for the samplers:
     * broadcast-join `(domain, quota, threshold)`, pre-filter each
-    * domain to prefix ≤ threshold, verify per-domain survivor counts
-    * (one aggregation over the already-filtered sliver), widen any
-    * undershooting domain back to its full window, and only then run
-    * the exact digest-ordered window. The window's input is always the
-    * filtered relation — the full-corpus sort this replaces is the
-    * difference between sampling 100 rows from 10^9 and sorting 10^9.
+    * domain to prefix ≤ threshold, PIN the resulting sliver
+    * (sample-sized: ~quota + slack rows per domain, a lazy local
+    * checkpoint), verify per-domain survivor counts against the pinned
+    * sliver, window the sliver, and widen only undershooting domains
+    * back to their full window over the source relation.
+    *
+    * Scale shape: the corpus is scanned ONCE here (the pre-filter scan
+    * that materializes the sliver — the callers' count pass makes two
+    * total) and corpus rows never ride an exchange at all — the window
+    * exchange moves only the pinned sliver. The full-corpus sort this
+    * replaces is the difference between sampling 100 rows from 10^9
+    * and sorting 10^9; undershoot (≈margin-sigma rare) costs one extra
+    * pass over the short domains' rows only. Callers with an expensive
+    * un-cached upstream plan should persist it first — the count pass
+    * and the sliver scan each evaluate it once.
     * Domains are matched on their string cast, null-safely (a null
     * domain is a domain). */
   private def exactTopQuota(rows: DataFrame, domain: Column,
@@ -240,16 +249,23 @@ object Splits {
     if (quotas.isEmpty) return rows.limit(0)
     val spark = rows.sparkSession
     import spark.implicits._
+    val internal = Seq("_rk", "_dom", "_quota", "_thr")
     val qdf = broadcast(quotas.toDF("_dom", "_quota", "_thr"))
     val joined = rows.join(qdf, domain.cast("string") <=> col("_dom"))
-    val pre = digestPrefix(key, salt) <= col("_thr")
-    // the survivor check reads only the filtered sliver; a domain whose
-    // sliver undershoots its quota (≈margin-sigma rare, or a margin
-    // forced down in tests) widens back to its full window. Short = the
-    // quota domains NOT confirmed ok — a domain with zero survivors has
-    // no aggregation group at all, so the confirmed set is the only
-    // side the sliver can answer
-    val okDoms = joined.filter(pre)
+    val w = Window.partitionBy(col("_dom"))
+      .orderBy(contentDigest(key, salt), col(key))
+    // ONE corpus scan: filter to the threshold sliver and pin it —
+    // sample-sized, so the pin is cheap and everything downstream
+    // (survivor check, the window itself) reads the sliver, never the
+    // corpus
+    val sliver = joined.filter(digestPrefix(key, salt) <= col("_thr"))
+      .localCheckpoint(false)
+    // a domain whose sliver undershoots its quota (≈margin-sigma rare,
+    // or a margin forced down in tests) widens back to its full
+    // window. Short = the quota domains NOT confirmed ok — a domain
+    // with zero survivors has no aggregation group at all, so the
+    // confirmed set is the only side the sliver can answer
+    val okDoms = sliver
       .groupBy(col("_dom"), col("_quota"))
       .agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= col("_quota"))
@@ -257,22 +273,25 @@ object Splits {
     val short = quotas.collect {
       case (d, q, _) if q > 0 && !okDoms.contains(d) => d
     }
-    val keep =
-      if (short.isEmpty) pre
+    val fromSliver = sliver
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("_quota"))
+    val out =
+      if (short.isEmpty) fromSliver
       else {
+        // rare fallback: the short domains' FULL windows, read from the
+        // source relation; confirmed domains keep their sliver result
         val shortSet = short.toSet
-        val widen = if (shortSet.contains(null))
+        val isShort = if (shortSet.contains(null))
           col("_dom").isNull or col("_dom").isin(
             shortSet.filter(_ != null).toSeq: _*)
         else col("_dom").isin(shortSet.toSeq: _*)
-        pre or widen
+        val fullShort = joined.filter(isShort)
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= col("_quota"))
+        fromSliver.filter(!isShort).unionByName(fullShort)
       }
-    val w = Window.partitionBy(domain)
-      .orderBy(contentDigest(key, salt), col(key))
-    joined.filter(keep)
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= col("_quota"))
-      .drop("_rk", "_dom", "_quota", "_thr")
+    out.drop(internal: _*)
   }
 
   /** Engine-independent deterministic exact-n sample: the n rows with the
@@ -287,35 +306,56 @@ object Splits {
       salt: String = "graft"): DataFrame =
     df.orderBy(contentDigest(key, salt), col(key)).limit(n)
 
+  /** The exact samplers' per-domain count collect, driver-bounded with
+    * the family's fail-fast posture (ngramLm's `maxTypes`, bpeTrain's
+    * `maxWordTypes`): the collect is LIMITed to `cap` + 1 rows, so an
+    * over-cardinality domain column (50M crawl URL domains, say) errors
+    * with the fix spelled out instead of OOMing the driver mid-collect.
+    */
+  private def domainCounts(df: DataFrame, domainCol: String, cap: Int,
+      capName: String): Array[(String, Long)] = {
+    require(cap > 0, s"$capName must be > 0, got $cap")
+    val rows = df.groupBy(col(domainCol).cast("string").as("_dom"))
+      .agg(count(lit(1)).as("_nd"))
+      .limit(if (cap == Int.MaxValue) cap else cap + 1)
+      .collect()
+    if (rows.length > cap)
+      throw new IllegalArgumentException(
+        s"'$domainCol' has more than $cap distinct values — the exact " +
+          "samplers hold one quota row per domain on the driver (the " +
+          s"label-dictionary contract); raise $capName if the driver " +
+          "heap affords it (~50 bytes per domain), or bucket the " +
+          "domain column first")
+    rows.map(r => (r.getString(0), r.getLong(1)))
+  }
+
   /** Exact per-stratum deterministic sample: up to `perStratum` rows from
     * each distinct value of `stratumCol`, chosen by the same md5 content
     * digest as [[deterministicSample]]. The workhorse for class-balanced
     * training subsets at corpus scale.
     *
-    * Scale shape — the window never sees the corpus: a digest-threshold
-    * pre-filter (see [[digestPrefix]]) cuts each stratum to
-    * ~`perStratum` + slack rows BEFORE the hash-partitioned window sort,
-    * so picking 100 rows per class out of 10^9 sorts hundreds, not
-    * billions. Costs one stratum-count aggregation (the collect is
-    * label-dictionary-sized — the same contract as
-    * [[temperatureSample]]'s quota collect) plus one survivor-count
-    * check; exactness is unconditional because any stratum the
+    * Scale shape — the corpus is scanned twice and never shuffled: the
+    * stratum-count pass (driver-bounded by `maxStrata`, the
+    * label-dictionary contract), then the digest-threshold pre-filter
+    * scan (see [[digestPrefix]]) that pins each stratum's
+    * ~`perStratum` + slack smallest-prefix rows; the window sorts only
+    * that pinned sliver, so picking 100 rows per class out of 10^9
+    * sorts hundreds, not billions, and only sliver rows ride an
+    * exchange. Exactness is unconditional because any stratum the
     * (≈6-sigma-inflated) threshold undershoots falls back to its full
     * window. Null strata sample like any other stratum value.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, perStratum: Int,
-      key: String, salt: String = "graft"): DataFrame =
+      key: String, salt: String = "graft",
+      maxStrata: Int = 1000000): DataFrame =
     stratifiedSampleImpl(df, stratumCol, perStratum, key, salt,
-      margin = 6.0)
+      margin = 6.0, maxStrata)
 
   private[graft] def stratifiedSampleImpl(df: DataFrame,
       stratumCol: String, perStratum: Int, key: String, salt: String,
-      margin: Double): DataFrame = {
+      margin: Double, maxStrata: Int = 1000000): DataFrame = {
     require(perStratum > 0, "perStratum must be > 0")
-    val counts = df
-      .groupBy(col(stratumCol).cast("string").as("_dom"))
-      .agg(count(lit(1)).as("_nd"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = domainCounts(df, stratumCol, maxStrata, "maxStrata")
     val quotas = counts.map { case (d, nd) =>
       (d, math.min(nd, perStratum.toLong),
         digestThreshold(perStratum.toLong, nd, margin))
@@ -366,26 +406,26 @@ object Splits {
     * a null domain are excluded.
     *
     * Scale shape: one type-sized driver collect (the per-domain counts
-    * — the label-dictionary contract), quotas broadcast back, the
-    * digest-threshold pre-filter (see [[digestPrefix]]; exactness-safe,
-    * undershoot falls back per domain), and ONE hash-partitioned window
-    * sort per domain over the filtered sliver — the window never sorts
-    * the corpus, only ~quota + slack rows per domain.
+    * — the label-dictionary contract, driver-bounded by `maxDomains`),
+    * quotas broadcast back, the digest-threshold pre-filter scan (see
+    * [[digestPrefix]]; exactness-safe, undershoot falls back per
+    * domain) pinning the ~quota + slack sliver, and ONE window sort
+    * over that pinned sliver — the window never sorts the corpus, and
+    * corpus rows never ride an exchange.
     */
   def temperatureSample(df: DataFrame, domainCol: String, n: Int,
-      tau: Double, key: String, salt: String = "graft"): DataFrame =
-    temperatureSampleImpl(df, domainCol, n, tau, key, salt, margin = 6.0)
+      tau: Double, key: String, salt: String = "graft",
+      maxDomains: Int = 1000000): DataFrame =
+    temperatureSampleImpl(df, domainCol, n, tau, key, salt,
+      margin = 6.0, maxDomains)
 
   private[graft] def temperatureSampleImpl(df: DataFrame,
       domainCol: String, n: Int, tau: Double, key: String, salt: String,
-      margin: Double): DataFrame = {
+      margin: Double, maxDomains: Int = 1000000): DataFrame = {
     require(n >= 0, s"n must be >= 0, got $n")
     require(tau >= 0.0, s"tau must be >= 0, got $tau")
     val rows = df.filter(col(domainCol).isNotNull)
-    val counts = rows
-      .groupBy(col(domainCol).cast("string").as("_dom"))
-      .agg(count(lit(1)).as("_nd"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = domainCounts(rows, domainCol, maxDomains, "maxDomains")
       .sortBy(_._1)
     if (counts.isEmpty) return rows.limit(0)
     val wRaw = counts.map { case (_, nd) => math.pow(nd.toDouble, tau) }

@@ -240,7 +240,11 @@ object DedupIngest {
     // any dedup (the QUICKSTART pipeline order — shared headers must
     // not glue distinct docs into near-dup pairs, and two docs
     // differing only in boilerplate SHOULD become exact dups once it is
-    // gone). Counts accrue over the RAW text in the `spancounts/`
+    // gone). Counts accrue over this stage's INPUT text — the raw
+    // batch, or the line-deduped text when the LineDedup stage is
+    // active (deduplicated lines' grams are then absent from the
+    // boilerplate statistics, deliberately: a stripped line must not
+    // keep feeding span counts) — in the `spancounts/`
     // delta family (batchId-addressed, idempotent); the masked text
     // replaces `textCol` for every downstream stage and the kept
     // output — which also means kept text is whitespace-normalized to

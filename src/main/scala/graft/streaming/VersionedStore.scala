@@ -230,7 +230,19 @@ private[streaming] object VersionedStore {
     * id over the store's KEYED families at delete time. Under the
     * monotone-key contract, versions committed after the delete carry
     * only keys above every key the delta can name, so retirement can
-    * clear them by id alone.
+    * clear them by id alone — but ONLY when the delta is ANCHORED:
+    * every deleted key provably at-or-below the store's all-time max
+    * ingested key (checked against the committed `_keyrange` sidecars).
+    * A delta naming a key the store has never seen (a pre-emptive
+    * takedown — out of the documented takedown contract, but it must
+    * stay SAFE) could have that key legitimately arrive in a LATER
+    * batch, so post-delete version ids prove nothing for it; such a
+    * delta records `_cutoff = Long.MaxValue` and retires only on
+    * fold-floor evidence (every keyed version rewritten with it
+    * applied) — in practice it may never retire while the newest raw
+    * delta stays unfolded, the safe price of deleting ahead of ingest.
+    * Stores with no `_keyrange` history (pre-guard) anchor nothing,
+    * conservatively.
     */
   def writeTombstones(spark: SparkSession, storeRoot: String,
       keys: DataFrame, keyedFamilies: Seq[String]): Long = {
@@ -242,11 +254,27 @@ private[streaming] object VersionedStore {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = committedVersions(spark, famDir, Long.MaxValue)
       .lastOption.getOrElse(-1L) + 1L
-    val cutoff = keyedFamilies
-      .flatMap(f =>
-        committedVersions(spark, s"$storeRoot/$f", Long.MaxValue)
-          .lastOption)
-      .foldLeft(-1L)(math.max)
+    val rangeDirs = keyedFamilies.flatMap { f =>
+      committedVersions(spark, s"$storeRoot/$f", Long.MaxValue)
+        .map(vv => s"$storeRoot/$f/v=$vv/_keyrange")
+        .filter(d => fs.exists(new Path(d, "_SUCCESS")))
+    }
+    // anchored ⇔ no deleted key exceeds the all-time ingested max (an
+    // empty delta is trivially anchored; a null store max never vouches)
+    val anchored = rangeDirs.nonEmpty &&
+      spark.read.parquet(rangeDirs: _*)
+        .agg(max(col("maxKey")).as("_storeMax"))
+        .crossJoin(keys.agg(max(col(keys.columns.head)).as("_tombMax")))
+        .filter(col("_tombMax") > col("_storeMax") ||
+          (col("_storeMax").isNull && col("_tombMax").isNotNull))
+        .isEmpty
+    val cutoff =
+      if (!anchored) Long.MaxValue
+      else keyedFamilies
+        .flatMap(f =>
+          committedVersions(spark, s"$storeRoot/$f", Long.MaxValue)
+            .lastOption)
+        .foldLeft(-1L)(math.max)
     // staged so the delta and its cutoff sidecar appear atomically
     // (coalesce(1): a takedown list is metadata-sized; one file each)
     stagedReplace(spark, famDir, v) { staging =>
@@ -296,7 +324,9 @@ private[streaming] object VersionedStore {
     * with the delta applied) or is a raw delta committed after the
     * delete (id above the delta's `_cutoff` — which, under the
     * monotone-key contract the whole incremental family rides, cannot
-    * carry any key the delta names). Conservative everywhere: a missing
+    * carry any key the delta names; UNANCHORED deltas carry
+    * `_cutoff = Long.MaxValue`, so this branch never vouches for them —
+    * see [[writeTombstones]]). Conservative everywhere: a missing
     * or unreadable sidecar never vouches, so pre-sidecar deltas simply
     * never retire.
     *

@@ -644,6 +644,64 @@ class DedupIngestSpec extends SparkTestBase {
       "post-retirement delete must take version 1, not reuse 0")
   }
 
+  test("pre-emptive tombstones (key not yet ingested at delete time) " +
+      "never retire on version-id evidence: when the key later arrives " +
+      "in the still-unfolded max raw delta, compaction must not drop " +
+      "the marker and resurrect it — anchored deletes retire as usual") {
+    val storeRoot = Files.createTempDirectory("graft-preempt-store").toString
+    val keptDir = Files.createTempDirectory("graft-preempt-kept").toString
+    def doc(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def run(rows: Seq[(Long, String)], id: Long) =
+      DedupIngest.processBatch(rows.toDF("doc_id", "text"), id, storeRoot,
+        keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000)
+    def sigKeys(): Set[Long] = DedupIngest.loadSignatureStore(spark,
+        storeRoot, Seq((0L, "x")).toDF("doc_id", "text"), "text",
+        "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    def tombstoneDataFiles(): Int = {
+      val fam = new java.io.File(s"$storeRoot/tombstones")
+      if (!fam.exists()) 0
+      else fam.listFiles().filter(_.getName.startsWith("v="))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .count(_.getName.endsWith(".parquet"))
+    }
+
+    run(Seq((1L, doc("pa")), (2L, doc("pb"))), 0L)
+    run(Seq((3L, doc("pc")), (4L, doc("pd"))), 1L)
+    // delete key 5 BEFORE it exists — out of the documented takedown
+    // contract (blocklists are an upstream concern), but it must stay
+    // SAFE: the delta is unanchored (5 > the all-time max 4)
+    DedupIngest.deleteKeys(spark, storeRoot, Seq(5L).toDF("doc_id"))
+    // ...and 5 then arrives legitimately under the monotone contract
+    run(Seq((5L, doc("pe")), (6L, doc("pf"))), 2L)
+    assert(sigKeys() == Set(1L, 2L, 3L, 4L, 6L), sigKeys())
+
+    // the resurrection window the anchor closes: the fold of {v0,v1}
+    // records a floor above the marker, and the post-delete raw delta
+    // v2 — THE VERSION CARRYING KEY 5 — stays unfolded as the family
+    // max. Id evidence alone (v2 > cutoff) must not vouch: an
+    // unanchored delta's keys are not provably below a post-delete
+    // batch's keys.
+    DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert(tombstoneDataFiles() > 0,
+      "pre-emptive marker must survive while the arriving version is " +
+        "unfolded — retiring it would resurrect key 5")
+    assert(sigKeys() == Set(1L, 2L, 3L, 4L, 6L),
+      s"key 5 resurrected: ${sigKeys()}")
+
+    // an ANCHORED delete on the same store retires on the usual
+    // evidence; the unanchored marker keeps blocking only itself
+    DedupIngest.deleteKeys(spark, storeRoot, Seq(1L).toDF("doc_id"))
+    assert(tombstoneDataFiles() == 2)
+    run(Seq((8L, doc("pg")), (9L, doc("ph"))), 3L)
+    DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert(sigKeys() == Set(2L, 3L, 4L, 6L, 8L, 9L), sigKeys())
+    assert(tombstoneDataFiles() == 1,
+      "the anchored marker must retire; the pre-emptive one must not")
+  }
+
   test("all optional stages composed (line dedup + span mask + exact " +
       "prefilter + near-dup): verbatim re-crawls drop instead of " +
       "shipping as line-emptied husks, each stage fires on its plant, " +

@@ -1089,6 +1089,14 @@ class DedupSpec extends SparkTestBase {
       Dedup.dedupLines(corpus.withColumn("_rm", $"doc_id"), "text",
         "doc_id")
     }
+    // occurrence-side internals (_h etc.) live in fresh select lineages
+    // and cannot collide — a frame carrying them (e.g. one derived from
+    // the (_h, _c) count-store relations) must dedup fine
+    val withH = Dedup.dedupLines(
+      corpus.withColumn("_h", $"doc_id"), "text", "doc_id",
+      minChars = 4)
+    assert(withH.columns.contains("_h") &&
+      withH.count() == corpus.count())
   }
 
   test("dedupLinesIncremental: running monotone-key increments against " +

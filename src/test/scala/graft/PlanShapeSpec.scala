@@ -225,30 +225,40 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("q93 temperatureSample: one per-domain window exchange, quota " +
-      "attach broadcasts, and the window's input is the digest-" +
-      "threshold sliver — corpus rows shuffle once, and only the " +
-      "~quota survivors reach the sort") {
+  test("q93 temperatureSample: the window's input is the PINNED digest-" +
+      "threshold sliver (a sample-sized RDD scan, no corpus file scan " +
+      "below the window), corpus rows never ride an exchange, and the " +
+      "one shuffle in the plan moves only the sliver") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec}
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val out = Splits.temperatureSample(Tables.docs, "lang", 50, 0.5,
         "doc_id")
       val plan = out.queryExecution.executedPlan
+      // the corpus was consumed when the sliver pinned: the FINAL plan
+      // reads only the checkpointed sliver — no file scan at all, and
+      // its single exchange is the sliver-sized window exchange
+      assert(plan.collect { case f: FileSourceScanExec => f }.isEmpty,
+        s"the final plan must not rescan the corpus:\n$plan")
       val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.size == 1,
-        s"expected only the per-domain window exchange, got " +
+        s"expected only the sliver window exchange, got " +
           s"${shuffles.size}:\n$plan")
-      assert(plan.toString.contains("BroadcastHashJoin"),
-        s"the type-sized quota map must broadcast:\n$plan")
-      // the full-corpus sort is gone: below the window sits the digest-
-      // prefix threshold filter, so the per-domain sort ranks only the
-      // pre-filtered sliver (~quota + slack rows per domain)
       val win = plan.collect { case w: WindowExec => w }
       assert(win.nonEmpty, s"expected a WindowExec:\n$plan")
-      assert(win.head.child.toString.contains("conv(substring("),
-        "the window input must be the threshold-filtered relation:\n" +
+      assert(win.head.child.collectLeaves()
+          .forall(_.isInstanceOf[RDDScanExec]),
+        "the window input must be the pinned sliver scan:\n" +
           win.head.child)
+      // ...and the sliver REALLY is sample-sized: each domain's pinned
+      // rows are bounded by its inflated threshold slack, far below
+      // the corpus (the ScaleStress row measures the byte-level claim)
+      val pinned = win.head.child.collectLeaves().head
+        .asInstanceOf[RDDScanExec].rdd.count()
+      val corpus = Tables.docs.count()
+      assert(pinned < corpus,
+        s"sliver ($pinned) must be smaller than the corpus ($corpus)")
     }
   }
 

@@ -196,6 +196,19 @@ class SplitsSpec extends SparkTestBase {
         2, "image_id")
     }
     assert(err.getMessage.contains("_rk"), err.getMessage)
+
+    // the domain-cardinality cap fails fast BEFORE an unbounded driver
+    // collect (the ngramLm maxTypes posture), for both samplers
+    val cap1 = intercept[IllegalArgumentException] {
+      Splits.stratifiedSample(df, "image_id", 1, "image_id",
+        maxStrata = 10)
+    }
+    assert(cap1.getMessage.contains("maxStrata"), cap1.getMessage)
+    val cap2 = intercept[IllegalArgumentException] {
+      Splits.temperatureSample(nonNull, "image_id", 5, 0.5, "image_id",
+        maxDomains = 10)
+    }
+    assert(cap2.getMessage.contains("maxDomains"), cap2.getMessage)
   }
 
   test("hashSplit: deterministic, shuffle-free, roughly proportional") {
