@@ -254,11 +254,16 @@ object Splits {
     val joined = rows.join(qdf, domain.cast("string") <=> col("_dom"))
     val w = Window.partitionBy(col("_dom"))
       .orderBy(contentDigest(key, salt), col(key))
-    // ONE corpus scan: filter to the threshold sliver and pin it —
-    // sample-sized, so the pin is cheap and everything downstream
-    // (survivor check, the window itself) reads the sliver, never the
-    // corpus
+    // ONE corpus scan: filter to the threshold sliver, repartition it
+    // by domain (a sliver-sized exchange — without it the pin would
+    // inherit the corpus scan's partition count, and every downstream
+    // job would pay one near-empty task per input split at 100 TB),
+    // and pin it. The checkpoint preserves the hash partitioning, so
+    // the window sorts within partitions with NO further exchange —
+    // everything downstream (survivor check, the window itself) reads
+    // the sample-sized sliver, never the corpus
     val sliver = joined.filter(digestPrefix(key, salt) <= col("_thr"))
+      .repartition(col("_dom"))
       .localCheckpoint(false)
     // a domain whose sliver undershoots its quota (≈margin-sigma rare,
     // or a margin forced down in tests) widens back to its full

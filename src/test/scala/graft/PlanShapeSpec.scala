@@ -238,12 +238,13 @@ class PlanShapeSpec extends SparkTestBase {
       val plan = out.queryExecution.executedPlan
       // the corpus was consumed when the sliver pinned: the FINAL plan
       // reads only the checkpointed sliver — no file scan at all, and
-      // its single exchange is the sliver-sized window exchange
+      // NO exchange either (the pin preserved the sliver's domain hash
+      // partitioning, so the window sorts in place)
       assert(plan.collect { case f: FileSourceScanExec => f }.isEmpty,
         s"the final plan must not rescan the corpus:\n$plan")
       val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
-      assert(shuffles.size == 1,
-        s"expected only the sliver window exchange, got " +
+      assert(shuffles.isEmpty,
+        s"expected no exchange over the pinned sliver, got " +
           s"${shuffles.size}:\n$plan")
       val win = plan.collect { case w: WindowExec => w }
       assert(win.nonEmpty, s"expected a WindowExec:\n$plan")
