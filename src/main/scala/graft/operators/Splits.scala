@@ -233,7 +233,7 @@ object Splits {
     * and the sliver scan each evaluate it once.
     * Domains are matched on their string cast, null-safely (a null
     * domain is a domain). */
-  private def exactTopQuota(rows: DataFrame, domain: Column,
+  private[graft] def exactTopQuota(rows: DataFrame, domain: Column,
       quotas: Seq[(String, Long, Long)], key: String,
       salt: String): DataFrame = {
     // same loud reserved-name contract as QualityModel.score /
@@ -294,7 +294,11 @@ object Splits {
         val fullShort = joined.filter(isShort)
           .withColumn("_rk", row_number().over(w))
           .filter(col("_rk") <= col("_quota"))
-        fromSliver.filter(!isShort).unionByName(fullShort)
+        // NULL-SAFE negation: when no short domain is null, `isin`
+        // yields NULL for a null-domain sliver row — a bare `!isShort`
+        // would silently drop the (confirmed-ok) null stratum's sample
+        fromSliver.filter(!coalesce(isShort, lit(false)))
+          .unionByName(fullShort)
       }
     out.drop(internal: _*)
   }

@@ -211,6 +211,28 @@ class SplitsSpec extends SparkTestBase {
     assert(cap2.getMessage.contains("maxDomains"), cap2.getMessage)
   }
 
+  test("exactTopQuota mixed undershoot: a non-null domain falling back " +
+      "to its full window must not drop the confirmed null domain's " +
+      "sample through three-valued isin negation") {
+    // hand quotas drive the branches deterministically: threshold -1
+    // forces domain \"a\" to zero survivors (short → full-window
+    // fallback), max52 keeps every null-domain row in the sliver
+    // (confirmed ok). The buggy negation (!isShort with a null _dom)
+    // silently dropped the null domain's rows from the sliver side.
+    val max52 = (1L << 52) - 1
+    val df = ((1 to 5).map(i => (i.toLong, "a"))
+      ++ Seq((101L, null.asInstanceOf[String]),
+        (102L, null.asInstanceOf[String]),
+        (103L, null.asInstanceOf[String])))
+      .toDF("image_id", "dom")
+    val out = Splits.exactTopQuota(df, $"dom",
+      Seq(("a", 2L, -1L), (null, 2L, max52)), "image_id", "graft")
+      .select("image_id").as[Long].collect().toSet
+    assert(out.count(_ <= 5L) == 2, s"short domain must fall back: $out")
+    assert(out.count(_ > 100L) == 2,
+      s"the confirmed null domain's sample was dropped: $out")
+  }
+
   test("hashSplit: deterministic, shuffle-free, roughly proportional") {
     val df = ids(2000)
     val s1 = Splits.hashSplit(df, "image_id")
