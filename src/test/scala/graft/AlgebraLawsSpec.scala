@@ -171,6 +171,41 @@ class AlgebraLawsSpec extends SparkTestBase {
     })
   }
 
+  test("law: stratifiedSample exactness is margin-independent — any " +
+      "pre-filter margin (deep undershoot included) reproduces the " +
+      "plain-Scala model exactly, null strata included") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val caseGen = for {
+      corpus <- corpusGen
+      per <- Gen.choose(1, 5)
+      // negative margins force arbitrary undershoot mixes (some strata
+      // fall back to their full window, some survive on their own
+      // digest draw); positive margins exercise the common sliver path
+      margin <- Gen.oneOf(Gen.choose(-50.0, 0.0), Gen.choose(0.0, 12.0))
+    } yield (corpus, per, margin)
+    check("stratifiedMargin", Prop.forAll(caseGen) {
+      case (corpus, per, margin) =>
+        // stratum = first tag, with one tag mapped to NULL so the
+        // null-stratum path rides every margin mix
+        def stratum(ts: List[String]): String =
+          if (ts.head == "tA") null else ts.head
+        val df = corpus.map { case (k, ts) => (k, stratum(ts)) }
+          .toDF("image_id", "stratum")
+        val got = Splits.stratifiedSampleImpl(df, "stratum", per,
+            "image_id", "graft", margin)
+          .select("image_id", "stratum").as[(String, String)]
+          .collect().toSet
+        val model = corpus.map { case (k, ts) => (k, stratum(ts)) }
+          .groupBy(_._2).values.flatMap(rows =>
+            rows.sortBy { case (k, _) => (md5hex("graft" + k), k) }
+              .take(per))
+          .toSet
+        got == model
+    }, cases = 60)
+  }
+
   test("law: weightedSample = top-n by u^(1/w) under the md5-derived " +
       "draw (plain-Scala model); non-positive weights excluded") {
     def md5hex(s: String): String =
