@@ -807,10 +807,18 @@ object Dedup {
     // ambiguous-column error or silently misbehave. Only the names that
     // actually ride the CALLER'S frame are reserved: the output trio
     // plus the rebuild's _rm/_kept withColumns; the occurrence-side
-    // names (_p/_l/_h/_first/_n) live in fresh select lineages that
-    // never see df's other columns, so they cannot collide
+    // names (_p/_l/_h/_first/_n/_hit) live in fresh select lineages
+    // that never see df's OTHER columns — but the key and text columns
+    // themselves DO ride those lineages, so those two names must stay
+    // clear of the whole internal set
     val reserved = Seq("text_deduped", "kept_lines", "removed_lines",
       "_rm", "_kept")
+    val occInternal = Seq("_p", "_l", "_h", "_first", "_n", "_hit",
+      "_c") ++ reserved
+    require(!occInternal.contains(key) && !occInternal.contains(textCol),
+      s"key/text column may not use a reserved internal name " +
+        s"(got key='$key', text='$textCol'; reserved: " +
+        s"${occInternal.mkString(", ")})")
     val clash = df.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"frame already carries ${clash.mkString(", ")} — drop or " +

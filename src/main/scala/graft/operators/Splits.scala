@@ -231,11 +231,25 @@ object Splits {
     * pass over the short domains' rows only. Callers with an expensive
     * un-cached upstream plan should persist it first — the count pass
     * and the sliver scan each evaluate it once.
-    * Domains are matched on their string cast, null-safely (a null
-    * domain is a domain). */
+    *
+    * DEGENERATE thresholds — when the domains are small relative to
+    * their quotas, the "sliver" is most of the corpus (every
+    * threshold at or near max52); pinning it would materialize ~the
+    * whole input into executor storage for nothing. When the expected
+    * sliver exceeds half the rows (pure driver arithmetic from the
+    * counts — engine-replayable), the kernel runs the direct window
+    * instead: one corpus-sized exchange, no pin, same exact result.
+    *
+    * `reliableLineage = true` swaps the sliver's lazy local checkpoint
+    * (lineage-truncating: an executor loss makes the pinned RDD
+    * unrecoverable) for a MEMORY_AND_DISK persist that keeps the
+    * lineage recomputable — the same escape hatch as
+    * [[Dedup.dropNearDuplicateClusters]], for spot/dynamic-allocation
+    * clusters. Domains are matched on their string cast, null-safely
+    * (a null domain is a domain). */
   private[graft] def exactTopQuota(rows: DataFrame, domain: Column,
-      quotas: Seq[(String, Long, Long)], key: String,
-      salt: String): DataFrame = {
+      quotas: Seq[(String, Long, Long, Long)], key: String,
+      salt: String, reliableLineage: Boolean = false): DataFrame = {
     // same loud reserved-name contract as QualityModel.score /
     // dedupLines: a pre-existing internal column would be silently
     // clobbered (_rk) or make the quota join ambiguous (_dom/_quota/
@@ -250,21 +264,39 @@ object Splits {
     val spark = rows.sparkSession
     import spark.implicits._
     val internal = Seq("_rk", "_dom", "_quota", "_thr")
-    val qdf = broadcast(quotas.toDF("_dom", "_quota", "_thr"))
+    val qdf = broadcast(quotas.map(q => (q._1, q._2, q._3))
+      .toDF("_dom", "_quota", "_thr"))
     val joined = rows.join(qdf, domain.cast("string") <=> col("_dom"))
     val w = Window.partitionBy(col("_dom"))
       .orderBy(contentDigest(key, salt), col(key))
+    val max52 = (1L << 52) - 1
+    val totalRows = quotas.map(_._4).sum.toDouble
+    val expectedSliver = quotas.map { case (_, _, thr, nd) =>
+      if (thr >= max52) nd.toDouble
+      else nd.toDouble * math.max(0L, thr) / (1L << 52).toDouble
+    }.sum
+    if (2.0 * expectedSliver > totalRows)
+      // degenerate: most rows would survive the pre-filter anyway —
+      // run the direct per-domain window (one corpus-sized exchange,
+      // nothing pinned), the pre-round-18 plan, still exact
+      return joined.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= col("_quota"))
+        .drop(internal: _*)
     // ONE corpus scan: filter to the threshold sliver, repartition it
     // by domain (a sliver-sized exchange — without it the pin would
     // inherit the corpus scan's partition count, and every downstream
     // job would pay one near-empty task per input split at 100 TB),
-    // and pin it. The checkpoint preserves the hash partitioning, so
-    // the window sorts within partitions with NO further exchange —
+    // and pin it. The pin preserves the hash partitioning, so the
+    // window sorts within partitions with NO further exchange —
     // everything downstream (survivor check, the window itself) reads
     // the sample-sized sliver, never the corpus
-    val sliver = joined.filter(digestPrefix(key, salt) <= col("_thr"))
+    val sliverRaw = joined
+      .filter(digestPrefix(key, salt) <= col("_thr"))
       .repartition(col("_dom"))
-      .localCheckpoint(false)
+    val sliver =
+      if (reliableLineage) sliverRaw.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sliverRaw.localCheckpoint(false)
     // a domain whose sliver undershoots its quota (≈margin-sigma rare,
     // or a margin forced down in tests) widens back to its full
     // window. Short = the quota domains NOT confirmed ok — a domain
@@ -276,7 +308,7 @@ object Splits {
       .filter(col("_c") >= col("_quota"))
       .select(col("_dom")).collect().map(_.getString(0)).toSet
     val short = quotas.collect {
-      case (d, q, _) if q > 0 && !okDoms.contains(d) => d
+      case (d, q, _, _) if q > 0 && !okDoms.contains(d) => d
     }
     val fromSliver = sliver
       .withColumn("_rk", row_number().over(w))
@@ -356,20 +388,23 @@ object Splits {
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, perStratum: Int,
       key: String, salt: String = "graft",
-      maxStrata: Int = 1000000): DataFrame =
+      maxStrata: Int = 1000000,
+      reliableLineage: Boolean = false): DataFrame =
     stratifiedSampleImpl(df, stratumCol, perStratum, key, salt,
-      margin = 6.0, maxStrata)
+      margin = 6.0, maxStrata, reliableLineage)
 
   private[graft] def stratifiedSampleImpl(df: DataFrame,
       stratumCol: String, perStratum: Int, key: String, salt: String,
-      margin: Double, maxStrata: Int = 1000000): DataFrame = {
+      margin: Double, maxStrata: Int = 1000000,
+      reliableLineage: Boolean = false): DataFrame = {
     require(perStratum > 0, "perStratum must be > 0")
     val counts = domainCounts(df, stratumCol, maxStrata, "maxStrata")
     val quotas = counts.map { case (d, nd) =>
       (d, math.min(nd, perStratum.toLong),
-        digestThreshold(perStratum.toLong, nd, margin))
+        digestThreshold(perStratum.toLong, nd, margin), nd)
     }
-    exactTopQuota(df, col(stratumCol), quotas.toSeq, key, salt)
+    exactTopQuota(df, col(stratumCol), quotas.toSeq, key, salt,
+      reliableLineage)
   }
 
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–Spirakis
@@ -424,13 +459,15 @@ object Splits {
     */
   def temperatureSample(df: DataFrame, domainCol: String, n: Int,
       tau: Double, key: String, salt: String = "graft",
-      maxDomains: Int = 1000000): DataFrame =
+      maxDomains: Int = 1000000,
+      reliableLineage: Boolean = false): DataFrame =
     temperatureSampleImpl(df, domainCol, n, tau, key, salt,
-      margin = 6.0, maxDomains)
+      margin = 6.0, maxDomains, reliableLineage)
 
   private[graft] def temperatureSampleImpl(df: DataFrame,
       domainCol: String, n: Int, tau: Double, key: String, salt: String,
-      margin: Double, maxDomains: Int = 1000000): DataFrame = {
+      margin: Double, maxDomains: Int = 1000000,
+      reliableLineage: Boolean = false): DataFrame = {
     require(n >= 0, s"n must be >= 0, got $n")
     require(tau >= 0.0, s"tau must be >= 0, got $tau")
     val rows = df.filter(col(domainCol).isNotNull)
@@ -448,9 +485,11 @@ object Splits {
     val quotas = counts.indices.map { i =>
       val q = math.min(counts(i)._2,
         base(i) + (if (bonus(i)) 1L else 0L))
-      (counts(i)._1, q, digestThreshold(q, counts(i)._2, margin))
+      (counts(i)._1, q, digestThreshold(q, counts(i)._2, margin),
+        counts(i)._2)
     }
-    exactTopQuota(rows, col(domainCol), quotas, key, salt)
+    exactTopQuota(rows, col(domainCol), quotas, key, salt,
+      reliableLineage)
   }
 
   /** Scale path: shuffle-free split assignment from a content hash of the

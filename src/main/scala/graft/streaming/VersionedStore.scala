@@ -235,14 +235,13 @@ private[streaming] object VersionedStore {
     * ingested key (checked against the committed `_keyrange` sidecars).
     * A delta naming a key the store has never seen (a pre-emptive
     * takedown — out of the documented takedown contract, but it must
-    * stay SAFE) could have that key legitimately arrive in a LATER
-    * batch, so post-delete version ids prove nothing for it; such a
-    * delta records `_cutoff = Long.MaxValue` and retires only on
-    * fold-floor evidence (every keyed version rewritten with it
-    * applied) — in practice it may never retire while the newest raw
-    * delta stays unfolded, the safe price of deleting ahead of ingest.
-    * Stores with no `_keyrange` history (pre-guard) anchor nothing,
-    * conservatively.
+    * stay SAFE) could have that key legitimately arrive in ANY later
+    * batch — `deleteKeys` writes no `_keyrange`, so the key-order
+    * guard never closes the arrival window — which means no amount of
+    * version-id or fold-floor evidence can ever prove the delete fully
+    * applied; such a delta records `_cutoff = Long.MaxValue` and NEVER
+    * retires, the safe price of deleting ahead of ingest. Stores with
+    * no `_keyrange` history (pre-guard) anchor nothing, conservatively.
     */
   def writeTombstones(spark: SparkSession, storeRoot: String,
       keys: DataFrame, keyedFamilies: Seq[String]): Long = {
@@ -254,9 +253,13 @@ private[streaming] object VersionedStore {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = committedVersions(spark, famDir, Long.MaxValue)
       .lastOption.getOrElse(-1L) + 1L
-    val rangeDirs = keyedFamilies.flatMap { f =>
-      committedVersions(spark, s"$storeRoot/$f", Long.MaxValue)
-        .map(vv => s"$storeRoot/$f/v=$vv/_keyrange")
+    // one listing per keyed family serves both the anchor check and
+    // the cutoff (driver metadata round-trips are the cost on an
+    // object store)
+    val famVersions = keyedFamilies.map(f =>
+      f -> committedVersions(spark, s"$storeRoot/$f", Long.MaxValue))
+    val rangeDirs = famVersions.flatMap { case (f, vs) =>
+      vs.map(vv => s"$storeRoot/$f/v=$vv/_keyrange")
         .filter(d => fs.exists(new Path(d, "_SUCCESS")))
     }
     // anchored ⇔ no deleted key exceeds the all-time ingested max (an
@@ -270,11 +273,7 @@ private[streaming] object VersionedStore {
         .isEmpty
     val cutoff =
       if (!anchored) Long.MaxValue
-      else keyedFamilies
-        .flatMap(f =>
-          committedVersions(spark, s"$storeRoot/$f", Long.MaxValue)
-            .lastOption)
-        .foldLeft(-1L)(math.max)
+      else famVersions.flatMap(_._2.lastOption).foldLeft(-1L)(math.max)
     // staged so the delta and its cutoff sidecar appear atomically
     // (coalesce(1): a takedown list is metadata-sized; one file each)
     stagedReplace(spark, famDir, v) { staging =>
@@ -324,11 +323,16 @@ private[streaming] object VersionedStore {
     * with the delta applied) or is a raw delta committed after the
     * delete (id above the delta's `_cutoff` — which, under the
     * monotone-key contract the whole incremental family rides, cannot
-    * carry any key the delta names; UNANCHORED deltas carry
-    * `_cutoff = Long.MaxValue`, so this branch never vouches for them —
-    * see [[writeTombstones]]). Conservative everywhere: a missing
-    * or unreadable sidecar never vouches, so pre-sidecar deltas simply
-    * never retire.
+    * carry any key the delta names). UNANCHORED deltas
+    * (`_cutoff = Long.MaxValue`, see [[writeTombstones]]) NEVER retire:
+    * their keys exceed everything ingested so far, the arrival window
+    * never provably closes (deleteKeys writes no `_keyrange`, so the
+    * key-order guard would admit the key's later arrival even after
+    * every existing version was folded), and a fold-floor argument is
+    * therefore insufficient — and on a store with no committed keyed
+    * versions at all it would even hold vacuously. Conservative
+    * everywhere: a missing or unreadable sidecar never vouches, so
+    * pre-sidecar deltas simply never retire.
     *
     * A retired delta is replaced by an empty committed husk (staged,
     * crash-safe) rather than deleted: the family's version counter must
@@ -355,9 +359,10 @@ private[streaming] object VersionedStore {
         val dir = new Path(s"$famDir/v=$vt")
         hasData(fs, dir) &&
           readLongSidecar(fs, new Path(dir, "_cutoff")).exists(cut =>
-            perFam.forall(_.forall { case (v, floor) =>
-              floor.exists(_ > vt) || (v > cut && floor.isEmpty)
-            }))
+            cut != Long.MaxValue &&
+              perFam.forall(_.forall { case (v, floor) =>
+                floor.exists(_ > vt) || (v > cut && floor.isEmpty)
+              }))
       }
       retired.foreach { vt =>
         stagedReplace(spark, famDir, vt) { staging =>

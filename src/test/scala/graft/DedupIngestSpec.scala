@@ -651,20 +651,40 @@ class DedupIngestSpec extends SparkTestBase {
     val storeRoot = Files.createTempDirectory("graft-preempt-store").toString
     val keptDir = Files.createTempDirectory("graft-preempt-kept").toString
     def doc(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def runAt(root: String, kept: String)(
+        rows: Seq[(Long, String)], id: Long) =
+      DedupIngest.processBatch(rows.toDF("doc_id", "text"), id, root,
+        kept, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000)
     def run(rows: Seq[(Long, String)], id: Long) =
-      DedupIngest.processBatch(rows.toDF("doc_id", "text"), id, storeRoot,
-        keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000)
-    def sigKeys(): Set[Long] = DedupIngest.loadSignatureStore(spark,
-        storeRoot, Seq((0L, "x")).toDF("doc_id", "text"), "text",
-        "doc_id")
-      .select("doc_id").as[Long].collect().toSet
-    def tombstoneDataFiles(): Int = {
-      val fam = new java.io.File(s"$storeRoot/tombstones")
+      runAt(storeRoot, keptDir)(rows, id)
+    def sigKeysAt(root: String): Set[Long] =
+      DedupIngest.loadSignatureStore(spark, root,
+          Seq((0L, "x")).toDF("doc_id", "text"), "text", "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+    def sigKeys(): Set[Long] = sigKeysAt(storeRoot)
+    def tombstoneDataFilesAt(root: String): Int = {
+      val fam = new java.io.File(s"$root/tombstones")
       if (!fam.exists()) 0
       else fam.listFiles().filter(_.getName.startsWith("v="))
         .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
         .count(_.getName.endsWith(".parquet"))
     }
+    def tombstoneDataFiles(): Int = tombstoneDataFilesAt(storeRoot)
+
+    // FRESH-STORE case: a delete before ANY ingest leaves zero
+    // committed keyed versions, making every per-family retirement
+    // check vacuously true — the unanchored marker must still survive
+    // compaction, or key 5's later arrival would go unsuppressed
+    val freshRoot = Files.createTempDirectory("graft-fresh-store").toString
+    val freshKept = Files.createTempDirectory("graft-fresh-kept").toString
+    DedupIngest.deleteKeys(spark, freshRoot, Seq(5L).toDF("doc_id"))
+    DedupIngest.compactStores(spark, freshRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert(tombstoneDataFilesAt(freshRoot) > 0,
+      "a pre-ingest marker must survive the vacuous-evidence compact")
+    runAt(freshRoot, freshKept)(Seq((4L, doc("fa")), (5L, doc("fb"))), 0L)
+    assert(sigKeysAt(freshRoot) == Set(4L),
+      s"key 5 must stay suppressed: ${sigKeysAt(freshRoot)}")
 
     run(Seq((1L, doc("pa")), (2L, doc("pb"))), 0L)
     run(Seq((3L, doc("pc")), (4L, doc("pd"))), 1L)

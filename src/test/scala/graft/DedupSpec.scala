@@ -1097,6 +1097,15 @@ class DedupSpec extends SparkTestBase {
       minChars = 4)
     assert(withH.columns.contains("_h") &&
       withH.count() == corpus.count())
+    // ...but the KEY or TEXT column itself named as an internal rides
+    // the occurrence lineage and must fail loud, not with an obscure
+    // ambiguous-reference error
+    val badKey = intercept[IllegalArgumentException] {
+      Dedup.dedupLines(corpus.withColumnRenamed("doc_id", "_h"),
+        "text", "_h")
+    }
+    assert(badKey.getMessage.contains("reserved internal"),
+      badKey.getMessage)
   }
 
   test("dedupLinesIncremental: running monotone-key increments against " +

@@ -263,6 +263,27 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("sampler degenerate thresholds: strata smaller than their quota " +
+      "slack skip the pin entirely — direct window over the corpus, " +
+      "one exchange, nothing checkpointed") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec}
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      // perStratum far above every stratum's size → every threshold
+      // degenerates to max52, the expected sliver IS the corpus, and
+      // pinning it would materialize the whole input for nothing
+      val out = Splits.stratifiedSample(Tables.docs, "lang", 100000,
+        "doc_id")
+      val plan = out.queryExecution.executedPlan
+      assert(plan.collect { case r: RDDScanExec => r }.isEmpty,
+        s"degenerate path must not pin anything:\n$plan")
+      assert(plan.collect { case f: FileSourceScanExec => f }.nonEmpty,
+        s"degenerate path reads the corpus directly:\n$plan")
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.size == 1,
+        s"one direct window exchange expected:\n$plan")
+    }
+  }
+
   test("q94 cluster-scoped dedup never plans an all-pairs join — the " +
       "pairing keys on the cluster id; the only unconditioned join is " +
       "the deliberate row × nlist centroid expansion, broadcast") {

@@ -189,6 +189,10 @@ class SplitsSpec extends SparkTestBase {
       0.5, "image_id"))
     assert(keys(Splits.temperatureSampleImpl(nonNull, "stratum", 5, 0.5,
       "image_id", "graft", margin = -1000.0)) == wantT)
+    // reliableLineage (persist instead of localCheckpoint) is a pure
+    // storage-strategy swap — identical results
+    assert(keys(Splits.stratifiedSample(df, "stratum", 2, "image_id",
+      reliableLineage = true)) == want)
 
     // reserved internal names fail loud, not silently clobbered
     val err = intercept[IllegalArgumentException] {
@@ -226,7 +230,8 @@ class SplitsSpec extends SparkTestBase {
         (103L, null.asInstanceOf[String])))
       .toDF("image_id", "dom")
     val out = Splits.exactTopQuota(df, $"dom",
-      Seq(("a", 2L, -1L), (null, 2L, max52)), "image_id", "graft")
+      Seq(("a", 2L, -1L, 5L), (null, 2L, max52, 3L)), "image_id",
+      "graft")
       .select("image_id").as[Long].collect().toSet
     assert(out.count(_ <= 5L) == 2, s"short domain must fall back: $out")
     assert(out.count(_ > 100L) == 2,
