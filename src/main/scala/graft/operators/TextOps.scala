@@ -1170,6 +1170,11 @@ object TextOps {
   // Subword (BPE) tokenization — train + encode + decode
   // --------------------------------------------------------------------
 
+  /** The recognized [[BpeModel.pretokenize]] modes — declared ABOVE the
+    * model class so the constructor `require` reads an initialized val
+    * even if a model is ever built during this object's own init. */
+  private val pretokenizeModes = Set("whitespace", "gpt2")
+
   /** A trained byte-level BPE tokenizer ([[bpeTrain]]): token ids
     * 0–255 are raw UTF-8 bytes (the lossless OOV fallback — ANY text
     * encodes), id `256 + r` is the r-th learned merge. `merges(r)` is
@@ -1191,6 +1196,13 @@ object TextOps {
   final case class BpeModel(merges: Array[(Int, Int)],
       pretokenize: String = "whitespace")
       extends Serializable {
+    // validated at CONSTRUCTION (not first encode): a hand-built or
+    // deserialized-from-config model with a typo'd mode must fail here,
+    // not as opaque per-row IllegalArgumentExceptions inside executor
+    // tasks once bpeEncode's UDF finally consults the mode
+    require(pretokenizeModes.contains(pretokenize),
+      s"unrecognized pretokenize mode '$pretokenize' — recognized: " +
+        pretokenizeModes.toSeq.sorted.mkString(", "))
     /** merge pair → rank (lower merges first at encode time) */
     @transient lazy val rank: java.util.HashMap[Long, Int] = {
       val m = new java.util.HashMap[Long, Int](merges.length * 2)
@@ -1226,8 +1238,6 @@ object TextOps {
     out
   }
 
-  /** The recognized [[BpeModel.pretokenize]] modes. */
-  private val pretokenizeModes = Set("whitespace", "gpt2")
 
   // The public GPT-2 pre-tokenizer pattern (from the released gpt-2
   // encoder, public knowledge): contractions, letter runs, digit runs,

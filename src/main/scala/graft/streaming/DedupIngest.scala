@@ -206,6 +206,9 @@ object DedupIngest {
     if (enforceKeyOrder)
       VersionedStore.enforceKeyOrderGuard(batch, batchId,
         s"$storeRoot/sig", key)
+    // running unguarded latches the store out of tombstone RETIREMENT
+    // (deletes still apply) — see VersionedStore.markUnguarded
+    else VersionedStore.markUnguarded(spark, storeRoot)
     // optional stage -2: C4/CCNet exact-line dedup against the growing
     // crawl's line history. MUST precede the span mask — the mask
     // kernel's uniform-output contract whitespace-normalizes text to a
@@ -329,7 +332,9 @@ object DedupIngest {
     * it would silently corrupt keep-first semantics and cluster
     * labels; pass `enforceKeyOrder = false` only when the upstream key
     * assignment is trusted and the two tiny per-batch aggregates
-    * matter. The minhash knobs mirror
+    * matter — doing so also PERMANENTLY disables tombstone retirement
+    * for this store (deletes still apply; see
+    * [[VersionedStore.markUnguarded]]). The minhash knobs mirror
     * [[Dedup.minhashNearDuplicates]].
     */
   /** @param spanMask pass `Some(SpanMask(...))` to also strip

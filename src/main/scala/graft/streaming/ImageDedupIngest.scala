@@ -130,6 +130,9 @@ object ImageDedupIngest {
     if (enforceKeyOrder)
       VersionedStore.enforceKeyOrderGuard(batch, batchId,
         s"$storeRoot/phash", key)
+    // running unguarded latches the store out of tombstone RETIREMENT
+    // (deletes still apply) — see VersionedStore.markUnguarded
+    else VersionedStore.markUnguarded(spark, storeRoot)
     val store = loadHashStore(spark, storeRoot, batch, bytesCol, key,
       below = batchId)
     // one decode+hash kernel pass: the same fingerprints feed the pair

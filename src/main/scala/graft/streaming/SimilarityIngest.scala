@@ -217,6 +217,9 @@ object SimilarityIngest {
     if (enforceKeyOrder)
       VersionedStore.enforceKeyOrderGuard(batch, batchId,
         s"$storeRoot/lsh", key)
+    // running unguarded latches the store out of tombstone RETIREMENT
+    // (deletes still apply) — see VersionedStore.markUnguarded
+    else VersionedStore.markUnguarded(spark, storeRoot)
     val store = loadLshStore(spark, storeRoot, batch, embCol, key, dim,
       numBits, seed, below = batchId)
     // one bucketing-kernel pass: the same signatures feed the pair op

@@ -173,6 +173,28 @@ private[streaming] object VersionedStore {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$versionDir/_keyrange")
 
+  /** The store-level marker recording that SOME batch ever committed
+    * with the key-order guard disabled (`enforceKeyOrder = false`) —
+    * from that point the monotone-key contract is merely trusted, not
+    * enforced, and [[retireTombstones]]' version-id evidence
+    * (`v > cutoff` ⇒ cannot carry a deleted key) is no longer sound:
+    * an unguarded later batch could legitimately re-carry a deleted
+    * key, and retiring the tombstone would resurrect it. The marker is
+    * a one-way latch (never removed — guard history cannot be
+    * re-established after the fact); it only disables RETIREMENT, not
+    * tombstoning: deletes still apply via the readers' anti-join and
+    * compaction still physically removes rows and dropDuplicates the
+    * family, which then stays O(all deleted keys) instead of O(live
+    * deleted keys) — the documented price of running unguarded. */
+  def markUnguarded(spark: SparkSession, storeRoot: String): Unit = {
+    val p = new Path(storeRoot, "_unguarded")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      fs.mkdirs(new Path(storeRoot))
+      fs.create(p, true).close()
+    }
+  }
+
   /** The micro-batch key-order guard: every committed version of the
     * guarded family carries a one-row `_keyrange` sidecar recording its
     * min/max key; a new batch's min key must exceed the max over all
@@ -334,6 +356,17 @@ private[streaming] object VersionedStore {
     * everywhere: a missing or unreadable sidecar never vouches, so
     * pre-sidecar deltas simply never retire.
     *
+    * GUARD HISTORY: the `v > cutoff` evidence rides the monotone-key
+    * contract, which is only ENFORCED while every batch runs with the
+    * key-order guard on. A store that ever committed a batch with
+    * `enforceKeyOrder = false` carries the [[markUnguarded]] latch, and
+    * this method then retires NOTHING (returns empty): an unguarded
+    * post-cutoff batch could legitimately re-carry a deleted key, so no
+    * version-id argument can prove a delete fully applied. Tombstones
+    * still apply (readers anti-join; compaction removes rows and
+    * dropDuplicates the family) — the family just never shrinks below
+    * all-deletes-ever on such stores.
+    *
     * A retired delta is replaced by an empty committed husk (staged,
     * crash-safe) rather than deleted: the family's version counter must
     * stay monotone, because `_tombfloor` values already recorded on
@@ -346,7 +379,8 @@ private[streaming] object VersionedStore {
     val fs = new Path(famDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombVs = committedVersions(spark, famDir, Long.MaxValue)
-    if (tombVs.isEmpty) Seq.empty
+    if (tombVs.isEmpty ||
+        fs.exists(new Path(storeRoot, "_unguarded"))) Seq.empty
     else {
       // each keyed family listed once; floors probed per version
       val perFam = keyedFamilies.map { f =>
@@ -520,8 +554,9 @@ private[streaming] object VersionedStore {
       // discovery (the v=N level itself parses as a conflicting
       // partition), and per-dir reads keep each version's own
       // partition-column inference
-      val readable = dirs(storeRoot, family, group)
-        .filter(d => hasData(fs, new Path(d)))
+      val withData = group
+        .filter(v => hasData(fs, new Path(s"$famDir/v=$v")))
+      val readable = dirs(storeRoot, family, withData)
       fs.delete(staging, true)
       if (readable.isEmpty) {
         // every source was an empty delta — the merge is the same
@@ -554,12 +589,20 @@ private[streaming] object VersionedStore {
       tombFloor.foreach(f =>
         writeLongSidecar(fs, new Path(staging, "_tombfloor"), f))
       // tombstone-family folds carry the sources' data cutoffs through
-      // (max is conservative: keys from any source live only in
-      // versions at or below their own cutoff, which is at most this)
-      val srcCutoffs = group.flatMap(v =>
+      // — but only when EVERY data-bearing source has one: a
+      // pre-sidecar delta's keys have no established anchoring, so its
+      // absence must keep the whole merged delta unretirable (the
+      // target sidecar is omitted — same as Long.MaxValue to
+      // retirement), mirroring the "a missing sidecar never vouches"
+      // posture everywhere else. Empty husks carry no keys and cannot
+      // dilute the carry. Max over the sources is conservative: keys
+      // from any source live only in versions at or below their own
+      // cutoff, which is at most this.
+      val srcCutoffs = withData.map(v =>
         readLongSidecar(fs, new Path(s"$famDir/v=$v/_cutoff")))
-      if (srcCutoffs.nonEmpty)
-        writeLongSidecar(fs, new Path(staging, "_cutoff"), srcCutoffs.max)
+      if (srcCutoffs.nonEmpty && srcCutoffs.forall(_.isDefined))
+        writeLongSidecar(fs, new Path(staging, "_cutoff"),
+          srcCutoffs.flatten.max)
       // record the folded sources INSIDE the staging dir before the
       // commit: once the rename lands, readers exclude any source the
       // crash window left undeleted (their rows live here now), and

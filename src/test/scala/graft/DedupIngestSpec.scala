@@ -803,4 +803,124 @@ class DedupIngestSpec extends SparkTestBase {
       exactPrefilter = true, spanMask = maskCfg, lineDedup = lineCfg)
     assert(keptState() == ((kept, texts)))
   }
+
+  test("a legacy (sidecar-less) tombstone delta folded together with " +
+      "anchored deltas keeps the merged delta unretirable: a partial " +
+      "_cutoff carry must not vouch for keys whose anchoring was never " +
+      "established (r18 advice, medium)") {
+    val storeRoot = Files.createTempDirectory("graft-legacy-tomb").toString
+    val keptDir = Files.createTempDirectory("graft-legacy-kept").toString
+    def doc(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def run(rows: Seq[(Long, String)], id: Long) =
+      DedupIngest.processBatch(rows.toDF("doc_id", "text"), id, storeRoot,
+        keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000)
+    def sigKeys(): Set[Long] = DedupIngest.loadSignatureStore(spark,
+        storeRoot, Seq((0L, "x")).toDF("doc_id", "text"), "text",
+        "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    def tombstoneDataFiles(): Int = {
+      val fam = new java.io.File(s"$storeRoot/tombstones")
+      if (!fam.exists()) 0
+      else fam.listFiles().filter(_.getName.startsWith("v="))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .count(_.getName.endsWith(".parquet"))
+    }
+
+    run(Seq((1L, doc("la")), (2L, doc("lb"))), 0L)
+    run(Seq((3L, doc("lc")), (4L, doc("ld"))), 1L)
+    // LEGACY delta at v=0: written by a pre-sidecar writeTombstones —
+    // data + _SUCCESS, NO _cutoff — naming a key the store has never
+    // ingested (the legacy writer had no anchoring concept, so
+    // pre-upgrade deltas can be pre-emptive). Its arrival window never
+    // closes, so it must never retire, alone or merged.
+    Seq(100L).toDF("doc_id").coalesce(1)
+      .write.parquet(s"$storeRoot/tombstones/v=0")
+    assert(!new java.io.File(s"$storeRoot/tombstones/v=0/_cutoff")
+      .exists(), "fixture must be sidecar-less")
+    // two ANCHORED deletes take v=1 and v=2 with finite _cutoffs
+    DedupIngest.deleteKeys(spark, storeRoot, Seq(2L).toDF("doc_id"))
+    DedupIngest.deleteKeys(spark, storeRoot, Seq(3L).toDF("doc_id"))
+    assert(new java.io.File(s"$storeRoot/tombstones/v=1/_cutoff")
+      .exists(), "anchored delete must record its cutoff")
+    // fold {v0 legacy, v1 anchored} into v=1 (v=2 is the family max and
+    // survives): nothing keyed folds yet (sig has only v0 below its
+    // max), so neither anchored delta can retire before the fold and
+    // v1 still carries its _cutoff INTO the fold — exactly the partial
+    // carry the fix suppresses
+    DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert(!new java.io.File(s"$storeRoot/tombstones/v=1/_cutoff")
+      .exists(),
+      "a fold with ANY sidecar-less data-bearing source must omit the " +
+        "merged _cutoff — a partial carry would falsely vouch for the " +
+        "legacy delta's keys")
+    assert(sigKeys() == Set(1L, 4L), sigKeys())
+
+    // now give retirement everything it could ever want: new ingest,
+    // then a compaction that folds the old keyed versions (floor above
+    // every marker) and leaves only post-delete raw deltas
+    run(Seq((5L, doc("le")), (6L, doc("lf"))), 2L)
+    DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    // the purely-anchored marker (v=2) retires on the usual evidence —
+    // the fix must not be over-conservative — but the merged delta
+    // (legacy + anchored keys) must survive every compaction forever
+    assert(tombstoneDataFiles() == 1,
+      s"expected only the merged legacy delta to survive: " +
+        s"${tombstoneDataFiles()} data-bearing markers")
+    assert(new java.io.File(s"$storeRoot/tombstones/v=1").listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "the survivor must be the merged v=1 delta")
+    // the window the marker holds shut: key 100 arrives legitimately
+    // under the monotone contract — it must stay suppressed (with the
+    // partial carry, v=1 would have retired above and 100 would be live)
+    run(Seq((100L, doc("lg")), (101L, doc("lh"))), 3L)
+    assert(sigKeys() == Set(1L, 4L, 5L, 6L, 101L),
+      s"legacy takedown of key 100 must stay in force: ${sigKeys()}")
+  }
+
+  test("a store that ever ran with enforceKeyOrder = false latches out " +
+      "of tombstone retirement (deletes still apply): unguarded " +
+      "batches void the monotone-key evidence retirement rides " +
+      "(r18 advice, low)") {
+    val storeRoot = Files.createTempDirectory("graft-unguard-tomb").toString
+    val keptDir = Files.createTempDirectory("graft-unguard-kept").toString
+    def doc(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def run(rows: Seq[(Long, String)], id: Long, guard: Boolean = true) =
+      DedupIngest.processBatch(rows.toDF("doc_id", "text"), id, storeRoot,
+        keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000,
+        enforceKeyOrder = guard)
+    def sigKeys(): Set[Long] = DedupIngest.loadSignatureStore(spark,
+        storeRoot, Seq((0L, "x")).toDF("doc_id", "text"), "text",
+        "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    def tombstoneDataFiles(): Int = {
+      val fam = new java.io.File(s"$storeRoot/tombstones")
+      if (!fam.exists()) 0
+      else fam.listFiles().filter(_.getName.startsWith("v="))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .count(_.getName.endsWith(".parquet"))
+    }
+
+    run(Seq((1L, doc("ua")), (2L, doc("ub"))), 0L)
+    DedupIngest.deleteKeys(spark, storeRoot, Seq(1L).toDF("doc_id"))
+    // one unguarded batch — the monotone-key contract is now merely
+    // trusted; the store carries the one-way latch from here on
+    run(Seq((3L, doc("uc")), (4L, doc("ud"))), 1L, guard = false)
+    assert(new java.io.File(s"$storeRoot/_unguarded").exists(),
+      "an unguarded batch must latch the store")
+    run(Seq((5L, doc("ue")), (6L, doc("uf"))), 2L)
+    // this compaction folds every pre-delete version (floor above the
+    // marker) and leaves only a post-cutoff raw delta — WITHOUT the
+    // latch the marker would retire here on exactly that evidence; an
+    // unguarded post-cutoff batch could have re-carried key 1, so the
+    // evidence is void and the marker must survive
+    DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert(tombstoneDataFiles() > 0,
+      "retirement must be disabled on an unguarded store")
+    // ...while the delete itself stays fully in force and compaction
+    // still applied it physically to the folds
+    assert(sigKeys() == Set(2L, 3L, 4L, 5L, 6L), sigKeys())
+  }
 }

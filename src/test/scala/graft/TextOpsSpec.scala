@@ -588,17 +588,19 @@ class TextOpsSpec extends SparkTestBase {
     val g2b = TextOps.bpeTrain(corpus.repartition(7), "text",
       numMerges = 60, pretokenize = "gpt2")
     assert(g2b.merges.toSeq == g2.merges.toSeq)
-    // unknown mode fails fast, train-side and (via a forged model)
-    // encode-side
+    // unknown mode fails fast, train-side and — r18 advice — already
+    // at MODEL CONSTRUCTION (a typo'd hand-built or config-deserialized
+    // model must not surface as opaque per-row executor-task failures
+    // on first encode)
     val err = intercept[IllegalArgumentException] {
       TextOps.bpeTrain(corpus, "text", pretokenize = "bytes")
     }
     assert(err.getMessage.contains("pretokenize"))
-    val forged = TextOps.BpeModel(g2.merges, "bytes")
-    val thrown = intercept[Exception] {
-      TextOps.bpeEncode(corpus, forged, "text").collect()
+    val forged = intercept[IllegalArgumentException] {
+      TextOps.BpeModel(g2.merges, "bytes")
     }
-    assert(thrown.getMessage != null)
+    assert(forged.getMessage.contains("pretokenize"),
+      forged.getMessage)
   }
 
   test("bpeDecode handles GPT-2-class-deep merge chains without stack " +
