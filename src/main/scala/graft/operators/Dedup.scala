@@ -25,10 +25,13 @@ object Dedup {
     * ships 192-bit digests through the shuffle instead of documents.
     */
   def exact(df: DataFrame, contentCols: Seq[String],
-      key: String): DataFrame =
+      key: String): DataFrame = {
+    Reserved.requireFreeParams(Seq("dup_count"), "exact",
+      ("key" -> key) +: contentCols.map("contentCols" -> _): _*)
     df.groupBy(contentCols.map(col): _*)
       .agg(min(col(key)).as(key), count(lit(1)).as("dup_count"))
       .select((key +: contentCols :+ "dup_count").map(col): _*)
+  }
 
   /** Exact dedup at corpus scale: group on a 192-bit content digest
     * (md5 ⊕ xxhash64) so the shuffle carries 24
@@ -50,6 +53,8 @@ object Dedup {
     */
   def exactByDigest(df: DataFrame, contentCols: Seq[String],
       key: String): DataFrame = {
+    Reserved.requireFreeParams(Seq("_d1", "_d2", "dup_count"),
+      "exactByDigest", "key" -> key)
     val rendered = to_json(struct(contentCols.map(col): _*),
       java.util.Collections.singletonMap("ignoreNullFields", "false"))
     df.select(col(key), md5(rendered).as("_d1"),
@@ -78,6 +83,8 @@ object Dedup {
     */
   def exactSignatures(df: DataFrame, contentCols: Seq[String],
       key: String): DataFrame = {
+    Reserved.requireFreeParams(Seq("_d1", "_d2"), "exactSignatures",
+      "key" -> key)
     val rendered = to_json(struct(contentCols.map(col): _*),
       java.util.Collections.singletonMap("ignoreNullFields", "false"))
     df.select(col(key), md5(rendered).as("_d1"),
@@ -126,6 +133,8 @@ object Dedup {
 
   private def validateDigestStore(store: DataFrame, key: String): Unit = {
     import org.apache.spark.sql.types.{LongType, StringType}
+    Reserved.requireFreeParams(Seq("_d1", "_d2"),
+      "the incremental digest operators", "key" -> key)
     for (c <- Seq(key, "_d1", "_d2"); if !store.columns.contains(c))
       throw new IllegalArgumentException(
         s"digest store is missing column '$c' — expected the " +
@@ -637,12 +646,23 @@ object Dedup {
     * by any n-gram occurring ≥ `minCount` times corpus-wide. Only
     * documents with ≥ 1 span appear.
     */
+  /** The span family's internal working + output names. Only `_spans`
+    * and `masked_text` ride the CALLER'S frame (the mask join /
+    * withColumn — frame-reserved in [[maskWithSpans]]); the rest live
+    * in fresh select lineages that the key and text columns themselves
+    * ride, so those two parameter NAMES must stay clear of the whole
+    * set ([[Reserved.requireFreeParams]]). */
+  private val spanInternal = Seq("_g", "_s", "_e", "_h", "_c", "_sc",
+    "_iv", "_spans", "_sp", "span_start", "span_end", "masked_text")
+
   private def mergedSpanRelation(df: DataFrame, textCol: String,
       key: String, n: Int, minCount: Long,
       cacheOccurrences: Boolean): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     require(minCount >= 2,
       s"minCount must be >= 2 (1 would mark every token), got $minCount")
+    Reserved.requireFreeParams(spanInternal, "repeatedSpans",
+      "key" -> key, "textCol" -> textCol)
     val gramUdf = udf((text: String) => Kernels.ngramSpans(text, n))
     val occ0 = df
       .select(col(key), explode(gramUdf(col(textCol))).as("_g"))
@@ -712,18 +732,11 @@ object Dedup {
     */
   def maskRepeatedSpans(df: DataFrame, textCol: String, key: String,
       n: Int = 10, minCount: Long = 5, marker: String = "",
-      cacheOccurrences: Boolean = true): DataFrame = {
-    val maskUdf = udf((text: String, ss: Seq[Int], es: Seq[Int]) =>
-      Kernels.maskSpans(text,
-        if (ss == null) Nil else ss, if (es == null) Nil else es, marker))
-    df.join(
-        mergedSpanRelation(df, textCol, key, n, minCount,
-          cacheOccurrences),
-        Seq(key), "left")
-      .withColumn("masked_text",
-        maskUdf(col(textCol), col("_spans._1"), col("_spans._2")))
-      .drop("_spans")
-  }
+      cacheOccurrences: Boolean = true): DataFrame =
+    maskWithSpans(df,
+      mergedSpanRelation(df, textCol, key, n, minCount,
+        cacheOccurrences),
+      textCol, key, marker)
 
   /** CORPUS-LEVEL LINE DEDUPLICATION — the classic C4/CCNet curation
     * step between whole-document dedup and the statistical span family:
@@ -815,15 +828,11 @@ object Dedup {
       "_rm", "_kept")
     val occInternal = Seq("_p", "_l", "_h", "_first", "_n", "_hit",
       "_c") ++ reserved
-    require(!occInternal.contains(key) && !occInternal.contains(textCol),
-      s"key/text column may not use a reserved internal name " +
-        s"(got key='$key', text='$textCol'; reserved: " +
-        s"${occInternal.mkString(", ")})")
-    val clash = df.columns.filter(reserved.contains)
-    require(clash.isEmpty,
-      s"frame already carries ${clash.mkString(", ")} — drop or " +
-        "rename before dedupLines (it appends text_deduped/kept_lines/" +
-        "removed_lines and uses the _-prefixed names internally)")
+    Reserved.requireFreeParams(occInternal, "dedupLines",
+      "key" -> key, "textCol" -> textCol)
+    Reserved.requireFreeColumns(df, reserved, "dedupLines",
+      "it appends text_deduped/kept_lines/removed_lines and uses the " +
+        "_-prefixed names internally")
   }
 
   /** The split expression all line ops share: literal delimiter,
@@ -1001,6 +1010,8 @@ object Dedup {
     require(n > 0, s"n must be positive, got $n")
     require(minCount >= 2,
       s"minCount must be >= 2 (1 would mark every token), got $minCount")
+    Reserved.requireFreeParams(spanInternal, "repeatedSpansIncremental",
+      "key" -> key, "textCol" -> textCol)
     validateNgramCountStore(store)
     def bc(df: DataFrame) = if (broadcastIncrement) broadcast(df) else df
     val gramUdf = udf((text: String) => Kernels.ngramSpans(text, n))
@@ -1048,6 +1059,12 @@ object Dedup {
 
   private def maskWithSpans(newDocs: DataFrame, spans: DataFrame,
       textCol: String, key: String, marker: String): DataFrame = {
+    // the two names that actually ride the caller's frame: the span
+    // join would be ambiguous on a pre-existing _spans, and the
+    // withColumn would silently clobber a pre-existing masked_text
+    Reserved.requireFreeColumns(newDocs, Seq("_spans", "masked_text"),
+      "maskRepeatedSpans", "it appends masked_text and joins the " +
+        "_spans relation in")
     val maskUdf = udf((text: String, ss: Seq[Int], es: Seq[Int]) =>
       Kernels.maskSpans(text,
         if (ss == null) Nil else ss, if (es == null) Nil else es, marker))
@@ -1128,11 +1145,24 @@ object Dedup {
     * sf0.1 documents fixture), at the cost of unbounded B² blow-up if the
     * assumption is wrong.
     */
+  /** The minhash family's internal working names. All live in fresh
+    * select lineages (the caller's frame never rides a join here), but
+    * the key and text columns DO ride those lineages — so the two
+    * parameter names must stay clear of the set; clashes otherwise
+    * surface as obscure duplicate-column or ambiguous-reference
+    * analyzer errors deep in the banding plan. `pos`/`col` are
+    * posexplode's fixed output names. */
+  private val minhashInternal = Seq("_sh", "_buckets", "_band",
+    "_bucket", "pos", "col", "key_a", "key_b", "jaccard", "_sh_a",
+    "_sh_b", "_new")
+
   def minhashNearDuplicates(df: DataFrame, textCol: String, key: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.7, seed: Long = 42,
       cacheShingles: Boolean = true,
       maxBucketSize: Long = 10000): DataFrame = {
+    Reserved.requireFreeParams(minhashInternal, "minhashNearDuplicates",
+      "key" -> key, "textCol" -> textCol)
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(maxBucketSize <= 0 || maxBucketSize > 1,
       "maxBucketSize must be > 1 (or <= 0 to skip the skew guard)")
@@ -1215,6 +1245,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, key: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       seed: Long = 42): DataFrame = {
+    Reserved.requireFreeParams(minhashInternal, "minhashSignatures",
+      "key" -> key, "textCol" -> textCol)
     require(numHashes % bands == 0, "bands must divide numHashes")
     val (hashA, hashB) = Kernels.minhashCoefficients(numHashes, seed)
     val bucketsUdf = udf((sh: Seq[String]) =>
@@ -1226,6 +1258,8 @@ object Dedup {
 
   private def validateSignatureStore(store: DataFrame, key: String): Unit = {
     import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    Reserved.requireFreeParams(minhashInternal,
+      "the incremental minhash operators", "key" -> key)
     for (c <- Seq(key, "_buckets", "_sh"); if !store.columns.contains(c))
       throw new IllegalArgumentException(
         s"signature store is missing column '$c' — expected the " +
@@ -1443,9 +1477,18 @@ object Dedup {
     * `key_a < key_b`. Null fingerprints never pair (SQL join-key
     * semantics). Never all-pairs at any corpus size.
     */
+  /** The hamming/simhash family's internal names — the key parameter
+    * rides every banding lineage, so its NAME must stay clear (the
+    * minhashInternal rationale; `_h` is also the family's own
+    * fingerprint column). */
+  private val hammingInternal = Seq("_h", "_band", "_chunk", "pos",
+    "col", "key_a", "key_b", "hamming", "_h_a", "_h_b", "_new")
+
   def hammingNearDuplicates(hashed: DataFrame, key: String,
       maxDistance: Int = 3, maxBucketSize: Long = 5000,
       bits: Int = 64, guardLabel: String = "hamming"): DataFrame = {
+    Reserved.requireFreeParams(hammingInternal, "hammingNearDuplicates",
+      "key" -> key)
     // pigeonhole bound of 4 banded chunks: only distances <= 3 are
     // guaranteed a shared chunk — larger values would silently lose recall
     require(maxDistance <= 3,
@@ -1498,12 +1541,16 @@ object Dedup {
     */
   def simhashSignatures(df: DataFrame, textCol: String,
       key: String, bits: Int = 64): DataFrame = {
+    Reserved.requireFreeParams(hammingInternal, "simhashSignatures",
+      "key" -> key, "textCol" -> textCol)
     requireBits(bits)
     df.select(col(key), simhash(col(textCol), bits).as("_h"))
   }
 
   private def validateSimhashStore(store: DataFrame, key: String): Unit = {
     import org.apache.spark.sql.types.LongType
+    Reserved.requireFreeParams(hammingInternal,
+      "the incremental simhash operators", "key" -> key)
     for (c <- Seq(key, "_h"); if !store.columns.contains(c))
       throw new IllegalArgumentException(
         s"simhash store is missing column '$c' — expected the " +

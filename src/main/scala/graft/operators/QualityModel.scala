@@ -88,14 +88,13 @@ object QualityModel {
     // fail loud on collisions instead of silently clobbering (or, for
     // quality_prob, emitting the name twice — which would make every
     // downstream reference ambiguous): the re-score-after-retrain flow
-    // should drop the stale column first
-    val reserved =
-      Seq("quality_prob", "_toks", "_feat", "_raw", "_prob", "_pred")
-    val clash = df.columns.filter(reserved.contains)
-    require(clash.isEmpty,
-      s"frame already carries ${clash.mkString(", ")} — drop or " +
-        "rename before scoring (score appends quality_prob and uses " +
-        "the _-prefixed names internally)")
+    // should drop the stale column first. The featurize/transform
+    // internals ride the caller's frame (withColumn chain), so the
+    // whole set is frame-reserved, not just the output.
+    Reserved.requireFreeColumns(df,
+      Seq("quality_prob", "_toks", "_feat", "_raw", "_prob", "_pred"),
+      "scoring", "score appends quality_prob and uses the _-prefixed " +
+        "names internally")
     // score on a COPY: setting the column Params on the caller's model
     // would mutate shared state (concurrent score calls racing on Param
     // values, and the mutation persisting on the caller's object) —

@@ -47,6 +47,10 @@ object Splits {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.JoinedRow
     import org.apache.spark.sql.graftshim.DatasetShim
+    // schema.add would produce a DUPLICATE column name — every later
+    // col(idxCol) reference is then ambiguous, far from this call
+    Reserved.requireFreeColumns(df, Seq(idxCol), "withGlobalIndex",
+      s"it appends the $idxCol index column")
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema
     // zipWithIndex runs a partition-count job before the main pass; persist
@@ -100,6 +104,8 @@ object Splits {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.JoinedRow
     import org.apache.spark.sql.graftshim.DatasetShim
+    Reserved.requireFreeColumns(df, Seq(outCol), "withRunningTotal",
+      s"it appends the $outCol running-total column")
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema
     val vi = schema.fieldIndex(valueCol)
@@ -139,6 +145,8 @@ object Splits {
     */
   def testDevSplit(df: DataFrame, testPercent: Double = 0.2, seed: Long = 42,
       key: String = "image_id", knownCount: Option[Long] = None): DataFrame = {
+    Reserved.requireFreeColumns(df, Seq("split"), "testDevSplit",
+      "it appends the split assignment column")
     val n = knownCount.getOrElse(df.count())
     require(n > 1,
       s"cannot split $n rows into test/dev (reference errors on n <= 1)")
@@ -154,6 +162,8 @@ object Splits {
   def kfold(df: DataFrame, k: Int, seed: Long = 0,
       key: String = "image_id"): DataFrame = {
     require(k >= 2, "k-fold needs k >= 2")
+    Reserved.requireFreeColumns(df, Seq("fold"), "kfold",
+      "it appends the fold assignment column")
     val n = df.count()
     val base = n / k
     val extra = n % k
@@ -172,6 +182,8 @@ object Splits {
     */
   def shardAssign(df: DataFrame, sortCols: Seq[Column],
       shardSize: Long = 1000): DataFrame = {
+    Reserved.requireFreeColumns(df, Seq("shard"), "shardAssign",
+      "it appends the shard assignment column")
     val n = df.count()
     val numShards = n / shardSize + 1
     withGlobalIndex(df, sortCols)
@@ -250,16 +262,12 @@ object Splits {
   private[graft] def exactTopQuota(rows: DataFrame, domain: Column,
       quotas: Seq[(String, Long, Long, Long)], key: String,
       salt: String, reliableLineage: Boolean = false): DataFrame = {
-    // same loud reserved-name contract as QualityModel.score /
-    // dedupLines: a pre-existing internal column would be silently
-    // clobbered (_rk) or make the quota join ambiguous (_dom/_quota/
-    // _thr) — fail with the fix spelled out instead
-    val clash = Seq("_dom", "_quota", "_thr", "_rk")
-      .filter(rows.columns.contains)
-    require(clash.isEmpty,
-      s"frame already carries ${clash.mkString(", ")} — drop or " +
-        "rename before sampling (the exact samplers use these " +
-        "_-prefixed names internally)")
+    // a pre-existing internal column would be silently clobbered (_rk)
+    // or make the quota join ambiguous (_dom/_quota/_thr) — fail with
+    // the fix spelled out instead
+    Reserved.requireFreeColumns(rows, Seq("_dom", "_quota", "_thr", "_rk"),
+      "sampling", "the exact samplers use these _-prefixed names " +
+        "internally")
     if (quotas.isEmpty) return rows.limit(0)
     val spark = rows.sparkSession
     import spark.implicits._

@@ -1134,6 +1134,13 @@ object TextOps {
     require(!boundary.exists(_.isWhitespace) && boundary.nonEmpty,
       s"boundary must be one non-empty whitespace-free token, " +
         s"got '$boundary'")
+    // the key column rides every packing lineage (and a key named like
+    // an internal would be silently REPLACED by the withColumn chain,
+    // corrupting the sort order) — the parameter names must stay clear
+    Reserved.requireFreeParams(
+      Seq("_tk", "_tkb", "_len", "_off", "_from", "_until", "_piece",
+        "_nt", "_ps", "seq_id", "n_tokens", "seq"),
+      "packChunks", "key" -> key, "chunkCol" -> chunkCol)
     val tk = filter(split(trim(coalesce(col(chunkCol), lit(""))), "\\s+"),
       t => length(t) > 0)
     val withLen = df.select(col(key), tk.as("_tk"))
