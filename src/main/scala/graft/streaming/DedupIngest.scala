@@ -43,7 +43,9 @@ import graft.operators.Dedup
   *     tombstoned rows from the folds it touches and keeps the
   *     tombstone rows themselves.
   * A version counts only once its `_SUCCESS` marker exists, so
-  * half-written attempts are invisible to readers.
+  * half-written attempts are invisible to readers. (The optional
+  * [[Curate]] quality/language stage adds NO family — it is a
+  * stateless map-only filter of the kept output.)
   *
   * EXACTLY-ONCE: `foreachBatch` re-delivers a batch after failure with
   * the SAME batchId. Every per-batch output (both deltas and the kept
@@ -165,6 +167,32 @@ object DedupIngest {
   final case class LineDedup(minChars: Int = 10, delim: String = "\n",
       broadcastIncrement: Boolean = true, dropEmptied: Boolean = true)
 
+  /** Configuration for the optional MAP-ONLY CURATION stage — the
+    * quality/language filter of QUICKSTART.md's batch chain (stage 3:
+    * dedup → quality → write), mirrored into the ingest so a growing
+    * crawl no longer needs a separate downstream job for it. Runs LAST,
+    * on the batch's dedup-surviving rows just before the kept write —
+    * the same position as the batch chain, so the composed streaming
+    * pipeline stays stage-for-stage parity with it. NO store and NO
+    * state: the stage filters only the kept OUTPUT; every store family
+    * still accrues over the full deduped batch (parity again — the
+    * batch chain's dedup also sees pre-quality rows), so a later
+    * near-dup of a curated-away document is still recognized as a
+    * duplicate rather than re-admitted.
+    *
+    * `score` (optional) appends whatever columns `keep` needs —
+    * `QualityModel.score(_, clf, textCol)`, a `langId`/`textQuality`
+    * withColumn, any map-only transform. It MUST be deterministic
+    * (redelivery re-computes it; a nondeterministic score would make a
+    * retry ship a different kept set) and should be map-only (anything
+    * heavier runs per micro-batch). `keep` is the predicate over the
+    * scored frame; null evaluates to drop (SQL filter semantics).
+    * `keepScores = true` ships the appended score columns in the kept
+    * output (the default restores exactly the batch's columns). */
+  final case class Curate(keep: org.apache.spark.sql.Column,
+      score: DataFrame => DataFrame = identity,
+      keepScores: Boolean = false)
+
   /** The live count store of `family` from all committed deltas below
     * `below` (delta-valued `(_h, _c)` — readers aggregate or take
     * membership; compaction folds by summing). */
@@ -201,7 +229,8 @@ object DedupIngest {
       enforceKeyOrder: Boolean = true,
       exactPrefilter: Boolean = false,
       spanMask: Option[SpanMask] = None,
-      lineDedup: Option[LineDedup] = None): Unit = {
+      lineDedup: Option[LineDedup] = None,
+      curate: Option[Curate] = None): Unit = {
     val spark = batch.sparkSession
     if (enforceKeyOrder)
       VersionedStore.enforceKeyOrderGuard(batch, batchId,
@@ -308,9 +337,26 @@ object DedupIngest {
         pairs.localCheckpoint(false))
       .select(col("key"), col("component"), lit(batchId).as("_v"))
       .localCheckpoint(false)
-    val kept = work.join(
+    val kept0 = work.join(
       changed.filter(col("component") =!= col("key"))
         .select(col("key").as(key)), Seq(key), "left_anti")
+    // optional LAST stage: map-only curation of the kept OUTPUT (the
+    // batch chain's dedup → quality → write order; see Curate). The
+    // store deltas below are written from the deduped, UN-curated
+    // batch, deliberately: no new state, and a later near-dup of a
+    // curated-away document is still recognized as a duplicate.
+    val kept = curate match {
+      case None => kept0
+      case Some(c) =>
+        val scored = c.score(kept0)
+        val missing = kept0.columns.filterNot(scored.columns.contains)
+        require(missing.isEmpty,
+          s"Curate.score dropped batch column(s) ${missing.mkString(", ")}" +
+            " — the scoring transform may only APPEND columns")
+        val filtered = scored.filter(c.keep)
+        if (c.keepScores) filtered
+        else filtered.select(kept0.columns.map(col): _*)
+    }
     // all outputs are batchId-addressed wholesale overwrites — see the
     // exactly-once note in the object doc
     sigs.write.mode("overwrite").parquet(s"$storeRoot/sig/v=$batchId")
@@ -344,6 +390,10 @@ object DedupIngest {
     *   downstream and in the kept output, whitespace-normalized).
     *   Stage order matches the QUICKSTART pipeline: mask, then exact
     *   prefilter, then near-dup.
+    * @param curate pass `Some(Curate(...))` to quality/language-filter
+    *   the kept output per micro-batch AFTER every dedup stage — the
+    *   batch chain's dedup → quality → write order, map-only, no new
+    *   store state (see [[Curate]]).
     * @param lineDedup pass `Some(LineDedup(...))` to exact-line-dedup
     *   each micro-batch keep-first against the crawl's accumulated
     *   line history (a `linecounts/` store family accrues trimmed-line
@@ -359,7 +409,8 @@ object DedupIngest {
       enforceKeyOrder: Boolean = true,
       exactPrefilter: Boolean = false,
       spanMask: Option[SpanMask] = None,
-      lineDedup: Option[LineDedup] = None): StreamingQuery = {
+      lineDedup: Option[LineDedup] = None,
+      curate: Option[Curate] = None): StreamingQuery = {
     require(docs.isStreaming,
       "DedupIngest.start needs a streaming DataFrame — for batch data " +
         "use the QUICKSTART.md loop over the incremental operators")
@@ -371,7 +422,7 @@ object DedupIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storeRoot, keptDir, textCol, key,
           numHashes, bands, shingleSize, threshold, seed, maxBucketSize,
-          enforceKeyOrder, exactPrefilter, spanMask, lineDedup)
+          enforceKeyOrder, exactPrefilter, spanMask, lineDedup, curate)
       }
       .start()
   }

@@ -804,6 +804,68 @@ class DedupIngestSpec extends SparkTestBase {
     assert(keptState() == ((kept, texts)))
   }
 
+  test("curation stage: the kept output is quality-filtered AFTER " +
+      "every dedup stage (batch-chain order), stores still accrue over " +
+      "the full deduped batch, drops flow through redelivery " +
+      "idempotently, and keepScores ships the appended columns") {
+    val storeRoot = Files.createTempDirectory("graft-cur-store").toString
+    val keptDir = Files.createTempDirectory("graft-cur-kept").toString
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // junk = short text; doc 12 is junk AND a verbatim re-crawl of
+    // junk doc 2; doc 13 is junk arriving before its clean near-twin
+    val junk = "tiny doc"
+    val junk2 = "wee doc"
+    val curate = DedupIngest.Curate(col("_q") >= 40,
+      score = _.withColumn("_q", length(col("text"))))
+    def run(rows: Seq[(Long, String)], id: Long,
+        c: Option[DedupIngest.Curate] = Some(curate)) =
+      DedupIngest.processBatch(rows.toDF("doc_id", "text"), id, storeRoot,
+        keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000,
+        curate = c)
+    def keptState(): Map[Long, Set[Long]] =
+      spark.read.parquet(keptDir)
+        .select($"ingest_batch".cast("long"), $"doc_id")
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (b, r) => b -> r.map(_._2).toSet }
+
+    run(Seq((1L, A), (2L, junk), (3L, B)), 0L)
+    // junk doc 2 curated away from the OUTPUT...
+    assert(keptState() == Map(0L -> Set(1L, 3L)), keptState())
+    // ...but its signature still entered the store (no new state, and
+    // duplicate recognition must survive curation): the verbatim
+    // re-crawl 12 drops as a DUPLICATE (and would also be curated);
+    // near-dup 11 of A drops as usual; 13 passes both stages
+    run(Seq((11L, A), (12L, junk), (13L, C)), 1L)
+    assert(keptState() == Map(0L -> Set(1L, 3L), 1L -> Set(13L)),
+      keptState())
+    val sigKeys = DedupIngest.loadSignatureStore(spark, storeRoot,
+        Seq((0L, "x")).toDF("doc_id", "text"), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigKeys.contains(2L),
+      s"curation must not filter store state: $sigKeys")
+    // redelivery idempotence with the stage active: same id, same kept
+    run(Seq((11L, A), (12L, junk), (13L, C)), 1L)
+    assert(keptState() == Map(0L -> Set(1L, 3L), 1L -> Set(13L)))
+    // keepScores ships the appended column; default restores batch cols
+    assert(!spark.read.parquet(s"$keptDir/ingest_batch=1")
+      .columns.contains("_q"))
+    run(Seq((21L, cNear), (22L, junk2)), 2L,
+      c = Some(curate.copy(keepScores = true)))
+    val b2 = spark.read.parquet(s"$keptDir/ingest_batch=2")
+    assert(b2.columns.contains("_q"))
+    assert(b2.select("doc_id").as[Long].collect().isEmpty,
+      "21 is a near-dup (dropped before curation), 22 is junk")
+    // a score transform that DROPS a batch column fails loud
+    val err = intercept[IllegalArgumentException] {
+      run(Seq((31L, "fresh standalone essay about alpine railway " +
+        "infrastructure maintenance")), 3L,
+        c = Some(DedupIngest.Curate(col("_q") >= 0,
+          score = _.drop("text").withColumn("_q", lit(1)))))
+    }
+    assert(err.getMessage.contains("Curate.score dropped"),
+      err.getMessage)
+  }
+
   test("a legacy (sidecar-less) tombstone delta folded together with " +
       "anchored deltas keeps the merged delta unretirable: a partial " +
       "_cutoff carry must not vouch for keys whose anchoring was never " +
