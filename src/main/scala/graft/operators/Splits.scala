@@ -216,7 +216,28 @@ object Splits {
     * binomial survivor count (+16 for tiny quotas) makes undershoot a
     * ~`margin`-sigma event — and undershoot only costs the fallback
     * sort, never exactness. Degenerates to no filtering (max threshold)
-    * when the domain is smaller than its inflated quota. */
+    * when the domain is smaller than its inflated quota.
+    *
+    * WHY UNIFORMITY HOLDS EVEN FOR ADVERSARIAL KEYS: the prefix is the
+    * leading 52 bits of `md5(salt || key)`. md5's avalanche property
+    * makes the 128-bit digests of DISTINCT keys behave as independent
+    * uniform draws regardless of how clustered the key VALUES are —
+    * near-duplicate keys (sequential ids, common prefixes, one-char
+    * edits) still land uniformly, so no real key distribution can
+    * concentrate a domain's digests above the threshold and starve the
+    * sliver beyond the modeled binomial tail. (Cryptographic breakage
+    * of md5 is collision-crafting, not distribution skew, and an
+    * adversary would at worst force the undershoot FALLBACK — a full
+    * per-domain window — never a wrong sample.) The two real edges are
+    * therefore structural, not distributional, and both are handled:
+    * quotas at or near the domain size force the degenerate
+    * max-threshold path (`need >= nd` here; the kernel then skips the
+    * pin when the expected sliver is most of the corpus), and margins
+    * forced negative — down to `-Infinity`, where every domain takes
+    * the all-short fallback exclusively — keep exactness unconditional
+    * (AlgebraLawsSpec's margin-independence law pins the whole range).
+    * Identical KEYS would share a digest, but the samplers' contract
+    * already requires unique keys and ties break on the key column. */
   private def digestThreshold(quota: Long, nd: Long,
       margin: Double): Long = {
     val max52 = (1L << 52) - 1

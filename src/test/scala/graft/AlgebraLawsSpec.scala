@@ -182,8 +182,12 @@ class AlgebraLawsSpec extends SparkTestBase {
       per <- Gen.choose(1, 5)
       // negative margins force arbitrary undershoot mixes (some strata
       // fall back to their full window, some survive on their own
-      // digest draw); positive margins exercise the common sliver path
-      margin <- Gen.oneOf(Gen.choose(-50.0, 0.0), Gen.choose(0.0, 12.0))
+      // digest draw); positive margins exercise the common sliver path;
+      // -Infinity drives the threshold to its floor so EVERY stratum
+      // takes the all-short fallback exclusively — the adversarial
+      // bottom of the range (see digestThreshold's uniformity scaladoc)
+      margin <- Gen.oneOf(Gen.const(Double.NegativeInfinity),
+        Gen.choose(-50.0, 0.0), Gen.choose(0.0, 12.0))
     } yield (corpus, per, margin)
     check("stratifiedMargin", Prop.forAll(caseGen) {
       case (corpus, per, margin) =>
