@@ -353,6 +353,13 @@ object DedupIngest {
         require(missing.isEmpty,
           s"Curate.score dropped batch column(s) ${missing.mkString(", ")}" +
             " — the scoring transform may only APPEND columns")
+        // a duplicate name would pass the missing-check yet make the
+        // restore projection below (and every downstream reference)
+        // ambiguous — fail here, at the configuration, not there
+        val dup = scored.columns.diff(scored.columns.distinct).distinct
+        require(dup.isEmpty,
+          s"Curate.score produced duplicate column(s) ${dup.mkString(", ")}" +
+            " — append NEW names, don't re-emit batch columns")
         val filtered = scored.filter(c.keep)
         if (c.keepScores) filtered
         else filtered.select(kept0.columns.map(col): _*)

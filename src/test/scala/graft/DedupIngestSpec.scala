@@ -864,6 +864,16 @@ class DedupIngestSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("Curate.score dropped"),
       err.getMessage)
+    // ...and one that re-emits a batch column as a duplicate name
+    // (would make every later reference ambiguous) also fails loud
+    val dup = intercept[IllegalArgumentException] {
+      run(Seq((32L, "another fresh standalone essay on coastal wind " +
+        "farm corrosion monitoring")), 3L,
+        c = Some(DedupIngest.Curate(lit(true),
+          score = df => df.select((df.columns.map(col) :+
+            lit("x").as("text")): _*))))
+    }
+    assert(dup.getMessage.contains("duplicate column"), dup.getMessage)
   }
 
   test("a legacy (sidecar-less) tombstone delta folded together with " +
