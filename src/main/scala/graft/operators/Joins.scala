@@ -93,6 +93,12 @@ object Joins {
     require(keyCols.nonEmpty, "asOf needs at least one equality key")
     require(Set("backward", "forward", "nearest").contains(direction),
       s"direction must be backward, forward, or nearest, got '$direction'")
+    // the key columns ride the tagged-union lineage with the internal
+    // working names — a key named like one would make the union
+    // projection ambiguous far from here
+    Reserved.requireFreeParams(
+      Seq("_ts", "_side", "_lrow", "_rv", "_rpay", "_p", "_r"), "asOf",
+      keyCols.map("keyCols" -> _): _*)
     tolerance.foreach { t =>
       require(t >= 0, s"tolerance must be >= 0, got $t")
       // the horizon has ONE unit (the family's bin image); a DATE left

@@ -65,6 +65,9 @@ object QualityModel {
     require(labeled.columns.contains(labelCol),
       s"labeled frame is missing label column '$labelCol'")
     require(numFeatures > 0, s"numFeatures must be > 0, got $numFeatures")
+    Reserved.requireFreeColumns(labeled, Seq("_toks", "_feat", "_lbl"),
+      "train", "train uses the _-prefixed names for the featurize/fit " +
+        "pipeline")
     val feats = featurize(
       labeled.withColumn("_lbl", col(labelCol).cast("double")),
       textCol, numFeatures)

@@ -31,6 +31,9 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
       key: String, k: Int): DataFrame = {
+    Reserved.requireFreeParams(
+      Seq("_q_emb", "_q_n", "_c_emb", "_c_n", "query_id", "neighbor_id",
+        "cosine", "rank"), "cosineTopK", "key" -> key)
     val q = queries.select(col(key).as("query_id"),
       asDouble(col(embCol)).as("_q_emb"),
       norm(col(embCol)).as("_q_n"))
@@ -927,6 +930,10 @@ object Similarity {
         }
       }
     }: java.lang.Double)
+    Reserved.requireFreeColumns(corpus,
+      Seq("max_benchmark_cosine", "verdict"), "embeddingDecontaminate",
+      "it appends max_benchmark_cosine/verdict — re-tagging an " +
+        "already-tagged frame must drop the stale columns first")
     corpus
       .withColumn("max_benchmark_cosine", maxCos(asDouble(col(embCol))))
       .withColumn("verdict",

@@ -20,6 +20,8 @@ object SkewOps {
   def saltedAggregate(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
       partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
+    Reserved.requireFreeColumns(df, Seq("_salt"), "saltedAggregate",
+      "it appends the _salt bucketing column")
     val salted = df.withColumn("_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(),
         lit(saltBuckets)))
@@ -34,11 +36,14 @@ object SkewOps {
     * pre-wired. Output: keyCols + sum_<x>, cnt, avg_<x>.
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
-      saltBuckets: Int = 32): DataFrame =
+      saltBuckets: Int = 32): DataFrame = {
+    Reserved.requireFreeParams(Seq("_s", "_c", "cnt"), "saltedSumCount",
+      keyCols.map("keyCols" -> _): _*)
     saltedAggregate(df, keyCols, saltBuckets,
       partialAggs = Seq(sum(valueCol).as("_s"), count(lit(1)).as("_c")),
       finalAggs = Seq(
         sum("_s").as(s"sum_$valueCol"),
         sum("_c").as("cnt"),
         (sum("_s") / sum("_c")).as(s"avg_$valueCol")))
+  }
 }

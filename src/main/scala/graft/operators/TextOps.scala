@@ -452,6 +452,12 @@ object TextOps {
       }
       (sh.length.toLong, hits.toLong)
     }
+    Reserved.requireFreeColumns(corpus,
+      Seq("_dc", "doc_ngrams", "contaminated_ngrams",
+        "contamination_frac", "verdict"), "decontaminate",
+      "it appends doc_ngrams/contaminated_ngrams/contamination_frac/" +
+        "verdict — re-tagging an already-tagged frame must drop the " +
+        "stale columns first")
     corpus
       .withColumn("_dc", stats(col(textCol)))
       .withColumn("doc_ngrams", col("_dc._1"))
@@ -510,6 +516,14 @@ object TextOps {
       s"corpus is missing text column '$textCol'")
     require(corpus.columns.contains(key),
       s"corpus is missing key column '$key'")
+    Reserved.requireFreeColumns(corpus,
+      Seq("doc_ngrams", "contaminated_ngrams", "contamination_frac",
+        "verdict"), "decontaminateRelational",
+      "it appends doc_ngrams/contaminated_ngrams/contamination_frac/" +
+        "verdict — re-tagging an already-tagged frame must drop the " +
+        "stale columns first")
+    Reserved.requireFreeParams(Seq("_g", "_h"),
+      "decontaminateRelational", "key" -> key)
     val hashOne = udf((g: String) => ngramHash64(g))
     val benchGrams = benchmark
       .select(explode(Dedup.shinglesFast(col(btc), n)).as("_g"))
@@ -583,6 +597,15 @@ object TextOps {
       s"corpus is missing text column '$textCol'")
     require(corpus.columns.contains(corpusKey),
       s"corpus is missing key column '$corpusKey'")
+    Reserved.requireFreeColumns(benchmark,
+      Seq("bench_ngrams", "leaked_ngrams", "leaking_docs", "leak_frac",
+        "verdict"), "contaminationReport",
+      "it appends bench_ngrams/leaked_ngrams/leak_frac/leaking_docs/" +
+        "verdict — re-reporting an already-tagged frame must drop the " +
+        "stale columns first")
+    Reserved.requireFreeParams(Seq("_g", "_h", "_ck"),
+      "contaminationReport",
+      "benchKey" -> benchKey, "corpusKey" -> corpusKey)
     val hashOne = udf((g: String) => ngramHash64(g))
     val benchGrams = benchmark
       .select(col(benchKey),
@@ -654,6 +677,8 @@ object TextOps {
               if java.util.Arrays.binarySearch(set, h) >= 0 => (s, e)
         }.toSeq)
     }
+    Reserved.requireFreeParams(Seq("_sp", "span_start", "span_end"),
+      "contaminatedSpans", "key" -> key)
     corpus.select(col(key), explode(spansUdf(col(textCol))).as("_sp"))
       .select(col(key), col("_sp._1").as("span_start"),
         col("_sp._2").as("span_end"))
@@ -689,6 +714,8 @@ object TextOps {
         }.toSeq)
       Dedup.Kernels.maskSpans(text, spans.map(_._1), spans.map(_._2), mk)
     }
+    Reserved.requireFreeColumns(corpus, Seq("masked_text"),
+      "maskContaminated", "it appends masked_text")
     corpus.withColumn("masked_text", maskUdf(col(textCol)))
   }
 
@@ -825,6 +852,9 @@ object TextOps {
         (ps.length.toLong, java.lang.Double.valueOf(ll / ps.length))
       }
     }
+    Reserved.requireFreeColumns(df, Seq("_lm", "n_ngrams", "lm_score"),
+      "lmScore", "it appends n_ngrams/lm_score — re-scoring must drop " +
+        "the stale columns first")
     df.withColumn("_lm", score(col(textCol)))
       .withColumn("n_ngrams", col("_lm._1"))
       .withColumn("lm_score", col("_lm._2"))
@@ -1066,6 +1096,10 @@ object TextOps {
           gs.length.toLong)
       }
     }
+    Reserved.requireFreeColumns(df,
+      Seq("_li", "lang", "lang_score", "n_cgrams"), "langIdTrained",
+      "it appends lang/lang_score/n_cgrams — re-tagging must drop the " +
+        "stale columns first")
     df.withColumn("_li", kernel(col(textCol)))
       .withColumn("lang", col("_li._1"))
       .withColumn("lang_score", col("_li._2"))
@@ -1086,6 +1120,9 @@ object TextOps {
     */
   def lmScoreRelational(df: DataFrame, model: NgramLmRelations,
       textCol: String, key: String, k: Double = 1.0): DataFrame = {
+    Reserved.requireFreeColumns(df, Seq("n_ngrams", "lm_score"),
+      "lmScoreRelational", "it joins n_ngrams/lm_score in — " +
+        "re-scoring must drop the stale columns first")
     val scores = lmScoresRelational(df, model, textCol, key, k)
     df.join(scores, Seq(key), "left")
       .withColumn("n_ngrams", coalesce(col("n_ngrams"), lit(0L)))

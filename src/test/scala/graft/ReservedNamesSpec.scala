@@ -129,6 +129,82 @@ class ReservedNamesSpec extends SparkTestBase {
       .columns.sameElements(Array("seq_id", "n_tokens", "seq")))
   }
 
+  test("decontamination/LM/langid family: the appended tag columns are " +
+      "frame-reserved (re-tagging must drop the stale columns), keys " +
+      "must avoid the gram internals") {
+    val bench = Seq(("b1", "alpha beta gamma delta epsilon zeta"))
+      .toDF("bid", "text")
+    val m1 = loud(TextOps.decontaminate(
+      docs.withColumn("verdict", lit("keep")), bench, "text"))
+    assert(m1.contains("verdict") && m1.contains("decontaminate"), m1)
+    val m2 = loud(TextOps.decontaminateRelational(
+      docs.withColumn("contamination_frac", lit(0.0)), bench, "text",
+      "doc_id"))
+    assert(m2.contains("contamination_frac"), m2)
+    val m3 = loud(TextOps.decontaminateRelational(
+      docs.withColumnRenamed("doc_id", "_h"), bench, "text", "_h"))
+    assert(m3.contains("reserved internal"), m3)
+    val m4 = loud(TextOps.contaminationReport(
+      docs, bench.withColumn("leak_frac", lit(0.0)), "text", "doc_id",
+      "bid"))
+    assert(m4.contains("leak_frac"), m4)
+    val m5 = loud(TextOps.maskContaminated(
+      docs.withColumn("masked_text", lit("x")), bench, "text"))
+    assert(m5.contains("masked_text"), m5)
+    val m6 = loud(TextOps.contaminatedSpans(
+      docs.withColumnRenamed("doc_id", "span_start"), bench, "text",
+      "span_start"))
+    assert(m6.contains("span_start"), m6)
+    val lm = TextOps.ngramLm(bench, "text", n = 2)
+    val m7 = loud(TextOps.lmScore(
+      docs.withColumn("lm_score", lit(0.0)), lm, "text"))
+    assert(m7.contains("lm_score"), m7)
+    val rel = TextOps.ngramLmRelations(bench, "text", n = 2)
+    val m8 = loud(TextOps.lmScoreRelational(
+      docs.withColumn("n_ngrams", lit(1L)), rel, "text", "doc_id"))
+    assert(m8.contains("n_ngrams"), m8)
+    val clm = TextOps.charLangModel(
+      Seq(("en", "the quick brown fox jumps")).toDF("lang0", "text"),
+      "text", "lang0")
+    val m9 = loud(TextOps.langIdTrained(
+      docs.withColumn("lang", lit("en")), clm, "text"))
+    assert(m9.contains("lang"), m9)
+    // negative: a clean frame with unrelated _columns tags fine
+    assert(TextOps.decontaminate(benign, bench, "text")
+      .columns.contains("verdict"))
+  }
+
+  test("embedding/skew/asOf/train guards: appended columns " +
+      "frame-reserved, internal-named keys fail loud") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("doc_id", "embedding")
+    val m1 = loud(graft.operators.Similarity.embeddingDecontaminate(
+      emb.withColumn("verdict", lit("keep")), emb, "embedding",
+      "doc_id"))
+    assert(m1.contains("verdict"), m1)
+    val m2 = loud(graft.operators.Similarity.cosineTopK(
+      emb.withColumnRenamed("doc_id", "cosine"), emb, "embedding",
+      "cosine", k = 1))
+    assert(m2.contains("cosine"), m2)
+    val m3 = loud(graft.operators.SkewOps.saltedSumCount(
+      docs.withColumn("_salt", lit(1)).withColumn("v", lit(1.0)),
+      Seq("doc_id"), "v"))
+    assert(m3.contains("_salt"), m3)
+    val m4 = loud(graft.operators.SkewOps.saltedSumCount(
+      docs.withColumnRenamed("doc_id", "_s").withColumn("v", lit(1.0)),
+      Seq("_s"), "v"))
+    assert(m4.contains("_s"), m4)
+    val m5 = loud(graft.operators.Joins.asOf(
+      docs.withColumnRenamed("doc_id", "_ts").withColumn("t", lit(1L)),
+      docs.withColumn("t", lit(1L)), Seq("_ts"), "t", "t", Seq("text"),
+      "r_", "backward", None))
+    assert(m5.contains("_ts"), m5)
+    val m6 = loud(graft.operators.QualityModel.train(
+      docs.withColumn("_feat", lit(1)).withColumn("label", lit(1)),
+      "text", "label"))
+    assert(m6.contains("_feat"), m6)
+  }
+
   test("index/split family: the appended column must be free on the " +
       "caller's frame (withGlobalIndex/withRunningTotal/testDevSplit/" +
       "kfold/shardAssign)") {
