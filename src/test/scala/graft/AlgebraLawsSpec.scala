@@ -210,6 +210,51 @@ class AlgebraLawsSpec extends SparkTestBase {
     }, cases = 60)
   }
 
+  test("law: temperatureSample exactness is margin-independent — any " +
+      "pre-filter margin (down to -Infinity, the all-domains-short " +
+      "fallback) reproduces the Hamilton-quota + digest-pick model") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val caseGen = for {
+      d <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(d, Gen.choose(1, 8))
+      n <- Gen.choose(0, 20)
+      tau <- Gen.oneOf(0.0, 0.3, 0.7, 1.0, 1.7)
+      margin <- Gen.oneOf(Gen.const(Double.NegativeInfinity),
+        Gen.choose(-50.0, 0.0), Gen.choose(0.0, 12.0))
+    } yield (sizes, n, tau, margin)
+    check("temperatureMargin", Prop.forAll(caseGen) {
+      case (sizes, n, tau, margin) =>
+        val rows = sizes.zipWithIndex.flatMap { case (sz, d) =>
+          (0 until sz).map(i => ((d * 100 + i).toLong, s"dom$d"))
+        }
+        val df = rows.toDF("id", "dom")
+        // the same independent quota model as PropertySpec's
+        // default-margin test — the law is that NO margin changes it
+        val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(_._1)
+        val w = counts.map { case (_, nd) => math.pow(nd.toDouble, tau) }
+        val tot = w.sum
+        val ideal = w.map(x => n * x / tot)
+        val base = ideal.map(math.floor(_).toLong)
+        val bonus = counts.indices
+          .sortBy(i => (-(ideal(i) - base(i)), counts(i)._1))
+          .take(math.max(0L, n - base.sum).toInt).toSet
+        val quota = counts.indices.map(i => counts(i)._1 ->
+          math.min(counts(i)._2,
+            base(i) + (if (bonus(i)) 1L else 0L))).toMap
+        val expected = rows.groupBy(_._2).flatMap { case (d, rs) =>
+          rs.map(_._1).sortBy(k => (md5hex(s"graft$k"), k))
+            .take(quota(d).toInt)
+        }.toSet
+        val got = Splits.temperatureSampleImpl(df, "dom", n, tau, "id",
+            "graft", margin)
+          .select("id").as[Long].collect().toSet
+        got == expected
+    }, cases = 40)
+  }
+
   test("law: weightedSample = top-n by u^(1/w) under the md5-derived " +
       "draw (plain-Scala model); non-positive weights excluded") {
     def md5hex(s: String): String =
