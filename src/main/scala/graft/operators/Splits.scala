@@ -241,10 +241,18 @@ object Splits {
   private def digestThreshold(quota: Long, nd: Long,
       margin: Double): Long = {
     val max52 = (1L << 52) - 1
-    val need = quota + margin * math.sqrt(quota.toDouble) + 16.0
-    if (nd <= 0 || need >= nd) max52
-    else math.min(max52.toDouble,
-      math.ceil(need / nd * (1L << 52).toDouble)).toLong
+    // a zero-quota domain takes nothing — answer 0 (empty sliver)
+    // BEFORE the need arithmetic, whose `margin * sqrt(0)` would be
+    // 0 × -Infinity = NaN under the margin-independence law's -∞ edge
+    // (the NaN happened to fall through to 0L anyway, but only via
+    // unmodeled min/toLong NaN semantics a refactor could break)
+    if (quota <= 0) 0L
+    else {
+      val need = quota + margin * math.sqrt(quota.toDouble) + 16.0
+      if (nd <= 0 || need >= nd) max52
+      else math.min(max52.toDouble,
+        math.ceil(need / nd * (1L << 52).toDouble)).toLong
+    }
   }
 
   /** Shared exact top-`quota`-per-domain kernel for the samplers:

@@ -264,8 +264,13 @@ object DedupIngest {
         val r = survived.drop(textCol, "kept_lines", "removed_lines")
           .withColumnRenamed("text_deduped", textCol)
           .localCheckpoint(false)
-        delta.write.mode("overwrite")
-          .parquet(s"$storeRoot/linecounts/v=$batchId")
+        // staged commit (write-then-rename at the healer-recognized
+        // staging name) — same posture as the other maintenance
+        // rewrites; a bare overwrite was equally idempotent here but
+        // left this one family on a different commit discipline
+        VersionedStore.stagedReplace(spark, s"$storeRoot/linecounts",
+          batchId)(staging =>
+          delta.write.mode("overwrite").parquet(staging))
         r
     }
     // optional stage -1: strip corpus-repeated boilerplate spans BEFORE
@@ -349,14 +354,38 @@ object DedupIngest {
       case None => kept0
       case Some(c) =>
         val scored = c.score(kept0)
-        val missing = kept0.columns.filterNot(scored.columns.contains)
+        // name comparisons ride the session's resolution rule: under
+        // the default case-insensitive analysis, withColumn("Text", …)
+        // REPLACES batch column "text" (and renames it) — a literal
+        // comparison would misreport that as a drop, and an appended
+        // name differing from a batch column only by case would make
+        // every later reference ambiguous without tripping a literal
+        // duplicate check (r19 advice)
+        val caseSensitive =
+          spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+        def canon(n: String): String =
+          if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+        val scoredCanon = scored.columns.map(canon).toSet
+        val reEmitted = kept0.columns.filter(b =>
+          !scored.columns.contains(b) && scoredCanon.contains(canon(b)))
+        require(reEmitted.isEmpty,
+          s"Curate.score re-emitted batch column(s) " +
+            s"${reEmitted.mkString(", ")} under a different case " +
+            "(spark.sql.caseSensitive is false, so the re-emit replaced " +
+            "and renamed the batch column) — the scoring transform may " +
+            "only APPEND new columns")
+        val missing = kept0.columns.filterNot(b =>
+          scoredCanon.contains(canon(b)))
         require(missing.isEmpty,
           s"Curate.score dropped batch column(s) ${missing.mkString(", ")}" +
             " — the scoring transform may only APPEND columns")
-        // a duplicate name would pass the missing-check yet make the
-        // restore projection below (and every downstream reference)
-        // ambiguous — fail here, at the configuration, not there
-        val dup = scored.columns.diff(scored.columns.distinct).distinct
+        // a duplicate name (literal, or case-colliding under the
+        // resolver) would pass the missing-check yet make the restore
+        // projection below (and every downstream reference) ambiguous
+        // — fail here, at the configuration, not there
+        val dup = scored.columns.groupBy(canon).collect {
+          case (_, vs) if vs.length > 1 => vs.distinct.mkString("/")
+        }.toSeq.sorted
         require(dup.isEmpty,
           s"Curate.score produced duplicate column(s) ${dup.mkString(", ")}" +
             " — append NEW names, don't re-emit batch columns")

@@ -185,14 +185,55 @@ private[streaming] object VersionedStore {
     * tombstoning: deletes still apply via the readers' anti-join and
     * compaction still physically removes rows and dropDuplicates the
     * family, which then stays O(all deleted keys) instead of O(live
-    * deleted keys) — the documented price of running unguarded. */
+    * deleted keys) — the documented price of running unguarded.
+    *
+    * The latch is written BEFORE the unguarded batch commits anything
+    * (deliberately conservative): a batch attempt that fails pre-commit
+    * — even a momentary misconfiguration of `enforceKeyOrder` — still
+    * latches retirement off permanently, because the alternative
+    * (latching after the first successful commit) leaves a crash window
+    * in which unguarded data is committed but unmarked. A transient
+    * `enforceKeyOrder = false` run is therefore irreversible for
+    * retirement; treat the knob as a store-lifetime decision.
+    *
+    * FAIL-FAST ON PRIOR RETIREMENT: retirement under the guard deletes
+    * tombstone data on the strength of the very contract this latch
+    * suspends — if this store has EVER retired a delta (the `_retired`
+    * marker [[retireTombstones]] records), an unguarded batch could
+    * re-carry a key whose tombstone is already gone, silently
+    * resurrecting a takedown with no record anywhere that it happened.
+    * That is not a storage-cost trade like the latch itself, so it
+    * fails loudly here instead: re-issue every takedown this store must
+    * honor (fresh tombstones — which, under the latch, will simply
+    * never retire), then touch `<storeRoot>/_unguarded` manually to
+    * acknowledge (a pre-existing latch short-circuits this check), and
+    * only then run unguarded. */
   def markUnguarded(spark: SparkSession, storeRoot: String): Unit = {
     val p = new Path(storeRoot, "_unguarded")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      fs.mkdirs(new Path(storeRoot))
-      fs.create(p, true).close()
-    }
+    // already latched: nothing left to protect (retirement is off, and
+    // the _retired marker cannot appear after the latch) — skip the
+    // evidence probes on every steady-state unguarded batch
+    if (fs.exists(p)) return
+    val famDir = s"$storeRoot/tombstones"
+    // marker first (O(1)); committed empty-husk versions are the
+    // fallback evidence for the marker's own crash window (husks are
+    // produced ONLY by retirement — empty takedown deltas still carry
+    // a zero-row parquet part)
+    if (fs.exists(new Path(storeRoot, "_retired")) ||
+        committedVersions(spark, famDir, Long.MaxValue)
+          .exists(v => !hasData(fs, new Path(s"$famDir/v=$v"))))
+      throw new IllegalStateException(
+        s"store $storeRoot has retired tombstone deltas under the " +
+          "key-order guard (the _retired marker / committed empty-husk " +
+          "versions) — running with enforceKeyOrder = false now could " +
+          "silently resurrect already-deleted keys whose tombstone " +
+          "data is gone; re-issue the store's takedowns (deleteKeys) " +
+          s"and then touch $storeRoot/_unguarded manually to " +
+          "acknowledge (the latch disables further retirement, so the " +
+          "re-issued tombstones stay live), or keep the guard on")
+    fs.mkdirs(new Path(storeRoot))
+    fs.create(p, true).close()
   }
 
   /** The micro-batch key-order guard: every committed version of the
@@ -372,7 +413,21 @@ private[streaming] object VersionedStore {
     * stay monotone, because `_tombfloor` values already recorded on
     * fold targets would falsely vouch for a reused id. Husks read as
     * nothing ([[tombstones]] skips them) and fold away under the
-    * family's normal tiered compaction. Returns the retired ids. */
+    * family's normal tiered compaction. Any retirement also records a
+    * store-level `_retired` marker (one-way), which [[markUnguarded]]
+    * checks: once tombstone data has been deleted on the guard's
+    * evidence, switching the store to `enforceKeyOrder = false` would
+    * forfeit those past takedowns, so the switch fails loudly instead.
+    *
+    * MIGRATION EDGE (pre-latch stores): the `_unguarded` latch is
+    * written at batch time, so a store that ran unguarded batches on a
+    * build PREDATING the latch carries no marker — its unguarded
+    * versions do carry `_keyrange` sidecars (written unconditionally),
+    * which is indistinguishable from guarded history. Before the first
+    * compaction of such a store, touch `<storeRoot>/_unguarded`
+    * manually; otherwise this method would retire on evidence the
+    * store's actual history never established. Returns the retired
+    * ids. */
   def retireTombstones(spark: SparkSession, storeRoot: String,
       keyedFamilies: Seq[String]): Seq[Long] = {
     val famDir = s"$storeRoot/tombstones"
@@ -405,6 +460,14 @@ private[streaming] object VersionedStore {
           fs.create(new Path(s, "_SUCCESS"), true).close()
         }
       }
+      // record that tombstone data has been deleted on the guard's
+      // evidence — markUnguarded refuses to suspend that contract
+      // afterwards. Written AFTER the husks commit: a crash between
+      // leaves retired husks without the marker, and the next
+      // retirement pass (or this one re-run) re-records it.
+      if (retired.nonEmpty &&
+          !fs.exists(new Path(storeRoot, "_retired")))
+        fs.create(new Path(storeRoot, "_retired"), true).close()
       retired
     }
   }

@@ -255,6 +255,28 @@ class AlgebraLawsSpec extends SparkTestBase {
     }, cases = 40)
   }
 
+  test("pin: zero-quota domains at margin = -Infinity ride the " +
+      "explicit short-circuit, not 0 × -Inf = NaN arithmetic (r19 " +
+      "advice) — n = 0 samples nothing, and a Hamilton allocation " +
+      "leaving a tail domain at quota 0 excludes exactly that domain") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (0 until 8).map(i => (i.toLong, "big")) :+ (100L, "tiny")
+    val df = rows.toDF("id", "dom")
+    // n = 0: every domain's quota is 0; -∞ margin must yield empty
+    assert(Splits.temperatureSampleImpl(df, "dom", 0, 1.0, "id", "graft",
+      Double.NegativeInfinity).isEmpty)
+    // n = 1, tau = 1: ideal shares 8/9 and 1/9 — "big" takes the
+    // largest-remainder bonus, "tiny" sits at quota 0 and must be
+    // excluded while "big" still yields its smallest-digest row
+    val got = Splits.temperatureSampleImpl(df, "dom", 1, 1.0, "id",
+        "graft", Double.NegativeInfinity)
+      .select("id").as[Long].collect().toSet
+    val want = Set((0L until 8L).minBy(k => (md5hex(s"graft$k"), k)))
+    assert(got == want, s"got $got, want $want")
+  }
+
   test("law: weightedSample = top-n by u^(1/w) under the md5-derived " +
       "draw (plain-Scala model); non-positive weights excluded") {
     def md5hex(s: String): String =

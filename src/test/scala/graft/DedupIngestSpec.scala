@@ -874,6 +874,29 @@ class DedupIngestSpec extends SparkTestBase {
             lit("x").as("text")): _*))))
     }
     assert(dup.getMessage.contains("duplicate column"), dup.getMessage)
+    // a case-variant re-emit (withColumn("TEXT", ...) under the default
+    // case-insensitive analysis REPLACES and renames "text") gets the
+    // specific error, not a misleading "dropped" report (r19 advice)
+    val caseErr = intercept[IllegalArgumentException] {
+      run(Seq((33L, "a third fresh standalone essay about glacier " +
+        "meltwater turbine scheduling")), 3L,
+        c = Some(DedupIngest.Curate(lit(true),
+          score = df => df.withColumn("TEXT", col("text")))))
+    }
+    assert(caseErr.getMessage.contains("re-emitted") &&
+      caseErr.getMessage.contains("text"), caseErr.getMessage)
+    // an appended name differing from a batch column only by case would
+    // make every later reference ambiguous under the resolver — the
+    // duplicate check must catch it even though the literal names differ
+    val caseDup = intercept[IllegalArgumentException] {
+      run(Seq((34L, "a fourth fresh standalone essay about tidal " +
+        "barrage sediment surveys")), 3L,
+        c = Some(DedupIngest.Curate(lit(true),
+          score = df => df.select((df.columns.map(col) :+
+            lit(1).as("DOC_ID")): _*))))
+    }
+    assert(caseDup.getMessage.contains("duplicate column") &&
+      caseDup.getMessage.contains("DOC_ID"), caseDup.getMessage)
   }
 
   test("a legacy (sidecar-less) tombstone delta folded together with " +
@@ -994,5 +1017,45 @@ class DedupIngestSpec extends SparkTestBase {
     // ...while the delete itself stays fully in force and compaction
     // still applied it physically to the folds
     assert(sigKeys() == Set(2L, 3L, 4L, 5L, 6L), sigKeys())
+  }
+
+  test("a store that has RETIRED tombstones refuses to go unguarded " +
+      "(r19 advice): retirement deleted tombstone data on the guard's " +
+      "evidence, so suspending the guard could silently resurrect " +
+      "takedowns — fail loud, with a manual-latch acknowledgment path") {
+    val storeRoot = Files.createTempDirectory("graft-retired-ug").toString
+    val keptDir = Files.createTempDirectory("graft-retired-ug-k").toString
+    def doc(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def run(rows: Seq[(Long, String)], id: Long, guard: Boolean = true) =
+      DedupIngest.processBatch(rows.toDF("doc_id", "text"), id, storeRoot,
+        keptDir, "text", "doc_id", 64, 16, 3, 0.7, 42, 10000,
+        enforceKeyOrder = guard)
+    run(Seq((1L, doc("ra")), (2L, doc("rb"))), 0L)
+    DedupIngest.deleteKeys(spark, storeRoot, Seq(1L).toDF("doc_id"))
+    run(Seq((3L, doc("rc")), (4L, doc("rd"))), 1L)
+    run(Seq((5L, doc("re")), (6L, doc("rf"))), 2L)
+    // folds every pre-delete version (floor above the marker), leaves
+    // v=2 as a post-cutoff raw delta — the anchored marker retires
+    DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert(new java.io.File(s"$storeRoot/_retired").exists(),
+      "retirement must record the store-level _retired marker")
+    val err = intercept[IllegalStateException] {
+      run(Seq((7L, doc("rg"))), 3L, guard = false)
+    }
+    assert(err.getMessage.contains("resurrect"), err.getMessage)
+    // the marker's own crash window: even with it gone, the committed
+    // empty-husk versions are evidence enough
+    assert(new java.io.File(s"$storeRoot/_retired").delete())
+    val err2 = intercept[IllegalStateException] {
+      run(Seq((7L, doc("rg"))), 3L, guard = false)
+    }
+    assert(err2.getMessage.contains("empty-husk"), err2.getMessage)
+    // the documented acknowledgment: touch the latch manually (after
+    // re-issuing takedowns) — markUnguarded then short-circuits
+    assert(new java.io.File(s"$storeRoot/_unguarded").createNewFile())
+    run(Seq((7L, doc("rg")), (8L, doc("rh"))), 3L, guard = false)
+    assert(spark.read.parquet(s"$keptDir/ingest_batch=3")
+      .select("doc_id").as[Long].collect().toSet == Set(7L, 8L))
   }
 }
