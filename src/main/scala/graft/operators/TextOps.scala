@@ -692,6 +692,13 @@ object TextOps {
     * case kept, always whitespace-normalized to the single-space token
     * join, null text → null); only the span source differs. Pure
     * per-row projection — no shuffle, no join, fuses into the scan.
+    *
+    * COMPOSITION CAVEAT: the uniform-output normalization applies to
+    * span-FREE documents too, erasing `\n` line structure — so do not
+    * compose this upstream of a line-keyed stage
+    * ([[graft.operators.Dedup.dedupLines]], a `lineDedup`-enabled
+    * streaming ingest); use the whole-doc [[decontaminate]] verdict
+    * filter there instead (map-only tagging, text untouched).
     */
   def maskContaminated(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, n: Int = 8, marker: String = "",

@@ -88,13 +88,23 @@ object SimilarityIngest {
     * are never written — see [[processBatch]]). */
   private[graft] def loadAssignedStore(spark: SparkSession,
       storeRoot: String, below: Long = Long.MaxValue): DataFrame = {
+    val fs = new Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only data-bearing versions: processBatch never writes an empty
+    // delta, but a compaction whose whole folded group was tombstoned
+    // legally commits an empty fold target — it contributes no rows
+    // and has no schema to infer, so it must not lead (or join) the
+    // union read
     val vs = VersionedStore.committedVersions(spark,
       s"$storeRoot/assigned", below)
+      .filter(v => VersionedStore.hasData(fs,
+        new Path(s"$storeRoot/assigned/v=$v")))
     if (vs.isEmpty)
       throw new IllegalStateException(
-        s"no committed assignment deltas under $storeRoot/assigned — " +
-          "the ingest has not yet kept any rows with an IVF stage " +
-          "active")
+        s"no data-bearing assignment deltas under $storeRoot/assigned " +
+          "— the ingest has not yet kept any rows with an IVF stage " +
+          "active, or every kept vector was deleted and compaction " +
+          "folded the lists empty")
     val first = spark.read.parquet(s"$storeRoot/assigned/v=${vs.head}")
     val all = vs.tail
       .map(v => spark.read.schema(first.schema)

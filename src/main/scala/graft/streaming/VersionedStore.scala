@@ -126,7 +126,7 @@ private[streaming] object VersionedStore {
   /** Whether a version dir holds readable data: some file outside
     * hidden (`_`/`.`) segments — `_SUCCESS`-only empty deltas and
     * sidecar dirs don't count (no schema to infer, nothing to merge). */
-  private def hasData(fs: FileSystem, base: Path): Boolean =
+  private[streaming] def hasData(fs: FileSystem, base: Path): Boolean =
     if (!fs.exists(base)) false
     else {
       val it = fs.listFiles(base, true)

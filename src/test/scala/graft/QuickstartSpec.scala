@@ -334,6 +334,122 @@ class QuickstartSpec extends SparkTestBase {
     assert(records.nonEmpty && records.forall(_.nonEmpty))
   }
 
+  test("the documented STREAMING mirror of the curation chain — " +
+      "decontaminate upstream of start, then LineDedup + SpanMask + " +
+      "exactPrefilter + near-dup + Curate all enabled at once — " +
+      "reproduces the batch chain's keep-set AND texts on the same " +
+      "fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextOps}
+    import graft.streaming.DedupIngest
+
+    // fixture: every stage fires at least once, and the plants stay
+    // inside the documented batch≡streaming parity envelope — the span
+    // crosses minCount within its FIRST batch (cumulative-count
+    // decisions then match the batch op's total-count decisions for
+    // every span-bearing doc), and no late bridge docs (the keep-first
+    // superset caveat never triggers)
+    def body(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val footer = "standard syndicated footer notice"
+    val span = "promo header tokens one two" // one 5-gram at n = 5
+    val shorts = "hey\nyo\nsup" // every line under minChars: line-exempt
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val benchmark = Seq((900L, s"$quote iota kappa")).toDF("doc_id", "text")
+    val sb = Seq(
+      Seq(1L -> s"${body("aa")}\n$footer", // keeps footer (first)
+        2L -> s"${body("ab")}\n$footer",   // loses footer in-batch
+        3L -> s"$span ${body("ac")}",      // span occurrences 1-3: the
+        4L -> s"$span ${body("ad")}",      // in-batch count reaches
+        5L -> s"$span ${body("ae")}",      // minCount → all masked
+        6L -> shorts,                      // unique now; junk → curated
+        7L -> body("ag")),                 // near-dup target
+      Seq(10L -> s"$footer\n${body("ba")}", // footer via line history
+        11L -> body("ag").replace("ag13", "x13"), // near-dup of 7
+        12L -> s"$span ${body("bc")}",     // masked via span history
+        // verbatim re-crawl of doc 2: both lines now duplicate, the
+        // emptied husk drops at the line stage
+        13L -> s"${body("ab")}\n$footer"),
+      Seq(
+        // verbatim re-crawl of the line-exempt shorts doc: the EXACT
+        // prefilter drops it against doc 6's stored digest — stores
+        // accrue PRE-curation, so recognition survives 6's removal
+        20L -> shorts,
+        21L -> body("ca"),                 // clean survivor
+        22L -> "wee doc words here",       // junk → curated
+        // the decontamination plant: carries a benchmark 8-gram, so
+        // the upstream whole-doc filter drops it on both sides (the
+        // SURGICAL maskContaminated form would be wrong here: its
+        // uniform-output whitespace normalization erases the \n line
+        // structure the LineDedup stage keys on — see QUICKSTART)
+        23L -> s"we quote $quote ${body("cc")}"))
+    val lineCfg = Some(DedupIngest.LineDedup())
+    val maskCfg = Some(DedupIngest.SpanMask(n = 5, minCount = 3))
+    val curateCfg = Some(DedupIngest.Curate(length(col("text")) >= 40))
+
+    // --- the streaming side: the QUICKSTART configuration verbatim ---
+    implicit val sqlCtx = spark.sqlContext
+    val storeRoot = Files.createTempDirectory("graft-qsm-store").toString
+    val keptDir = Files.createTempDirectory("graft-qsm-kept").toString
+    val ckpt = Files.createTempDirectory("graft-qsm-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = TextOps.decontaminate(
+        mem.toDF().toDF("doc_id", "text"), benchmark, "text")
+      .filter($"verdict" === "keep")
+      .select($"doc_id", $"text")
+    val q = DedupIngest.start(docs, "text", "doc_id", storeRoot, keptDir,
+      ckpt, threshold = 0.7, exactPrefilter = true, spanMask = maskCfg,
+      lineDedup = lineCfg, curate = curateCfg)
+    try {
+      for (b <- sb) { mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamRows = spark.read.parquet(keptDir)
+      .select($"ingest_batch".cast("long"), $"doc_id", $"text")
+      .as[(Long, Long, String)].collect().toSeq
+    val streamKept = streamRows.groupBy(_._1)
+      .map { case (b, r) => b -> r.map(_._2).toSet }
+    assert(streamKept == Map(0L -> Set(1L, 2L, 3L, 4L, 5L, 7L),
+      1L -> Set(10L, 12L), 2L -> Set(21L)), s"keep-sets: $streamKept")
+
+    // --- the batch chain, the documented stage order over the same
+    // corpus: decontaminate → line dedup → span mask → exact dedup →
+    // near-dup clusters → quality filter ---
+    val corpus = sb.flatten.toDF("doc_id", "text")
+    val decon = TextOps.decontaminate(corpus, benchmark, "text")
+      .filter($"verdict" === "keep")
+      .select($"doc_id", $"text")
+    val lined = Dedup.dedupLines(decon, "text", "doc_id")
+      .filter(!($"removed_lines" > 0 &&
+        length(trim($"text_deduped")) === 0))
+      .select($"doc_id", $"text_deduped".as("text"))
+    val spanned = Dedup.maskRepeatedSpans(lined, "text", "doc_id",
+        n = 5, minCount = 3)
+      .select($"doc_id", $"masked_text".as("text"))
+    val exact = Dedup.dropExactDuplicates(spanned, Seq("text"), "doc_id")
+    val near = Dedup.dropNearDuplicateClusters(exact, "text", "doc_id",
+      threshold = 0.7)
+    val batchKept = near.filter(length($"text") >= 40)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+
+    // keep-set AND text parity, doc for doc (the span kernel's uniform
+    // single-space normalization applies on both sides)
+    val streamTexts = streamRows.map(r => r._2 -> r._3).toMap
+    assert(streamTexts == batchKept,
+      s"streaming mirror diverged from the batch chain:\n" +
+        s"stream: ${streamTexts.toSeq.sortBy(_._1)}\n" +
+        s"batch:  ${batchKept.toSeq.sortBy(_._1)}")
+    // stage evidence: the footer line survived only at its first
+    // occurrence, the span is stripped everywhere (its first batch
+    // already crossed minCount), and the contaminated doc never ships
+    assert(streamTexts(1L) == s"${body("aa")} $footer")
+    assert(streamTexts(2L) == body("ab"))
+    assert(streamTexts(3L) == body("ac") &&
+      streamTexts(12L) == body("bc"))
+    assert(!streamTexts.contains(23L) &&
+      !streamTexts.values.exists(_.contains("alpha")))
+  }
+
   test("the QUICKSTART recipe's oversized-benchmark path: the " +
       "relational decontamination and LM forms slot into the chain " +
       "with identical decisions to the broadcast forms") {

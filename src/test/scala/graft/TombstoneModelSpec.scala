@@ -1,42 +1,18 @@
 package graft.streaming
 
-import java.nio.file.Files
-
-import org.apache.spark.sql.functions._
-
-import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
 
 /** Model-based randomized test of the tombstone/compaction state
-  * machine (round-18 verdict item 1): round 18's hand review found TWO
-  * real soundness bugs here (pre-emptive-delete resurrection through
-  * the unanchored-delta window; vacuous retirement on an empty store),
+  * machine over the SIMPLEST store the layer supports — one keyed
+  * family, rows written exactly the way the ingests write them
+  * (round-18 verdict item 1; the harness and the law's rationale live
+  * on [[StoreModelHarness]]): round 18's hand review found TWO real
+  * soundness bugs here (pre-emptive-delete resurrection through the
+  * unanchored-delta window; vacuous retirement on an empty store),
   * direct evidence that hand-picked scenarios under-cover the state
-  * space. This suite drives random interleavings of every maintenance
-  * operation against the SIMPLEST store the layer supports — one keyed
-  * family, rows written exactly the way the ingests write them — and
-  * checks, after every single step, the one invariant all of the
-  * machinery exists to preserve:
-  *
-  *     visible keys  ==  every key ever ingested  \  every key ever
-  *                       named by any delete
-  *
-  * The model is deliberately trivial: deletes are takedowns-forever
-  * (anchored keys can never legitimately re-arrive — the key-order
-  * guard never frees key space; pre-emptive/legacy keys MAY arrive
-  * later but their markers never retire, so they stay anti-joined), so
-  * no interleaving of folds, retirements, redeliveries, or guard
-  * latches may ever change the visible set beyond ingest/delete
-  * themselves. Any over-eager retirement, lost tombstone, partial
-  * `_cutoff` carry, fold double-count, or crash-healing slip shows up
-  * as a model mismatch with the seed in the failure message.
-  *
-  * Ops covered: ingest (monotone keys; occasionally with the key-order
-  * guard DISABLED, which latches retirement off), redelivery of the
-  * newest batch, anchored deletes, PRE-EMPTIVE deletes (key not yet
-  * ingested — the r18 bug-(a) window), LEGACY sidecar-less tombstone
-  * deltas (the r19 `_cutoff`-carry advice), full compaction at random
-  * size ratios (fold + retire + tombstone-family fold, the
-  * DedupIngest.compactStores order), and standalone retirement.
+  * space. The sibling descriptors ([[SimilarityStoreModelSpec]],
+  * [[ImageStoreModelSpec]]) run the same law through the real ingest
+  * batch paths.
   *
   * Catch verification (by mutation during development): re-weakening
   * `writeTombstones` to record a finite cutoff for unanchored deltas —
@@ -51,158 +27,58 @@ import graft.SparkTestBase
   * deterministic legacy-delta scenario in DedupIngestSpec pins that
   * one, verified failing against the pre-fix carry.
   */
-class TombstoneModelSpec extends SparkTestBase {
+class TombstoneModelSpec extends StoreModelHarness {
   import spark.implicits._
 
-  private val Seeds = 100
+  runLaw("sig raw keyed family", seeds = 100, opsRange = (6, 6)) {
+    root =>
+      new FamilyOps {
+        val keyedFamilies = Seq("sig")
+        private val famDir = s"$root/sig"
 
-  test(s"law: over $Seeds seeded random interleavings of ingest/" +
-      "redeliver/delete(anchored|pre-emptive|legacy)/compact/retire, " +
-      "the visible key set always equals ingested-ever minus " +
-      "deleted-ever") {
-    for (seed <- 0 until Seeds) {
-      val rnd = new scala.util.Random(seed)
-      val root = Files.createTempDirectory(s"graft-tsm-$seed").toString
-      val famDir = s"$root/sig"
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // writing exactly as the ingests write: guard (or latch), data
+        // commit, then the _keyrange sidecar
+        def ingestBatch(keys: Seq[Long], id: Long,
+            guard: Boolean): Unit = {
+          val df = keys.map(k => (k, s"p$k")).toDF("key", "payload")
+          if (guard)
+            VersionedStore.enforceKeyOrderGuard(df, id, famDir, "key")
+          else VersionedStore.markUnguarded(spark, root)
+          df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$famDir/v=$id")
+          VersionedStore.writeKeyRange(df, "key", s"$famDir/v=$id")
+        }
 
-      // ---- model ----
-      val ingested = scala.collection.mutable.Set.empty[Long]
-      val deleted = scala.collection.mutable.Set.empty[Long]
-      var nextKey = 1L
-      var nextBatch = 0L
-      var lastBatch = Option.empty[Seq[Long]]
-      val trace = new StringBuilder
-
-      // ---- harness ops (writing exactly as the ingests write) ----
-      def writeBatch(keys: Seq[Long], id: Long, guard: Boolean): Unit = {
-        val df = keys.map(k => (k, s"p$k")).toDF("key", "payload")
-        if (guard)
-          VersionedStore.enforceKeyOrderGuard(df, id, famDir, "key")
-        else VersionedStore.markUnguarded(spark, root)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$famDir/v=$id")
-        VersionedStore.writeKeyRange(df, "key", s"$famDir/v=$id")
-      }
-      def ingest(): Unit = {
-        val keys = (0 until 1 + rnd.nextInt(3)).map(_ => {
-          val k = nextKey; nextKey += 1; k
-        })
-        val guard = rnd.nextInt(8) != 0 // 1-in-8 batches run unguarded
-        trace ++= s"ingest(${keys.mkString(",")},guard=$guard) "
-        writeBatch(keys, nextBatch, guard)
-        lastBatch = Some(keys)
-        ingested ++= keys
-        nextBatch += 1
-      }
-      def redeliver(): Unit = lastBatch.foreach { keys =>
-        trace ++= s"redeliver(${keys.mkString(",")}) "
-        // the foreachBatch retry re-runs the guard against versions
-        // BELOW its own id (its first attempt's range is excluded), so
-        // it passes — and it never latches the unguarded marker
-        writeBatch(keys, nextBatch - 1, guard = true)
-      }
-      def delete(keys: Seq[Long]): Unit = {
-        VersionedStore.writeTombstones(spark, root,
-          keys.toDF("key"), Seq("sig"))
-        deleted ++= keys
-      }
-      def deleteAnchored(): Unit = if (ingested.nonEmpty) {
-        val pool = (ingested ++ deleted).toSeq.sorted
-        val keys = Seq.fill(1 + rnd.nextInt(2))(
-          pool(rnd.nextInt(pool.size))).distinct
-        trace ++= s"delAnchored(${keys.mkString(",")}) "
-        delete(keys)
-      }
-      def deletePreemptive(): Unit = {
-        val keys = Seq(nextKey + rnd.nextInt(3))
-        trace ++= s"delPreemptive(${keys.mkString(",")}) "
-        delete(keys)
-      }
-      def deleteLegacy(forceFuture: Boolean = false): Unit = {
-        // a pre-sidecar writer: data + _SUCCESS, NO _cutoff — naming
-        // an existing or future key
-        val k = if (!forceFuture && rnd.nextBoolean() && ingested.nonEmpty) {
-          val pool = ingested.toSeq.sorted; pool(rnd.nextInt(pool.size))
-        } else nextKey + rnd.nextInt(3)
-        trace ++= s"delLegacy($k) "
-        val v = VersionedStore.committedVersions(spark,
-          s"$root/tombstones", Long.MaxValue).lastOption.getOrElse(-1L) + 1
-        Seq(k).toDF("key").coalesce(1)
-          .write.parquet(s"$root/tombstones/v=$v")
-        deleted += k
-      }
-      def retire(): Unit = {
-        trace ++= "retire "
-        VersionedStore.retireTombstones(spark, root, Seq("sig"))
-      }
-      def compact(): Unit = {
-        val ratio = Seq(1.0, 1.5, 4.0, Double.PositiveInfinity)(
-          rnd.nextInt(4))
-        trace ++= s"compact($ratio) "
         // the DedupIngest.compactStores order: resolve tombstones once,
         // fold the keyed family with them applied + the floor recorded,
         // retire fully-applied markers, fold the tombstone family last
-        val (tomb, floor) = VersionedStore.tombstonesAndFloor(spark, root)
-        VersionedStore.compactFamily(spark, root, "sig", ratio,
-          df => VersionedStore.applyTombstones(df.dropDuplicates(), tomb,
-            None),
-          tombFloor = Some(floor))
-        VersionedStore.retireTombstones(spark, root, Seq("sig"))
-        VersionedStore.compactFamily(spark, root, "tombstones", ratio,
-          _.dropDuplicates())
-      }
+        def compact(ratio: Double): Unit = {
+          val (tomb, floor) =
+            VersionedStore.tombstonesAndFloor(spark, root)
+          VersionedStore.compactFamily(spark, root, "sig", ratio,
+            df => VersionedStore.applyTombstones(df.dropDuplicates(),
+              tomb, None),
+            tombFloor = Some(floor))
+          VersionedStore.retireTombstones(spark, root, Seq("sig"))
+          VersionedStore.compactFamily(spark, root, "tombstones", ratio,
+            _.dropDuplicates())
+        }
 
-      def visible(): Set[Long] = {
-        val vs = VersionedStore.committedVersions(spark, famDir,
-          Long.MaxValue)
-        val withData = vs.filter(v => fs.listStatus(
-          new org.apache.hadoop.fs.Path(s"$famDir/v=$v"))
-          .exists(_.getPath.getName.endsWith(".parquet")))
-        if (withData.isEmpty) Set.empty
-        else VersionedStore.antiTombstones(
-          spark.read.parquet(
-            VersionedStore.dirs(root, "sig", withData): _*),
-          "key", spark, root)
-          .select("key").as[Long].collect().toSet
+        def visible(): Set[Long] = {
+          val fs = new Path(famDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val vs = VersionedStore.committedVersions(spark, famDir,
+            Long.MaxValue)
+          val withData = vs.filter(v => fs.listStatus(
+            new Path(s"$famDir/v=$v"))
+            .exists(_.getPath.getName.endsWith(".parquet")))
+          if (withData.isEmpty) Set.empty
+          else VersionedStore.antiTombstones(
+            spark.read.parquet(
+              VersionedStore.dirs(root, "sig", withData): _*),
+            "key", spark, root)
+            .select("key").as[Long].collect().toSet
+        }
       }
-
-      def step(op: () => Unit): Unit = {
-        op()
-        val got = visible()
-        val want = ingested.toSet -- deleted
-        assert(got == want,
-          s"seed $seed diverged after [$trace]: visible " +
-            s"${got.toSeq.sorted} != model ${want.toSeq.sorted} " +
-            s"(spurious ${(got -- want).toSeq.sorted}, missing " +
-            s"${(want -- got).toSeq.sorted})")
-      }
-
-      // every third seed opens with an adversarial prologue uniform
-      // sampling almost never assembles: a FUTURE-key LEGACY delta
-      // below two anchored deltas, so later tombstone-family folds
-      // merge a sidecar-less source with finite-cutoff ones — the
-      // merged delta must stay unretirable (the r19 `_cutoff`-carry
-      // posture) and the legacy key must stay suppressed through every
-      // subsequent schedule, including its own later legitimate arrival
-      if (seed % 3 == 0) {
-        step(() => ingest())
-        step(() => deleteLegacy(forceFuture = true))
-        step(() => deleteAnchored())
-        step(() => deleteAnchored())
-      }
-      val ops = 6 + rnd.nextInt(6)
-      for (_ <- 0 until ops) {
-        step(() => rnd.nextInt(10) match {
-          case 0 | 1 | 2 | 3 => ingest()
-          case 4 => redeliver()
-          case 5 => deleteAnchored()
-          case 6 => deletePreemptive()
-          case 7 => deleteLegacy()
-          case 8 => compact()
-          case 9 => retire()
-        })
-      }
-    }
   }
 }
