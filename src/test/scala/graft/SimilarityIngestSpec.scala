@@ -584,4 +584,40 @@ class SimilarityIngestSpec extends SparkTestBase {
       rawAssigned)
     assert(!neighbors().contains(3L) && neighbors().contains(301L))
   }
+
+  test("a compaction whose whole folded group was tombstoned commits " +
+      "an EMPTY assigned fold target (only markers and sidecars, no " +
+      "schema to infer) — the assigned readers skip it instead of " +
+      "dying on schema inference (r20; verified failing against the " +
+      "pre-fix reader, which read the first committed version " +
+      "unconditionally)") {
+    val storeRoot = Files.createTempDirectory("graft-sim-ef").toString
+    val keptDir = Files.createTempDirectory("graft-sim-ef-k").toString
+    val cents = Similarity.buildIvfIndex(batches.head.toDF("vec_id",
+        "embedding"), "embedding", "vec_id", nlist = 2).centroids
+    def run(b: Seq[(Long, Seq[Double])], id: Long) =
+      SimilarityIngest.processBatch(b.toDF("vec_id", "embedding"), id,
+        storeRoot, keptDir, "embedding", "vec_id", dim, 4, 0.95, 42L,
+        Some(cents))
+    batches.zipWithIndex.foreach { case (b, i) => run(b, i.toLong) }
+    // tombstone EVERY key the first two batches KEPT: the fold of
+    // their assigned deltas (strictly below the surviving max v=2)
+    // then resolves to zero rows and commits as an empty target
+    SimilarityIngest.deleteKeys(spark, storeRoot,
+      Seq(1L, 2L, 3L, 4L, 102L, 104L).toDF("vec_id"))
+    SimilarityIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    val foldTarget = new java.io.File(s"$storeRoot/assigned/v=1")
+    assert(foldTarget.exists() && !foldTarget.listFiles()
+      .exists(f => f.getName.endsWith(".parquet") ||
+        f.getName.startsWith("_cid=")),
+      "precondition: the fold target must be an empty committed version")
+    // both readers must serve exactly the surviving max version's rows
+    val assigned = SimilarityIngest.loadAssignedStore(spark, storeRoot)
+      .select("vec_id").as[Long].collect().toSet
+    assert(assigned == Set(203L), s"assigned: $assigned")
+    val idx = SimilarityIngest.loadIvfIndex(spark, storeRoot)
+    assert(idx.assigned.select("vec_id").as[Long].collect().toSet ==
+      Set(203L))
+  }
 }
