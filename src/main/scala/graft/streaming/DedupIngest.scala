@@ -264,13 +264,17 @@ object DedupIngest {
         val r = survived.drop(textCol, "kept_lines", "removed_lines")
           .withColumnRenamed("text_deduped", textCol)
           .localCheckpoint(false)
-        // staged commit (write-then-rename at the healer-recognized
-        // staging name) — same posture as the other maintenance
-        // rewrites; a bare overwrite was equally idempotent here but
-        // left this one family on a different commit discipline
-        VersionedStore.stagedReplace(spark, s"$storeRoot/linecounts",
-          batchId)(staging =>
-          delta.write.mode("overwrite").parquet(staging))
+        // bare batchId-addressed overwrite — the PER-BATCH delta
+        // discipline every family here shares (spancounts/exact/sig/
+        // labels): _SUCCESS gates commitment, redelivery overwrites
+        // idempotently, and the stream retries an uncommitted batch.
+        // The staged write-then-rename protocol is the MAINTENANCE
+        // discipline (compaction, retrain, tombstones), where a
+        // committed version is replaced while readers may exist —
+        // routing hot-path deltas through it would add a delete+rename
+        // metadata round-trip per batch for no crash-safety gain.
+        delta.write.mode("overwrite")
+          .parquet(s"$storeRoot/linecounts/v=$batchId")
         r
     }
     // optional stage -1: strip corpus-repeated boilerplate spans BEFORE

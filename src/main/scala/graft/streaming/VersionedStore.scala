@@ -414,20 +414,27 @@ private[streaming] object VersionedStore {
     * fold targets would falsely vouch for a reused id. Husks read as
     * nothing ([[tombstones]] skips them) and fold away under the
     * family's normal tiered compaction. Any retirement also records a
-    * store-level `_retired` marker (one-way), which [[markUnguarded]]
-    * checks: once tombstone data has been deleted on the guard's
-    * evidence, switching the store to `enforceKeyOrder = false` would
-    * forfeit those past takedowns, so the switch fails loudly instead.
+    * store-level `_retired` marker (one-way, written BEFORE the husks
+    * commit so no crash schedule can husk data unmarked; pre-existing
+    * unmarked husks re-record it on the next pass), which
+    * [[markUnguarded]] checks: once tombstone data has been deleted on
+    * the guard's evidence, switching the store to
+    * `enforceKeyOrder = false` would forfeit those past takedowns, so
+    * the switch fails loudly instead.
     *
-    * MIGRATION EDGE (pre-latch stores): the `_unguarded` latch is
-    * written at batch time, so a store that ran unguarded batches on a
-    * build PREDATING the latch carries no marker — its unguarded
-    * versions do carry `_keyrange` sidecars (written unconditionally),
-    * which is indistinguishable from guarded history. Before the first
-    * compaction of such a store, touch `<storeRoot>/_unguarded`
-    * manually; otherwise this method would retire on evidence the
-    * store's actual history never established. Returns the retired
-    * ids. */
+    * MIGRATION EDGES (stores from older builds): the `_unguarded`
+    * latch is written at batch time, so a store that ran unguarded
+    * batches on a build PREDATING the latch carries no marker — its
+    * unguarded versions do carry `_keyrange` sidecars (written
+    * unconditionally), which is indistinguishable from guarded
+    * history. Before the first compaction of such a store, touch
+    * `<storeRoot>/_unguarded` manually; otherwise this method would
+    * retire on evidence the store's actual history never established.
+    * Symmetrically, a store that RETIRED deltas on a build predating
+    * the `_retired` marker AND whose husks have since folded away
+    * carries no retirement evidence — touch `<storeRoot>/_retired`
+    * manually before ever running it unguarded (husks still on disk
+    * self-heal the marker here). Returns the retired ids. */
   def retireTombstones(spark: SparkSession, storeRoot: String,
       keyedFamilies: Seq[String]): Seq[Long] = {
     val famDir = s"$storeRoot/tombstones"
@@ -453,6 +460,24 @@ private[streaming] object VersionedStore {
                 floor.exists(_ > vt) || (v > cut && floor.isEmpty)
               }))
       }
+      // the one-way retirement record — markUnguarded refuses to
+      // suspend the guard once it exists — rides BEFORE the husks
+      // commit (marker-first, the same conservative ordering the
+      // unguarded latch itself uses): a crash between marker and husks
+      // leaves an over-cautious marker on a store that lost nothing,
+      // which is safe, whereas the reverse order would lose the marker
+      // in a window NO re-run can heal — a re-run recomputes `retired`
+      // with hasData as a precondition, so an already-husked delta no
+      // longer qualifies, and the husk evidence itself is erased once
+      // a tombstone-family fold merges it into a data-bearing target.
+      // Pre-existing husks without a marker (that crash window on an
+      // older build, or retirements from a build predating the marker)
+      // heal here before the folds can erase them.
+      val anyHusk = tombVs.exists(vt =>
+        !hasData(fs, new Path(s"$famDir/v=$vt")))
+      if ((retired.nonEmpty || anyHusk) &&
+          !fs.exists(new Path(storeRoot, "_retired")))
+        fs.create(new Path(storeRoot, "_retired"), true).close()
       retired.foreach { vt =>
         stagedReplace(spark, famDir, vt) { staging =>
           val s = new Path(staging)
@@ -460,14 +485,6 @@ private[streaming] object VersionedStore {
           fs.create(new Path(s, "_SUCCESS"), true).close()
         }
       }
-      // record that tombstone data has been deleted on the guard's
-      // evidence — markUnguarded refuses to suspend that contract
-      // afterwards. Written AFTER the husks commit: a crash between
-      // leaves retired husks without the marker, and the next
-      // retirement pass (or this one re-run) re-records it.
-      if (retired.nonEmpty &&
-          !fs.exists(new Path(storeRoot, "_retired")))
-        fs.create(new Path(storeRoot, "_retired"), true).close()
       retired
     }
   }

@@ -1051,6 +1051,12 @@ class DedupIngestSpec extends SparkTestBase {
       run(Seq((7L, doc("rg"))), 3L, guard = false)
     }
     assert(err2.getMessage.contains("empty-husk"), err2.getMessage)
+    // ...and the next retirement pass re-records the marker from the
+    // husk evidence BEFORE any tombstone-family fold could erase it
+    DedupIngest.compactStores(spark, storeRoot,
+      sizeRatio = Double.PositiveInfinity)
+    assert(new java.io.File(s"$storeRoot/_retired").exists(),
+      "an unmarked husk must self-heal the _retired marker")
     // the documented acknowledgment: touch the latch manually (after
     // re-issuing takedowns) — markUnguarded then short-circuits
     assert(new java.io.File(s"$storeRoot/_unguarded").createNewFile())
