@@ -524,20 +524,81 @@ object Similarity {
     IvfIndex(centroids, assignTo(centroids, corpus, embCol, key))
   }
 
-  /** Nearest-centroid assignment of `docs` (the argmin aggregate the
-    * [[buildIvfIndex]] doc describes).
+  /** Nearest-centroid assignment of `docs` — MAP-ONLY (r21 optimization):
+    * the centroids are collected to the driver (nlist × dim doubles, the
+    * same bounded-collect class as [[kmeansCentroids]]'s Lloyd loop) and
+    * the argmin runs as a closure-captured JVM kernel per row, so the
+    * corpus never rides an exchange here. The previous formulation —
+    * `join(broadcast(centroids))` + `min(struct(-dot, _cid, …))` hash
+    * aggregate — expanded every row nlist× and shuffled one
+    * embedding-laden row per key through a SortAggregate; at 100 TB that
+    * was a full-corpus shuffle for a value a map pass computes
+    * (guide §2.4: remove shuffles outright). Downstream joins on `_cid`
+    * pay their own exchange either way (or broadcast the probe side and
+    * pay none).
+    *
+    * Semantics are an exact mirror of the old aggregate, including its
+    * edges: the dot follows [[graft.functions.ArrayDotProduct]] (null
+    * vector, null element on either side, or length mismatch → null
+    * dot); a null dot sorted FIRST in the ascending (d, cid) struct
+    * order, so any row with ≥1 null-dot centroid assigns to the smallest
+    * such `_cid`; otherwise argmin of −dot with ties (and the all-NaN
+    * case — NaN sorts last, like Spark's double ordering) broken to the
+    * smallest `_cid`. Zero centroids assign nothing (the old inner join
+    * against an empty broadcast). One output row PER INPUT ROW — `key`
+    * is the operator family's unique-row identity, as documented on the
+    * signature stores.
     */
   private[graft] def assignTo(centroids: DataFrame, docs: DataFrame,
-      embCol: String, key: String): DataFrame = docs
-    .select(col(key), asDouble(col(embCol)).as("_emb"),
-      norm(col(embCol)).as("_n"))
-    .join(broadcast(centroids))
-    .withColumn("_d", -dot(col("_emb"), col("_cv")))
-    .groupBy(col(key))
-    .agg(min(struct(col("_d"), col("_cid"), col("_emb"), col("_n")))
-      .as("_best"))
-    .select(col(key), col("_best._emb").as("_emb"),
-      col("_best._n").as("_n"), col("_best._cid").as("_cid"))
+      embCol: String, key: String): DataFrame = {
+    val centRows = centroids
+      .select(col("_cid").cast("int"), asDouble(col("_cv"))).collect()
+      .map { r =>
+        val cv: Seq[java.lang.Double] =
+          if (r.isNullAt(1)) null
+          else r.getSeq[java.lang.Double](1)
+        (r.getInt(0), cv)
+      }
+      .sortBy(_._1)
+    val projected = docs.select(col(key),
+      asDouble(col(embCol)).as("_emb"), norm(col(embCol)).as("_n"))
+    if (centRows.isEmpty)
+      projected.withColumn("_cid", lit(null).cast("int")).limit(0)
+    else {
+      val cids = centRows.map(_._1)
+      val badCent = centRows.map { case (_, cv) =>
+        cv == null || cv.contains(null) }
+      val cvs = centRows.map { case (_, cv) =>
+        if (cv == null) Array.empty[Double]
+        else cv.map(x => if (x == null) 0.0 else x.doubleValue).toArray }
+      // NaN sorts AFTER every real double in Spark's ordering — a real
+      // −dot must beat a NaN one, NaN vs NaN ties to the first (min) cid
+      def lt(a: Double, b: Double): Boolean =
+        if (a.isNaN) false else if (b.isNaN) true else a < b
+      val assign = udf((v: Seq[java.lang.Double]) => {
+        val vBad = v == null || v.contains(null)
+        var best = -1
+        var bestD = 0.0
+        var c = 0
+        var nullDot = false
+        while (c < cvs.length && !nullDot) {
+          if (vBad || badCent(c) || cvs(c).length != v.length) {
+            best = c; nullDot = true // ascending cids ⇒ first = min cid
+          } else {
+            val p = cvs(c)
+            var d = 0.0
+            var i = 0
+            while (i < p.length) { d += v(i) * p(i); i += 1 }
+            val nd = -d
+            if (best < 0 || lt(nd, bestD)) { bestD = nd; best = c }
+            c += 1
+          }
+        }
+        java.lang.Integer.valueOf(cids(best))
+      }: java.lang.Integer)
+      projected.withColumn("_cid", assign(col("_emb")))
+    }
+  }
 
   /** Persist an index: centroids as plain parquet, the assigned corpus
     * PARTITIONED BY its list id — so a loaded index's probe reads touch
@@ -720,10 +781,19 @@ object Similarity {
     .filter(col("_rk") <= nprobe)
     .select(col("query_id"), col("_q_emb"), col("_q_n"), col("_cid"))
 
-  /** Score probed lists and keep each query's top k. */
+  /** Score probed lists and keep each query's top k. The probe side is
+    * |queries| × nprobe rows — broadcast-small by the operator family's
+    * contract (cosineTopK broadcasts the raw queries the same way) — so
+    * broadcasting it keeps the ASSIGNED side, the corpus, out of any
+    * exchange: with the map-only [[assignTo]] the whole corpus path is
+    * scan → assign → broadcast-join → partial top-k (WindowGroupLimit
+    * prunes to ≤ k rows per query per partition before the only, tiny,
+    * query-keyed exchange). Before r21 this joined sort-merge: two
+    * corpus-sized exchanges per search.
+    */
   private def scoreAndRank(probes: DataFrame, assigned: DataFrame,
       key: String, k: Int): DataFrame =
-    probes.join(assigned, Seq("_cid"))
+    broadcast(probes).join(assigned, Seq("_cid"))
       .filter(col("query_id") =!= col(key))
       .select(col("query_id"), col(key).as("neighbor_id"),
         (dot(col("_q_emb"), col("_emb"))

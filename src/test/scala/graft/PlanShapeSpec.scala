@@ -290,10 +290,11 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q94_cluster_neardup")
     assert(!p.contains("CartesianProduct"),
       s"cluster-scoped dedup must never go cartesian:\n$p")
-    // assignTo's argmin is join(broadcast(centroids)) — an
-    // unconditioned join by construction, safe because the build side
-    // is nlist rows; it must stay a BROADCAST nested loop, never a
-    // shuffled cartesian of corpus rows
+    // assignTo is map-only since r21 (closure-kernel argmin over
+    // collected centroids) so q94 usually plans NO unconditioned join at
+    // all; if one ever reappears (e.g. a Lloyd-trained variant keeping
+    // the broadcast expansion) it must stay a BROADCAST nested loop,
+    // never a shuffled cartesian of corpus rows
     assert(!p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastNestedLoopJoin BuildRight"),
       s"the centroid expansion must broadcast its nlist side:\n$p")
@@ -697,15 +698,27 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("q41: IVF assignment is an argmin aggregation with map-side combine") {
-    // the round-4 redesign: centroid assignment as min(struct(...)) — a
-    // partial aggregation BEFORE the shuffle means the exchange carries one
-    // row per corpus key, not the nlist×-expanded embedding-laden relation
-    // a window formulation would sort. (min over a struct with array fields
-    // plans as SortAggregate — the partial/final split is the property.)
+  test("q41: IVF assignment is map-only and the probe join broadcasts " +
+      "the probe side — the corpus never rides an exchange") {
+    // the r21 redesign (supersedes the round-4 argmin-aggregate pin):
+    // centroid assignment is a closure-kernel projection over collected
+    // centroids (no nlist× row expansion, no per-key aggregate, no
+    // corpus shuffle), and scoreAndRank broadcasts the |queries|×nprobe
+    // probe relation, so the assigned corpus reaches the top-k pruning
+    // (WindowGroupLimit) without ever being exchanged. The only
+    // exchanges left are query-keyed (probe ranking, final top-k) and
+    // the ≤nlist-row centroid numbering — none carries corpus rows.
     val p = plan("q41_ivf_topk")
-    assert(p.contains("partial_min(struct"),
-      s"q41 assignment lost its map-side partial aggregation:\n$p")
+    assert(!p.contains("partial_min(struct"),
+      s"q41 regressed to the shuffle-aggregate assignment:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q41's probe join must broadcast the probe side, not sort-merge " +
+        s"the corpus:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("+- Exchange") || l.trim.startsWith("Exchange"))
+    assert(exchanges <= 6,
+      s"q41 should plan only query-keyed + centroid exchanges " +
+        s"(got $exchanges):\n$p")
   }
 
   test("keyless raw-SQL range join is rewritten away from nested-loop") {

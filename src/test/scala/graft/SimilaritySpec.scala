@@ -27,6 +27,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(err <= 4.0 / 254.0 + 1e-12)
   }
 
+  test("assignTo (map-only r21 form): argmin with min-cid ties, and the " +
+      "old aggregate's null-dot edges — null vector, null element, " +
+      "length mismatch all assign to the smallest cid; empty centroids " +
+      "assign nothing") {
+    // centroids: cid 1 = x-axis, cid 2 = y-axis (deliberately unsorted
+    // input order — assignTo must sort by cid itself)
+    val cents = Seq((2, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0)))
+      .toDF("_cid", "_cv")
+    val docs = Seq(
+      (10L, Some(Seq(Option(2.0), Option(0.1)))), // → cid 1
+      (11L, Some(Seq(Option(0.1), Option(2.0)))), // → cid 2
+      // equidistant (same dot against both): tie → smallest cid
+      (12L, Some(Seq(Option(1.0), Option(1.0)))),
+      // null-dot edges — the old min(struct) sorted null _d FIRST, so
+      // these assigned to the smallest cid; the kernel must mirror that
+      (13L, None), // null vector
+      (14L, Some(Seq(Option(1.0), None))), // null element
+      (15L, Some(Seq(Option(1.0), Option(0.0), Option(0.0)))) // len 3 ≠ 2
+    ).toDF("vec_id", "emb")
+    val got = graft.operators.Similarity
+      .assignTo(cents, docs, "emb", "vec_id")
+      .select("vec_id", "_cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(10L -> 1, 11L -> 2, 12L -> 1,
+      13L -> 1, 14L -> 1, 15L -> 1), s"got $got")
+    // output stays one row per input row with the (key, _emb, _n, _cid)
+    // schema the index stores persist
+    val out = graft.operators.Similarity
+      .assignTo(cents, docs, "emb", "vec_id")
+    assert(out.columns.toSeq == Seq("vec_id", "_emb", "_n", "_cid"))
+    assert(out.count() == 6)
+    // zero centroids = the old inner join against an empty broadcast
+    assert(graft.operators.Similarity
+      .assignTo(cents.limit(0), docs, "emb", "vec_id").count() == 0)
+  }
+
   test("VectorFunctions: dot, norm, cosine") {
     val df = Seq(1).toDF("x").select(
       VectorFunctions.dot(array(lit(1.0), lit(2.0)),
