@@ -43,7 +43,19 @@ object Splits {
     * of one extra materialization pass.
     */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
-      idxCol: String = "_idx", eager: Boolean = false): DataFrame = {
+      idxCol: String = "_idx", eager: Boolean = false): DataFrame =
+    withGlobalIndexCounted(df, sortCols, idxCol, eager)._1
+
+  /** [[withGlobalIndex]] plus the TOTAL row count for free: the index
+    * needs per-partition counts anyway (the offset pass zipWithIndex
+    * would run), so their sum is already on the driver. Callers that
+    * need both — [[testDevSplit]] / [[kfold]] / [[shardAssign]], whose
+    * cut/shard formulas take n — previously ran a SEPARATE `df.count()`
+    * job with its own source scan before the sort; this fuses the two
+    * passes (r21, guide §1.2: don't compute the same thing twice).
+    */
+  def withGlobalIndexCounted(df: DataFrame, sortCols: Seq[Column],
+      idxCol: String = "_idx", eager: Boolean = false): (DataFrame, Long) = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.JoinedRow
     import org.apache.spark.sql.graftshim.DatasetShim
@@ -53,19 +65,35 @@ object Splits {
       s"it appends the $idxCol index column")
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema
-    // zipWithIndex runs a partition-count job before the main pass; persist
-    // the sorted rows so the sort executes once (ContextCleaner unpersists
-    // the RDD when it becomes unreachable). toRdd hands out reused row
-    // buffers — copy before buffering them in the persist store.
+    // the offset pass needs per-partition counts before the main pass;
+    // persist the sorted rows so the sort executes once (ContextCleaner
+    // unpersists the RDD when it becomes unreachable). toRdd hands out
+    // reused row buffers — copy before buffering them in the persist
+    // store.
     val sortedRdd = DatasetShim.toInternalRdd(sorted).map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // explicit form of zipWithIndex's count pass — kept by hand so the
+    // total row count falls out of the same job
+    val counts = sortedRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(_ => s += 1)
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = counts.scanLeft(0L)(_ + _) // exclusive partition bases
     val withIdx: org.apache.spark.rdd.RDD[InternalRow] =
-      sortedRdd.zipWithIndex().map { case (row, i) =>
-        new JoinedRow(row, InternalRow(i))
+      sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+        var i = bases(pid)
+        it.map { r =>
+          val out = new JoinedRow(r, InternalRow(i))
+          i += 1
+          out
+        }
       }
     val out = DatasetShim.internalCreateDataFrame(sorted.sparkSession,
       withIdx, schema.add(idxCol, org.apache.spark.sql.types.LongType))
-    releaseOrReturn(out, sortedRdd, eager)
+    (releaseOrReturn(out, sortedRdd, eager), bases.last)
   }
 
   /** Shared tail of the prefix-sum helpers: either hand back the lazy
@@ -147,11 +175,14 @@ object Splits {
       key: String = "image_id", knownCount: Option[Long] = None): DataFrame = {
     Reserved.requireFreeColumns(df, Seq("split"), "testDevSplit",
       "it appends the split assignment column")
-    val n = knownCount.getOrElse(df.count())
+    // n falls out of the index's own count pass — no separate count() job
+    val (indexed, counted) =
+      withGlobalIndexCounted(df, Seq(rand(seed), col(key)))
+    val n = knownCount.getOrElse(counted)
     require(n > 1,
       s"cannot split $n rows into test/dev (reference errors on n <= 1)")
     val nTest = math.max(1L, math.floor(n * testPercent).toLong)
-    withGlobalIndex(df, Seq(rand(seed), col(key)))
+    indexed
       .withColumn("split", when(col("_idx") < nTest, "test").otherwise("dev"))
       .drop("_idx")
   }
@@ -164,12 +195,13 @@ object Splits {
     require(k >= 2, "k-fold needs k >= 2")
     Reserved.requireFreeColumns(df, Seq("fold"), "kfold",
       "it appends the fold assignment column")
-    val n = df.count()
+    // n falls out of the index's own count pass — no separate count() job
+    val (indexed, n) = withGlobalIndexCounted(df, Seq(rand(seed), col(key)))
     val base = n / k
     val extra = n % k
     // rank r (0-based) → fold: first `extra` folds have base+1 rows.
     val cut = extra * (base + 1)
-    withGlobalIndex(df, Seq(rand(seed), col(key)))
+    indexed
       .withColumn("fold",
         when(col("_idx") < cut, (col("_idx") / (base + 1)).cast("int") + 1)
           .otherwise(((col("_idx") - cut) / math.max(base, 1L)).cast("int")
@@ -184,9 +216,10 @@ object Splits {
       shardSize: Long = 1000): DataFrame = {
     Reserved.requireFreeColumns(df, Seq("shard"), "shardAssign",
       "it appends the shard assignment column")
-    val n = df.count()
+    // n falls out of the index's own count pass — no separate count() job
+    val (indexed, n) = withGlobalIndexCounted(df, sortCols)
     val numShards = n / shardSize + 1
-    withGlobalIndex(df, sortCols)
+    indexed
       .withColumn("shard", pmod(col("_idx"), lit(numShards)))
       .drop("_idx")
   }
