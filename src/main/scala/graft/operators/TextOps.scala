@@ -801,14 +801,26 @@ object TextOps {
     val pairs = reference
       .select(explode(pairUdf(col(textCol))).as("_p"))
       .select(col("_p._1").as("_g"), col("_p._2").as("_c"))
-      .localCheckpoint(false) // three aggregations below: shingle once
-    // the guard job doubles as the checkpoint materializer: an
-    // HLL-sketch aggregation (type-sized partials, no collect of the
-    // types themselves) runs BEFORE any driver-sized allocation
-    val est = pairs.agg(
-      approx_count_distinct(col("_g")).as("_eg"),
-      approx_count_distinct(col("_c")).as("_ec")).head()
-    val estTypes = math.max(est.getLong(0), est.getLong(1))
+      .localCheckpoint(false) // the aggregations below: shingle once
+    // ONE guard + vocabulary job (r21, guide §1.2 — the vocabulary used
+    // to be its own full reference re-scan): the HLL size estimate over
+    // the (lazily checkpointed) pairs and the exact distinct-token count
+    // ride the same aggregation via a kind-tagged union — conditional
+    // aggregates skip the other kind's null rows. Type-sized partials
+    // only; this runs BEFORE any driver-sized allocation, and it doubles
+    // as the checkpoint materializer.
+    val guardAndVocab = pairs
+      .select(col("_g"), col("_c"), lit(null).cast("string").as("_t"))
+      .unionAll(reference
+        .select(lit(null).cast("long").as("_g"),
+          lit(null).cast("long").as("_c"),
+          explode(distinctTokens(col(textCol))).as("_t")))
+      .agg(
+        approx_count_distinct(col("_g")).as("_eg"),
+        approx_count_distinct(col("_c")).as("_ec"),
+        count_distinct(col("_t")).as("_v")).head()
+    val estTypes = math.max(guardAndVocab.getLong(0),
+      guardAndVocab.getLong(1))
     if (estTypes > maxTypes)
       throw new IllegalArgumentException(
         s"ngramLm: reference corpus has ~$estTypes distinct " +
@@ -816,17 +828,24 @@ object TextOps {
           s"maxTypes=$maxTypes — use ngramLmRelations + " +
           "lmScoreRelational (the join-based form, nothing collects), " +
           "or raise maxTypes if the driver heap genuinely affords it")
-    def counted(c: String): (Array[Long], Array[Long]) = {
-      val rows = pairs.groupBy(col(c)).agg(count(lit(1)).as("_n"))
-        .orderBy(col(c)).collect()
-      (rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+    val vocab = guardAndVocab.getLong(2)
+    // ONE collect for both count tables (r21): gram and context counts
+    // share a kind-tagged union aggregation — identical per-kind counts
+    // to the two separate groupBys, the same total shuffle bytes, one
+    // job instead of two. Rows arrive (_side, _k)-sorted, so the two
+    // sorted arrays are contiguous slices.
+    val rows = pairs.select(col("_g").as("_k"), lit(0).as("_side"))
+      .unionAll(pairs.select(col("_c").as("_k"), lit(1).as("_side")))
+      .groupBy(col("_side"), col("_k")).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_side"), col("_k")).collect()
+    val split = rows.indexWhere(_.getInt(0) == 1) match {
+      case -1 => rows.length
+      case i => i
     }
-    val (gk, gc) = counted("_g")
-    val (ck, cc) = counted("_c")
-    val vocab = reference
-      .select(explode(distinctTokens(col(textCol))).as("_t"))
-      .agg(count_distinct(col("_t"))).collect()(0).getLong(0)
-    NgramLm(n, vocab + 1, gk, gc, ck, cc)
+    val (gRows, cRows) = rows.splitAt(split)
+    NgramLm(n, vocab + 1,
+      gRows.map(_.getLong(1)), gRows.map(_.getLong(2)),
+      cRows.map(_.getLong(1)), cRows.map(_.getLong(2)))
   }
 
   /** Score every document by its mean log-likelihood under `model` with
