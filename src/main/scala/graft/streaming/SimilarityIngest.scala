@@ -90,23 +90,31 @@ object SimilarityIngest {
       storeRoot: String, below: Long = Long.MaxValue): DataFrame = {
     val fs = new Path(storeRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // only data-bearing versions: processBatch never writes an empty
-    // delta, but a compaction whose whole folded group was tombstoned
-    // legally commits an empty fold target — it contributes no rows
-    // and has no schema to infer, so it must not lead (or join) the
-    // union read
     val vs = VersionedStore.committedVersions(spark,
       s"$storeRoot/assigned", below)
-      .filter(v => VersionedStore.hasData(fs,
-        new Path(s"$storeRoot/assigned/v=$v")))
-    if (vs.isEmpty)
+    // Only the SCHEMA-PINNING head read needs a data-bearing version:
+    // processBatch never writes an empty delta, but a compaction whose
+    // whole folded group was tombstoned legally commits an empty fold
+    // target — it contributes no rows and has no schema to infer, so it
+    // must not LEAD the union read. Probe hasData (a recursive listing —
+    // one metadata round-trip per probe on object stores) only until
+    // that first data-bearing version; the remaining versions read
+    // under the pinned schema, which handles an empty (bare _SUCCESS)
+    // fold target fine — the r20 form probed EVERY version on every
+    // serving-path read (ADVICE r20).
+    val firstIdx = vs.indexWhere(v => VersionedStore.hasData(fs,
+      new Path(s"$storeRoot/assigned/v=$v")))
+    if (firstIdx < 0)
       throw new IllegalStateException(
         s"no data-bearing assignment deltas under $storeRoot/assigned " +
           "— the ingest has not yet kept any rows with an IVF stage " +
           "active, or every kept vector was deleted and compaction " +
           "folded the lists empty")
-    val first = spark.read.parquet(s"$storeRoot/assigned/v=${vs.head}")
-    val all = vs.tail
+    val first = spark.read.parquet(
+      s"$storeRoot/assigned/v=${vs(firstIdx)}")
+    // versions before firstIdx are empty fold targets: zero rows, safe
+    // to skip outright
+    val all = vs.drop(firstIdx + 1)
       .map(v => spark.read.schema(first.schema)
         .parquet(s"$storeRoot/assigned/v=$v"))
       .foldLeft(first)(_.unionByName(_))

@@ -451,10 +451,16 @@ private[streaming] object VersionedStore {
             new Path(s"$storeRoot/$f/v=$v/_tombfloor"))
         }
       }
+      // hasData is a recursive listing (one metadata round-trip per
+      // probe on object stores) — materialize it once per tombstone
+      // version; both the retired filter and anyHusk below derive from
+      // the same map (ADVICE r20)
+      val dataByV = tombVs.map(vt =>
+        vt -> hasData(fs, new Path(s"$famDir/v=$vt"))).toMap
       val retired = tombVs.filter { vt =>
-        val dir = new Path(s"$famDir/v=$vt")
-        hasData(fs, dir) &&
-          readLongSidecar(fs, new Path(dir, "_cutoff")).exists(cut =>
+        dataByV(vt) &&
+          readLongSidecar(fs,
+            new Path(s"$famDir/v=$vt/_cutoff")).exists(cut =>
             cut != Long.MaxValue &&
               perFam.forall(_.forall { case (v, floor) =>
                 floor.exists(_ > vt) || (v > cut && floor.isEmpty)
@@ -473,8 +479,7 @@ private[streaming] object VersionedStore {
       // Pre-existing husks without a marker (that crash window on an
       // older build, or retirements from a build predating the marker)
       // heal here before the folds can erase them.
-      val anyHusk = tombVs.exists(vt =>
-        !hasData(fs, new Path(s"$famDir/v=$vt")))
+      val anyHusk = tombVs.exists(vt => !dataByV(vt))
       if ((retired.nonEmpty || anyHusk) &&
           !fs.exists(new Path(storeRoot, "_retired")))
         fs.create(new Path(storeRoot, "_retired"), true).close()
