@@ -451,22 +451,28 @@ object Similarity {
           java.lang.Integer.valueOf(cids(best))
         }
       }: java.lang.Integer)
-      // component-wise mean: explode to (cid, pos, x), avg, re-assemble
-      // in component order (array_sort on the (pos, mean) struct sorts by
-      // the leading pos field). The assignment is projected BELOW the
-      // explode — in the same select, the generate would re-evaluate the
-      // kernel once per exploded component (dim× per vector)
-      val means = vecs
+      // component-wise mean: explode to (cid, pos, x), avg — ONE
+      // exchange, carrying nlist × dim rows. The per-cid array assembly
+      // happens on the driver over those same collected rows (r21: the
+      // former second groupBy + array_sort(collect_list) aggregation
+      // re-shuffled the nlist × dim relation just to build arrays the
+      // collect was about to materialize anyway — same values, one
+      // fewer exchange and stage per Lloyd round). The assignment is
+      // projected BELOW the explode — in the same select, the generate
+      // would re-evaluate the kernel once per exploded component (dim×
+      // per vector)
+      val meanRows = vecs
         .select(assign(col("_emb")).as("_cid"), col("_emb"))
         .filter(col("_cid").isNotNull)
         .select(col("_cid"), posexplode(col("_emb")).as(Seq("_pos", "_x")))
         .groupBy(col("_cid"), col("_pos"))
         .agg(avg(col("_x")).as("_m"))
-        .groupBy(col("_cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("_pos"), col("_m")))),
-          s => s.getField("_m")).as("_cv"))
-      val updated = means.as[(Int, Array[Double])].collect().toMap
+        .collect()
+      val updated = meanRows
+        .groupBy(_.getInt(0))
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
       cents = cents.map { case (cid, old) =>
         (cid, updated.get(cid).map(normalize).getOrElse(old))
       }
@@ -524,18 +530,22 @@ object Similarity {
     IvfIndex(centroids, assignTo(centroids, corpus, embCol, key))
   }
 
-  /** Nearest-centroid assignment of `docs` — MAP-ONLY (r21 optimization):
-    * the centroids are collected to the driver (nlist × dim doubles, the
-    * same bounded-collect class as [[kmeansCentroids]]'s Lloyd loop) and
-    * the argmin runs as a closure-captured JVM kernel per row, so the
-    * corpus never rides an exchange here. The previous formulation —
-    * `join(broadcast(centroids))` + `min(struct(-dot, _cid, …))` hash
+  /** Nearest-centroid assignment of `docs` — MAP-ONLY over the corpus
+    * (r21 optimization): the whole centroid table joins in as ONE
+    * broadcast row of cid-ascending arrays (nlist × dim doubles — the
+    * bounded size [[kmeansCentroids]] already holds on the driver) and
+    * the argmin runs as a JVM kernel per corpus row, so the corpus never
+    * rides an exchange here. The previous formulation —
+    * `join(broadcast(centroids))` + `min(struct(-dot, _cid, …))`
     * aggregate — expanded every row nlist× and shuffled one
     * embedding-laden row per key through a SortAggregate; at 100 TB that
     * was a full-corpus shuffle for a value a map pass computes
     * (guide §2.4: remove shuffles outright). Downstream joins on `_cid`
     * pay their own exchange either way (or broadcast the probe side and
-    * pay none).
+    * pay none). The one-row-broadcast form (rather than a driver collect
+    * captured in the kernel closure) keeps the operator LAZY: one query
+    * execution per consumer, no per-call centroid job — the shape the
+    * per-batch streaming ingests and the sub-second bench queries need.
     *
     * Semantics are an exact mirror of the old aggregate, including its
     * edges: the dot follows [[graft.functions.ArrayDotProduct]] (null
@@ -551,53 +561,56 @@ object Similarity {
     */
   private[graft] def assignTo(centroids: DataFrame, docs: DataFrame,
       embCol: String, key: String): DataFrame = {
-    val centRows = centroids
-      .select(col("_cid").cast("int"), asDouble(col("_cv"))).collect()
-      .map { r =>
-        val cv: Seq[java.lang.Double] =
-          if (r.isNullAt(1)) null
-          else r.getSeq[java.lang.Double](1)
-        (r.getInt(0), cv)
-      }
-      .sortBy(_._1)
-    val projected = docs.select(col(key),
-      asDouble(col(embCol)).as("_emb"), norm(col(embCol)).as("_n"))
-    if (centRows.isEmpty)
-      projected.withColumn("_cid", lit(null).cast("int")).limit(0)
-    else {
-      val cids = centRows.map(_._1)
-      val badCent = centRows.map { case (_, cv) =>
-        cv == null || cv.contains(null) }
-      val cvs = centRows.map { case (_, cv) =>
-        if (cv == null) Array.empty[Double]
-        else cv.map(x => if (x == null) 0.0 else x.doubleValue).toArray }
-      // NaN sorts AFTER every real double in Spark's ordering — a real
-      // −dot must beat a NaN one, NaN vs NaN ties to the first (min) cid
-      def lt(a: Double, b: Double): Boolean =
-        if (a.isNaN) false else if (b.isNaN) true else a < b
-      val assign = udf((v: Seq[java.lang.Double]) => {
-        val vBad = v == null || v.contains(null)
-        var best = -1
-        var bestD = 0.0
-        var c = 0
-        var nullDot = false
-        while (c < cvs.length && !nullDot) {
-          if (vBad || badCent(c) || cvs(c).length != v.length) {
-            best = c; nullDot = true // ascending cids ⇒ first = min cid
-          } else {
-            val p = cvs(c)
-            var d = 0.0
-            var i = 0
-            while (i < p.length) { d += v(i) * p(i); i += 1 }
-            val nd = -d
-            if (best < 0 || lt(nd, bestD)) { bestD = nd; best = c }
-            c += 1
-          }
+    // The centroid matrix rides in as a ONE-ROW broadcast (cid-ascending
+    // arrays), so the assignment stays LAZY — one query execution per
+    // consumer, no separate driver collect job per call (which matters
+    // for the per-batch streaming ingests and the sub-second bench
+    // queries) — while the corpus side is still a pure projection.
+    // array_sort on the (_cid, _cv) structs orders by the leading _cid;
+    // cids are distinct so the _cv field never enters the comparison.
+    val centsRow = broadcast(centroids
+      .select(struct(col("_cid").cast("int").as("_cid"),
+        asDouble(col("_cv")).as("_cv")).as("_c"))
+      .agg(array_sort(collect_list(col("_c"))).as("_cents"))
+      .select(
+        transform(col("_cents"), c => c.getField("_cid")).as("_cids"),
+        transform(col("_cents"), c => c.getField("_cv")).as("_cvs")))
+    // NaN sorts AFTER every real double in Spark's ordering — a real
+    // −dot must beat a NaN one, NaN vs NaN ties to the first (min) cid
+    def lt(a: Double, b: Double): Boolean =
+      if (a.isNaN) false else if (b.isNaN) true else a < b
+    val assign = udf((v: Seq[java.lang.Double], cids: Seq[Int],
+        cvs: Seq[Seq[java.lang.Double]]) => {
+      val vBad = v == null || v.contains(null)
+      var best = -1
+      var bestD = 0.0
+      var c = 0
+      var nullDot = false
+      while (c < cvs.length && !nullDot) {
+        val p = cvs(c)
+        if (vBad || p == null || p.contains(null) ||
+            p.length != v.length) {
+          best = c; nullDot = true // ascending cids ⇒ first = min cid
+        } else {
+          var d = 0.0
+          var i = 0
+          while (i < p.length) { d += v(i) * p(i); i += 1 }
+          val nd = -d
+          if (best < 0 || lt(nd, bestD)) { bestD = nd; best = c }
+          c += 1
         }
-        java.lang.Integer.valueOf(cids(best))
-      }: java.lang.Integer)
-      projected.withColumn("_cid", assign(col("_emb")))
-    }
+      }
+      java.lang.Integer.valueOf(cids(best))
+    }: java.lang.Integer)
+    docs.select(col(key), asDouble(col(embCol)).as("_emb"),
+        norm(col(embCol)).as("_n"))
+      .crossJoin(centsRow)
+      // zero centroids assign nothing — the old inner join against an
+      // empty broadcast (the aggregate still emits its one empty-array
+      // row, which this drops)
+      .filter(size(col("_cids")) > 0)
+      .withColumn("_cid", assign(col("_emb"), col("_cids"), col("_cvs")))
+      .drop("_cids", "_cvs")
   }
 
   /** Persist an index: centroids as plain parquet, the assigned corpus
