@@ -523,29 +523,57 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, embCol: String, key: String,
       nlist: Int = 16, kmeansIters: Int = 0): IvfIndex = {
-    val centroids =
+    val centroids0 =
       if (kmeansIters > 0)
         kmeansCentroids(corpus, embCol, key, nlist, kmeansIters)
       else sampledCentroids(corpus, embCol, key, nlist)
+    // Materialize the centroid table ONCE into a LocalRelation (nlist ×
+    // dim doubles — driver-bounded): it has two consumers — the probe
+    // side's broadcast and the assignment kernel's collect — and without
+    // this the sampled-centroid subtree (a corpus scan + top-nlist) ran
+    // once per consumer (r21; the Lloyd path was already local). Every
+    // downstream read — probeLists' broadcast, assignTo's collect,
+    // saveIvfIndex's write — now starts from in-memory rows.
+    val spark = corpus.sparkSession
+    val rows = centroids0
+      .select(col("_cid").cast("int"), asDouble(col("_cv")).as("_cv"))
+      .collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_cid",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
     IvfIndex(centroids, assignTo(centroids, corpus, embCol, key))
   }
 
   /** Nearest-centroid assignment of `docs` — MAP-ONLY over the corpus
-    * (r21 optimization): the whole centroid table joins in as ONE
-    * broadcast row of cid-ascending arrays (nlist × dim doubles — the
-    * bounded size [[kmeansCentroids]] already holds on the driver) and
-    * the argmin runs as a JVM kernel per corpus row, so the corpus never
-    * rides an exchange here. The previous formulation —
-    * `join(broadcast(centroids))` + `min(struct(-dot, _cid, …))`
-    * aggregate — expanded every row nlist× and shuffled one
-    * embedding-laden row per key through a SortAggregate; at 100 TB that
-    * was a full-corpus shuffle for a value a map pass computes
-    * (guide §2.4: remove shuffles outright). Downstream joins on `_cid`
-    * pay their own exchange either way (or broadcast the probe side and
-    * pay none). The one-row-broadcast form (rather than a driver collect
-    * captured in the kernel closure) keeps the operator LAZY: one query
-    * execution per consumer, no per-call centroid job — the shape the
-    * per-batch streaming ingests and the sub-second bench queries need.
+    * (r21 optimization): the centroids are collected to the driver
+    * (nlist × dim doubles, the same bounded-collect class as
+    * [[kmeansCentroids]]'s Lloyd loop — [[buildIvfIndex]] hands every
+    * consumer a LocalRelation, so the collect is a local read there) and
+    * the argmin runs as a closure-captured JVM kernel over primitive
+    * arrays per row, so the corpus never rides an exchange here. The
+    * previous formulation — `join(broadcast(centroids))` +
+    * `min(struct(-dot, _cid, …))` aggregate — expanded every row nlist×
+    * and shuffled one embedding-laden row per key through a
+    * SortAggregate; at 100 TB that was a full-corpus shuffle for a value
+    * a map pass computes (guide §2.4: remove shuffles outright).
+    * Downstream joins on `_cid` pay their own exchange either way (or
+    * broadcast the probe side and pay none).
+    *
+    * Measured design note (r21): a LAZY one-row-broadcast variant (the
+    * centroid matrix riding into the kernel as array columns) avoided
+    * this method's eager collect but benched ~2× SLOWER end to end —
+    * the downstream join on `_cid` pushes `isnotnull(kernel(...))` into
+    * the broadcast join condition, evaluating the kernel TWICE per row
+    * (the guide §4.4 duplication, JVM flavor), and every evaluation
+    * re-converts the nlist × dim matrix from Catalyst to Scala PER ROW.
+    * The closure form converts centroids exactly once per call and the
+    * per-row kernel touches only primitive arrays; its one extra
+    * centroid-collect job is bounded and amortizes to nothing at scale.
     *
     * Semantics are an exact mirror of the old aggregate, including its
     * edges: the dot follows [[graft.functions.ArrayDotProduct]] (null
@@ -561,56 +589,53 @@ object Similarity {
     */
   private[graft] def assignTo(centroids: DataFrame, docs: DataFrame,
       embCol: String, key: String): DataFrame = {
-    // The centroid matrix rides in as a ONE-ROW broadcast (cid-ascending
-    // arrays), so the assignment stays LAZY — one query execution per
-    // consumer, no separate driver collect job per call (which matters
-    // for the per-batch streaming ingests and the sub-second bench
-    // queries) — while the corpus side is still a pure projection.
-    // array_sort on the (_cid, _cv) structs orders by the leading _cid;
-    // cids are distinct so the _cv field never enters the comparison.
-    val centsRow = broadcast(centroids
-      .select(struct(col("_cid").cast("int").as("_cid"),
-        asDouble(col("_cv")).as("_cv")).as("_c"))
-      .agg(array_sort(collect_list(col("_c"))).as("_cents"))
-      .select(
-        transform(col("_cents"), c => c.getField("_cid")).as("_cids"),
-        transform(col("_cents"), c => c.getField("_cv")).as("_cvs")))
-    // NaN sorts AFTER every real double in Spark's ordering — a real
-    // −dot must beat a NaN one, NaN vs NaN ties to the first (min) cid
-    def lt(a: Double, b: Double): Boolean =
-      if (a.isNaN) false else if (b.isNaN) true else a < b
-    val assign = udf((v: Seq[java.lang.Double], cids: Seq[Int],
-        cvs: Seq[Seq[java.lang.Double]]) => {
-      val vBad = v == null || v.contains(null)
-      var best = -1
-      var bestD = 0.0
-      var c = 0
-      var nullDot = false
-      while (c < cvs.length && !nullDot) {
-        val p = cvs(c)
-        if (vBad || p == null || p.contains(null) ||
-            p.length != v.length) {
-          best = c; nullDot = true // ascending cids ⇒ first = min cid
-        } else {
-          var d = 0.0
-          var i = 0
-          while (i < p.length) { d += v(i) * p(i); i += 1 }
-          val nd = -d
-          if (best < 0 || lt(nd, bestD)) { bestD = nd; best = c }
-          c += 1
-        }
+    val centRows = centroids
+      .select(col("_cid").cast("int"), asDouble(col("_cv"))).collect()
+      .map { r =>
+        val cv: Seq[java.lang.Double] =
+          if (r.isNullAt(1)) null
+          else r.getSeq[java.lang.Double](1)
+        (r.getInt(0), cv)
       }
-      java.lang.Integer.valueOf(cids(best))
-    }: java.lang.Integer)
-    docs.select(col(key), asDouble(col(embCol)).as("_emb"),
-        norm(col(embCol)).as("_n"))
-      .crossJoin(centsRow)
-      // zero centroids assign nothing — the old inner join against an
-      // empty broadcast (the aggregate still emits its one empty-array
-      // row, which this drops)
-      .filter(size(col("_cids")) > 0)
-      .withColumn("_cid", assign(col("_emb"), col("_cids"), col("_cvs")))
-      .drop("_cids", "_cvs")
+      .sortBy(_._1)
+    val projected = docs.select(col(key),
+      asDouble(col(embCol)).as("_emb"), norm(col(embCol)).as("_n"))
+    if (centRows.isEmpty)
+      projected.withColumn("_cid", lit(null).cast("int")).limit(0)
+    else {
+      val cids = centRows.map(_._1)
+      val badCent = centRows.map { case (_, cv) =>
+        cv == null || cv.contains(null) }
+      val cvs = centRows.map { case (_, cv) =>
+        if (cv == null) Array.empty[Double]
+        else cv.map(x => if (x == null) 0.0 else x.doubleValue).toArray }
+      // NaN sorts AFTER every real double in Spark's ordering — a real
+      // −dot must beat a NaN one, NaN vs NaN ties to the first (min) cid
+      def lt(a: Double, b: Double): Boolean =
+        if (a.isNaN) false else if (b.isNaN) true else a < b
+      val assign = udf((v: Seq[java.lang.Double]) => {
+        val vBad = v == null || v.contains(null)
+        var best = -1
+        var bestD = 0.0
+        var c = 0
+        var nullDot = false
+        while (c < cvs.length && !nullDot) {
+          if (vBad || badCent(c) || cvs(c).length != v.length) {
+            best = c; nullDot = true // ascending cids ⇒ first = min cid
+          } else {
+            val p = cvs(c)
+            var d = 0.0
+            var i = 0
+            while (i < p.length) { d += v(i) * p(i); i += 1 }
+            val nd = -d
+            if (best < 0 || lt(nd, bestD)) { bestD = nd; best = c }
+            c += 1
+          }
+        }
+        java.lang.Integer.valueOf(cids(best))
+      }: java.lang.Integer)
+      projected.withColumn("_cid", assign(col("_emb")))
+    }
   }
 
   /** Persist an index: centroids as plain parquet, the assigned corpus
