@@ -131,7 +131,14 @@ object Similarity {
         (dot(col("_emb_a"), col("_emb_b"))
           / (col("_n_a") * col("_n_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .dropDuplicates("key_a", "key_b")
+    // no dedup pass (r21): each vector carries exactly ONE sign-bit
+    // bucket (a single signature long, not a banded set), so a given
+    // (key_a, key_b) pair can only form in one bucket and the result is
+    // duplicate-free by construction — the former
+    // dropDuplicates(key_a, key_b) was a pure pair-relation exchange +
+    // aggregate. (The banded families — minhash, simhash chunks — DO
+    // need their dedup; the incremental form keeps its defensive one
+    // across the store/batch union.)
   }
 
   /** LSH signature store relation for INCREMENTAL embedding dedup: one
