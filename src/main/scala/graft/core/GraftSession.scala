@@ -24,16 +24,6 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // guide §3.1: let AQE swap a sort-merge join to a shuffled hash
-      // join when every post-shuffle partition's build side fits under
-      // this bound (default 0 = never). Runtime-size-guarded, so the
-      // decision scales with the data, not the site: partitions above
-      // the bound keep the spill-safe sort-merge. 64 MiB ≈ a quarter of
-      // the default advisory partition size — roomy for the bench's
-      // post-AQE partitions, conservative against executor heap on a
-      // real cluster (the build side is per-partition, per-task).
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "64m")
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
       // read as long and let Tables.load restore a timestamp column.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
