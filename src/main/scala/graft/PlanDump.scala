@@ -4,12 +4,16 @@ import graft.core.GraftSession
 
 /** Dev tool: dump formatted physical plans for selected queries so plan
   * shape (pushed filters, broadcast joins, codegen spans) can be reviewed.
-  * Usage: runMain graft.PlanDump [sfDir] [queryName ...]
+  * With `-exec` the query is EXECUTED first and the final adaptive plan
+  * is printed too — AQE rewrites (join-strategy swaps, AQEShuffleRead
+  * coalescing) only exist in the post-run plan.
+  * Usage: runMain graft.PlanDump [sfDir] [-exec] [queryName ...]
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val requested = args.drop(1).toSeq
+    val exec = args.contains("-exec")
+    val requested = args.drop(1).filterNot(_ == "-exec").toSeq
     val names =
       if (requested.contains("all")) SparkEntry.queries.keys.toSeq.sorted
       else if (requested.nonEmpty) requested
@@ -19,7 +23,13 @@ object PlanDump {
       SparkEntry.queries.get(n) match {
         case Some(q) =>
           println(s"\n========== $n ==========")
-          q(spark, sfDir).explain("formatted")
+          val df = q(spark, sfDir)
+          df.explain("formatted")
+          if (exec) {
+            df.count()
+            println(s"---------- $n final adaptive plan ----------")
+            println(df.queryExecution.executedPlan.toString)
+          }
         case None =>
           println(s"\n========== $n: unknown query (known: " +
             s"${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}) ==========")
