@@ -365,8 +365,11 @@ object Similarity {
     // ≤ nlist rows here: number them in one partition WITHOUT a window
     // (an unpartitioned WindowExec warns and a constant partition key is
     // constant-folded away) — sort the single partition and use the
-    // in-partition row offset.
-    .repartition(1).sortWithinPartitions(col(key))
+    // in-partition row offset. coalesce(1), not repartition(1): the
+    // global limit already lands on one partition, so the old
+    // repartition planned a SinglePartition Exchange stage for a no-op
+    // (r21); coalesce keeps the single-partition guarantee exchange-free.
+    .coalesce(1).sortWithinPartitions(col(key))
     .withColumn("_cid", (monotonically_increasing_id() + 1).cast("int"))
     .select("_cid", "_cv")
 
