@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from the run output; sbt's
+// default LoggedOutput prefixes every forked-process line with "[info] "
+// (stdout) / "[error] " (stderr), which broke that parse in rounds 17-21
+// (BENCH parsed:null). StdoutOutput passes the forked JVM's stdout/stderr
+// through verbatim, so the JSON line lands bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

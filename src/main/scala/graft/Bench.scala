@@ -186,7 +186,6 @@ object Bench {
     val calibration =
       s"""{"scan":${fmt(calScan)},"join":${fmt(calJoin)},"sched":${fmt(calSched)},"total":${fmt(calTotal)}}"""
     val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"sf":"$sfDir","calibration":$calibration,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)}"""
-    println(s"""{$head,"queries":$qsShort}""")
     // the full record (long names + per-query spread) lives on disk where
     // truncation can't reach it; best-effort — a read-only cwd must not
     // fail the bench
@@ -194,6 +193,16 @@ object Bench {
       (s"""{$head,"spread":$spreadFull,"queries":$qsFull}""" + "\n")
         .getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
+    // The one-line JSON is printed AFTER spark.stop() so it is the forked
+    // JVM's final output — nothing from Spark's shutdown (stderr WARNs)
+    // can land between it and the end of the driver's log capture. sbt's
+    // own logger used to prefix it "[info] " (the driver recorded
+    // parsed:null from r17 through r21 because of that); build.sbt now
+    // forks run with `outputStrategy := StdoutOutput` so this line
+    // reaches stdout BARE. Same JSON, same methodology — output-path fix
+    // only (VERDICT r21 item 2).
     spark.stop()
+    println(s"""{$head,"queries":$qsShort}""")
+    System.out.flush()
   }
 }
