@@ -24,7 +24,10 @@ import graft.operators._
 class AlgebraLawsSpec extends SparkTestBase {
   import spark.implicits._
 
-  private val Cases = 100
+  // window-scaled (TestDepth): the SURVEY §5.2 target of 100 cases per
+  // law is the SPARK_GRAFT_FULL_TESTS depth; the default run keeps every
+  // law at a window-sized case count
+  private val Cases = TestDepth.scaled(100, 25)
 
   private def check(name: String, prop: Prop,
       cases: Int = Cases): Unit = {

@@ -28,7 +28,8 @@ class SimilarityStoreModelSpec extends StoreModelHarness {
     Seq.fill(dim)(r.nextGaussian())
   }
 
-  runLaw("similarity lsh/assigned/drift", seeds = 50,
+  // seeds window-scaled (TestDepth): full depth via SPARK_GRAFT_FULL_TESTS
+  runLaw("similarity lsh/assigned/drift", seeds = graft.TestDepth.scaled(50, 8),
       opsRange = (5, 4)) { root =>
     new FamilyOps {
       val keyedFamilies = Seq("lsh", "assigned")
@@ -107,7 +108,9 @@ class ImageStoreModelSpec extends StoreModelHarness {
     bos.toByteArray
   }
 
-  runLaw("image phash", seeds = 50, opsRange = (5, 4)) { root =>
+  // seeds window-scaled (TestDepth): full depth via SPARK_GRAFT_FULL_TESTS
+  runLaw("image phash", seeds = graft.TestDepth.scaled(50, 8),
+      opsRange = (5, 4)) { root =>
     new FamilyOps {
       val keyedFamilies = Seq("phash")
       private val keptDir =

@@ -442,7 +442,8 @@ class SimilarityIngestSpec extends SparkTestBase {
       "uncompacted twin") {
     val cents = Similarity.buildIvfIndex(batches.head.toDF("vec_id",
         "embedding"), "embedding", "vec_id", nlist = 2).centroids
-    for (seed <- 1 to 2) {
+    // seeds window-scaled (TestDepth): SPARK_GRAFT_FULL_TESTS restores 2
+    for (seed <- 1 to TestDepth.scaled(2, 1)) {
       val rnd = new scala.util.Random(seed)
       // vector pool with planted near-duplicate structure; keys
       // monotone across batches per the contract

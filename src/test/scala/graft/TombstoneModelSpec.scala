@@ -30,7 +30,9 @@ import org.apache.hadoop.fs.Path
 class TombstoneModelSpec extends StoreModelHarness {
   import spark.implicits._
 
-  runLaw("sig raw keyed family", seeds = 100, opsRange = (6, 6)) {
+  // seeds window-scaled (TestDepth): full depth via SPARK_GRAFT_FULL_TESTS
+  runLaw("sig raw keyed family",
+      seeds = graft.TestDepth.scaled(100, 16), opsRange = (6, 6)) {
     root =>
       new FamilyOps {
         val keyedFamilies = Seq("sig")
