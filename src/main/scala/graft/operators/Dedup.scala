@@ -1205,7 +1205,18 @@ object Dedup {
     // drops are counted in GuardMetrics' accumulators (+ one warn line)
     val banded = GuardMetrics.capCohorts(banded0,
       Seq(col("_band"), col("_bucket")), maxBucketSize, "minhash")
+    // The bucket SELF-join rides a `merge` hint (r22): at corpus scale
+    // both sides are corpus-sized and the planner picks sort-merge anyway,
+    // but at broadcast-threshold sizes AQE chose BroadcastHashJoin — whose
+    // build side re-evaluated the whole banding subtree (the minhash
+    // kernel over every row, the explode, the guard window's sort) a
+    // second time instead of reusing the stream side's work. Pinning
+    // sort-merge makes both sides identical shuffle subtrees, so
+    // ReusedExchange computes the banding ONCE, writes one exchange and
+    // reads it twice (guide §2.4 "two operations keyed the same way can
+    // share one exchange"). Join strategy only — same pairs either way.
     val candidates = banded.as("l")
+      .hint("merge")
       .join(banded.as("r"), Seq("_band", "_bucket"))
       .select(col(s"l.$key").as("key_a"), col(s"r.$key").as("key_b"))
       .filter(col("key_a") < col("key_b"))
@@ -1511,7 +1522,13 @@ object Dedup {
       col("_band"), col("_chunk"))
     val r = banded.select(col(key).as("key_b"), col("_h").as("_h_b"),
       col("_band"), col("_chunk"))
-    l.join(r, Seq("_band", "_chunk"))
+    // `merge` hint on the self-join for the same reason as
+    // [[minhashNearDuplicates]] (r22): the broadcast plan AQE picks at
+    // small sizes re-evaluates the fingerprint kernel + banding + guard
+    // window as the build side; sort-merge makes the two sides identical
+    // exchange subtrees, so the banding computes once (ReusedExchange) —
+    // the strategy the planner picks at corpus scale anyway.
+    l.hint("merge").join(r, Seq("_band", "_chunk"))
       .filter(col("key_a") < col("key_b"))
       // verify hamming BEFORE the dedup shuffle: xor+bit_count is codegen'd
       // per joined row, so only true near-dup pairs reach dropDuplicates
@@ -1753,7 +1770,18 @@ object Dedup {
         if (eager) p.count()
         p
       }
-    // symmetric edge list, computed once and reused every round
+    // symmetric edge list, computed once and reused every round — EAGER
+    // deliberately (r22, measured): a lazy pin here would fold the two
+    // materialization jobs into round 1's convergence count, but the
+    // edge/seed relations each feed TWO independent downstream shuffle
+    // stages, and un-materialized checkpoint partitions race — the
+    // stages run concurrently and can each compute the O(n²) pair
+    // kernel before the first result lands in the block store. The
+    // lazy variant benched consistently slower (interleaved MicroBench,
+    // +0.05–0.18 s vs eager at sf0.1); two small eager jobs are cheaper
+    // than one duplicated pair pass. (The per-ROUND count below is
+    // already the round's only action — the convergence check rides the
+    // materializing job, the r21 count-fusion shape.)
     val edges = pin(pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
