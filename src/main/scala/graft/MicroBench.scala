@@ -18,6 +18,11 @@ object MicroBench {
     val names =
       if (args.length > 2) args.drop(2).toSeq
       else Seq("q41_ivf_topk", "q71_ivf_kmeans", "q94_cluster_neardup")
+    // validate names BEFORE creating the session (ADVICE r21 — a typo
+    // used to throw a bare NoSuchElementException after spin-up)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")} " +
+      s"(known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val spark = GraftSession.get("graft-microbench")
     val fns = names.map(n => n -> SparkEntry.queries(n))
     // one discarded warm-up per query (JIT + parquet footers), like Bench
@@ -33,8 +38,13 @@ object MicroBench {
     }
     names.foreach { n =>
       val ts = times(n).sorted
+      // true median: average the two middle samples for even run counts
+      // (ADVICE r21 — the upper-middle element biased even-count reads)
+      val med =
+        if (ts.length % 2 == 1) ts(ts.length / 2)
+        else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
       println(f"[micro] $n%-28s min=${ts.head}%.3f " +
-        f"med=${ts(ts.length / 2)}%.3f max=${ts.last}%.3f " +
+        f"med=$med%.3f max=${ts.last}%.3f " +
         s"all=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()

@@ -28,6 +28,15 @@ object Similarity {
   /** Brute-force cosine top-k. `queries` must be small enough to broadcast
     * (it is hash-joined against every corpus row).
     * Output: (query_key, neighbor key, cosine, rank) excluding self-matches.
+    *
+    * CONTRACT, not guarded here: the query relation is forced into a
+    * broadcast, whose hard Spark cap is 8 GB / 512M rows — a batch
+    * anywhere near that fails the broadcast build (or OOMs the driver)
+    * rather than falling back to a shuffle join. Chunk huge batches into
+    * several calls. The loaded-index `ivfTopK(index, …)` overload DOES
+    * enforce this (its `maxProbeRows` guard rides a collect it already
+    * pays); enforcing it here would cost an extra count job on a path
+    * that is otherwise a single action.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
       key: String, k: Int): DataFrame = {
@@ -501,6 +510,12 @@ object Similarity {
     * Lloyd rounds align the lists with the real clusters and raise recall
     * at the same nprobe (see [[kmeansCentroids]] for the determinism
     * caveat).
+    *
+    * Queries are broadcast-small BY CONTRACT (the [[cosineTopK]] caveat:
+    * |queries| × nprobe probe rows ride a forced broadcast with an 8 GB /
+    * 512M-row hard cap — chunk huge batches). The loaded-index overload
+    * enforces the cap for free; this batch path does not pay the extra
+    * count job.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
       key: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
@@ -556,7 +571,14 @@ object Similarity {
           org.apache.spark.sql.types.DoubleType))))
     val centroids = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), schema)
-    IvfIndex(centroids, assignTo(centroids, corpus, embCol, key))
+    // hand the kernel the rows already on the driver — re-collecting them
+    // from the LocalRelation was a (small but real) extra job per build
+    val centRows = rows.map { r =>
+      val cv: Seq[java.lang.Double] =
+        if (r.isNullAt(1)) null else r.getSeq[java.lang.Double](1)
+      (r.getInt(0), cv)
+    }.sortBy(_._1)
+    IvfIndex(centroids, assignToRows(centRows, corpus, embCol, key))
   }
 
   /** Nearest-centroid assignment of `docs` — MAP-ONLY over the corpus
@@ -598,8 +620,17 @@ object Similarity {
     * signature stores.
     */
   private[graft] def assignTo(centroids: DataFrame, docs: DataFrame,
-      embCol: String, key: String): DataFrame = {
-    val centRows = centroids
+      embCol: String, key: String): DataFrame =
+    assignToRows(collectCentroidRows(centroids), docs, embCol, key)
+
+  /** The (cid, vector) rows [[assignToRows]] consumes, in ascending-cid
+    * order (the kernel's tie/null-dot rules depend on that order). One
+    * bounded collect job; [[buildIvfIndex]] converts its own collected
+    * rows instead of paying this job a second time (r22 — the build path
+    * used to collect the LocalRelation it had just built). */
+  private[graft] def collectCentroidRows(
+      centroids: DataFrame): Array[(Int, Seq[java.lang.Double])] =
+    centroids
       .select(col("_cid").cast("int"), asDouble(col("_cv"))).collect()
       .map { r =>
         val cv: Seq[java.lang.Double] =
@@ -608,6 +639,10 @@ object Similarity {
         (r.getInt(0), cv)
       }
       .sortBy(_._1)
+
+  private[graft] def assignToRows(
+      centRows: Array[(Int, Seq[java.lang.Double])], docs: DataFrame,
+      embCol: String, key: String): DataFrame = {
     val projected = docs.select(col(key),
       asDouble(col(embCol)).as("_emb"), norm(col(embCol)).as("_n"))
     if (centRows.isEmpty)
@@ -809,10 +844,35 @@ object Similarity {
     * the probed lists from disk.
     */
   def ivfTopK(index: IvfIndex, queries: DataFrame, embCol: String,
-      key: String, k: Int, nprobe: Int): DataFrame = {
+      key: String, k: Int, nprobe: Int): DataFrame =
+    ivfTopK(index, queries, embCol, key, k, nprobe,
+      maxProbeRows = 4000000L)
+
+  /** [[ivfTopK]] (loaded-index form) with an explicit probe-row cap —
+    * no default here because the batch overload already carries default
+    * arguments (Scala permits defaults on only one alternative). */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, embCol: String,
+      key: String, k: Int, nprobe: Int,
+      maxProbeRows: Long): DataFrame = {
     val probes = probeLists(index.centroids, queries, embCol, key, nprobe)
-    val cids = probes.select("_cid").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // one bounded job yields BOTH the probed list ids for partition
+    // pruning AND the probe-row count for the broadcast-small guard —
+    // enforcing the contract costs no extra action here (r22; the
+    // distinct() it replaces collected the same relation without the
+    // counts). |probes| = |queries| × nprobe, each row carrying a query
+    // embedding: past a few million rows the scoreAndRank broadcast
+    // approaches the 8 GB / 512M-row hard cap and ceases to be the right
+    // plan — fail fast with the remedy instead of OOMing mid-broadcast.
+    val cidCounts = probes.groupBy("_cid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val probeRows = cidCounts.map(_._2).sum
+    require(maxProbeRows <= 0 || probeRows <= maxProbeRows,
+      s"probe relation has $probeRows rows (|queries| × nprobe), over the " +
+        s"broadcast-small cap $maxProbeRows — chunk the query batch into " +
+        "several ivfTopK calls, or raise maxProbeRows if the executors " +
+        "can genuinely hold the broadcast (hard Spark cap: 8 GB / 512M " +
+        "rows); <= 0 disables the guard")
+    val cids = cidCounts.map(_._1).toSeq
     scoreAndRank(probes,
       index.assigned.filter(col("_cid").isInCollection(cids)), key, k)
   }

@@ -714,8 +714,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"q41's probe join must broadcast the probe side, not sort-merge " +
         s"the corpus:\n$p")
+    // count Exchange as a node-name token regardless of tree-branch
+    // prefix (":- " branches count too — the old "+- Exchange" match
+    // undercounted; ADVICE r21)
     val exchanges = p.linesIterator.count(l =>
-      l.contains("+- Exchange") || l.trim.startsWith("Exchange"))
+      l.trim.stripPrefix(":- ").stripPrefix("+- ")
+        .startsWith("Exchange"))
     assert(exchanges <= 6,
       s"q41 should plan only query-keyed + centroid exchanges " +
         s"(got $exchanges):\n$p")

@@ -688,6 +688,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(asSet(Similarity.ivfTopK(loaded, queries, "embedding",
       "vec_id", k = 10, nprobe = 16)) == brute,
       "full probe on the loaded index must equal brute force")
+    // broadcast-small guard (r22): the serve path FORCES the probe
+    // relation into a broadcast, so an over-cap query batch must fail
+    // fast with the remedy, not OOM mid-broadcast; <= 0 disables
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(loaded, queries, "embedding", "vec_id",
+        k = 10, nprobe = 4, maxProbeRows = 1L)
+    }
+    assert(e.getMessage.contains("chunk the query batch"),
+      s"guard error should carry the remedy: ${e.getMessage}")
+    assert(asSet(Similarity.ivfTopK(loaded, queries, "embedding",
+      "vec_id", k = 10, nprobe = 4, maxProbeRows = 0L)) == oneShot,
+      "maxProbeRows <= 0 must disable the guard, results unchanged")
   }
 
   test("quantized IVF index: int8 lists shrink the serving store, " +
