@@ -1832,7 +1832,13 @@ object PipelineQueries {
             concat(lit("zx"), pmod(col("doc_id") * 31 + j, lit(997))))
             : _*).as("text"),
           lit(0).as("label"))
-      val clf = QualityModel.train(pos.unionByName(neg), "text",
+      // the labeled set is 400 rows by construction; L-BFGS runs 20+
+      // treeAggregate jobs over it, and each source partition adds a
+      // task to every iteration job with zero parallelism benefit at
+      // this size — coalesce to one partition so the iteration jobs are
+      // single-task (r22; a query-local choice like the bounded slices
+      // elsewhere, not an operator default: real training sets scale)
+      val clf = QualityModel.train(pos.unionByName(neg).coalesce(1), "text",
         "label", numFeatures = 1 << 14, maxIter = 20)
       QualityModel.score(docs, clf, "text")
         .select(col("doc_id"), round(col("quality_prob"), 4)
