@@ -640,6 +640,26 @@ object Dedup {
   def shinglesFast(text: Column, n: Int = 3): Column = shinglesUdf(n)(text)
   private val jaccardUdf = udf(Kernels.jaccard _)
 
+  /** Exact Jaccard over DISTINCT-element arrays as a codegen expression:
+    * |A∩B| / (|A|+|B|−|A∩B|), the inclusion–exclusion identity — valid
+    * ONLY because both inputs are sets (array sizes are then set
+    * cardinalities). Bit-identical to [[Kernels.jaccard]] there: same
+    * integer counts, same IEEE double division, same 0.0 on empty∪empty.
+    * Used on the hot per-candidate-pair paths (r22): the UDF converted
+    * two ~shingle-set-sized string arrays from Catalyst to Scala and
+    * built a HashSet per PAIR; array_intersect stays inside codegen on
+    * UTF8String. The store-fed incremental path keeps the UDF — a
+    * stored `_sh` that violates the distinctness contract would get
+    * silently wrong values from the size arithmetic, while the kernel
+    * dedups and stays right.
+    */
+  private def jaccardSetExpr(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    when(union === 0, lit(0.0))
+      .otherwise(inter.cast("double") / union)
+  }
+
   /** Per-document merged duplicated-span relation backing
     * [[repeatedSpans]] / [[maskRepeatedSpans]]: `(key, _spans)` where
     * `_spans` is the sorted disjoint [start, end) token intervals covered
@@ -1224,8 +1244,10 @@ object Dedup {
     candidates
       .join(withSh.select(col(key).as("key_a"), col("_sh").as("_sh_a")), "key_a")
       .join(withSh.select(col(key).as("key_b"), col("_sh").as("_sh_b")), "key_b")
+      // in-plan shingle arrays are sets by construction (shingleSet) —
+      // the codegen identity applies; see jaccardSetExpr
       .select(col("key_a"), col("key_b"),
-        jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
+        jaccardSetExpr(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -2050,8 +2072,10 @@ object Dedup {
     val b = withSh.select(col(key).as("key_b"), col("_sh").as("_sh_b"))
     a.crossJoin(b)
       .filter(col("key_a") < col("key_b"))
+      // in-plan shingle arrays are sets by construction (shingleSet) —
+      // the codegen identity applies; see jaccardSetExpr
       .select(col("key_a"), col("key_b"),
-        jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
+        jaccardSetExpr(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }
