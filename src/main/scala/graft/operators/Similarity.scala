@@ -791,6 +791,15 @@ object Similarity {
     * well lists partition the data; measure each batch with
     * [[assignmentDrift]] against the build-time row and rebuild with
     * fresh [[kmeansCentroids]] when it climbs.
+    *
+    * CONTRACT (r21 assignTo redesign): assignment emits one row PER
+    * INPUT ROW — duplicate keys in `newDocs` propagate into the lists
+    * instead of being collapsed (the old groupBy argmin masked such
+    * contract violations). Keys must be globally unique across batches,
+    * as stated above. Note also that [[assignTo]] is now EAGER: calling
+    * this method runs a bounded centroid-collect job at
+    * DataFrame-construction time, so don't construct extensions
+    * speculatively.
     */
   def extendIvfIndex(index: IvfIndex, newDocs: DataFrame, embCol: String,
       key: String): IvfIndex =
