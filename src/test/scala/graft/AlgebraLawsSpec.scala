@@ -29,6 +29,11 @@ class AlgebraLawsSpec extends SparkTestBase {
   // law at a window-sized case count
   private val Cases = TestDepth.scaled(100, 25)
 
+  /** The laws that pin their own (lower) full-depth counts — multiple
+    * Spark runs per case — scale by the same knob: full/4, floor 8. */
+  private def scaledCases(full: Int): Int =
+    TestDepth.scaled(full, math.max(8, full / 4))
+
   private def check(name: String, prop: Prop,
       cases: Int = Cases): Unit = {
     val result = SCTest.check(
@@ -107,7 +112,7 @@ class AlgebraLawsSpec extends SparkTestBase {
         .select("image_id", "origin").as[(String, String)].collect().toSet
       joined == model && permuted == model &&
         self == a.map(_._1).map(k => (k, "a")).toSet
-    }, cases = 60) // 4 Spark runs per case
+    }, cases = scaledCases(60)) // 4 Spark runs per case
   }
 
   // ---- samplers --------------------------------------------------------
@@ -210,7 +215,7 @@ class AlgebraLawsSpec extends SparkTestBase {
               .take(per))
           .toSet
         got == model
-    }, cases = 60)
+    }, cases = scaledCases(60))
   }
 
   test("law: temperatureSample exactness is margin-independent — any " +
@@ -255,7 +260,7 @@ class AlgebraLawsSpec extends SparkTestBase {
             "graft", margin)
           .select("id").as[Long].collect().toSet
         got == expected
-    }, cases = 40)
+    }, cases = scaledCases(40))
   }
 
   test("pin: zero-quota domains at margin = -Infinity ride the " +
@@ -332,7 +337,7 @@ class AlgebraLawsSpec extends SparkTestBase {
         nTest == math.max(1L, math.floor(corpus.size * pct).toLong) &&
         got.forall(r => r._2 == "test" || r._2 == "dev") &&
         run().toMap == byKey // seed-deterministic
-    }, cases = 60) // 2 runs, each 3 internal jobs
+    }, cases = scaledCases(60)) // 2 runs, each 3 internal jobs
   }
 
   private val kfoldGen = for {
@@ -397,7 +402,7 @@ class AlgebraLawsSpec extends SparkTestBase {
           LabelTransforms.applyTo(d, "label", Seq(t)))
         .as[(Int, String)].collect().sortBy(_._1).map(_._2).toList
       fused == labels.map(model(_, ts)) && fused == sequential
-    }, cases = 60) // the sequential run compiles up to 4 plans per case
+    }, cases = scaledCases(60)) // the sequential run compiles up to 4 plans per case
   }
 
   test("law: hashSplit is a pure function of (salt, key) — total, " +
@@ -467,7 +472,7 @@ class AlgebraLawsSpec extends SparkTestBase {
             .as[(Long, Long, Double)].collect()
         }.toSet
         got == batchRun && store.count() == docs.size
-    }, cases = 25) // K+2 Spark runs per case
+    }, cases = scaledCases(25)) // K+2 Spark runs per case
   }
 
   test("law: K-batch incremental simhash (guard off) ≡ the batch run " +
@@ -497,7 +502,7 @@ class AlgebraLawsSpec extends SparkTestBase {
             .as[(Long, Long, Int)].collect()
         }.toSet
         got == batchRun && store.count() == docs.size
-    }, cases = 25) // K+2 Spark runs per case
+    }, cases = scaledCases(25)) // K+2 Spark runs per case
   }
 
   private val incCcGen = for {
@@ -544,7 +549,7 @@ class AlgebraLawsSpec extends SparkTestBase {
         }
         val full = store.as[(Long, Long)].collect().toSet
         full == batchRun && shadow.toSet == full
-    }, cases = 20) // 2K+1 component solves per case
+    }, cases = scaledCases(20)) // 2K+1 component solves per case
   }
 
   private val incExactGen = for {
@@ -581,6 +586,6 @@ class AlgebraLawsSpec extends SparkTestBase {
           kept.select("doc_id").as[Long].collect()
         }.toSet
         keptAll == batchRun && store.count() == contents.distinct.size
-    }, cases = 25)
+    }, cases = scaledCases(25))
   }
 }
