@@ -402,6 +402,22 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q30/q40: the banded self-join stays sort-merge under DEFAULT " +
+      "confs (r22 merge hint) — AQE must not re-broadcast one side") {
+    // Without the hint AQE planned BroadcastHashJoin at sf0.1, whose
+    // build side re-evaluated the whole banding subtree (fingerprint
+    // kernel + explode + guard window) a second time. The hint pins the
+    // corpus-scale strategy at every size so the banding exchange is
+    // computed once and stage-reused (the AQE-off twin of this pin
+    // below asserts the ReusedExchange; plans/r22/*_after.txt show the
+    // runtime ShuffleQueryStage reuse).
+    for (q <- Seq("q30_minhash_neardup", "q40_simhash_pairs")) {
+      val p = plan(q)
+      assert(p.contains("SortMergeJoin"),
+        s"$q lost the merge-hinted banded self-join:\n$p")
+    }
+  }
+
   test("q30/q40: the skew-guard window's exchange is reused by the " +
       "bucket self-join") {
     // The guard's justification (and the round-4 regression trade): its
